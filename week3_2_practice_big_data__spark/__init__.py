@@ -1,0 +1,37 @@
+"""PySpark-native analytics engine with the query/data-processing surface of
+octbox1015/week3-2-practice-Big-Data- (see SURVEY.md).
+
+The reference (/root/reference/app.py) is a seeded NumPy generative-art
+dataflow; this engine re-expresses every operation it performs — plus the
+general relational operators each one instantiates, plus the NORTH-STAR
+LLM-data-pipeline operators — as lazy Spark DataFrame plans designed for
+100 TB scale (long-format tables, broadcast joins for small dims, no
+driver-side loops, Catalyst/AQE left free to optimize).
+
+Public surface:
+    get_spark()            — tuned local SparkSession (tests/bench)
+    load_table/load_tables — parquet ingestion for the driver test tables
+    REGISTRY               — all query keys (SURVEY.md §2) with DuckDB oracles
+"""
+
+from .session import get_spark
+from .io import TABLES, load_table, load_tables, register_views
+from .registry import REGISTRY, register, Query
+
+# Import query modules for their registration side effects.
+from .operators import aggregations, joins, windows, sorts, setops, filters  # noqa: F401
+from .functions import projections, text, similarity  # noqa: F401
+from .sources import generators  # noqa: F401
+from .plans import generative  # noqa: F401
+from .streaming import batch_windows, streams  # noqa: F401
+
+__all__ = [
+    "get_spark",
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "REGISTRY",
+    "register",
+    "Query",
+]

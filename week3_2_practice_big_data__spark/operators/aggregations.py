@@ -1,0 +1,267 @@
+"""Aggregation operators (SURVEY.md §2.1-E).
+
+Reference provenance: every aggregation in the reference is a per-blob NumPy
+reduction — extents `px.min()/px.max()` (app.py:56-57,73,76), centroid
+`px.mean()` (app.py:70), kernel normalization `k /= k.sum()` (app.py:28).
+Those appear here verbatim over the synthetic blob tables, plus the
+generalized grouped aggregations (REF-ANALOG) on the driver star schema.
+
+Cross-engine float discipline: money sums are computed on DECIMAL (exact in
+both Spark and DuckDB, so the value hash matches bit-for-bit) and cast to
+DOUBLE at the end; unit-scale ratios/means are rounded to 6 dp.
+
+Scale notes (100 TB): hash aggregation with partial (map-side) combine is
+automatic in Spark; group-by keys here are low-cardinality so the shuffle is
+tiny regardless of input size. `approx_count_distinct` is the scale path for
+distincts (constant memory sketch vs exact shuffle of the key space).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+from .. import synth
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped grouped multi-aggregate (SURVEY §7.1 M1).
+# Exercises scan → filter (pushed to parquet) → project → partial+final hash
+# agg → sort in one plan. At 100 TB this is a pure map-side-combine pattern:
+# the shuffle carries only (6 groups × 8 aggregates).
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+@register(
+    "agg_groupby_multi",
+    oracle=_Q1_ORACLE,
+    doc="TPC-H Q1-shaped grouped multi-aggregate (SURVEY §2.1-E, REF-ANALOG "
+    "of the per-blob reductions at app.py:56-57,70,73,76).",
+    tags=("agg", "flagship", "bench"),
+)
+def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            # Means as exact-decimal sum / count: both engines divide the
+            # same two exact values → bit-identical doubles (no round()).
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_extent — per-blob bounding box, app.py:56-57 (px.min/max, py.min/max).
+# ---------------------------------------------------------------------------
+
+_SEED, _NB = 42, 14
+
+
+def _extent_sql(dialect: str) -> str:
+    return (
+        "SELECT blob_id, min(px) AS xmin, max(px) AS xmax, "
+        "min(py) AS ymin, max(py) AS ymax, count(*) AS n_samples\n"
+        f"FROM ({synth.boundary_sql(_SEED, _NB, dialect)}) boundary\n"
+        "GROUP BY blob_id ORDER BY blob_id"
+    )
+
+
+@register(
+    "agg_extent",
+    oracle=_extent_sql("duckdb"),
+    doc="Per-blob min/max bounding box of boundary samples (app.py:56-57).",
+    tags=("agg", "generative"),
+)
+def agg_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_extent_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_centroid_mean — per-blob centroid, app.py:70 (px.mean(), py.mean()).
+# ---------------------------------------------------------------------------
+
+
+def _centroid_sql(dialect: str) -> str:
+    # sum/count instead of avg(): engines may implement avg incrementally;
+    # q6 quantizer instead of round(): see synth.q6 docstring.
+    cx = synth.q6("sum(px) / count(*)")
+    cy = synth.q6("sum(py) / count(*)")
+    return (
+        f"SELECT blob_id, {cx} AS cx_mean, {cy} AS cy_mean\n"
+        f"FROM ({synth.boundary_sql(_SEED, _NB, dialect)}) boundary\n"
+        "GROUP BY blob_id ORDER BY blob_id"
+    )
+
+
+@register(
+    "agg_centroid_mean",
+    oracle=_centroid_sql("duckdb"),
+    doc="Per-blob mean centroid of boundary samples (app.py:70).",
+    tags=("agg", "generative"),
+)
+def agg_centroid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_centroid_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_sum_normalize — kernel normalization k /= k.sum(), app.py:28, done with
+# a window aggregate so no re-join is needed (SURVEY §2.1-E).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_norm_sql(dialect: str) -> str:
+    return (
+        f"SELECT tap, {synth.q6('weight')} AS weight\n"
+        f"FROM ({synth.kernel_sql(2.0, dialect)}) kernel\n"
+        "ORDER BY tap"
+    )
+
+
+@register(
+    "agg_sum_normalize",
+    oracle=_kernel_norm_sql("duckdb"),
+    doc="Gaussian kernel generation + sum-normalization via window aggregate "
+    "(app.py:22-29).",
+    tags=("agg", "generative"),
+)
+def agg_sum_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_kernel_norm_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_count_distinct — REF-ANALOG (absent in reference, SURVEY §2.1-E).
+# Exact distinct per group; the 100 TB path swaps in approx_count_distinct
+# (HLL sketch, no key shuffle) — exposed as a separate column-free key below.
+# ---------------------------------------------------------------------------
+
+_CD_ORACLE = """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "agg_count_distinct",
+    oracle=_CD_ORACLE,
+    doc="Exact grouped COUNT DISTINCT on events (REF-ANALOG).",
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # sketch output is engine-specific → rows-only check
+    doc="approx_count_distinct (HLL) — the 100 TB scale path for distincts; "
+    "sketch estimates are engine-specific so this is a rows-only check, "
+    "backstopped by a pytest bound vs the exact count.",
+    tags=("agg", "scale"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_rollup_cube — REF-ANALOG grouping sets (absent in reference).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT c_mktsegment, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority) AS grp
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+ORDER BY grp, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register(
+    "agg_rollup_cube",
+    oracle=_ROLLUP_ORACLE,
+    doc="ROLLUP grouping-sets aggregate over orders⋈customer (REF-ANALOG).",
+    tags=("agg",),
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    grp = (F.grouping("c_mktsegment") + F.lit(2) * F.grouping("o_orderpriority")).alias(
+        "grp"
+    )
+    return (
+        joined.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            grp,
+        )
+        .orderBy(
+            "grp",
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory (SURVEY.md §7.1 M0).
+
+Local-mode settings mirror what we would set fleet-wide on a real cluster:
+AQE on (runtime re-planning, skew-join splitting), Arrow on (vectorized
+pandas_udf transfer), UTC session time zone (deterministic timestamp maths
+against the DuckDB oracle), and shuffle partitions sized for the local box
+(on a 1000-executor cluster this would be set ~2-3x total cores or left to
+AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The driver test tables store `events.ts` as parquet INT64 TIMESTAMP(NANOS)
+# which Spark refuses by default; read nanos as long + convert in io.py.
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(app_name: str = "w32bd-spark-engine") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(_NANOS_CONF, "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set runtime-settable confs the engine relies on.
+
+    The correctness driver hands us its own SparkSession; these SQL confs are
+    runtime-mutable, so apply them defensively before reading tables.
+    """
+    for key, value in (
+        (_NANOS_CONF, "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # immutable in this deployment; io.py has a fallback path
