@@ -63,9 +63,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _events_fallback(spark, path)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos → micros truncation, matching DuckDB's TIMESTAMP read.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Integer DIV, not `/`: double division loses µs precision at 1e18 ns.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

@@ -1,1 +1,264 @@
-"""Placeholder — filled in by build plan SURVEY.md §7."""
+"""Join operators (SURVEY.md §2.1-D).
+
+The reference has no relational joins, but two of its computations are
+join-shaped: the meshgrid pixel grid (np.meshgrid at app.py:41-43 — a
+cartesian product) and NumPy scalar-over-grid broadcasting (app.py:70-81 —
+a broadcast hash join of per-blob params onto pixels). Those two are REF;
+the standard keyed joins are REF-ANALOG on the driver star schema.
+
+Scale notes (100 TB):
+- `join_broadcast_params` / dimension joins use an explicit `broadcast()`
+  hint — the dimension side is tiny, so no shuffle of the fact table.
+- `join_inner_equi` on lineitem⋈orders is the shuffle join; at scale the
+  right design is co-partitioning/bucketing both tables on orderkey so the
+  sort-merge join needs no exchange. AQE handles skew splitting.
+- `join_range_theta` is equi on user_id + range on ts, so it stays a
+  sort-merge join on the equi key (never a nested-loop over the fact table).
+- `join_cross_meshgrid` is the one intentional cartesian product; its inputs
+  are axis tables (O(√pixels)), never fact tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+from .. import synth
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# join_cross_meshgrid — np.meshgrid(xs, ys) → pixel grid (app.py:41-43).
+# ---------------------------------------------------------------------------
+
+_GRID_N = 64
+
+
+def _meshgrid_sql(dialect: str) -> str:
+    x = synth.linspace("c.col", "0e0", "1e0", _GRID_N)
+    y = synth.linspace("r.row", "0e0", "1e0", _GRID_N)
+    return (
+        f"SELECT r.row, c.col, {x} AS x, {y} AS y\n"
+        f"FROM {synth.series_sql(_GRID_N, 'row', dialect)} r\n"
+        f"CROSS JOIN {synth.series_sql(_GRID_N, 'col', dialect)} c\n"
+        "ORDER BY r.row, c.col"
+    )
+
+
+@register(
+    "join_cross_meshgrid",
+    oracle=_meshgrid_sql("duckdb"),
+    doc="Cartesian product of axis series → (row, col, x, y) pixel grid "
+    "(np.meshgrid, app.py:41-43).",
+    tags=("join", "generative"),
+)
+def join_cross_meshgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_meshgrid_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# join_broadcast_params — NumPy broadcasting of per-blob scalars across the
+# pixel grid (X - cx at app.py:70-71; base * shade at app.py:79-80).
+# ---------------------------------------------------------------------------
+
+_BCAST_N = 32
+
+
+def _broadcast_params_sql(dialect: str) -> str:
+    x = synth.linspace("g.col", "0e0", "1e0", _BCAST_N)
+    y = synth.linspace("g.row", "0e0", "1e0", _BCAST_N)
+    return (
+        f"SELECT b.blob_id, g.row, g.col,\n"
+        f"  {synth.q6(f'{x} - b.cx')} AS dx,\n"
+        f"  {synth.q6(f'{y} - b.cy')} AS dy\n"
+        f"FROM ({synth.blobs_sql(42, 6, dialect)}) b\n"
+        f"CROSS JOIN (SELECT r.row, c.col FROM {synth.series_sql(_BCAST_N, 'row', dialect)} r "
+        f"CROSS JOIN {synth.series_sql(_BCAST_N, 'col', dialect)} c) g"
+    )
+
+
+@register(
+    "join_broadcast_params",
+    oracle=_broadcast_params_sql("duckdb"),
+    doc="Broadcast of per-blob scalars over the pixel grid — NumPy "
+    "broadcasting as a broadcast join (app.py:70-71,79-80).",
+    tags=("join", "generative"),
+)
+def join_broadcast_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same plan via DataFrame API with an explicit broadcast hint: the blob
+    # param table is the small side, pixels the big side.
+    blobs = spark.sql(synth.blobs_sql(42, 6, "spark"))
+    rows = spark.sql(f"SELECT row FROM {synth.series_sql(_BCAST_N, 'row', 'spark')}")
+    cols = spark.sql(f"SELECT col FROM {synth.series_sql(_BCAST_N, 'col', 'spark')}")
+    grid = rows.crossJoin(cols)
+    x = F.expr(synth.linspace("col", "0e0", "1e0", _BCAST_N))
+    y = F.expr(synth.linspace("row", "0e0", "1e0", _BCAST_N))
+    return (
+        grid.crossJoin(F.broadcast(blobs))
+        .select(
+            "blob_id",
+            "row",
+            "col",
+            F.expr(synth.q6(synth.linspace("col", "0e0", "1e0", _BCAST_N) + " - cx")).alias("dx"),
+            F.expr(synth.q6(synth.linspace("row", "0e0", "1e0", _BCAST_N) + " - cy")).alias("dy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_inner_equi — REF-ANALOG keyed equi-join (lineitem ⋈ orders).
+# ---------------------------------------------------------------------------
+
+_INNER_ORACLE = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "join_inner_equi",
+    oracle=_INNER_ORACLE,
+    doc="Shuffle equi-join lineitem⋈orders + grouped revenue (REF-ANALOG).",
+    tags=("join", "bench"),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_outer — REF-ANALOG left outer join (customers with zero orders kept).
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+SELECT c_custkey,
+  COUNT(o_orderkey) AS n_orders,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "join_outer",
+    oracle=_OUTER_ORACLE,
+    doc="Left outer join customer⟕orders preserving order-less customers "
+    "(REF-ANALOG).",
+    tags=("join",),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_semi_anti — REF-ANALOG left-semi / left-anti joins.
+# ---------------------------------------------------------------------------
+
+_SEMI_ANTI_ORACLE = """
+SELECT 'semi' AS kind, COUNT(*) AS n FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'anti' AS kind, COUNT(*) AS n FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY kind
+"""
+
+
+@register(
+    "join_semi_anti",
+    oracle=_SEMI_ANTI_ORACLE,
+    doc="left_semi (customers with orders) and left_anti (without) joins "
+    "(REF-ANALOG).",
+    tags=("join",),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    semi = customer.join(orders, cond, "left_semi").agg(
+        F.lit("semi").alias("kind"), F.count(F.lit(1)).alias("n")
+    )
+    anti = customer.join(orders, cond, "left_anti").agg(
+        F.lit("anti").alias("kind"), F.count(F.lit(1)).alias("n")
+    )
+    return semi.unionByName(anti).orderBy("kind")
+
+
+# ---------------------------------------------------------------------------
+# join_range_theta — REF-ANALOG non-equi (theta) join: equi on user_id plus
+# a time-range predicate, so Spark keeps a sort-merge join on the equi key.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT e.user_id, COUNT(*) AS n_pairs
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND p.ts > e.ts
+ AND p.ts <= e.ts + INTERVAL 10 MINUTE
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
+@register(
+    "join_range_theta",
+    oracle=_RANGE_ORACLE,
+    doc="Range/theta join: purchases within 10min after an error, per user "
+    "(REF-ANALOG; equi key keeps it sort-merge, not nested-loop).",
+    tags=("join", "bench"),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("ets")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    return (
+        err.join(
+            pur,
+            (F.col("u") == F.col("pu"))
+            & (F.col("pts") > F.col("ets"))
+            & (F.col("pts") <= F.col("ets") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("u").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

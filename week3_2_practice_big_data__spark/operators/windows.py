@@ -1,1 +1,174 @@
-"""Placeholder — filled in by build plan SURVEY.md §7."""
+"""Window-function operators (SURVEY.md §2.1-F).
+
+`win_conv1d_frame` is the flagship REF window op: the reference's separable
+Gaussian blur (app.py:31-37) is a 1-D "same"-mode weighted sliding sum. Here
+it runs over `events.value` per user as a SINGLE window pass: the weighted
+frame sum is expressed as Σ_o w_o·lead(value, o), 13 lead/lag terms over one
+window spec — Spark evaluates all of them in one sort, no self-join, no
+shuffle beyond the partition exchange. Missing neighbors at partition edges
+contribute 0 via coalesce, which is exactly np.convolve(mode="same")'s
+zero-padding (SURVEY §7.4.4).
+
+`win_rank_order` is the reference's painter's z-order / depth ranking
+(app.py:137,145,91-93); lead/lag and running aggregates are REF-ANALOG.
+
+Scale notes (100 TB): all of these shuffle once on the partition key and
+sort within partitions — the idiomatic distributed window pattern. Skewed
+partition keys (one user with 10⁹ events) would need pre-bucketing by
+(user, day); noted, not needed for this schema.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+from .. import synth
+
+# ---------------------------------------------------------------------------
+# win_conv1d_frame — Gaussian-weighted sliding window (app.py:31-37).
+# ---------------------------------------------------------------------------
+
+_SIGMA = 2.0
+
+
+def _conv_terms(value: str = "value") -> str:
+    """Σ_o w_o · lead(value, o): shared Spark/DuckDB window expression text.
+
+    lead() with negative offset is lag(); both engines accept lag/lead with
+    the window spec below. Term order is fixed by the generated text, so the
+    float additions happen in the same order on both engines.
+    """
+    taps = synth.gaussian_kernel(_SIGMA)
+    terms = []
+    for off, w in taps:
+        fn = "lead" if off >= 0 else "lag"
+        terms.append(
+            f"{synth.flit(w)} * coalesce({fn}({value}, {abs(off)}) "
+            f"OVER (PARTITION BY user_id ORDER BY ts, event_id), 0e0)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _conv1d_sql(dialect: str) -> str:
+    del dialect  # no seam: lag/lead text is identical on both engines
+    return (
+        f"SELECT event_id, user_id, {synth.q6('value')} AS value,\n"
+        f"  {synth.q6(_conv_terms())} AS smoothed\n"
+        "FROM events ORDER BY user_id, event_id"
+    )
+
+
+@register(
+    "win_conv1d_frame",
+    oracle=_conv1d_sql("duckdb"),
+    doc="1-D 'same'-mode Gaussian convolution over events.value per user — "
+    "the reference's separable blur pass (app.py:31-37) as one window sort.",
+    tags=("window", "bench", "generative"),
+)
+def win_conv1d_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_conv1d_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_rank_order — depth ordering / painter's z-order (app.py:137,145,91-93).
+# row_number / rank / dense_rank / normalized rank over blob depth, plus the
+# REF-ANALOG per-customer ranking on orders.
+# ---------------------------------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT o_orderkey, o_custkey,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, rn
+"""
+
+
+@register(
+    "win_rank_order",
+    oracle=_RANK_ORACLE,
+    doc="row_number/rank/dense_rank per customer by totalprice — painter's "
+    "depth order generalized (app.py:137,145).",
+    tags=("window",),
+)
+def win_rank_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("o_custkey", "rn")
+
+
+# ---------------------------------------------------------------------------
+# win_lead_lag — REF-ANALOG: previous-event gap per user (sessionization
+# primitive; microsecond-exact integer arithmetic on both engines).
+# ---------------------------------------------------------------------------
+
+
+def _lead_lag_sql(dialect: str) -> str:
+    epoch = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    # coalesce(-1): keeps the output columns non-nullable BIGINT so the
+    # driver's sort+hash never sees NaN-typed floats.
+    return f"""
+SELECT event_id, user_id,
+  coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
+  coalesce({epoch} - lag({epoch}) OVER w, -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "win_lead_lag",
+    oracle=_lead_lag_sql("duckdb"),
+    doc="lag/lead over event time per user: previous event id + gap in µs "
+    "(REF-ANALOG sessionization primitive).",
+    tags=("window",),
+)
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_lead_lag_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_running_agg — REF-ANALOG running sum/count (ordered prefix aggregate).
+# ---------------------------------------------------------------------------
+
+
+def _running_sql(dialect: str) -> str:
+    del dialect
+    return f"""
+SELECT event_id, user_id,
+  {synth.q6('sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id '
+            'ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS run_sum,
+  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "win_running_agg",
+    oracle=_running_sql("duckdb"),
+    doc="Running sum/count per user ordered by event time (REF-ANALOG).",
+    tags=("window",),
+)
+def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_running_sql("spark"))
