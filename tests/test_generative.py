@@ -1,0 +1,91 @@
+"""Golden invariants for the generative pipeline (FIXTURES.md §B, SURVEY §5.2.3)."""
+
+from __future__ import annotations
+
+from week3_2_practice_big_data__spark import REGISTRY
+from week3_2_practice_big_data__spark.plans.png import png_dimensions
+from week3_2_practice_big_data__spark.synth import gaussian_kernel
+
+from .conftest import SF_SMALL
+
+
+def test_kernel_sums_to_one():
+    for sigma in (0.5, 1.0, 2.0, 3.5):
+        taps = gaussian_kernel(sigma)
+        assert abs(sum(w for _, w in taps) - 1.0) < 1e-12
+        assert len(taps) == 2 * int(3 * sigma + 0.5) + 1
+    assert gaussian_kernel(0.0) == [(0, 1.0)]  # sigma<=0 guard (app.py:23-24)
+
+
+def test_blob_params_within_bounds(spark):
+    rows = REGISTRY["src_range_gen"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 14
+    for r in rows:
+        assert 0.1 <= r["r"] <= 0.26
+        assert 0.08 <= r["wobble"] <= 0.22
+        assert 0.12 <= r["cx"] <= 0.88 and 0.12 <= r["cy"] <= 0.88
+        assert 0.0 <= min(r["col_r"], r["col_g"], r["col_b"])
+        assert max(r["col_r"], r["col_g"], r["col_b"]) <= 1.0
+    depths = [r["depth"] for r in sorted(rows, key=lambda x: x["blob_id"])]
+    assert depths == sorted(depths)  # depth monotone in blob_id
+
+
+def test_composite_rgb_bounds_and_coverage(spark):
+    rows = REGISTRY["sort_composite_order"].builder(spark, SF_SMALL).collect()
+    assert {(r["row"], r["col"]) for r in rows} <= {
+        (i, j) for i in range(96) for j in range(96)
+    }
+    assert all(0.0 <= r[c] <= 1.0 for r in rows for c in ("r", "g", "b"))
+    # some pixels must be shaded (not all background white)
+    assert any(r["r"] < 0.999 for r in rows)
+
+
+def test_mask_alpha_gate(spark):
+    rows = REGISTRY["filt_mask_apply"].builder(spark, SF_SMALL).collect()
+    inside = REGISTRY["filt_point_in_polygon"].builder(spark, SF_SMALL).collect()
+    inside_map = {(r["blob_id"], r["row"], r["col"]): r["inside"] for r in inside}
+    for r in rows:
+        key = (r["blob_id"], r["row"], r["col"])
+        if inside_map[key]:
+            assert 0.4 <= r["alpha"] <= 1.0
+        else:
+            assert r["alpha"] == 0.0
+
+
+def test_blur_mass_preservation(spark):
+    """Separable blur preserves total mass up to edge effects (app.py:31-37)."""
+    blur = REGISTRY["win_conv2d_separable"].builder(spark, SF_SMALL).collect()
+    pip = REGISTRY["filt_point_in_polygon"].builder(spark, SF_SMALL).collect()
+    mass_in = sum(1.0 for r in pip if r["inside"])
+    mass_out = sum(r["shadow"] for r in blur)
+    assert mass_out <= mass_in + 1e-6
+    assert mass_out >= 0.9 * mass_in  # bbox padding >> blur radius → tiny loss
+
+
+def test_render_pngs_valid(spark):
+    rows = REGISTRY["udf_grouped_map_render"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    for r in rows:
+        w, h = png_dimensions(bytes(r["png"]))
+        assert (w, h) == (r["width"], r["height"])
+        assert r["n_inside"] > 0
+
+
+def test_poster_export(spark):
+    rows = REGISTRY["sink_binary_export"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    w, h = png_dimensions(bytes(rows[0]["png"]))
+    assert (w, h) == (96, 96)
+    assert rows[0]["seed"] == 42 and rows[0]["n_blobs"] == 6
+
+
+def test_numpy_parity_generator(spark):
+    """mapInPandas replay matches a local replay bit-for-bit (SURVEY §7.4.2)."""
+    from week3_2_practice_big_data__spark.sources.generators import numpy_blob_params
+
+    rows = REGISTRY["src_range_gen_numpy"].builder(spark, SF_SMALL).collect()
+    local = numpy_blob_params(42, 14)
+    assert len(rows) == len(local)
+    for got, want in zip(rows, local):
+        for k, v in want.items():
+            assert got[k] == v, (k, got[k], v)

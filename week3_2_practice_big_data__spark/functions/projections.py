@@ -281,6 +281,10 @@ def _hsv_oracle() -> str:
 )
 def fn_hsv_to_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     from pyspark.sql.types import DoubleType
 
     def _channels(h: pd.Series, s: pd.Series, v: pd.Series):

@@ -1,1 +1,544 @@
-"""Placeholder — filled in by build plan SURVEY.md §7."""
+"""The generative poster pipeline (SURVEY.md §3.2, §7.1 M3) — reference parity.
+
+Reference dataflow (app.py:136-150 + render_blob 51-93): seeded blob params →
+280-sample wobbled polygon boundary → rasterize mask (contains_points) →
+radial+directional shading → RGBA with depth alpha → separable Gaussian
+shadow blur → painter's-algorithm composite → PNG export.
+
+Engine re-expression — ALL relational, long-format, per SURVEY §1.2:
+- polygon containment is NOT a UDF here: even-odd ray casting is a join of
+  pixels × polygon edges + crossing-parity aggregation (pure DataFrame ops,
+  DuckDB-oracle checkable). A pandas_udf variant (`udf_geom_contains`)
+  cross-checks the same counts through the Arrow UDF surface.
+- the blur is two 1-D Gaussian window passes (separable factorization kept
+  from the reference, SURVEY §4.1) — Σ w_o·lead() terms, no self-join.
+- compositing is the ordered non-commutative fold (SURVEY §7.4.1): per pixel
+  sort_array(collect_list(struct(depth,…))) + aggregate() alpha-over fold,
+  forced deterministic by the sort key.
+
+Scale notes (100 TB): pixels are rows, blobs are rows — the whole poster at
+any resolution is one lazy plan with shuffles only at (blob) and (pixel)
+groupings; per-blob bbox restriction is the partition-pruning analog
+(app.py:56-60,66). Nothing collects to the driver except final small
+results; renders run per-group inside executors via applyInPandas.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from .. import synth
+from .png import encode_png_rgb, png_dimensions
+
+SEED = 42
+NB = 6  # blobs in the query-key configuration
+CANVAS = 96  # global canvas resolution (H = W)
+NSAMP = 280  # boundary samples per blob (app.py:141)
+PAD = "0.4e0"  # bbox pad fraction of max(xrange, yrange), app.py:58-60
+_LX, _LY = "-0.6e0", "0.8e0"  # light_dir (app.py:52)
+
+
+def _clip01(e: str) -> str:
+    return f"least(greatest({e}, 0e0), 1e0)"
+
+
+def _scene_ctes(dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS) -> str:
+    """Shared CTE prelude: blobs, boundary, closed edges, padded bbox, grid,
+    candidate (blob,pixel) pairs, even-odd containment, mask alpha."""
+    x = synth.linspace("g.col", "0e0", "1e0", canvas)
+    y = synth.linspace("g.row", "0e0", "1e0", canvas)
+    return f"""
+WITH blobs AS ({synth.blobs_sql(seed, nb, dialect)}),
+boundary AS ({synth.boundary_sql(seed, nb, dialect, NSAMP)}),
+edges AS (
+  SELECT blob_id, k,
+    px AS x1, py AS y1,
+    lead(px, 1) OVER w AS x2f, lead(py, 1) OVER w AS y2f,
+    first_value(px) OVER w AS x0, first_value(py) OVER w AS y0
+  FROM boundary
+  WINDOW w AS (PARTITION BY blob_id ORDER BY k)
+),
+cedges AS (
+  SELECT blob_id, k, x1, y1,
+    coalesce(x2f, x0) AS x2, coalesce(y2f, y0) AS y2
+  FROM edges
+),
+bbox AS (
+  SELECT blob_id,
+    min(px) - {PAD} * greatest(max(px) - min(px), max(py) - min(py)) AS bx0,
+    max(px) + {PAD} * greatest(max(px) - min(px), max(py) - min(py)) AS bx1,
+    min(py) - {PAD} * greatest(max(px) - min(px), max(py) - min(py)) AS by0,
+    max(py) + {PAD} * greatest(max(px) - min(px), max(py) - min(py)) AS by1
+  FROM boundary GROUP BY blob_id
+),
+centroid AS (
+  SELECT blob_id,
+    {synth.q6("sum(px) / count(*)")} AS ccx,
+    {synth.q6("sum(py) / count(*)")} AS ccy
+  FROM boundary GROUP BY blob_id
+),
+grid AS (
+  SELECT r.row, c.col
+  FROM {synth.series_sql(canvas, "row", dialect)} r
+  CROSS JOIN {synth.series_sql(canvas, "col", dialect)} c
+),
+pairs AS (
+  SELECT b.blob_id, g.row, g.col, {x} AS x, {y} AS y
+  FROM bbox b JOIN grid g
+    ON {x} >= b.bx0 AND {x} <= b.bx1 AND {y} >= b.by0 AND {y} <= b.by1
+),
+crossings AS (
+  SELECT p.blob_id, p.row, p.col, p.x, p.y,
+    sum(CASE WHEN (e.y1 > p.y) != (e.y2 > p.y)
+              AND p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1
+         THEN 1 ELSE 0 END) AS n_cross
+  FROM pairs p JOIN cedges e ON p.blob_id = e.blob_id
+  GROUP BY p.blob_id, p.row, p.col, p.x, p.y
+),
+mask AS (
+  SELECT blob_id, row, col, x, y,
+    (n_cross % 2 = 1) AS inside,
+    CASE WHEN n_cross % 2 = 1 THEN 1e0 ELSE 0e0 END AS mask_f
+  FROM crossings
+)"""
+
+
+def _shaded_sql(dialect: str) -> str:
+    """Mask + shading + alpha (app.py:68-85) on top of the scene CTEs."""
+    return f"""{_scene_ctes(dialect)},
+lit AS (
+  SELECT m.*, b.depth, b.col_r, b.col_g, b.col_b,
+    sqrt((m.x - c.ccx) * (m.x - c.ccx) + (m.y - c.ccy) * (m.y - c.ccy)) AS d,
+    (m.x - c.ccx) * {_LX} + (m.y - c.ccy) * {_LY} AS light
+  FROM mask m
+  JOIN centroid c ON m.blob_id = c.blob_id
+  JOIN blobs b ON m.blob_id = b.blob_id
+),
+norm AS (
+  SELECT *,
+    {_clip01("1e0 - d / max(d) OVER (PARTITION BY blob_id)")} AS radial,
+    (light - min(light) OVER (PARTITION BY blob_id))
+      / (max(light) OVER (PARTITION BY blob_id)
+         - min(light) OVER (PARTITION BY blob_id) + 1e-9) AS light_n
+  FROM lit
+),
+shaded AS (
+  SELECT blob_id, row, col, inside, mask_f, depth,
+    0.3e0 + 0.7e0 * (0.5e0 * radial + 0.5e0 * light_n) AS shade,
+    {_clip01("col_r * (0.3e0 + 0.7e0 * (0.5e0 * radial + 0.5e0 * light_n))")} AS pr,
+    {_clip01("col_g * (0.3e0 + 0.7e0 * (0.5e0 * radial + 0.5e0 * light_n))")} AS pg,
+    {_clip01("col_b * (0.3e0 + 0.7e0 * (0.5e0 * radial + 0.5e0 * light_n))")} AS pb,
+    mask_f * (0.4e0 + 0.6e0 * depth) AS alpha
+  FROM norm
+)"""
+
+
+# ---------------------------------------------------------------------------
+# filt_point_in_polygon — contains_points (app.py:44-45) as edge-crossing
+# parity: join + aggregate, no UDF, fully oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _pip_sql(dialect: str) -> str:
+    return (
+        _scene_ctes(dialect)
+        + "\nSELECT blob_id, row, col, inside FROM mask ORDER BY blob_id, row, col"
+    )
+
+
+@register(
+    "filt_point_in_polygon",
+    oracle=_pip_sql("duckdb"),
+    doc="Point-in-polygon containment (app.py:44-45) as even-odd ray casting "
+    "via pixel×edge join + crossing parity — relational, not a UDF.",
+    tags=("filter", "generative", "bench"),
+)
+def filt_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_pip_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# filt_mask_apply — bool mask as multiplicative alpha gate (app.py:68,81).
+# ---------------------------------------------------------------------------
+
+
+def _mask_apply_sql(dialect: str) -> str:
+    return (
+        _shaded_sql(dialect)
+        + f"\nSELECT blob_id, row, col, {synth.q6('alpha')} AS alpha "
+        "FROM shaded ORDER BY blob_id, row, col"
+    )
+
+
+@register(
+    "filt_mask_apply",
+    oracle=_mask_apply_sql("duckdb"),
+    doc="Mask as multiplicative alpha gate: mask_f·(0.4+0.6·depth) "
+    "(app.py:68,81).",
+    tags=("filter", "generative"),
+)
+def filt_mask_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_mask_apply_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_conv2d_separable — the separable Gaussian shadow blur (app.py:31-37,
+# 87-91): two 1-D window passes over the mask field, zero-padded edges.
+# ---------------------------------------------------------------------------
+
+_BLUR_SIGMA = 2.0
+
+
+def _blur_terms(value: str, part: str, order: str) -> str:
+    taps = synth.gaussian_kernel(_BLUR_SIGMA)
+    terms = []
+    for off, w in taps:
+        fn = "lead" if off >= 0 else "lag"
+        terms.append(
+            f"{synth.flit(w)} * coalesce({fn}({value}, {abs(off)}) "
+            f"OVER (PARTITION BY {part} ORDER BY {order}), 0e0)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _blur_sql(dialect: str) -> str:
+    pass1 = _blur_terms("mask_f", "blob_id, row", "col")
+    pass2 = _blur_terms("blur1", "blob_id, col", "row")
+    return f"""{_scene_ctes(dialect)},
+pass1 AS (
+  SELECT blob_id, row, col, {pass1} AS blur1 FROM mask
+),
+pass2 AS (
+  SELECT blob_id, row, col, {pass2} AS blur2 FROM pass1
+)
+SELECT blob_id, row, col, {synth.q6("blur2")} AS shadow
+FROM pass2 ORDER BY blob_id, row, col
+"""
+
+
+@register(
+    "win_conv2d_separable",
+    oracle=_blur_sql("duckdb"),
+    doc="Separable 2-D Gaussian blur of the blob mask as two 1-D window "
+    "passes (app.py:31-37; shadow at 87-91) — the hand-applied operator "
+    "factorization kept as query formulation (SURVEY §4.1).",
+    tags=("window", "generative", "bench"),
+)
+def win_conv2d_separable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_blur_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sort_composite_order — painter's-algorithm alpha-over fold (app.py:137-150,
+# 91-93): ordered, non-commutative; order forced by sorting on depth.
+# ---------------------------------------------------------------------------
+
+
+def _composite_sql(dialect: str) -> str:
+    shaded = _shaded_sql(dialect)
+    if dialect == "spark":
+        fold = """
+SELECT row, col,
+  aggregate(
+    array_sort(collect_list(named_struct(
+      'depth', depth, 'r', pr, 'g', pg, 'b', pb, 'a', alpha))),
+    named_struct('depth', 0e0, 'r', 1e0, 'g', 1e0, 'b', 1e0, 'a', 0e0),
+    (acc, e) -> named_struct(
+      'depth', 0e0,
+      'r', e.r * e.a + acc.r * (1e0 - e.a),
+      'g', e.g * e.a + acc.g * (1e0 - e.a),
+      'b', e.b * e.a + acc.b * (1e0 - e.a),
+      'a', 0e0)
+  ) AS px
+FROM shaded GROUP BY row, col
+"""
+        return (
+            shaded
+            + f",\nfolded AS ({fold})\n"
+            + f"SELECT row, col, {synth.q6('px.r')} AS r, {synth.q6('px.g')} AS g, "
+            f"{synth.q6('px.b')} AS b FROM folded ORDER BY row, col"
+        )
+    fold = """
+SELECT row, col,
+  list_reduce(
+    list_prepend(
+      struct_pack(depth := 0e0, r := 1e0, g := 1e0, b := 1e0, a := 0e0),
+      list(struct_pack(depth := depth, r := pr, g := pg, b := pb, a := alpha)
+           ORDER BY depth)),
+    (acc, e) -> struct_pack(
+      depth := 0e0,
+      r := e.r * e.a + acc.r * (1e0 - e.a),
+      g := e.g * e.a + acc.g * (1e0 - e.a),
+      b := e.b * e.a + acc.b * (1e0 - e.a),
+      a := 0e0)
+  ) AS px
+FROM shaded GROUP BY row, col
+"""
+    return (
+        shaded
+        + f",\nfolded AS ({fold})\n"
+        + f"SELECT row, col, {synth.q6('px.r')} AS r, {synth.q6('px.g')} AS g, "
+        f"{synth.q6('px.b')} AS b FROM folded ORDER BY row, col"
+    )
+
+
+@register(
+    "sort_composite_order",
+    oracle=_composite_sql("duckdb"),
+    doc="Painter's-algorithm alpha-over composite as an ordered fold: "
+    "sort_array(collect_list(struct)) + aggregate() (app.py:137-150,91-93; "
+    "SURVEY §7.4.1). White background, blobs over in depth order.",
+    tags=("sort", "generative", "bench"),
+)
+def sort_composite_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_composite_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sink_display — df.show()-style sink (st.pyplot, app.py:153): the first
+# rows of the composited canvas.
+# ---------------------------------------------------------------------------
+
+
+def _display_sql(dialect: str) -> str:
+    return (
+        f"SELECT * FROM ({_composite_sql(dialect)}) canvas "
+        "ORDER BY row, col LIMIT 24"
+    )
+
+
+@register(
+    "sink_display",
+    oracle=_display_sql("duckdb"),
+    doc="Display sink: deterministic head of the composited canvas "
+    "(st.pyplot/st.caption, app.py:153,161).",
+    tags=("sink", "generative"),
+)
+def sink_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_display_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# udf_geom_contains — the same containment decided by an Arrow-vectorized
+# pandas UDF (matplotlib contains_points analog, app.py:44), cross-checked
+# against the relational ray-casting oracle per blob.
+# ---------------------------------------------------------------------------
+
+
+def _pip_counts_sql(dialect: str) -> str:
+    return (
+        _scene_ctes(dialect)
+        + "\nSELECT blob_id, sum(CASE WHEN inside THEN 1 ELSE 0 END) AS n_inside,"
+        " count(*) AS n_candidates FROM mask GROUP BY blob_id ORDER BY blob_id"
+    )
+
+
+@register(
+    "udf_geom_contains",
+    oracle=_pip_counts_sql("duckdb"),
+    doc="Polygon containment via applyInPandas (NumPy even-odd ray casting, "
+    "mirroring the SQL crossing test bit-for-bit) — the reference's "
+    "contains_points UDF surface (app.py:44).",
+    tags=("udf", "generative"),
+)
+def udf_geom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    pairs = spark.sql(
+        _scene_ctes("spark") + "\nSELECT blob_id, row, col, x, y FROM pairs"
+    )
+    verts = spark.sql(synth.boundary_sql(SEED, NB, "spark", NSAMP)).select(
+        "blob_id", "k", "px", "py"
+    )
+    joined = pairs.join(
+        F.broadcast(verts.groupBy("blob_id").agg(
+            F.sort_array(F.collect_list(F.struct("k", "px", "py"))).alias("poly")
+        )),
+        "blob_id",
+    )
+
+    def contains(pdf: pd.DataFrame) -> pd.DataFrame:
+        poly = pdf["poly"].iloc[0]
+        vx = np.array([p["px"] for p in poly])
+        vy = np.array([p["py"] for p in poly])
+        x2, y2 = np.roll(vx, -1), np.roll(vy, -1)
+        px, py = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        # Same comparisons as the SQL crossing test → identical booleans.
+        # (horizontal edges divide by zero → inf/nan, masked out by the
+        # first clause exactly as in SQL; silence the numpy warning)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            crosses = ((vy[None, :] > py[:, None]) != (y2[None, :] > py[:, None])) & (
+                px[:, None]
+                < (x2 - vx)[None, :] * (py[:, None] - vy[None, :]) / (y2 - vy)[None, :]
+                + vx[None, :]
+            )
+        inside = (crosses.sum(axis=1) % 2) == 1
+        return pd.DataFrame(
+            {
+                "blob_id": pdf["blob_id"],
+                "n_inside": int(inside.sum()),
+                "n_candidates": len(pdf),
+            }
+        ).iloc[:1]
+
+    return (
+        joined.groupBy("blob_id")
+        .applyInPandas(contains, "blob_id bigint, n_inside bigint, n_candidates bigint")
+        .orderBy("blob_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# udf_grouped_map_render — render_blob (app.py:51-93) as a grouped-map
+# transform: one PNG per blob, produced inside executors. Rows-only check
+# (binary output), backstopped by pytest goldens.
+# ---------------------------------------------------------------------------
+
+_RENDER_SCHEMA = (
+    "blob_id bigint, width int, height int, n_inside bigint, png binary"
+)
+
+
+def _render_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    blob_id = int(pdf["blob_id"].iloc[0])
+    rows = pdf["row"].to_numpy()
+    cols = pdf["col"].to_numpy()
+    r0, c0 = rows.min(), cols.min()
+    h = int(rows.max() - r0 + 1)
+    w = int(cols.max() - c0 + 1)
+    img = np.ones((h, w, 3), dtype=np.float64)
+    rr = (rows - r0).astype(int)
+    cc = (cols - c0).astype(int)
+    a = pdf["alpha"].to_numpy()
+    for ch, col in enumerate(("pr", "pg", "pb")):
+        v = pdf[col].to_numpy()
+        img[rr, cc, ch] = v * a + img[rr, cc, ch] * (1.0 - a)
+    buf = (np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes()
+    return pd.DataFrame(
+        {
+            "blob_id": [blob_id],
+            "width": [w],
+            "height": [h],
+            "n_inside": [int((pdf["inside"]).sum())],
+            "png": [encode_png_rgb(buf, w, h)],
+        }
+    )
+
+
+@register(
+    "udf_grouped_map_render",
+    oracle=None,  # binary output → rows-only; pytest checks PNG validity
+    doc="render_blob (app.py:51-93) as groupBy(blob).applyInPandas → one PNG "
+    "BinaryType row per blob, encoded in-executor (pure-zlib PNG).",
+    tags=("udf", "generative", "multimodal"),
+)
+def udf_grouped_map_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    shaded = spark.sql(
+        _shaded_sql("spark")
+        + "\nSELECT blob_id, row, col, inside, pr, pg, pb, alpha FROM shaded"
+    )
+    return (
+        shaded.groupBy("blob_id")
+        .applyInPandas(_render_group, _RENDER_SCHEMA)
+        .orderBy("blob_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_binary_export — the poster-level PNG export (app.py:156-159): the
+# whole composited canvas as ONE multimodal row (NS `ns_multimodal_cols`
+# depends on this shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_binary_export",
+    oracle=None,  # binary output → rows-only; pytest parses IHDR + pixel hash
+    doc="PNG export sink (app.py:156-159): composited canvas → single "
+    "BinaryType row (seed, n_blobs, width, height, png).",
+    tags=("sink", "generative", "multimodal"),
+)
+def sink_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    canvas = spark.sql(_composite_sql("spark"))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["row", "col"])
+        h = int(pdf["row"].max()) + 1
+        w = int(pdf["col"].max()) + 1
+        img = np.ones((h, w, 3), dtype=np.float64)
+        img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), 0] = pdf["r"].to_numpy()
+        img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), 1] = pdf["g"].to_numpy()
+        img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), 2] = pdf["b"].to_numpy()
+        png = encode_png_rgb((np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes(), w, h)
+        return pd.DataFrame(
+            {
+                "seed": [SEED],
+                "n_blobs": [NB],
+                "width": [w],
+                "height": [h],
+                "png": [png],
+            }
+        )
+
+    return (
+        canvas.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(assemble, "seed bigint, n_blobs int, width int, height int, png binary")
+    )
+
+
+# ---------------------------------------------------------------------------
+# udtf_explode_gen — generator/table-function surface: posexplode of split
+# tokens (REF-ANALOG of the per-blob 280-sample expansion, app.py:141).
+# ---------------------------------------------------------------------------
+
+
+def _explode_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+SELECT doc_id, pos, token
+FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, token)
+      FROM documents WHERE doc_id < 20) t
+ORDER BY doc_id, pos
+"""
+    return """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20
+),
+e AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p FROM t
+)
+SELECT doc_id, p - 1 AS pos, toks[p] AS token FROM e ORDER BY doc_id, pos
+"""
+
+
+@register(
+    "udtf_explode_gen",
+    oracle=_explode_sql("duckdb"),
+    doc="Generator/UDTF surface: posexplode(split(text)) row expansion "
+    "(REF-ANALOG of the angle-sample expansion, app.py:141).",
+    tags=("udtf", "ns"),
+)
+def udtf_explode_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_explode_sql("spark"))

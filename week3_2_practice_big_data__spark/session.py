@@ -36,6 +36,43 @@ def get_spark(app_name: str = "w32bd-spark-engine") -> SparkSession:
     return builder.getOrCreate()
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Python-UDF closures (applyInPandas/mapInPandas/pandas_udf) may reference
+    module-level symbols, which cloudpickle serializes BY REFERENCE — workers
+    then need to import `week3_2_practice_big_data__spark`, and the driver
+    process may run from any cwd. This is the local-mode equivalent of
+    `spark-submit --py-files pkg.zip` on a real cluster.
+    """
+    if spark.conf.get("spark.w32bd.pkgShipped", None) == "true":
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    build_dir = os.path.join(os.path.dirname(pkg_dir), ".build")
+    os.makedirs(build_dir, exist_ok=True)
+    zpath = os.path.join(build_dir, "w32bd_pkg.zip")
+    sources = [
+        os.path.join(root, name)
+        for root, _, files in os.walk(pkg_dir)
+        for name in files
+        if name.endswith(".py")
+    ]
+    stale = not os.path.exists(zpath) or os.path.getmtime(zpath) < max(
+        os.path.getmtime(s) for s in sources
+    )
+    if stale:
+        with zipfile.ZipFile(zpath, "w") as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    spark.sparkContext.addPyFile(zpath)
+    try:
+        spark.conf.set("spark.w32bd.pkgShipped", "true")
+    except Exception:
+        pass
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set runtime-settable confs the engine relies on.
 

@@ -90,6 +90,88 @@ def src_param_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_palette_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# src_range_gen_numpy — the reference-parity generator (SURVEY §7.4.2):
+# replays app.py's EXACT RNG stream (random.seed + np.random.seed draw
+# order, app.py:117-118,136-146) inside mapInPandas. The stream is
+# inherently sequential, so one partition generates all blob params (n≤30 —
+# trivially small); the LCG generator above is the parallel scale path.
+# Rows-only driver check (NumPy streams are not SQL-expressible);
+# bit-parity is asserted in pytest against a local replay.
+# ---------------------------------------------------------------------------
+
+
+def numpy_blob_params(seed: int, n_blobs: int) -> list[dict]:
+    """Local replay of the reference's draw order (app.py:117-119,136-146)."""
+    import random as pyrandom
+    from colorsys import hsv_to_rgb
+
+    import numpy as np
+
+    pyrandom.seed(seed)
+    palette = []
+    for _ in range(n_blobs):  # diverse_palette, app.py:11-20
+        h = pyrandom.random()
+        s = pyrandom.uniform(0.35, 0.65)
+        v = pyrandom.uniform(0.75, 0.95)
+        palette.append(hsv_to_rgb(h, s, v))
+    pyrandom.seed(seed)  # app.py:117 reseeds before the blob loop
+    np.random.seed(seed)
+    out = []
+    for i in range(n_blobs):
+        r = pyrandom.uniform(0.1, 0.26)
+        wobble = pyrandom.uniform(0.08, 0.22)
+        cx, cy = pyrandom.uniform(0.12, 0.88), pyrandom.uniform(0.12, 0.88)
+        noise = np.random.rand(280)
+        color = palette[i % len(palette)]
+        out.append(
+            {
+                "blob_id": i,
+                "r": r,
+                "wobble": wobble,
+                "cx": cx,
+                "cy": cy,
+                "depth": i / float(max(1, n_blobs - 1)),
+                "col_r": color[0],
+                "col_g": color[1],
+                "col_b": color[2],
+                "noise_sum": float(noise.sum()),
+            }
+        )
+    return out
+
+
+@register(
+    "src_range_gen_numpy",
+    oracle=None,  # sequential NumPy RNG stream — not SQL-expressible
+    doc="Reference-parity seeded generator: replays random/np.random draw "
+    "order of app.py:117-119,136-146 bit-exactly via mapInPandas.",
+    tags=("source", "generative", "udf"),
+)
+def src_range_gen_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    schema = (
+        "blob_id bigint, r double, wobble double, cx double, cy double, "
+        "depth double, col_r double, col_g double, col_b double, noise_sum double"
+    )
+
+    def gen(batches):
+        for _ in batches:  # one trigger row → full sequential replay
+            yield pd.DataFrame(numpy_blob_params(_SEED, _NB))
+
+    return (
+        spark.range(1)
+        .coalesce(1)
+        .mapInPandas(gen, schema)
+        .orderBy("blob_id")
+    )
+
+
 _SCAN_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLES
 ) + "\nORDER BY table_name"
