@@ -21,7 +21,25 @@ from week3_2_practice_big_data__spark import REGISTRY, get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
+    # relational core
     "agg_groupby_multi",
+    "join_inner_equi",
+    "join_range_theta",
+    "sort_orderby",
+    "win_conv1d_frame",
+    # generative pipeline
+    "filt_point_in_polygon",
+    "win_conv2d_separable",
+    "sort_composite_order",
+    # NORTH-STAR LLM-pipeline ops
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_dedup_ngram_jaccard",
+    "ns_sim_topk",
+    "ns_text_tfidf",
+    # event-time windows
+    "stream_tumbling_agg",
+    "stream_session_window",
 ]
 
 

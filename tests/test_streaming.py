@@ -1,0 +1,28 @@
+"""Streaming semantics checks (SURVEY §2.1-I): append-mode finalization and
+stateful dedup, validated against the batch oracles."""
+
+from __future__ import annotations
+
+from week3_2_practice_big_data__spark import REGISTRY
+
+from .conftest import SF_SMALL
+
+
+def test_watermark_emits_subset_of_batch_windows(spark):
+    streamed = REGISTRY["stream_watermark_late"].builder(spark, SF_SMALL).collect()
+    batch = REGISTRY["stream_tumbling_agg"].builder(spark, SF_SMALL).collect()
+    batch_map = {(r["win_start"], r["event_type"]): r["n"] for r in batch}
+    assert 0 < len(streamed) <= len(batch)
+    for r in streamed:
+        key = (r["win_start"], r["event_type"])
+        assert key in batch_map, f"streamed window {key} not in batch result"
+        assert r["n"] == batch_map[key], f"count mismatch for {key}"
+    # append mode must hold back the unfinalized tail (watermark < max ts)
+    assert len(streamed) < len(batch)
+
+
+def test_stream_dedup_removes_replayed_chunk(spark):
+    rows = REGISTRY["stream_dedup_state"].builder(spark, SF_SMALL).collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicates survived stateful dedup"
+    assert len(ids) == 1000  # 1100 streamed rows incl. 100 replayed dups

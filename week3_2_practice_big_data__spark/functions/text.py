@@ -1,1 +1,495 @@
-"""Placeholder — filled in by build plan SURVEY.md §7."""
+"""NORTH-STAR text-analysis + text-dedup operators (SURVEY.md §2.1-K).
+
+Not in the reference — mandated by BASELINE.json for the 100 TB LLM-data-
+pipeline surface: exact dedup, MinHash+LSH, SimHash, n-gram Jaccard,
+tf-idf / language-ID / quality scoring / token counting / fingerprinting
+over the `documents` table.
+
+Design choices for scale:
+- everything is long-format relational: tokens and shingles are ROWS
+  (posexplode), signatures are grouped aggregates — so each stage shuffles
+  on bounded keys and no array ever holds a whole corpus.
+- near-dup candidate generation NEVER does a full O(n²) cross join: Jaccard
+  pairs come from an inverted shingle index (join on shingle), MinHash pairs
+  from banded signature equality (join on band hash) — at 100 TB both are
+  the standard inverted-index / LSH-bucket patterns.
+- string hashing is a 31-base polynomial over code points written with
+  higher-order functions — identical integer arithmetic in Spark and DuckDB
+  (engine-native hash()/md5 parsing differ across engines, SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+from .. import synth
+
+_P = 2_147_483_647  # hash modulus (2^31-1)
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str = "documents") -> None:
+    load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def tokens_sql(dialect: str, where: str = "") -> str:
+    """(doc_id, pos, token) long format — the only explode-dialect seam."""
+    if dialect == "spark":
+        return (
+            "SELECT doc_id, posexplode(split(text, ' ')) AS (pos, token) "
+            f"FROM documents {where}"
+        )
+    return f"""
+SELECT doc_id, p - 1 AS pos, toks[p] AS token
+FROM (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents {where}) t0
+) t1
+"""
+
+
+def char_polyhash(dialect: str, s: str, mult: int = 31, init: int = 7) -> str:
+    """Polynomial code-point hash — identical BIGINT arithmetic both engines."""
+    if dialect == "spark":
+        return (
+            f"aggregate(transform(sequence(1, length({s})), "
+            f"i -> CAST(ascii(substring({s}, i, 1)) AS BIGINT)), "
+            f"CAST({init} AS BIGINT), (acc, c) -> (acc * {mult} + c) % {_P})"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST({init} AS BIGINT), "
+        f"list_transform(generate_series(1, length({s})), "
+        f"i -> CAST(ascii({s}[i]) AS BIGINT))), "
+        f"(acc, c) -> (acc * {mult} + c) % {_P})"
+    )
+
+
+def shingles_sql(dialect: str) -> str:
+    """Distinct 3-token shingles per doc, built relationally with lead()."""
+    return f"""
+SELECT DISTINCT doc_id,
+  token || ' ' || t2 || ' ' || t3 AS shingle
+FROM (
+  SELECT doc_id, token,
+    lead(token, 1) OVER w AS t2,
+    lead(token, 2) OVER w AS t3
+  FROM ({tokens_sql(dialect)}) tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+) s
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# ns_dedup_exact — exact duplicate elimination, keep lowest doc_id.
+# Scale: partition by sha2(text) (or the polyhash below) instead of raw text
+# so the shuffle key is fixed-width; semantics identical barring collisions.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact_sql(dialect: str) -> str:
+    return """
+SELECT doc_id, n_copies FROM (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY text) AS n_copies
+  FROM documents
+) t WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_dedup_exact",
+    oracle=_dedup_exact_sql("duckdb"),
+    doc="Exact dedup: first doc_id per identical text (NS; scale path "
+    "groups by sha2(text) digest).",
+    tags=("ns", "dedup", "bench"),
+)
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_dedup_exact_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_dedup_ngram_jaccard — shingle-set Jaccard via inverted index join.
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = "0.2e0"
+
+
+def _jaccard_sql(dialect: str) -> str:
+    return f"""
+WITH sh AS ({shingles_sql(dialect)}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.ai, i.bi,
+  {synth.q6("i.shared / (sa.n + sb.n - i.shared + 0e0)")} AS jaccard
+FROM inter i
+JOIN sizes sa ON i.ai = sa.doc_id
+JOIN sizes sb ON i.bi = sb.doc_id
+WHERE i.shared / (sa.n + sb.n - i.shared + 0e0) >= {_JACCARD_T}
+ORDER BY jaccard DESC, ai, bi
+"""
+
+
+@register(
+    "ns_dedup_ngram_jaccard",
+    oracle=_jaccard_sql("duckdb"),
+    doc="Near-dup detection: 3-gram shingle Jaccard >= 0.2 via inverted "
+    "shingle index (no O(n²) cross join) (NS).",
+    tags=("ns", "dedup", "bench"),
+)
+def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_jaccard_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_dedup_minhash — MinHash signatures + banded LSH candidate pairs.
+# k=16 hash functions in 4 bands × 4 rows; h_i(x) = (a_i·x + b_i) mod p over
+# the shingle polyhash. Hash params are Python-generated literals so both
+# engines consume identical integers.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(k: int = 16, seed: int = 7) -> list[tuple[int, int, int]]:
+    out = []
+    state = seed
+    for i in range(k):
+        state = (1103515245 * state + 12345) % 2_147_483_648
+        a = state | 1  # odd multiplier
+        state = (1103515245 * state + 12345) % 2_147_483_648
+        b = state
+        out.append((i, a % _P, b % _P))
+    return out
+
+
+def _values_table(dialect: str, rows: list[tuple], alias: str, cols: str) -> str:
+    vals = ", ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
+    if dialect == "spark":
+        return f"(SELECT * FROM VALUES {vals} AS {alias}({cols}))"
+    return f"(SELECT * FROM (VALUES {vals}) AS {alias}({cols}))"
+
+
+def _bandsig(dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            "array_join(transform(array_sort(collect_list(struct(i, sig))), "
+            "x -> CAST(x.sig AS STRING)), '_')"
+        )
+    return "string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i)"
+
+
+def _minhash_sql(dialect: str) -> str:
+    params = _values_table(dialect, _minhash_params(), "hp", "i, a, b")
+    band = "CAST(floor(i / 4.0e0) AS BIGINT)"
+    return f"""
+WITH sh AS ({shingles_sql(dialect)}),
+hashed AS (
+  SELECT doc_id, {char_polyhash(dialect, "shingle")} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id, hp.i, min((hp.a * h + hp.b) % {_P}) AS sig
+  FROM hashed CROSS JOIN {params} hp
+  GROUP BY doc_id, hp.i
+),
+bands AS (
+  SELECT doc_id, {band} AS band, {_bandsig(dialect)} AS bandsig
+  FROM sig GROUP BY doc_id, {band}
+)
+SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+ORDER BY ai, bi
+"""
+
+
+@register(
+    "ns_dedup_minhash",
+    oracle=_minhash_sql("duckdb"),
+    doc="MinHash (k=16) + LSH banding (4×4): near-dup candidate pairs via "
+    "band-signature equality join — the 100 TB near-dup pattern (NS).",
+    tags=("ns", "dedup", "bench"),
+)
+def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_minhash_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_dedup_simhash — 32-bit SimHash fingerprints from token hashes.
+# ---------------------------------------------------------------------------
+
+
+def _bit(dialect: str, h: str, j: str) -> str:
+    if dialect == "spark":
+        return f"(shiftright({h}, CAST({j} AS INT)) & 1)"
+    return f"(({h} >> CAST({j} AS INT)) & 1)"
+
+
+def _simhash_sql(dialect: str) -> str:
+    pow2 = "CAST(floor(pow(2e0, CAST(j AS DOUBLE)) + 0.5e0) AS BIGINT)"
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+hashed AS (
+  SELECT doc_id, {char_polyhash(dialect, "token")} AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, j,
+    sum(2 * {_bit(dialect, "h", "j")} - 1) AS balance
+  FROM hashed CROSS JOIN {synth.series_sql(32, "j", dialect)}
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+  sum(CASE WHEN balance > 0 THEN {pow2} ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_dedup_simhash",
+    oracle=_simhash_sql("duckdb"),
+    doc="SimHash: 32-bit sign-of-weighted-bit-sum fingerprint per doc; "
+    "near-dups are small Hamming distance (NS).",
+    tags=("ns", "dedup"),
+)
+def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_simhash_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_stats — per-language corpus stats.
+# ---------------------------------------------------------------------------
+
+
+def _stats_sql(dialect: str) -> str:
+    ntok = (
+        "size(split(text, ' '))" if dialect == "spark" else "len(string_split(text, ' '))"
+    )
+    return f"""
+SELECT lang,
+  count(*) AS n_docs,
+  CAST(sum({ntok}) AS BIGINT) AS total_tokens,
+  count(DISTINCT source) AS n_sources,
+  {synth.q6("sum(n_chars) / (count(*) + 0e0)")} AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "ns_text_stats",
+    oracle=_stats_sql("duckdb"),
+    doc="Per-language corpus stats: docs, tokens, sources, mean length (NS).",
+    tags=("ns", "text"),
+)
+def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_stats_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_tfidf — token tf-idf, top 20 deterministically ordered.
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_sql(dialect: str) -> str:
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT tf.doc_id, tf.token,
+  {synth.q6("(tf.cnt / (dl.dl + 0e0)) * ln((n.nd + 0e0) / df.df)")} AS tfidf
+FROM tf
+JOIN doclen dl ON tf.doc_id = dl.doc_id
+JOIN df ON tf.token = df.token
+CROSS JOIN n
+ORDER BY tfidf DESC, tf.token, tf.doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "ns_text_tfidf",
+    oracle=_tfidf_sql("duckdb"),
+    doc="tf-idf scoring (tf/doclen × ln(N/df)); top-20 tokens (NS).",
+    tags=("ns", "text", "bench"),
+)
+def ns_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_tfidf_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_langid — n-gram-profile language ID. The corpus is synthetic word
+# soup (every lang shares one latin vocabulary), so the classifier is
+# data-driven: per-language top-5 token profile → overlap-count argmax.
+# ---------------------------------------------------------------------------
+
+
+def _langid_sql(dialect: str) -> str:
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+freq AS (
+  SELECT d.lang, t.token, count(*) AS cnt
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+  GROUP BY d.lang, t.token
+),
+profile AS (
+  SELECT lang, token FROM (
+    SELECT lang, token,
+      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+    FROM freq
+  ) f WHERE rn <= 5
+),
+doc_tokens AS (SELECT DISTINCT doc_id, token FROM tok),
+scores AS (
+  SELECT dt.doc_id, p.lang, count(*) AS score
+  FROM doc_tokens dt JOIN profile p ON dt.token = p.token
+  GROUP BY dt.doc_id, p.lang
+),
+pred AS (
+  SELECT doc_id, lang AS predicted FROM (
+    SELECT doc_id, lang,
+      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scores
+  ) s WHERE rn = 1
+)
+SELECT d.doc_id, d.lang AS actual, coalesce(p.predicted, 'unknown') AS predicted
+FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "ns_text_langid",
+    oracle=_langid_sql("duckdb"),
+    doc="Language ID via per-language top-token profiles + overlap argmax "
+    "(n-gram heuristic adapted to the shared-vocabulary corpus) (NS).",
+    tags=("ns", "text"),
+)
+def ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_langid_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_quality — length / punctuation / stopword quality scoring.
+# ---------------------------------------------------------------------------
+
+
+def _quality_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ntok = "size(split(text, ' '))"
+        nonalnum = "length(regexp_replace(text, '[a-z0-9 ]', ''))"
+        stop = (
+            "size(filter(split(text, ' '), t -> t IN ('a', 'the', 'and', 'of')))"
+        )
+    else:
+        ntok = "len(string_split(text, ' '))"
+        nonalnum = "length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+        stop = (
+            "len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the', 'and', 'of')))"
+        )
+    return f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  {ntok} AS n_tokens,
+  {synth.q6(f"(length(text) - {ntok} + 1) / ({ntok} + 0e0)")} AS avg_token_len,
+  {synth.q6(f"{nonalnum} / (length(text) + 0e0)")} AS punct_ratio,
+  {synth.q6(f"{stop} / ({ntok} + 0e0)")} AS stopword_ratio,
+  {synth.q6(
+      f"least(greatest(0.5e0 + 0.002e0 * {ntok} - 2e0 * ({nonalnum} / (length(text) + 0e0)) "
+      f"- 0.5e0 * ({stop} / ({ntok} + 0e0)), 0e0), 1e0)"
+  )} AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_text_quality",
+    oracle=_quality_sql("duckdb"),
+    doc="Quality scoring: length/punctuation/stopword ratios → clipped "
+    "affine score (NS).",
+    tags=("ns", "text"),
+)
+def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_quality_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_tokens — token counting: whitespace vs BPE-ish regex.
+# ---------------------------------------------------------------------------
+
+
+def _tokens_count_sql(dialect: str) -> str:
+    pat = "'[a-z]+|[0-9]+|[^a-z0-9 ]'"
+    if dialect == "spark":
+        ws = "size(split(text, ' '))"
+        bpe = f"size(regexp_extract_all(text, {pat}, 0))"
+    else:
+        ws = "len(string_split(text, ' '))"
+        bpe = f"len(regexp_extract_all(text, {pat}))"
+    return f"""
+SELECT doc_id, {ws} AS ws_tokens, {bpe} AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_text_tokens",
+    oracle=_tokens_count_sql("duckdb"),
+    doc="Token counting: whitespace split vs BPE-ish regex segmentation (NS).",
+    tags=("ns", "text"),
+)
+def ns_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_tokens_count_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_fingerprint — order-sensitive rolling hash over the token stream
+# (Rabin-Karp style): token polyhashes folded in position order.
+# ---------------------------------------------------------------------------
+
+
+def _fingerprint_sql(dialect: str) -> str:
+    if dialect == "spark":
+        fold = (
+            "aggregate(transform(array_sort(collect_list(struct(pos, th))), "
+            f"x -> x.th), CAST(7 AS BIGINT), (acc, t) -> (acc * 131 + t) % {_P})"
+        )
+    else:
+        fold = (
+            "list_reduce(list_prepend(CAST(7 AS BIGINT), list(th ORDER BY pos)), "
+            f"(acc, t) -> (acc * 131 + t) % {_P})"
+        )
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+hashed AS (
+  SELECT doc_id, pos, {char_polyhash(dialect, "token")} AS th FROM tok
+)
+SELECT doc_id, {fold} AS fingerprint
+FROM hashed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_text_fingerprint",
+    oracle=_fingerprint_sql("duckdb"),
+    doc="Document fingerprint: order-sensitive rolling hash over token "
+    "hashes (Rabin-Karp) (NS).",
+    tags=("ns", "text"),
+)
+def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_fingerprint_sql("spark"))

@@ -1,1 +1,142 @@
-"""Placeholder — filled in by build plan SURVEY.md §7."""
+"""True Structured Streaming operators (SURVEY.md §2.1-I, §7.1 M5).
+
+`readStream` file-source micro-batches over the events table: the table is
+re-sharded into time-ordered chunks under .tmp/ and consumed with
+maxFilesPerTrigger=1 so the watermark actually advances across batches —
+that is what makes append-mode window finalization and late-row dropping
+observable. Results land in a memory sink and come back as a normal batch
+DataFrame for the driver (pure-streaming semantics get the rows-only check;
+pytest asserts the containment/drop properties vs the batch oracles).
+
+Scale notes: this is the same topology as a production job (source →
+watermarked stateful op → sink); swap the file source for Kafka and the
+memory sink for a Delta/parquet sink and nothing else changes. Watermark
+bounds state: ~(delay/window) open windows per key.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+
+_REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+_CHUNKS = 4
+_WATERMARK = "10 minutes"
+
+
+def _chunked_source(spark: SparkSession, sf_dir: str, tag: str, dup_first: int = 0) -> str:
+    """Write events as _CHUNKS time-ordered parquet files; optionally append
+    a final chunk duplicating the first `dup_first` rows (late + duplicate
+    data for the dedup/watermark paths). Deterministic per (sf_dir, tag)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(_REPO_TMP, f"stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    n = ev.count()
+    per = (n + _CHUNKS - 1) // _CHUNKS
+    # stable chunking by row_number over ts
+    from pyspark.sql.window import Window
+
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).withColumn("_chunk", ((F.col("_rn") - 1) / per).cast("int"))
+    for c in range(_CHUNKS):
+        (
+            ranked.filter(F.col("_chunk") == c)
+            .drop("_rn", "_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk={c:02d}"))
+        )
+    if dup_first:
+        (
+            ranked.filter(F.col("_rn") <= dup_first)
+            .drop("_rn", "_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk={_CHUNKS:02d}_dups"))
+        )
+    open(marker, "w").close()
+    return out
+
+
+def _run_stream(spark: SparkSession, src_dir: str, schema, transform, name: str) -> DataFrame:
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    query = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(name)
+
+
+@register(
+    "stream_watermark_late",
+    oracle=None,  # pure streaming semantics → rows-only; pytest checks
+    doc="readStream tumbling agg under withWatermark('ts','10 minutes'), "
+    "append mode: only watermark-finalized windows are emitted; late rows "
+    "beyond the watermark are dropped (NS).",
+    tags=("streaming", "stateful"),
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "wm", dup_first=0)
+
+    def transform(s):
+        return (
+            s.withWatermark("ts", _WATERMARK)
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("win_start"),
+                "event_type",
+                "n",
+            )
+        )
+
+    return _run_stream(spark, src, ev.schema, transform, "w32bd_wm").orderBy(
+        "win_start", "event_type"
+    )
+
+
+@register(
+    "stream_dedup_state",
+    oracle=None,  # stateful streaming dedup → rows-only; pytest checks
+    doc="readStream dropDuplicates('event_id') under a watermark: replayed "
+    "duplicate chunk is filtered by state (NS).",
+    tags=("streaming", "stateful"),
+)
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "dedup", dup_first=100)
+
+    def transform(s):
+        return (
+            s.withWatermark("ts", _WATERMARK)
+            .dropDuplicates(["event_id"])
+            .select("event_id", "user_id", "event_type")
+        )
+
+    return _run_stream(spark, src, ev.schema, transform, "w32bd_dedup").orderBy(
+        "event_id"
+    )
