@@ -1,0 +1,45 @@
+"""Physical-plan assertions (SURVEY.md 'Optimize for scale — concretely').
+
+These lock in the scale-critical plan properties: predicate pushdown reaches
+the parquet scan, column pruning shrinks ReadSchema, small dimensions
+broadcast, and whole-stage codegen covers the hot path.
+"""
+
+from __future__ import annotations
+
+from week3_2_practice_big_data__spark import REGISTRY
+
+from .conftest import SF_SMALL
+
+
+def _formatted_plan(spark, key: str) -> str:
+    df = REGISTRY[key].builder(spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_flagship_pushdown_and_pruning(spark):
+    plan = _formatted_plan(spark, "agg_groupby_multi")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0], (
+        "unused columns must be pruned from the scan"
+    )
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _formatted_plan(spark, "sort_orderby")
+    # formatted mode lists each operator in tree + detail section
+    assert plan.count("BroadcastHashJoin") >= 2  # customer and nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_range_preds(spark):
+    plan = _formatted_plan(spark, "filt_range_pred")
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _formatted_plan(spark, "limit_topk")
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k

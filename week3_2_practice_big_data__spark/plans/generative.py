@@ -232,6 +232,75 @@ def win_conv2d_separable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# udf_rowwise_lambda — the reference's own "UDF" shape: np.apply_along_axis
+# (lambda row: np.convolve(row, k, 'same')) at app.py:35-36, re-expressed as
+# an Arrow-batched grouped transform (one raster row per group — NOT
+# row-at-a-time Python, SURVEY §4.2). Oracle = the relational window-pass
+# blur (pass 1), so the NumPy convolve and the lead/lag SQL cross-check.
+# ---------------------------------------------------------------------------
+
+
+def _blur_pass1_oracle(dialect: str) -> str:
+    pass1 = _blur_terms("mask_f", "blob_id, row", "col")
+    return f"""{_scene_ctes(dialect)}
+SELECT blob_id, row, col, {synth.q6(pass1)} AS blur1
+FROM mask ORDER BY blob_id, row, col
+"""
+
+
+@register(
+    "udf_rowwise_lambda",
+    oracle=_blur_pass1_oracle("duckdb"),
+    doc="Row-wise convolution lambda (np.apply_along_axis + np.convolve "
+    "'same', app.py:35-36) as applyInPandas per raster row, cross-checked "
+    "against the lead/lag window-pass oracle.",
+    tags=("udf", "generative"),
+)
+def udf_rowwise_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    mask = spark.sql(
+        _scene_ctes("spark") + "\nSELECT blob_id, row, col, mask_f FROM mask"
+    )
+    taps = synth.gaussian_kernel(_BLUR_SIGMA)
+    kernel = [w for _, w in taps]
+
+    def convolve_row(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("col")
+        x = pdf["mask_f"].to_numpy()
+        # 'same'-mode correlation accumulated in the SAME tap order as the
+        # SQL lead/lag term sum (symmetric kernel → convolution ≡
+        # correlation), so float additions are bit-identical to the oracle.
+        acc = np.zeros_like(x)
+        radius = (len(kernel) - 1) // 2
+        for idx, w in enumerate(kernel):
+            off = idx - radius
+            shifted = np.zeros_like(x)
+            if off >= 0:
+                shifted[: len(x) - off] = x[off:]
+            else:
+                shifted[-off:] = x[: len(x) + off]
+            acc = acc + w * shifted
+        return pd.DataFrame(
+            {
+                "blob_id": pdf["blob_id"].to_numpy(),
+                "row": pdf["row"].to_numpy(),
+                "col": pdf["col"].to_numpy(),
+                "blur1": np.floor(acc * 1e6 + 0.5) / 1e6,  # q6
+            }
+        )
+
+    return (
+        mask.groupBy("blob_id", "row")
+        .applyInPandas(convolve_row, "blob_id bigint, row bigint, col bigint, blur1 double")
+        .orderBy("blob_id", "row", "col")
+    )
+
+
+# ---------------------------------------------------------------------------
 # sort_composite_order — painter's-algorithm alpha-over fold (app.py:137-150,
 # 91-93): ordered, non-commutative; order forced by sorting on depth.
 # ---------------------------------------------------------------------------

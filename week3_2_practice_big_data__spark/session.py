@@ -83,6 +83,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
         (_NANOS_CONF, "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # the driver's vanilla session defaults to 200 shuffle partitions —
+        # far too many tasks for sf<=0.1 local shuffles; AQE coalescing plus
+        # a 32-partition floor keeps task overhead sane without affecting
+        # results.
+        ("spark.sql.shuffle.partitions", "32"),
     ):
         try:
             spark.conf.set(key, value)
