@@ -265,3 +265,43 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cube — CUBE grouping sets (all 4 combinations), complementing ROLLUP.
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT c_mktsegment, o_orderpriority,
+  COUNT(*) AS n_orders,
+  GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority) AS grp
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY grp, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register(
+    "agg_cube",
+    oracle=_CUBE_ORACLE,
+    doc="CUBE grouping sets over orders⋈customer (REF-ANALOG).",
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    grp = (F.grouping("c_mktsegment") + F.lit(2) * F.grouping("o_orderpriority")).alias(
+        "grp"
+    )
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), grp)
+        .orderBy(
+            "grp",
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

@@ -262,3 +262,51 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_asof — as-of join via the union+window trick (SURVEY §2.1-D noted this
+# as out-of-scope-but-achievable; implemented because it is the canonical
+# time-series join a training-data pipeline needs).
+# For each 'purchase' event: the most recent 'click' of the same user at or
+# before it. Union both sides tagged, propagate the last click ts with a
+# running last_value over (user, ts) — one shuffle, no range self-join.
+# ---------------------------------------------------------------------------
+
+
+def _asof_sql(dialect: str) -> str:
+    epoch = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    return f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'click' THEN {epoch} END AS click_us,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, is_purchase,
+    max(click_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS asof_click_us
+  FROM tagged
+)
+SELECT user_id, event_id AS purchase_event_id,
+  coalesce(asof_click_us, -1) AS asof_click_us,
+  coalesce({epoch} - asof_click_us, -1) AS us_since_click
+FROM carried
+WHERE is_purchase = 1
+ORDER BY user_id, purchase_event_id
+"""
+
+
+@register(
+    "join_asof",
+    oracle=_asof_sql("duckdb"),
+    doc="As-of join (last click at-or-before each purchase per user) via "
+    "union+running-max window — no range self-join (beyond-checklist).",
+    tags=("join", "window"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_asof_sql("spark"))

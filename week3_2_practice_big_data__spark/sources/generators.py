@@ -194,3 +194,42 @@ def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts = df if counts is None else counts.unionByName(df)
     return counts.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# sink_partitioned_write — partitioned parquet write + read-back round trip.
+# The write-side of the 100 TB story: partition pruning on read only exists
+# if the writer laid data out by the pruning key. Writes to the repo-local
+# .tmp scratch; the query result is the read-back per-partition count,
+# oracle-checked against the source table.
+# ---------------------------------------------------------------------------
+
+_PARTWRITE_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "sink_partitioned_write",
+    oracle=_PARTWRITE_ORACLE,
+    doc="df.write.partitionBy parquet sink + read-back aggregation: the "
+    "layout that enables partition pruning at scale (REF-ANALOG sink).",
+    tags=("sink", "scale"),
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        f"partwrite_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
