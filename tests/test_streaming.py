@@ -26,3 +26,21 @@ def test_stream_dedup_removes_replayed_chunk(spark):
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids)), "duplicates survived stateful dedup"
     assert len(ids) == 1000  # 1100 streamed rows incl. 100 replayed dups
+
+
+def test_custom_state_matches_batch_totals(spark):
+    """applyInPandasWithState final per-user counts == batch groupBy."""
+    import pyspark.sql.functions as F
+    from week3_2_practice_big_data__spark.io import load_table
+
+    streamed = REGISTRY["stream_custom_state"].builder(spark, SF_SMALL).collect()
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    batch_map = {r["user_id"]: r["n"] for r in batch}
+    assert len(streamed) == len(batch_map)
+    for r in streamed:
+        assert r["n_events"] == batch_map[r["user_id"]]

@@ -305,3 +305,49 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_salted_skew — the skew-mitigation pattern made explicit: two-phase
+# aggregation through a salted intermediate key. On uniform test data the
+# result equals the direct aggregation (the oracle); at 100 TB with a hot
+# key, phase 1 spreads that key across `_N_SALT` reducers and phase 2
+# combines the partials (AQE skew handling does this adaptively for joins;
+# salting is the manual pattern for aggregations/joins AQE can't split).
+# ---------------------------------------------------------------------------
+
+_N_SALT = 8
+
+_SALT_ORACLE = """
+SELECT l_returnflag,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_salted_skew",
+    oracle=_SALT_ORACLE,
+    doc="Two-phase salted aggregation (skew pattern): partial agg on "
+    "(key, salt), final agg on key — equals direct agg, bounds any single "
+    "reducer's load (REF-ANALOG, scale).",
+    tags=("agg", "scale"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.col("l_orderkey"), F.lit(_N_SALT))
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec("l_quantity")).alias("pq"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pq").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -140,3 +140,78 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, src, ev.schema, transform, "w32bd_dedup").orderBy(
         "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_custom_state — custom stateful operator via applyInPandasWithState
+# (SURVEY §2.1-I note): per-user running event count + running value sum
+# maintained in explicit GroupState across micro-batches. This is the escape
+# hatch for stateful logic window()/session_window() can't express.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_custom_state",
+    oracle=None,  # custom streaming state → rows-only; pytest checks totals
+    doc="applyInPandasWithState: per-user running (count, sum) updated "
+    "across micro-batches with explicit GroupState (NS custom stateful).",
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "state", dup_first=0)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    def transform(s):
+        return s.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    for q in spark.streams.active:
+        if q.name == "w32bd_state":
+            q.stop()
+    query = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .transform(transform)
+        .writeStream.format("memory")
+        .queryName("w32bd_state")
+        .outputMode("update")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    # update-mode memory sink appends one row per (batch, user) — keep the
+    # final state per user (max n_events is the last update).
+    final = spark.table("w32bd_state")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        final.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
