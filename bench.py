@@ -29,8 +29,12 @@ HEADLINE = [
     "win_conv1d_frame",
     # generative pipeline
     "filt_point_in_polygon",
+    "filt_pip_scanline",
     "win_conv2d_separable",
     "sort_composite_order",
+    "gen_poster_full",
+    # scale patterns
+    "join_bucketed_colocated",
     # NORTH-STAR LLM-pipeline ops
     "ns_dedup_exact",
     "ns_dedup_minhash",

@@ -89,3 +89,25 @@ def test_numpy_parity_generator(spark):
     for got, want in zip(rows, local):
         for k, v in want.items():
             assert got[k] == v, (k, got[k], v)
+
+
+def test_scanline_equals_join_rasterization(spark):
+    """Two containment strategies (pixel×edge join vs scanline window) must
+    produce the identical even-odd mask (SURVEY §4 physical-strategy note)."""
+    a = {
+        (r["blob_id"], r["row"], r["col"]): r["inside"]
+        for r in REGISTRY["filt_point_in_polygon"].builder(spark, SF_SMALL).collect()
+    }
+    b = {
+        (r["blob_id"], r["row"], r["col"]): r["inside"]
+        for r in REGISTRY["filt_pip_scanline"].builder(spark, SF_SMALL).collect()
+    }
+    assert a == b
+
+
+def test_poster_full_reference_scale(spark):
+    """14 blobs × 400×400 (the reference's default workload) completes and
+    covers a plausible canvas fraction."""
+    rows = REGISTRY["gen_poster_full"].builder(spark, SF_SMALL).collect()
+    assert len(rows) > 100_000  # most of the 160k canvas covered by bboxes
+    assert all(0.0 <= r["r"] <= 1.0 for r in rows[:500])

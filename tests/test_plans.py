@@ -43,3 +43,22 @@ def test_filter_pushdown_range_preds(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _formatted_plan(spark, "limit_topk")
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_bucketed_join_has_no_exchange_before_join(spark):
+    """Bucketed tables join co-located: no shuffle between scan and SMJ."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = REGISTRY["join_bucketed_colocated"].builder(spark, SF_SMALL)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # the subtree below the join must contain no hash exchange
+        below_join = plan.split("SortMergeJoin", 1)[1].split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in below_join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)

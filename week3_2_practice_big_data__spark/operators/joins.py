@@ -310,3 +310,75 @@ ORDER BY user_id, purchase_event_id
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_asof_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# join_bucketed_colocated — bucketed tables joined WITHOUT a shuffle.
+# Both sides are written bucketed by the join key into external tables
+# (repo-local .tmp warehouse path); the sort-merge join then reads
+# co-located buckets with no Exchange on either side — the 100 TB answer to
+# repeated fact-fact joins. Oracle: same revenue aggregate off the raw
+# tables (bucketing must not change results, only the plan).
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=_BUCKETED_ORACLE,
+    doc="Exchange-free sort-merge join via bucketBy(orderkey) tables — "
+    "co-located join layout for repeated fact-fact joins at scale "
+    "(REF-ANALOG, scale).",
+    tags=("join", "scale"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        f"bucketed_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, ot = f"w32bd_li_{sfx}", f"w32bd_ord_{sfx}"
+    catalog = spark.catalog
+    if not catalog.tableExists(lt):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, "lineitem"))
+            .bucketBy(_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(lt)
+        )
+    if not catalog.tableExists(ot):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, "orders"))
+            .bucketBy(_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(ot)
+        )
+    li, orders = spark.table(lt), spark.table(ot)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -106,9 +106,65 @@ mask AS (
 )"""
 
 
-def _shaded_sql(dialect: str) -> str:
+def _scene_scanline_ctes(
+    dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS
+) -> str:
+    """Scanline variant of the containment scene: same even-odd semantics,
+    O(edges·rows + pixels) instead of O(pixels·edges).
+
+    For each raster row, every edge spanning the row's y contributes one
+    x-intersection; a pixel is inside iff the count of intersections
+    strictly to its right is odd. That count is one running sum over the
+    row's (pixels ∪ intersections) sorted by x descending — the pixel×edge
+    join (133M rows at 400px×14 blobs) becomes ~1M rows. Identical float
+    comparisons to the join variant → identical masks, proven in pytest and
+    by both variants' DuckDB oracles.
+    """
+    x = synth.linspace("g.col", "0e0", "1e0", canvas)
+    y = synth.linspace("g.row", "0e0", "1e0", canvas)
+    yr = synth.linspace("r.row", "0e0", "1e0", canvas)
+    prelude = _scene_ctes(dialect, seed, nb, canvas)
+    # reuse everything up to `pairs`, then rebuild mask via scanline
+    head = prelude.split(",\ncrossings AS (")[0]
+    return f"""{head},
+rowy AS (
+  SELECT b.blob_id, r.row, {yr} AS y, b.by0, b.by1
+  FROM bbox b JOIN {synth.series_sql(canvas, "row", dialect)} r
+    ON {yr} >= b.by0 AND {yr} <= b.by1
+),
+scan_cross AS (
+  SELECT e.blob_id, g.row,
+    (e.x2 - e.x1) * (g.y - e.y1) / (e.y2 - e.y1) + e.x1 AS x,
+    CAST(1 AS BIGINT) AS is_cross
+  FROM cedges e JOIN rowy g
+    ON e.blob_id = g.blob_id AND (e.y1 > g.y) != (e.y2 > g.y)
+),
+merged AS (
+  SELECT blob_id, row, col, x, y, CAST(0 AS BIGINT) AS is_cross FROM pairs
+  UNION ALL
+  SELECT blob_id, row, CAST(NULL AS BIGINT) AS col, x,
+    CAST(NULL AS DOUBLE) AS y, is_cross
+  FROM scan_cross
+),
+counted AS (
+  SELECT blob_id, row, col, x, y, is_cross,
+    sum(is_cross) OVER (PARTITION BY blob_id, row
+                        ORDER BY x DESC, is_cross ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS n_right
+  FROM merged
+),
+mask AS (
+  SELECT blob_id, row, col, x, y,
+    (n_right % 2 = 1) AS inside,
+    CASE WHEN n_right % 2 = 1 THEN 1e0 ELSE 0e0 END AS mask_f
+  FROM counted WHERE is_cross = 0
+)"""
+
+
+def _shaded_sql(dialect: str, scene: str | None = None) -> str:
     """Mask + shading + alpha (app.py:68-85) on top of the scene CTEs."""
-    return f"""{_scene_ctes(dialect)},
+    return f"""{scene or _scene_ctes(dialect)},
 lit AS (
   SELECT m.*, b.depth, b.col_r, b.col_g, b.col_b,
     sqrt((m.x - c.ccx) * (m.x - c.ccx) + (m.y - c.ccy) * (m.y - c.ccy)) AS d,
@@ -158,6 +214,25 @@ def _pip_sql(dialect: str) -> str:
 )
 def filt_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_pip_sql("spark"))
+
+
+def _pip_scanline_sql(dialect: str) -> str:
+    return (
+        _scene_scanline_ctes(dialect)
+        + "\nSELECT blob_id, row, col, inside FROM mask ORDER BY blob_id, row, col"
+    )
+
+
+@register(
+    "filt_pip_scanline",
+    oracle=_pip_scanline_sql("duckdb"),
+    doc="Scanline rasterization: per-row edge x-intersections + one "
+    "descending-x running-parity window — O(edges·rows+pixels) vs the "
+    "O(pixels·edges) join; identical even-odd mask (scale path).",
+    tags=("filter", "generative", "scale"),
+)
+def filt_pip_scanline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_pip_scanline_sql("spark"))
 
 
 # ---------------------------------------------------------------------------
@@ -611,3 +686,53 @@ def udtf_explode_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_explode_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# gen_poster_full — the reference's ACTUAL workload shape for benchmarking:
+# n_blobs=14 (app.py:108 default), 400-px canvas (app.py:66), 280 boundary
+# samples, full rasterize→shade→composite. Rows-only (the sf0.01 oracle gate
+# would pay the same 10⁸-row edge join in DuckDB; correctness of every stage
+# is already oracle-checked at the 96-px configuration) — this key exists to
+# measure throughput against the reference's ~5×10⁷ element-ops/run
+# (BASELINE.md) and to prove the plan scales with resolution.
+# ---------------------------------------------------------------------------
+
+
+def _poster_full_sql() -> str:
+    shaded = _shaded_sql(
+        "spark", scene=_scene_scanline_ctes("spark", seed=SEED, nb=14, canvas=400)
+    )
+    fold = """
+SELECT row, col,
+  aggregate(
+    array_sort(collect_list(named_struct(
+      'depth', depth, 'r', pr, 'g', pg, 'b', pb, 'a', alpha))),
+    named_struct('depth', 0e0, 'r', 1e0, 'g', 1e0, 'b', 1e0, 'a', 0e0),
+    (acc, e) -> named_struct(
+      'depth', 0e0,
+      'r', e.r * e.a + acc.r * (1e0 - e.a),
+      'g', e.g * e.a + acc.g * (1e0 - e.a),
+      'b', e.b * e.a + acc.b * (1e0 - e.a),
+      'a', 0e0)
+  ) AS px
+FROM shaded GROUP BY row, col
+"""
+    return (
+        shaded
+        + f",\nfolded AS ({fold})\n"
+        + f"SELECT row, col, {synth.q6('px.r')} AS r, {synth.q6('px.g')} AS g, "
+        f"{synth.q6('px.b')} AS b FROM folded"
+    )
+
+
+@register(
+    "gen_poster_full",
+    oracle=None,  # bench-scale config; stages oracle-checked at 96px
+    doc="Full reference-scale poster: 14 blobs × 400×400 canvas, complete "
+    "rasterize→shade→composite plan (bench workload vs BASELINE.md's "
+    "~5×10⁷ element-ops/run).",
+    tags=("generative", "bench", "scale"),
+)
+def gen_poster_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_poster_full_sql())
