@@ -41,6 +41,7 @@ HEADLINE = [
     "ns_dedup_ngram_jaccard",
     "ns_sim_topk",
     "ns_text_tfidf",
+    "iter_pagerank_tokens",
     # event-time windows
     "stream_tumbling_agg",
     "stream_session_window",

@@ -44,3 +44,9 @@ def test_custom_state_matches_batch_totals(spark):
     assert len(streamed) == len(batch_map)
     for r in streamed:
         assert r["n_events"] == batch_map[r["user_id"]]
+
+
+def test_foreachbatch_sink_preserves_all_rows(spark):
+    rows = REGISTRY["stream_foreachbatch"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 4  # one row per micro-batch chunk
+    assert sum(r["n"] for r in rows) == 1000

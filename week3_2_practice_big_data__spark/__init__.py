@@ -22,7 +22,7 @@ from .registry import REGISTRY, register, Query
 from .operators import aggregations, joins, windows, sorts, setops, filters  # noqa: F401
 from .functions import projections, text, similarity, multimodal  # noqa: F401
 from .sources import generators  # noqa: F401
-from .plans import generative  # noqa: F401
+from .plans import generative, iterative  # noqa: F401
 from .streaming import batch_windows, streams  # noqa: F401
 
 __all__ = [

@@ -215,3 +215,56 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_foreachbatch — the production sink pattern: each micro-batch handed
+# to arbitrary batch logic (here: append to a parquet sink with the batch id
+# stamped). The returned DataFrame is the sink read back — rows-only check,
+# pytest asserts totals match the source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_foreachbatch",
+    oracle=None,  # sink side effects → rows-only; pytest checks totals
+    doc="foreachBatch sink: micro-batches appended to parquet with batch-id "
+    "lineage, read back as one table (NS; swap parquet for Delta/JDBC and "
+    "nothing else changes).",
+    tags=("streaming", "sink"),
+)
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "feb", dup_first=0)
+    sink = os.path.join(
+        _REPO_TMP, f"feb_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    for q in spark.streams.active:
+        if q.name == "w32bd_feb":
+            q.stop()
+    query = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .queryName("w32bd_feb")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("_batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("_batch_id")
+    )
