@@ -351,3 +351,39 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile — exact interpolated percentiles (R-7), REF-ANALOG of the
+# reference's minmax normalization statistics. approx_percentile is the
+# 100 TB scale path (t-digest sketch, no global sort).
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = f"""
+SELECT l_returnflag,
+  {synth.q6("quantile_cont(l_extendedprice, 0.25)")} AS p25,
+  {synth.q6("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+  {synth.q6("quantile_cont(l_extendedprice, 0.9)")} AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_percentile",
+    oracle=_PCT_ORACLE,
+    doc="Exact linear-interpolated percentiles per group (REF-ANALOG; "
+    "approx_percentile t-digest is the scale path).",
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+SELECT l_returnflag,
+  {synth.q6("percentile(l_extendedprice, 0.25e0)")} AS p25,
+  {synth.q6("percentile(l_extendedprice, 0.5e0)")} AS p50,
+  {synth.q6("percentile(l_extendedprice, 0.9e0)")} AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    )

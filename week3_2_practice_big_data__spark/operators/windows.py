@@ -172,3 +172,31 @@ ORDER BY user_id, event_id
 def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_running_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_ntile — quartile bucketing over a deterministic total order.
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT o_orderkey,
+  NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders ORDER BY o_orderkey
+"""
+
+
+@register(
+    "win_ntile",
+    oracle=_NTILE_ORACLE,
+    doc="ntile(4) quartile assignment over a deterministic total order "
+    "(REF-ANALOG).",
+    tags=("window",),
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    ).orderBy("o_orderkey")
