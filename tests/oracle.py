@@ -13,18 +13,12 @@ import math
 import duckdb
 import pandas as pd
 
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from week3_2_practice_big_data__spark.io import TABLES  # noqa: E402
 
 
 def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:

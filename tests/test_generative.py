@@ -79,16 +79,47 @@ def test_poster_export(spark):
     assert rows[0]["seed"] == 42 and rows[0]["n_blobs"] == 6
 
 
-def test_numpy_parity_generator(spark):
-    """mapInPandas replay matches a local replay bit-for-bit (SURVEY §7.4.2)."""
-    from week3_2_practice_big_data__spark.sources.generators import numpy_blob_params
+def _reference_rng_replay(seed: int, n_blobs: int):
+    """INDEPENDENT re-derivation of app.py:117-119,136-146 control flow —
+    deliberately not calling numpy_blob_params, so a draw-order bug in the
+    engine cannot hide behind a matching bug here."""
+    import random
+    from colorsys import hsv_to_rgb
 
+    import numpy as np
+
+    random.seed(seed)  # app.py:117
+    np.random.seed(seed)  # app.py:118
+    random.seed(seed)  # diverse_palette's internal reseed, app.py:12-13
+    palette = []
+    for _ in range(n_blobs):
+        h = random.random()
+        s = random.uniform(0.35, 0.65)
+        v = random.uniform(0.75, 0.95)
+        palette.append(hsv_to_rgb(h, s, v))
+    out = []
+    for i in range(n_blobs):  # continues the post-palette stream, app.py:137
+        r = random.uniform(0.1, 0.26)
+        wobble = random.uniform(0.08, 0.22)
+        cx, cy = random.uniform(0.12, 0.88), random.uniform(0.12, 0.88)
+        noise_sum = float(np.random.rand(280).sum())
+        col = palette[i % len(palette)]
+        out.append((i, r, wobble, cx, cy, noise_sum, col))
+    return out
+
+
+def test_numpy_parity_generator(spark):
+    """mapInPandas replay matches an independent reference-flow replay
+    bit-for-bit (SURVEY §7.4.2)."""
     rows = REGISTRY["src_range_gen_numpy"].builder(spark, SF_SMALL).collect()
-    local = numpy_blob_params(42, 14)
-    assert len(rows) == len(local)
-    for got, want in zip(rows, local):
-        for k, v in want.items():
-            assert got[k] == v, (k, got[k], v)
+    ref = _reference_rng_replay(42, 14)
+    assert len(rows) == len(ref)
+    for got, (i, r, wobble, cx, cy, noise_sum, col) in zip(rows, ref):
+        assert got["blob_id"] == i
+        assert got["r"] == r and got["wobble"] == wobble
+        assert got["cx"] == cx and got["cy"] == cy
+        assert got["noise_sum"] == noise_sum
+        assert (got["col_r"], got["col_g"], got["col_b"]) == col
 
 
 def test_scanline_equals_join_rasterization(spark):

@@ -47,10 +47,14 @@ def test_topk_uses_take_ordered(spark):
 
 def test_bucketed_join_has_no_exchange_before_join(spark):
     """Bucketed tables join co-located: no shuffle between scan and SMJ."""
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for k in keys:
+            spark.conf.set(k, "-1")
         df = REGISTRY["join_bucketed_colocated"].builder(spark, SF_SMALL)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -60,5 +64,8 @@ def test_bucketed_join_has_no_exchange_before_join(spark):
         below_join = plan.split("SortMergeJoin", 1)[1].split("== Initial Plan ==")[0]
         assert "Exchange hashpartitioning" not in below_join
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

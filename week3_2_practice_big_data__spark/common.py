@@ -1,0 +1,26 @@
+"""Shared cross-engine helpers used by multiple operator modules.
+
+Centralized so the cross-engine float discipline (registry.py docstring) has
+exactly one definition per rule — a precision change here propagates to every
+Spark builder and stays in lockstep with the DuckDB oracle texts.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+# Money values are cast to DECIMAL(18,2) before summing: decimal sums are
+# exact in both Spark and DuckDB, so the value-hash gate sees identical
+# doubles after the final cast. The oracle-side mirror is the literal
+# `CAST(x AS DECIMAL(18,2))` in each oracle SQL.
+MONEY_DECIMAL = "decimal(18,2)"
+
+
+def dec(col: str) -> F.Column:
+    """Money column → exact DECIMAL(18,2) for summation."""
+    return F.col(col).cast(MONEY_DECIMAL)
+
+
+def clip01(expr: str) -> str:
+    """Shared SQL text: clamp to [0,1] (np.clip, app.py:73,80)."""
+    return f"least(greatest({expr}, 0e0), 1e0)"

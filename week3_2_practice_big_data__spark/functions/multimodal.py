@@ -55,29 +55,30 @@ def ns_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)
-    from pyspark.sql.types import IntegerType
 
-    @F.pandas_udf(IntegerType())
-    def parsed_width(png: pd.Series) -> pd.Series:
+    @F.pandas_udf("w int, h int")
+    def parsed_dims(png: pd.Series) -> pd.DataFrame:
         from week3_2_practice_big_data__spark.plans.png import png_dimensions
 
-        return png.map(lambda b: png_dimensions(bytes(b))[0])
-
-    @F.pandas_udf(IntegerType())
-    def parsed_height(png: pd.Series) -> pd.Series:
-        from week3_2_practice_big_data__spark.plans.png import png_dimensions
-
-        return png.map(lambda b: png_dimensions(bytes(b))[1])
+        dims = png.map(lambda b: png_dimensions(bytes(b)))
+        return pd.DataFrame({"w": dims.map(lambda d: d[0]), "h": dims.map(lambda d: d[1])})
 
     posters = _posters(spark, sf_dir)
-    return posters.select(
-        "blob_id",
-        "width",
-        "height",
-        parsed_width("png").alias("parsed_width"),
-        parsed_height("png").alias("parsed_height"),
-        (parsed_width("png") == F.col("width")).alias("meta_consistent"),
-    ).orderBy("blob_id")
+    return (
+        posters.withColumn("parsed", parsed_dims("png"))  # one parse per PNG
+        .select(
+            "blob_id",
+            "width",
+            "height",
+            F.col("parsed.w").alias("parsed_width"),
+            F.col("parsed.h").alias("parsed_height"),
+            (
+                (F.col("parsed.w") == F.col("width"))
+                & (F.col("parsed.h") == F.col("height"))
+            ).alias("meta_consistent"),
+        )
+        .orderBy("blob_id")
+    )
 
 
 def _stub_feature(png: bytes, n: int = 8) -> list[float]:

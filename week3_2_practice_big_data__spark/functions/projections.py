@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..registry import register
+from ..common import clip01 as _clip01
 from .. import synth
 
 _SEED, _NB = 42, 6
@@ -26,21 +27,26 @@ _GN = 48  # standalone shading grid (48×48 per blob)
 _LX, _LY = "-0.6e0", "0.8e0"  # light_dir default, app.py:52
 
 
-def _clip01(e: str) -> str:
-    return f"least(greatest({e}, 0e0), 1e0)"
-
-
 def _shade_sql(dialect: str) -> str:
     """Shared shading CTE chain (app.py:70-81) over blob×grid.
 
-    nx,ny = offset from blob center; radial = clip(1-d/dmax); light = dot
-    with light_dir, min-max normalized per blob; shade = affine blend;
-    r,g,b = clip(color·shade).
+    nx,ny = offset from the BOUNDARY-SAMPLE centroid (px.mean()/py.mean(),
+    app.py:70 — the wobbled outline's centroid, not the pre-wobble blob
+    center, matching the reference and plans/generative.py); radial =
+    clip(1-d/dmax); light = dot with light_dir, min-max normalized per blob;
+    shade = affine blend; r,g,b = clip(color·shade).
     """
     x = synth.linspace("g.col", "0e0", "1e0", _GN)
     y = synth.linspace("g.row", "0e0", "1e0", _GN)
     return f"""
 WITH blobs AS ({synth.blobs_sql(_SEED, _NB, dialect)}),
+boundary AS ({synth.boundary_sql(_SEED, _NB, dialect)}),
+centroid AS (
+  SELECT blob_id,
+    {synth.q6("sum(px) / count(*)")} AS ccx,
+    {synth.q6("sum(py) / count(*)")} AS ccy
+  FROM boundary GROUP BY blob_id
+),
 grid AS (
   SELECT r.row, c.col
   FROM {synth.series_sql(_GN, "row", dialect)} r
@@ -48,9 +54,9 @@ grid AS (
 ),
 px AS (
   SELECT b.blob_id, g.row, g.col,
-    ({x}) - b.cx AS nx, ({y}) - b.cy AS ny,
+    ({x}) - c.ccx AS nx, ({y}) - c.ccy AS ny,
     b.depth, b.col_r, b.col_g, b.col_b
-  FROM blobs b CROSS JOIN grid g
+  FROM blobs b JOIN centroid c ON b.blob_id = c.blob_id CROSS JOIN grid g
 ),
 dist AS (
   SELECT *, sqrt(nx * nx + ny * ny) AS d, nx * {_LX} + ny * {_LY} AS light
@@ -285,7 +291,6 @@ def fn_hsv_to_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-    from pyspark.sql.types import DoubleType
 
     def _channels(h: pd.Series, s: pd.Series, v: pd.Series):
         h, s, v = h.to_numpy(), s.to_numpy(), v.to_numpy()
@@ -299,28 +304,19 @@ def fn_hsv_to_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
         return r, g, b
 
-    @F.pandas_udf(DoubleType())
-    def rgb_r(h: pd.Series, s: pd.Series, v: pd.Series) -> pd.Series:
-        return pd.Series(_channels(h, s, v)[0])
-
-    @F.pandas_udf(DoubleType())
-    def rgb_g(h: pd.Series, s: pd.Series, v: pd.Series) -> pd.Series:
-        return pd.Series(_channels(h, s, v)[1])
-
-    @F.pandas_udf(DoubleType())
-    def rgb_b(h: pd.Series, s: pd.Series, v: pd.Series) -> pd.Series:
-        return pd.Series(_channels(h, s, v)[2])
+    @F.pandas_udf("r0 double, g0 double, b0 double")
+    def rgb(h: pd.Series, s: pd.Series, v: pd.Series) -> pd.DataFrame:
+        r, g, b = _channels(h, s, v)
+        return pd.DataFrame({"r0": r, "g0": g, "b0": b})
 
     base = spark.sql(_hsv_inputs_sql("spark"))
     return (
-        base.withColumn("r0", rgb_r("h", "s", "v"))
-        .withColumn("g0", rgb_g("h", "s", "v"))
-        .withColumn("b0", rgb_b("h", "s", "v"))
+        base.withColumn("rgb", rgb("h", "s", "v"))
         .select(
             "i",
-            F.expr(synth.q6("r0")).alias("r"),
-            F.expr(synth.q6("g0")).alias("g"),
-            F.expr(synth.q6("b0")).alias("b"),
+            F.expr(synth.q6("rgb.r0")).alias("r"),
+            F.expr(synth.q6("rgb.g0")).alias("g"),
+            F.expr(synth.q6("rgb.b0")).alias("b"),
         )
         .orderBy("i")
     )

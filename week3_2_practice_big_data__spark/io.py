@@ -12,8 +12,6 @@ TIMESTAMP (same truncation DuckDB applies, keeping the oracle comparable).
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -32,10 +30,6 @@ TABLES = (
     "documents",
     "embeddings",
 )
-
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SMOKE_SF_DIR = "/root/testdata/sf0.001"
-
 
 def _events_fallback(spark: SparkSession, path: str) -> DataFrame:
     """Arrow-side ns→us cast for sessions where the legacy conf is locked."""

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..registry import register
+from ..common import dec as _dec
 from .. import synth
 
 # ---------------------------------------------------------------------------
@@ -51,10 +52,6 @@ WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
-
-
-def _dec(col: str) -> F.Column:
-    return F.col(col).cast("decimal(18,2)")
 
 
 @register(

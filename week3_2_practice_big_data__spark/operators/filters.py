@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..registry import register
+from ..common import dec as _dec
 
 _RANGE_ORACLE = """
 SELECT l_returnflag,
@@ -53,7 +54,7 @@ def filt_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            F.sum(_dec("l_extendedprice"))
             .cast("double")
             .alias("sum_price"),
         )

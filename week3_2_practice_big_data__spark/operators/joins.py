@@ -25,11 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..registry import register
+from ..common import dec as _dec
 from .. import synth
-
-
-def _dec(col: str) -> F.Column:
-    return F.col(col).cast("decimal(18,2)")
 
 
 # ---------------------------------------------------------------------------
@@ -352,6 +349,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     lt, ot = f"w32bd_li_{sfx}", f"w32bd_ord_{sfx}"
     catalog = spark.catalog
+    # Validate the backing scratch files, not just the catalog entry: .tmp/
+    # is disposable, so a registered table may point at deleted parquet.
+    for tbl, sub in ((lt, "lineitem"), (ot, "orders")):
+        if catalog.tableExists(tbl) and not os.path.isdir(os.path.join(base, sub)):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not catalog.tableExists(lt):
         (
             load_table(spark, sf_dir, "lineitem")

@@ -20,10 +20,7 @@ from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..registry import register
-
-
-def _dec(col: str) -> F.Column:
-    return F.col(col).cast("decimal(18,2)")
+from ..common import dec as _dec
 
 
 _ORDERBY_ORACLE = """

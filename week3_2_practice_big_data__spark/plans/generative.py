@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
+from ..common import clip01 as _clip01
 from .. import synth
 from .png import encode_png_rgb, png_dimensions
 
@@ -41,13 +42,12 @@ PAD = "0.4e0"  # bbox pad fraction of max(xrange, yrange), app.py:58-60
 _LX, _LY = "-0.6e0", "0.8e0"  # light_dir (app.py:52)
 
 
-def _clip01(e: str) -> str:
-    return f"least(greatest({e}, 0e0), 1e0)"
-
-
-def _scene_ctes(dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS) -> str:
-    """Shared CTE prelude: blobs, boundary, closed edges, padded bbox, grid,
-    candidate (blob,pixel) pairs, even-odd containment, mask alpha."""
+def _scene_prefix_ctes(
+    dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS
+) -> str:
+    """Shared CTE prelude through `pairs`: blobs, boundary, closed edges,
+    padded bbox, centroid, grid, bbox-pruned candidate (blob,pixel) pairs.
+    Both containment strategies (join and scanline) compose on top."""
     x = synth.linspace("g.col", "0e0", "1e0", canvas)
     y = synth.linspace("g.row", "0e0", "1e0", canvas)
     return f"""
@@ -89,7 +89,12 @@ pairs AS (
   SELECT b.blob_id, g.row, g.col, {x} AS x, {y} AS y
   FROM bbox b JOIN grid g
     ON {x} >= b.bx0 AND {x} <= b.bx1 AND {y} >= b.by0 AND {y} <= b.by1
-),
+)"""
+
+
+def _scene_ctes(dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS) -> str:
+    """Containment via pixel×edge join + crossing parity on the prefix."""
+    return f"""{_scene_prefix_ctes(dialect, seed, nb, canvas)},
 crossings AS (
   SELECT p.blob_id, p.row, p.col, p.x, p.y,
     sum(CASE WHEN (e.y1 > p.y) != (e.y2 > p.y)
@@ -120,13 +125,8 @@ def _scene_scanline_ctes(
     comparisons to the join variant → identical masks, proven in pytest and
     by both variants' DuckDB oracles.
     """
-    x = synth.linspace("g.col", "0e0", "1e0", canvas)
-    y = synth.linspace("g.row", "0e0", "1e0", canvas)
     yr = synth.linspace("r.row", "0e0", "1e0", canvas)
-    prelude = _scene_ctes(dialect, seed, nb, canvas)
-    # reuse everything up to `pairs`, then rebuild mask via scanline
-    head = prelude.split(",\ncrossings AS (")[0]
-    return f"""{head},
+    return f"""{_scene_prefix_ctes(dialect, seed, nb, canvas)},
 rowy AS (
   SELECT b.blob_id, r.row, {yr} AS y, b.by0, b.by1
   FROM bbox b JOIN {synth.series_sql(canvas, "row", dialect)} r

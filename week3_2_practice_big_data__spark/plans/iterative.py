@@ -71,8 +71,11 @@ pr{k + 1} AS (
 )"""
         )
     parts.append(
+        # 7 dp, not 9: each iteration's group-sum order is engine-dependent
+        # (~1e-15 drift after 8 iterations); 7 dp leaves a ~5e-8 guard band
+        # while still discriminating ranks (values are ~1e-2).
         f"""
-SELECT token, {synth.q6('pr', 9)} AS pagerank
+SELECT token, {synth.q6('pr', 7)} AS pagerank
 FROM pr{_ITER}
 ORDER BY pagerank DESC, token
 LIMIT 20

@@ -108,15 +108,18 @@ def numpy_blob_params(seed: int, n_blobs: int) -> list[dict]:
 
     import numpy as np
 
+    # app.py:117-119: random.seed(seed); np.random.seed(seed); then
+    # diverse_palette reseeds internally (app.py:12-13) and consumes 3n
+    # draws; the blob loop at app.py:137 CONTINUES that stream — no reseed.
     pyrandom.seed(seed)
+    np.random.seed(seed)
+    pyrandom.seed(seed)  # diverse_palette(seed=seed) reseed, app.py:12-13
     palette = []
-    for _ in range(n_blobs):  # diverse_palette, app.py:11-20
+    for _ in range(n_blobs):  # diverse_palette draws, app.py:15-19
         h = pyrandom.random()
         s = pyrandom.uniform(0.35, 0.65)
         v = pyrandom.uniform(0.75, 0.95)
         palette.append(hsv_to_rgb(h, s, v))
-    pyrandom.seed(seed)  # app.py:117 reseeds before the blob loop
-    np.random.seed(seed)
     out = []
     for i in range(n_blobs):
         r = pyrandom.uniform(0.1, 0.26)

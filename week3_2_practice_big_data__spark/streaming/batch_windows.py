@@ -113,18 +113,20 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gap to the previous event of the same user exceeds the 5-minute gap.
 _SESSION_ORACLE = f"""
 WITH ordered AS (
-  SELECT user_id, epoch_us(ts) AS us,
+  SELECT user_id, event_id, epoch_us(ts) AS us,
     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
   FROM events
 ),
 marked AS (
-  SELECT user_id, us,
+  SELECT user_id, event_id, us,
     CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS new_s
   FROM ordered
 ),
 sessions AS (
+  -- event_id tie-break: same-timestamp rows must accumulate new_s in the
+  -- same order the lag() pass marked them, or a boundary tie splits wrong
   SELECT user_id, us,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
