@@ -200,3 +200,44 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", F.ntile(4).over(w).alias("quartile")
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# win_range_frame — event-time RANGE frame: per-user trailing 10-minute
+# count/sum at every event. REF-ANALOG of the reference's neighborhood
+# aggregation (the blur kernel aggregates a value-range neighborhood,
+# app.py:26-37) transplanted to event time. Unlike a ROWS frame, the RANGE
+# frame is defined by the ordering VALUE (epoch micros), so its content is
+# set-deterministic regardless of tie order — the cross-engine-safe choice.
+# Scale: one shuffle on user_id + one in-partition sort; the frame scan is
+# streaming (constant memory) in both engines.
+# ---------------------------------------------------------------------------
+
+_RANGE_US = 600_000_000  # 10 minutes in microseconds
+
+
+def _range_frame_sql(dialect: str) -> str:
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    over = (
+        f"OVER (PARTITION BY user_id ORDER BY {us} "
+        f"RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+SELECT event_id, user_id,
+  count(*) {over} AS n_10m,
+  {synth.q6(f'sum(value) {over}')} AS sum_10m
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "win_range_frame",
+    oracle=_range_frame_sql("duckdb"),
+    doc="Trailing 10-minute event-time RANGE frame per user (REF-ANALOG of "
+    "the kernel-neighborhood aggregation, app.py:26-37).",
+    tags=("window",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_range_frame_sql("spark"))
