@@ -384,3 +384,52 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_moments — corr / stddev_pop / covar_pop per group computed from
+# EXACT decimal moments (n, Σx, Σy, Σx², Σy², Σxy), cast to DOUBLE only for
+# the final closed-form combination. The builtin corr()/stddev() stream
+# doubles in partition order → last-ulp drift between engines; the moment
+# form is order-free (decimal sums are exact), so both engines combine the
+# same six doubles with the same expression text → bit-identical results
+# (registry.py float discipline). REF-ANALOG of the reference's min-max
+# normalization statistics (app.py:73,76). Scale: one partial+final hash
+# agg, shuffle carries 6 numbers per group — the same single-pass moment
+# trick every distributed stats library uses.
+# ---------------------------------------------------------------------------
+
+
+def _moments_sql() -> str:
+    dx = "CAST(l_quantity AS DECIMAL(18,2))"
+    dy = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    return f"""
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM({dx}) AS DOUBLE) AS sx,
+    CAST(SUM({dy}) AS DOUBLE) AS sy,
+    CAST(SUM({dx} * {dx}) AS DOUBLE) AS sxx,
+    CAST(SUM({dy} * {dy}) AS DOUBLE) AS syy,
+    CAST(SUM({dx} * {dy}) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  {synth.q6("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")} AS corr_qty_price,
+  {synth.q6("sqrt(n * syy - sy * sy) / n")} AS stddev_pop_price,
+  {synth.q6("(n * sxy - sx * sy) / (n * n)")} AS covar_pop_qty_price
+FROM m ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_corr_moments",
+    oracle=_moments_sql(),
+    doc="corr/stddev_pop/covar_pop per group via exact decimal moments — "
+    "order-free single-pass statistics (REF-ANALOG of app.py:73,76 "
+    "normalization stats).",
+    tags=("agg", "scale"),
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_moments_sql())

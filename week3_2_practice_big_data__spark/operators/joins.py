@@ -384,3 +384,54 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_salted_skew — the manual skew-join pattern made explicit: salt the
+# fact side into _N_JSALT sub-keys, replicate the dim side ×_N_JSALT
+# (explode), join on (key, salt). Equals the plain join (the oracle); at
+# 100 TB a hot orderkey's rows land on _N_JSALT reducers instead of one.
+# AQE's skewedJoin does this adaptively from shuffle stats; salting is the
+# deterministic manual form (and the only option for windowed/agg skew).
+# Production salt = pmod(hash(key), N); here pmod(l_linenumber, N) keeps the
+# assignment deterministic for the bit-exact gate.
+# ---------------------------------------------------------------------------
+
+_N_JSALT = 8
+
+_JSALT_ORACLE = """
+SELECT o_orderpriority,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "join_salted_skew",
+    oracle=_JSALT_ORACLE,
+    doc="Salted skew join: fact salted to (key, salt), dim replicated "
+    "×salt via explode, equi-join on both — equals the plain join, bounds "
+    "any single reducer's load (REF-ANALOG, scale).",
+    tags=("join", "scale"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.col("l_linenumber"), F.lit(_N_JSALT))
+    )
+    ords = load_table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(_N_JSALT - 1)))
+    )
+    return (
+        li.join(
+            ords,
+            (li.l_orderkey == ords.o_orderkey) & (li._salt == ords._salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

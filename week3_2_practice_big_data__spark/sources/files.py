@@ -1,0 +1,101 @@
+"""File-format source connectors beyond parquet (SURVEY.md §2.1-A).
+
+The reference performs no file IO at all (SURVEY §2.1-A: `src_parquet_scan`
+is already REF-ANALOG); CSV and JSON line up the remaining formats a user of
+a general engine expects. Each key is a write→read-back round trip through
+the repo-local `.tmp` scratch, proving BOTH directions of the connector, and
+the read-back result is oracle-checked against the original parquet table —
+a corruption anywhere in the trip breaks the value hash.
+
+Scale notes (100 TB):
+- Explicit schemas on read, always: `inferSchema`/JSON schema inference is a
+  full extra pass over the data before the real scan even starts.
+- CSV/JSON are row-oriented and splittable (uncompressed/bzip2) but carry no
+  column pruning or predicate pushdown — the engine treats them as ingest
+  formats: land → convert to parquet (`sink_partitioned_write`) → query
+  columnar. The round trip here is exactly that landing pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..common import dec as _dec
+from ..io import load_table
+from ..registry import register
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
+_CSV_ORACLE = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle=_CSV_ORACLE,
+    doc="CSV sink + source round trip (header, explicit schema — no "
+    "inferSchema pass) joined back to a parquet dim (REF-ANALOG source).",
+    tags=("source", "sink"),
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "csvsrc")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    back = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", True)
+        .csv(out)
+    )
+    region = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+_JSON_ORACLE = """
+SELECT o_orderstatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "src_json_roundtrip",
+    oracle=_JSON_ORACLE,
+    doc="JSON-lines sink + source round trip with explicit schema; doubles "
+    "survive via shortest-roundtrip repr (REF-ANALOG source).",
+    tags=("source", "sink"),
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "jsonsrc")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    ).json(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
