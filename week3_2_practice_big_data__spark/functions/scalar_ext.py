@@ -1,0 +1,98 @@
+"""Array and regex scalar-function surface (SURVEY.md §2.1-B extensions).
+
+REF-ANALOG completions: the reference's per-blob RGB tuples and 280-sample
+coordinate arrays (app.py:19,141-144) are fixed-width numeric arrays — the
+same shape as `embeddings.embedding` (array<float>, 64-wide); its f-string
+formatting (app.py:152,158) generalizes to the regex/string predicate
+surface over `documents.text`.
+
+Cross-engine float discipline: element access is exact (float32 widens to
+the same double in both engines); the L2 norm is an EXPLICIT 64-term sum in
+fixed text order — both engines execute the identical IEEE addition chain,
+so no quantizer guard is needed beyond the final q6.
+
+Scale notes (100 TB): element access and fixed-width folds are whole-stage
+codegen expressions — no UDF, no shuffle. The only dialect seam is array
+indexing (Spark 0-based `emb[i]`, DuckDB 1-based `emb[i+1]`) and the regex
+match predicate name (`rlike` vs `regexp_matches`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+from .. import synth
+
+_DIM = 64  # embeddings.embedding width (FIXTURES.md)
+
+
+def _elem(dialect: str, i: int, col: str = "embedding") -> str:
+    return f"{col}[{i}]" if dialect == "spark" else f"{col}[{i + 1}]"
+
+
+def _array_ops_sql(dialect: str) -> str:
+    e = lambda i: _elem(dialect, i)  # noqa: E731
+    sumsq = " + ".join(
+        f"CAST({e(i)} AS DOUBLE) * CAST({e(i)} AS DOUBLE)" for i in range(_DIM)
+    )
+    first4 = " + ".join(f"CAST({e(i)} AS DOUBLE)" for i in range(4))
+    size = (
+        "size(embedding)" if dialect == "spark" else "len(embedding)"
+    )
+    return f"""
+SELECT vec_id,
+  {size} AS dim,
+  {synth.q6(f"CAST({e(0)} AS DOUBLE)")} AS e0,
+  {synth.q6(first4)} AS sum_first4,
+  {synth.q6(f"sqrt({sumsq})")} AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register(
+    "fn_array_ops",
+    oracle=_array_ops_sql("duckdb"),
+    doc="Array element access, width, fixed-order fold and L2 norm over "
+    "embeddings — codegen-only, no UDF (REF-ANALOG of the per-blob arrays "
+    "at app.py:19,141-144).",
+    tags=("function", "array"),
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_array_ops_sql("spark"))
+
+
+def _regex_sql(dialect: str) -> str:
+    if dialect == "spark":
+        first_tok = "regexp_extract(text, '[a-z]+', 0)"
+        has_spark = "text RLIKE 'spark'"
+    else:
+        first_tok = "regexp_extract(text, '[a-z]+')"
+        has_spark = "regexp_matches(text, 'spark')"
+    # occurrence count via length delta — engine-neutral string functions
+    n_table = "CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT)"
+    return f"""
+SELECT doc_id,
+  {first_tok} AS first_tok,
+  CAST({has_spark} AS BOOLEAN) AS has_spark,
+  {n_table} AS n_table,
+  upper(substr(text, 1, 10)) AS head10
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "fn_regex_extract",
+    oracle=_regex_sql("duckdb"),
+    doc="Regex extract/match + string-function occurrence count over "
+    "documents.text (REF-ANALOG of the string formatting at "
+    "app.py:152,158).",
+    tags=("function", "text"),
+)
+def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_regex_sql("spark"))

@@ -433,3 +433,40 @@ FROM m ORDER BY l_returnflag
 def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_moments_sql())
+
+
+# ---------------------------------------------------------------------------
+# agg_mode — most frequent value per group with a DETERMINISTIC tie-break
+# (count desc, then value asc). The builtin mode() is tie-unstable across
+# engines; count + row_number makes the choice reproducible — the same
+# count→top-1 shape as the reference's palette-index cycling dominance
+# (app.py:146). Scale: two hash aggs + one tiny window over (groups ×
+# distinct values), shuffle-bounded by group cardinality.
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), r AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+    row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM r WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "agg_mode",
+    oracle=_MODE_SQL,
+    doc="Deterministic per-group mode via count + row_number tie-break "
+    "(REF-ANALOG; builtin mode() is tie-unstable across engines).",
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MODE_SQL)

@@ -241,3 +241,40 @@ ORDER BY user_id, event_id
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_range_frame_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_first_last — first_value / last_value / nth_value over a fully
+# deterministic total order per customer (orderdate, orderkey unique
+# tie-break). last_value needs the UNBOUNDED FOLLOWING frame — the default
+# frame ends at CURRENT ROW, a classic silent-wrong-answer trap both engines
+# share, made explicit here. REF-ANALOG of the painter's first/last draw
+# order (app.py:137,147-150).
+# ---------------------------------------------------------------------------
+
+
+def _first_last_sql(dialect: str) -> str:
+    del dialect
+    order = "ORDER BY o_orderdate, o_orderkey"
+    full = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    return f"""
+SELECT o_orderkey, o_custkey,
+  first_value(o_totalprice) OVER (PARTITION BY o_custkey {order}) AS first_price,
+  last_value(o_totalprice) OVER (PARTITION BY o_custkey {order} {full}) AS last_price,
+  coalesce(nth_value(o_totalprice, 2)
+           OVER (PARTITION BY o_custkey {order} {full}), -1e0) AS second_price
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "win_first_last",
+    oracle=_first_last_sql("duckdb"),
+    doc="first/last/nth_value with explicit UNBOUNDED FOLLOWING frame over "
+    "a deterministic total order (REF-ANALOG of draw order, app.py:137).",
+    tags=("window",),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_first_last_sql("spark"))
