@@ -69,3 +69,33 @@ def test_bucketed_join_has_no_exchange_before_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pivot_single_scan_pruned(spark):
+    """Pinned pivot values: no discovery job, one scan, pruned ReadSchema."""
+    plan = _formatted_plan(spark, "reshape_pivot")
+    # formatted mode lists each node in tree + details (x2 per node)
+    assert plan.count("Scan parquet") == 2
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_quantity" in read and "l_orderkey" not in read
+
+
+def test_salted_join_is_equi_not_nested_loop(spark):
+    """Salt+replicate must stay an equi-join on (key, salt)."""
+    plan = _formatted_plan(spark, "join_salted_skew")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_merge_upsert_is_single_full_outer(spark):
+    plan = _formatted_plan(spark, "merge_upsert")
+    assert plan.count("FullOuter") >= 1
+    # one pass over customer, two aggregated passes over orders
+    # (update+insert); x2 for tree + details
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_range_frame_single_window_pass(spark):
+    """Trailing RANGE frame: one shuffle on user_id, one Window operator."""
+    plan = _formatted_plan(spark, "win_range_frame")
+    assert plan.count("Window") == 2  # one node: tree + details

@@ -493,3 +493,40 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_fingerprint_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_sample_stratified — deterministic 1-in-K systematic sample per
+# (lang, source) stratum: row_number over a stable total order, keep
+# rn % K == 1. The training-data downsampling primitive: rerun-stable
+# (unlike TABLESAMPLE, whose split depends on partition layout) and
+# cross-engine exact (unlike hash-mod sampling — Spark xxhash64 and DuckDB
+# hash disagree, so hash-based splits can't be oracle-checked). Scale: one
+# shuffle on the stratum key; for 100 TB use the hash-mod form WITHIN one
+# engine (no sort) — semantics identical, just not cross-engine-comparable.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+_SAMPLE_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang, source, n_chars,
+    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM r WHERE rn % {_SAMPLE_K} = 1
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_sample_stratified",
+    oracle=_SAMPLE_SQL,
+    doc="Deterministic 1-in-K systematic sample per (lang, source) stratum "
+    "— rerun-stable training-data downsampling (NS).",
+    tags=("ns", "text", "scale"),
+)
+def ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_SAMPLE_SQL)
