@@ -268,3 +268,97 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("_batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_join — watermarked stream-stream inner join: clicks joined
+# to views of the same user within a 6-hour event-time range. Both sides
+# are readStream sources over the SAME time-ordered chunk files, so the
+# streams advance in lockstep; data arrives in event-time order, hence the
+# watermark (which bounds join state: a click's state is evictable once the
+# watermark passes click_ts + range) never drops a live match and the inner
+# join is COMPLETE — which is why this key can carry a full batch-join
+# oracle instead of the weaker rows-only check. Scale: join state is
+# O(events inside the range window per key), the streaming analog of the
+# bounded-shuffle discipline; without the range bound the state grows
+# without limit and Spark rejects the plan in append mode.
+# ---------------------------------------------------------------------------
+
+_SSJ_RANGE_MIN = 360
+
+_SSJ_ORACLE = f"""
+SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_RANGE_MIN} MINUTE
+ORDER BY click_id, view_id
+"""
+
+
+@register(
+    "stream_stream_join",
+    oracle=_SSJ_ORACLE,
+    doc="Watermarked stream-stream inner join (clicks x views per user "
+    "within a 6 h event-time range) over lockstep file micro-batches; "
+    "complete under in-order arrival, so fully oracle-checked (NS).",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "ssj", dup_first=0)
+    name = "w32bd_ssj"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    def side():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    clicks = (
+        side()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", _WATERMARK)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    views = (
+        side()
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", _WATERMARK)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"click_user = user_id AND view_ts >= click_ts "
+            f"AND view_ts <= click_ts + interval {_SSJ_RANGE_MIN} minutes"
+        ),
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(name).orderBy("click_id", "view_id")
