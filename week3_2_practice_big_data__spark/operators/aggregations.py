@@ -550,3 +550,35 @@ def udaf_weighted_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_sets — explicit GROUPING SETS (the general form; ROLLUP/CUBE
+# above are its shorthands): per-(segment,priority), per-segment, and grand
+# total in ONE pass. Scale: Spark expands grouping sets into a single
+# Expand + hash-agg — one scan, one shuffle, regardless of how many sets;
+# the alternative (N separate group-bys + union) scans N times.
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  GROUPING(c_mktsegment) + 2 * GROUPING(o_orderpriority) AS grp
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+ORDER BY grp, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=_GSETS_SQL,
+    doc="Explicit GROUPING SETS aggregate — the general grouping-sets form "
+    "behind ROLLUP/CUBE; one Expand+hash-agg pass (REF-ANALOG).",
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_GSETS_SQL)

@@ -278,3 +278,34 @@ ORDER BY o_orderkey
 def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_first_last_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_percent_rank — distribution window functions: percent_rank and
+# cume_dist over order value within order status. Both are TIE-INVARIANT
+# (defined from rank / peer counts, identical across engines) and exact
+# ((rank-1)/(n-1) and peers/n are single IEEE divisions of integers), so
+# no rounding is needed. Scale: one window sort per partition, same cost
+# shape as rank(); nothing engine-specific.
+# ---------------------------------------------------------------------------
+
+_PCTRANK_SQL = """
+SELECT o_orderkey, o_orderstatus,
+  percent_rank() OVER w AS pr,
+  cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+ORDER BY o_orderstatus, o_orderkey
+"""
+
+
+@register(
+    "win_percent_rank",
+    oracle=_PCTRANK_SQL,
+    doc="percent_rank + cume_dist distribution windows (tie-invariant, "
+    "integer-ratio exact; REF-ANALOG of the normalized depth rank).",
+    tags=("window",),
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PCTRANK_SQL)
