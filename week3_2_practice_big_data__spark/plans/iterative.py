@@ -181,3 +181,139 @@ def iter_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# iter_connected_components — second iterative surface: min-label propagation
+# over a seeded SPARSE random graph. The token-bigram graph is unusable for
+# this key: the synthetic vocabulary is 31 tokens and its co-occurrence
+# graph is near-complete, so every vertex reaches the global min label in
+# ~2 hops and "components" degenerate to one row. A seeded Erdős–Rényi-ish
+# graph at mean degree 2E/N = 1.5 sits in the textbook regime (one giant
+# component + many small fragments) — the LCG edge endpoints reuse the
+# repo-wide synth discipline (BIGINT keys, exact integer arithmetic), same
+# as the blob tables. lab₀(v)=v; labₖ₊₁(v)=min(labₖ(v), min_{u∈N(v)}
+# labₖ(u)); fixed 6 rounds = 6-hop-min semantics, deterministic whether or
+# not the giant component has converged. Pure integer min/count — no float
+# discipline needed — so the unrolled CTE chain is a complete oracle.
+# Scale notes: the Spark side iterates a driver-side loop over a persisted
+# edge list (the iterate-over-cached-edges discipline; here it also keeps
+# the 6 rounds from re-running the generator). At web-graph node counts
+# this becomes the classic large-star/small-star hash-partitioned iteration
+# with periodic checkpoints — same loop skeleton, no collect inside.
+# ---------------------------------------------------------------------------
+
+_CC_ITER = 6
+_CC_SEED = 1117
+_CC_N = 600
+_CC_E = 450
+
+
+def _cc_edges_sql(dialect: str) -> str:
+    """Seeded sparse random edge list — endpoints are exact-integer floors
+    of LCG uniforms, identical doubles on both engines."""
+    src = f"CAST(floor({synth.lcg_u('i', _CC_SEED, 0)} * {_CC_N}) AS BIGINT)"
+    dst = f"CAST(floor({synth.lcg_u('i', _CC_SEED, 1)} * {_CC_N}) AS BIGINT)"
+    return (
+        f"SELECT {src} AS src, {dst} AS dst "
+        f"FROM {synth.series_sql(_CC_E, 'i', dialect)}"
+    )
+
+
+def _cc_sql(edges_ref: str) -> str:
+    parts = [
+        f"""WITH edges AS ({edges_ref}),
+und AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+lab0 AS (SELECT node, node AS lab FROM nodes)""",
+    ]
+    for k in range(_CC_ITER):
+        parts.append(
+            f""",
+lab{k + 1} AS (
+  SELECT n.node, least(n.lab, coalesce(m.minlab, n.lab)) AS lab
+  FROM lab{k} n
+  LEFT JOIN (
+    SELECT e.dst AS node, min(l.lab) AS minlab
+    FROM und e JOIN lab{k} l ON e.src = l.node
+    GROUP BY e.dst
+  ) m ON n.node = m.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lab AS component, count(*) AS n_nodes
+FROM lab{_CC_ITER}
+GROUP BY lab
+ORDER BY n_nodes DESC, component
+LIMIT 20
+"""
+    )
+    return "".join(parts)
+
+
+_CC_CACHE: dict[tuple, object] = {}
+
+
+def _cached_cc_graph(spark: SparkSession):
+    """Symmetrized distinct edge list + node set, persisted per session."""
+    import pyspark.sql.functions as F
+
+    key = id(spark)
+    if key not in _CC_CACHE:
+        edges = spark.sql(_cc_edges_sql("spark"))
+        und = (
+            edges.select("src", "dst")
+            .union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()  # SQL UNION dedups
+            .coalesce(1)
+            .persist()
+        )
+        nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1).persist()
+        nodes.count()
+        _CC_CACHE[key] = (und, nodes)
+    return _CC_CACHE[key]
+
+
+@register(
+    "iter_connected_components",
+    oracle=_cc_sql(_cc_edges_sql("duckdb")),
+    doc="Iterative connected components: 6 min-label-propagation rounds over "
+    "a seeded sparse random graph (mean degree 1.5 → giant component + "
+    "fragments) as a driver-side loop on persisted handles; pure integer "
+    "ops so the unrolled CTE oracle is bit-exact (NS).",
+    tags=("iterative", "ns"),
+)
+def iter_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    del sf_dir  # graph is synthesized; scale-independent by design
+    und, nodes = _cached_cc_graph(spark)
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(_CC_ITER):
+        m = (
+            und.alias("e")
+            .join(F.broadcast(lab.alias("l")), F.expr("e.src = l.node"))
+            .groupBy(F.expr("e.dst").alias("node"))
+            .agg(F.expr("min(l.lab)").alias("minlab"))
+        )
+        lab = (
+            lab.alias("n")
+            .join(F.broadcast(m.alias("m")), F.expr("n.node = m.node"), "left")
+            .select(
+                F.expr("n.node").alias("node"),
+                F.expr("least(n.lab, coalesce(m.minlab, n.lab))").alias("lab"),
+            )
+        )
+    return (
+        lab.groupBy(F.col("lab").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "component")
+        .limit(20)
+    )
