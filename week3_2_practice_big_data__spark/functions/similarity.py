@@ -179,3 +179,77 @@ FROM buckets GROUP BY bucket ORDER BY bucket
 def ns_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_lsh_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_sim_ann_ivf — IVF-style ANN: a seeded coarse quantizer (8 centroids,
+# LCG components) assigns every vector to its nearest cell; the query probes
+# only its nprobe=2 nearest cells and ranks those candidates by exact
+# cosine. Complements ns_sim_ann_lsh: LSH prunes by hash bucket, IVF prunes
+# by quantizer cell — together they cover the two standard ANN scale paths.
+# Cell assignment distances are q6-quantized BEFORE the argmin row_number
+# (group-sum order across 64 dims is engine-dependent at ~1e-15; quantized
+# assignment + (dq, c) tie-break makes the partition the deterministic
+# contract). Candidate cosines reuse the fixed-order fold → bit-identical.
+# Scale notes (100 TB): the assignment pass is one dim-join + group-sum over
+# the long format (partitionable by dim-block); the probe search touches
+# nprobe/cells of the data — the candidate join keys on cell, so it
+# shuffles only the probed cells, and real IVF swaps the seeded centroids
+# for trained ones without changing the plan shape.
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+_IVF_SEED = 4242
+
+
+def _ivf_sql(dialect: str) -> str:
+    cval = f"({synth.uniform('cs.c * 64 + ds.dim', _IVF_SEED, 0, -1.0, 1.0)})"
+    dot = _dot_fold(dialect, "cv.embedding", "qv.embedding")
+    na = _dot_fold(dialect, "cv.embedding", "cv.embedding")
+    nb = _dot_fold(dialect, "qv.embedding", "qv.embedding")
+    return f"""
+WITH long AS ({_long_cast(dialect)}),
+cent AS (
+  SELECT cs.c, ds.dim, {cval} AS cval
+  FROM {synth.series_sql(_IVF_CELLS, "c", dialect)} cs
+  CROSS JOIN {synth.series_sql(_DIM, "dim", dialect)} ds
+),
+dist AS (
+  SELECT l.vec_id, ct.c,
+    {synth.q6("sum((l.val - ct.cval) * (l.val - ct.cval))")} AS dq
+  FROM long l JOIN cent ct ON l.dim = ct.dim
+  GROUP BY l.vec_id, ct.c
+),
+assign AS (
+  SELECT vec_id, c AS cell,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dq, c) AS rn
+  FROM dist
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+probe AS (
+  SELECT cell FROM assign WHERE vec_id = {_QUERY_ID} AND rn <= {_IVF_PROBE}
+)
+SELECT cl.vec_id, cl.cell,
+  {synth.q6(f"{dot} / (sqrt({na}) * sqrt({nb}))")} AS cosine
+FROM cells cl
+JOIN probe p ON cl.cell = p.cell
+JOIN embeddings cv ON cl.vec_id = cv.vec_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) qv
+WHERE cl.vec_id != {_QUERY_ID}
+ORDER BY cosine DESC, cl.vec_id
+LIMIT {_TOPK}
+"""
+
+
+@register(
+    "ns_sim_ann_ivf",
+    oracle=_ivf_sql("duckdb"),
+    doc="ANN scale path #2: IVF-style coarse-quantizer cell pruning "
+    "(nprobe=2 of 8 seeded centroids) + exact cosine rerank of the probed "
+    "candidates (NS).",
+    tags=("ns", "similarity", "scale"),
+)
+def ns_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_ivf_sql("spark"))
