@@ -362,3 +362,54 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.processAllAvailable()
     query.stop()
     return spark.table(name).orderBy("click_id", "view_id")
+
+
+# ---------------------------------------------------------------------------
+# stream_static_join — the standard enrichment topology: a stream inner-
+# joined to a STATIC dimension (events ⋈ customer, segment-filtered).
+# Stream-static inner joins are STATELESS (each micro-batch joins against
+# the static snapshot independently — no watermark, no join state), so
+# append mode emits exactly the batch join result and the key is fully
+# oracle-checkable. Columns pass through untouched → bit-exact, no
+# rounding. Scale notes: the dimension is broadcast once per batch
+# (executor-cached); at 100 TB of stream the per-batch cost stays bounded
+# by batch size, and a slowly-changing dimension swaps in foreachBatch
+# re-broadcast — same plan shape. The filter prunes the dimension BEFORE
+# the broadcast (Catalyst pushes it below the join).
+# ---------------------------------------------------------------------------
+
+_SSTATIC_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY e.event_id
+"""
+
+
+@register(
+    "stream_static_join",
+    oracle=_SSTATIC_ORACLE,
+    doc="readStream events inner-joined to the static customer dimension "
+    "(broadcast, segment-pruned before the exchange); stateless append "
+    "mode makes it equal to the batch join, fully oracle-checked (NS).",
+    tags=("streaming",),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "sstatic", dup_first=0)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+
+    def transform(s):
+        return (
+            s.alias("e")
+            .join(F.broadcast(dim.alias("c")), F.expr("e.user_id = c.c_custkey"))
+            .select("e.event_id", "e.user_id", "e.event_type", "c.c_name", "e.value")
+        )
+
+    return _run_stream(spark, src, ev.schema, transform, "w32bd_sstatic").orderBy(
+        "event_id"
+    )
