@@ -317,3 +317,88 @@ def iter_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "component")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# iter_kmeans_points — third iterative surface: 4 unrolled Lloyd iterations
+# of k-means (K=4) over seeded 2-D LCG points. Determinism contract: the
+# centroid coordinates are q6-QUANTIZED after every update (group-sum order
+# across engines differs at ~1e-14; quantizing the centroid — not just the
+# output — makes the NEXT round's distances, and therefore the assignment
+# itself, engine-identical), distances are fixed-order two-term sums of
+# exact doubles, and argmin ties break on centroid id. Empty clusters keep
+# their previous coordinates (LEFT JOIN + CASE). Unlike PageRank/CC there
+# is no corpus-sized input to protect, so both engines run the SAME single
+# unrolled CTE text — the Spark plan is fully declarative and Catalyst
+# pipelines all 4 rounds. Scale notes (100 TB): with real data the points
+# table is the one big relation; each round is points-CROSS-JOIN-K-centroids
+# (broadcast, K rows) → argmin → tiny group-agg, i.e. map-side work with a
+# K-row shuffle — the loop moves driver-side over a cached points handle
+# exactly like iter_pagerank_tokens.
+# ---------------------------------------------------------------------------
+
+_KM_ITER = 4
+_KM_K = 4
+_KM_N = 200
+_KM_SEED = 2718
+
+
+def _kmeans_sql(dialect: str) -> str:
+    px = synth.lcg_u("i", _KM_SEED, 0)
+    py = synth.lcg_u("i", _KM_SEED, 1)
+    c0x = synth.q6(synth.lcg_u("c + 1000000", _KM_SEED, 0))
+    c0y = synth.q6(synth.lcg_u("c + 1000000", _KM_SEED, 1))
+    d2 = "(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)"
+    parts = [
+        f"""WITH pts AS (
+  SELECT i, {px} AS x, {py} AS y FROM {synth.series_sql(_KM_N, "i", dialect)}
+),
+cent0 AS (
+  SELECT c, {c0x} AS cx, {c0y} AS cy
+  FROM {synth.series_sql(_KM_K, "c", dialect)} cs
+)""",
+    ]
+    for k in range(_KM_ITER):
+        parts.append(
+            f""",
+asg{k} AS (
+  SELECT p.i, p.x, p.y, c.c,
+    row_number() OVER (
+      PARTITION BY p.i ORDER BY {synth.q6(d2)}, c.c
+    ) AS rn
+  FROM pts p CROSS JOIN cent{k} c
+),
+grp{k} AS (
+  SELECT c, {synth.q6("sum(x) / count(*)")} AS cx,
+    {synth.q6("sum(y) / count(*)")} AS cy, count(*) AS n
+  FROM asg{k} WHERE rn = 1 GROUP BY c
+),
+cent{k + 1} AS (
+  SELECT pc.c,
+    CASE WHEN g.n IS NULL THEN pc.cx ELSE g.cx END AS cx,
+    CASE WHEN g.n IS NULL THEN pc.cy ELSE g.cy END AS cy
+  FROM cent{k} pc LEFT JOIN grp{k} g ON pc.c = g.c
+)"""
+        )
+    parts.append(
+        f"""
+SELECT pc.c, pc.cx, pc.cy, coalesce(g.n, 0) AS n_points
+FROM cent{_KM_ITER} pc
+LEFT JOIN grp{_KM_ITER - 1} g ON pc.c = g.c
+ORDER BY pc.c
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "iter_kmeans_points",
+    oracle=_kmeans_sql("duckdb"),
+    doc="Iterative k-means (4 unrolled Lloyd rounds, K=4) over seeded 2-D "
+    "points; q6-quantized centroids per round pin the assignment across "
+    "engines, so the full chain is oracle-checked (NS).",
+    tags=("iterative", "ns"),
+)
+def iter_kmeans_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    del sf_dir  # points are synthesized; scale-independent by design
+    return spark.sql(_kmeans_sql("spark"))
