@@ -99,3 +99,42 @@ def test_range_frame_single_window_pass(spark):
     """Trailing RANGE frame: one shuffle on user_id, one Window operator."""
     plan = _formatted_plan(spark, "win_range_frame")
     assert plan.count("Window") == 2  # one node: tree + details
+
+
+def test_udaf_runs_as_grouped_agg_pandas(spark):
+    """The UDAF must execute as Arrow-batched grouped aggregation, and its
+    final division must stay a JVM-side projection."""
+    plan = _formatted_plan(spark, "udaf_weighted_quantity")
+    # node name varies by Spark version: AggregateInPandas (3.x) vs
+    # ArrowAggregatePython (4.x); both are the Arrow grouped-agg operator
+    assert "AggregateInPandas" in plan or "ArrowAggregatePython" in plan
+
+
+def test_stream_static_dim_filter_pushed(spark):
+    """The segment filter on the static dimension must reach its scan."""
+    import pyspark.sql.functions as F
+    from week3_2_practice_big_data__spark.io import load_table
+
+    dim = (
+        load_table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    plan = dim._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "c_mktsegment" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_kmeans_single_declarative_plan(spark):
+    """Unrolled k-means is one lazy plan: no Python UDFs, no collect."""
+    plan = _formatted_plan(spark, "iter_kmeans_points")
+    assert "Pandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_connected_components_rounds_reuse_cache(spark):
+    """Each CC round must read the persisted edge list, not re-generate it."""
+    df = REGISTRY["iter_connected_components"].builder(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
