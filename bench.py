@@ -39,13 +39,43 @@ HEADLINE = [
     "ns_dedup_exact",
     "ns_dedup_minhash",
     "ns_dedup_ngram_jaccard",
+    "ns_dedup_simhash",
+    "ns_dedup_embed_cosine",
     "ns_sim_topk",
+    "ns_sim_ann_lsh",
     "ns_text_tfidf",
     "iter_pagerank_tokens",
     # event-time windows
     "stream_tumbling_agg",
     "stream_session_window",
 ]
+
+
+# Standing per-query baseline: round-1 medians (BENCH_r01.json, sf0.1,
+# local[32]). Each round's output includes vs_prev ratios and flags any
+# query that regressed >2× its standing median (VERDICT r1 §Next-round 10).
+PREV_ROUND = "r01"
+PREV_MEDIANS = {
+    "agg_groupby_multi": 1.2481,
+    "join_inner_equi": 0.6455,
+    "join_range_theta": 0.4437,
+    "sort_orderby": 0.5429,
+    "win_conv1d_frame": 0.7924,
+    "filt_point_in_polygon": 1.4011,
+    "filt_pip_scanline": 1.258,
+    "win_conv2d_separable": 1.4743,
+    "sort_composite_order": 1.3495,
+    "gen_poster_full": 2.9765,
+    "join_bucketed_colocated": 0.4784,
+    "ns_dedup_exact": 0.3092,
+    "ns_dedup_minhash": 1.2035,
+    "ns_dedup_ngram_jaccard": 2.1866,
+    "ns_sim_topk": 0.2989,
+    "ns_text_tfidf": 0.5603,
+    "iter_pagerank_tokens": 1.9713,
+    "stream_tumbling_agg": 0.3404,
+    "stream_session_window": 0.5554,
+}
 
 
 def run_once(spark, key: str) -> float:
@@ -71,6 +101,12 @@ def main() -> None:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+    vs_prev = {
+        k: round(per_query[k] / PREV_MEDIANS[k], 2)
+        for k in per_query
+        if k in PREV_MEDIANS and PREV_MEDIANS[k] > 0
+    }
+    regressions = sorted(k for k, r in vs_prev.items() if r > 2.0)
     print(
         json.dumps(
             {
@@ -79,6 +115,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "prev_round": PREV_ROUND,
+                "vs_prev": vs_prev,
+                "regressions": regressions,
             }
         )
     )

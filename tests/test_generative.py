@@ -142,3 +142,36 @@ def test_poster_full_reference_scale(spark):
     rows = REGISTRY["gen_poster_full"].builder(spark, SF_SMALL).collect()
     assert len(rows) > 100_000  # most of the 160k canvas covered by bboxes
     assert all(0.0 <= r["r"] <= 1.0 for r in rows[:500])
+
+
+def test_poster_param_points_match_oracle(spark):
+    """The composite is a FUNCTION of the reference's UI parameters
+    (app.py:107-113): oracle parity at two parameter points distinct from
+    the registered defaults (VERDICT r1 §Next-round 5)."""
+    from week3_2_practice_big_data__spark.plans.generative import _composite_sql
+    from .oracle import compare, duck_run
+
+    points = [
+        dict(seed=123, nb=5, canvas=48, lx="-1e0", ly="0.2e0", theme="cool"),
+        dict(seed=999, nb=11, canvas=48, lx="0e0", ly="1e0", theme="neutral",
+             scanline=True),
+    ]
+    for pt in points:
+        sdf = spark.sql(_composite_sql("spark", **pt))
+        ddf = duck_run(_composite_sql("duckdb", **pt), SF_SMALL)
+        compare(sdf, ddf, key=f"gen_poster_param:{pt['seed']}")
+
+
+def test_poster_theme_changes_background_only_outside_blobs(spark):
+    """Theme shifts background pixels; a themed canvas differs from the
+    white one exactly where the gradient shows through (alpha < 1)."""
+    from week3_2_practice_big_data__spark.plans.generative import _composite_sql
+
+    base = spark.sql(_composite_sql("spark", canvas=48)).collect()
+    warm = spark.sql(_composite_sql("spark", canvas=48, theme="warm")).collect()
+    diff = sum(
+        1 for a, b in zip(base, warm)
+        if (a["r"], a["g"], a["b"]) != (b["r"], b["g"], b["b"])
+    )
+    assert len(base) == len(warm) == 48 * 48  # full canvas incl. background
+    assert diff > 0  # the gradient is visible somewhere

@@ -27,15 +27,19 @@ def test_minhash_recall_of_high_jaccard(spark):
 
 
 def test_simhash_close_for_near_dups(spark):
+    """Every very-strong Jaccard pair must surface as a simhash candidate
+    pair with small Hamming distance (the simhash key now emits confirmed
+    (ai, bi, hamming) pairs, not bare fingerprints)."""
     jac = REGISTRY["ns_dedup_ngram_jaccard"].builder(spark, SF_SMALL).collect()
     sh = {
-        r["doc_id"]: r["simhash"]
+        (r["ai"], r["bi"]): r["hamming"]
         for r in REGISTRY["ns_dedup_simhash"].builder(spark, SF_SMALL).collect()
     }
+    assert sh, "simhash should emit candidate pairs"
+    assert all(h <= 5 for h in sh.values())
     strong = [(r["ai"], r["bi"]) for r in jac if r["jaccard"] >= 0.9]
-    for a, b in strong:
-        hamming = bin(sh[a] ^ sh[b]).count("1")
-        assert hamming <= 6, (a, b, hamming)
+    recalled = sum(1 for p in strong if p in sh)
+    assert strong and recalled / len(strong) >= 0.9, (len(strong), recalled)
 
 
 def test_topk_is_sorted_and_excludes_query(spark):
@@ -47,12 +51,33 @@ def test_topk_is_sorted_and_excludes_query(spark):
     assert all(-1.0 <= c <= 1.0 for c in cosines)
 
 
-def test_lsh_buckets_partition_corpus(spark):
+def test_lsh_returns_ranked_neighbors(spark):
+    """ns_sim_ann_lsh now returns actual top-k neighbors: ranked by exact
+    cosine, query excluded, and scores consistent with brute force (same
+    fixed-order fold → identical values for the same vec_id)."""
     rows = REGISTRY["ns_sim_ann_lsh"].builder(spark, SF_SMALL).collect()
-    assert sum(r["n_vecs"] for r in rows) == 500
-    assert all(0 <= r["bucket"] < 256 for r in rows)
-    # LSH must beat brute force: total candidate pairs << n*(n-1)/2
-    assert sum(r["n_candidate_pairs"] for r in rows) < 500 * 499 / 2 / 4
+    assert 0 < len(rows) <= 10
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(r["vec_id"] != 0 for r in rows)
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in REGISTRY["ns_sim_topk"].builder(spark, SF_SMALL).collect()
+    }
+    for r in rows:
+        if r["vec_id"] in brute:
+            assert r["cosine"] == brute[r["vec_id"]]
+
+
+def test_embed_cosine_pairs_lsh_gated(spark):
+    """Candidate gating keeps only confirmed pairs >= τ, ai<bi, and far
+    fewer than all-pairs."""
+    rows = REGISTRY["ns_dedup_embed_cosine"].builder(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["ai"] < r["bi"]
+        assert r["cosine"] >= 0.4
+    assert len(rows) < 500 * 499 / 2 / 4  # << brute-force pair count
 
 
 def test_langid_beats_majority_baseline(spark):

@@ -102,28 +102,66 @@ def ns_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ns_dedup_embed_cosine — embedding near-dup pairs, relational long format.
+# Banded random-hyperplane LSH signatures — shared candidate-generation stage
+# for ns_sim_ann_lsh and ns_dedup_embed_cosine. 8 hyperplanes (deterministic
+# LCG components) → 8 sign bits → 2 bands × 4 bits: two vectors are
+# CANDIDATES iff they agree on all 4 bits of at least one band. This is the
+# 100 TB pattern: candidate generation is an equi-join on (band, sig) — a
+# shuffle on a small key — never an all-pairs join.
+# ---------------------------------------------------------------------------
+
+_PLANES = 8
+_BANDS = 2  # 4 planes per band → 16 buckets per band
+
+
+def _band_sig_sql(dialect: str) -> str:
+    """(vec_id, band, sig) — banded LSH signature per vector.
+
+    Projections are long-format dim-joins + group-sum (partitionable by
+    dim-block at scale); the sign test tolerates the ~1e-15 group-sum
+    reorder noise except on exact zero crossings (measure-zero for
+    continuous data).
+    """
+    pval = f"({synth.lcg_u('p.plane * 64 + l.dim', 1234, 0)} - 0.5e0)"
+    pow2m = "CAST(floor(pow(2e0, CAST(plane % 4 AS DOUBLE)) + 0.5e0) AS BIGINT)"
+    band = "CAST(floor(CAST(plane AS DOUBLE) / 4e0) AS BIGINT)"
+    return f"""
+SELECT vec_id, {band} AS band,
+  sum(CASE WHEN dot > 0e0 THEN {pow2m} ELSE 0 END) AS sig
+FROM (
+  SELECT l.vec_id, p.plane, sum(l.val * {pval}) AS dot
+  FROM ({_long_cast(dialect)}) l
+  CROSS JOIN {synth.series_sql(_PLANES, "plane", dialect)} p
+  GROUP BY l.vec_id, p.plane
+) proj
+GROUP BY vec_id, {band}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ns_dedup_embed_cosine — embedding near-dup pairs, LSH-gated.
 # ---------------------------------------------------------------------------
 
 _COS_T = "0.4e0"
 
 
 def _embed_pairs_sql(dialect: str) -> str:
+    dot = _dot_fold(dialect, "ea.embedding", "eb.embedding")
+    na = _dot_fold(dialect, "ea.embedding", "ea.embedding")
+    nb = _dot_fold(dialect, "eb.embedding", "eb.embedding")
+    cos = f"{dot} / (sqrt({na}) * sqrt({nb}))"
     return f"""
-WITH long AS ({_long_cast(dialect)}),
-norms AS (
-  SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY vec_id
-),
-dots AS (
-  SELECT a.vec_id AS ai, b.vec_id AS bi, sum(a.val * b.val) AS dot
-  FROM long a JOIN long b ON a.dim = b.dim AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+WITH band_sig AS ({_band_sig_sql(dialect)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+  FROM band_sig a JOIN band_sig b ON a.band = b.band AND a.sig = b.sig
+    AND a.vec_id < b.vec_id
 )
-SELECT d.ai, d.bi, {synth.q6("d.dot / (na.nrm * nb.nrm)")} AS cosine
-FROM dots d
-JOIN norms na ON d.ai = na.vec_id
-JOIN norms nb ON d.bi = nb.vec_id
-WHERE d.dot / (na.nrm * nb.nrm) >= {_COS_T}
+SELECT c.ai, c.bi, {synth.q6(cos)} AS cosine
+FROM cand c
+JOIN embeddings ea ON c.ai = ea.vec_id
+JOIN embeddings eb ON c.bi = eb.vec_id
+WHERE {cos} >= {_COS_T}
 ORDER BY cosine DESC, ai, bi
 """
 
@@ -131,9 +169,12 @@ ORDER BY cosine DESC, ai, bi
 @register(
     "ns_dedup_embed_cosine",
     oracle=_embed_pairs_sql("duckdb"),
-    doc="Embedding-cosine near-dup pairs (τ=0.4) over long-format vectors — "
-    "dim-join + group-sum, the partitionable 100 TB shape (NS).",
-    tags=("ns", "dedup", "similarity"),
+    doc="Embedding-cosine near-dup pairs (τ=0.4), LSH-GATED: candidate pairs "
+    "come from a banded-signature equi-join (never all-pairs — the O(n²) "
+    "dim-join of round 1 is gone), then an exact fixed-order cosine rerank "
+    "confirms each candidate. The shape that survives 100 TB: shuffle keys "
+    "are (band, sig), rerank touches only candidates (NS).",
+    tags=("ns", "dedup", "similarity", "scale"),
 )
 def ns_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
@@ -141,39 +182,40 @@ def ns_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ns_sim_ann_lsh — random-hyperplane LSH bucketing (the ANN scale path).
-# Plane components are LCG uniforms centered at 0, identical both engines.
+# ns_sim_ann_lsh — banded LSH ANN search returning actual neighbors:
+# probe the query's band buckets, exact-cosine rerank the candidates, top-k.
 # ---------------------------------------------------------------------------
-
-_PLANES = 8
 
 
 def _lsh_sql(dialect: str) -> str:
-    pval = f"({synth.lcg_u('p.plane * 64 + l.dim', 1234, 0)} - 0.5e0)"
-    pow2 = "CAST(floor(pow(2e0, CAST(plane AS DOUBLE)) + 0.5e0) AS BIGINT)"
+    dot = _dot_fold(dialect, "cv.embedding", "qv.embedding")
+    na = _dot_fold(dialect, "cv.embedding", "cv.embedding")
+    nb = _dot_fold(dialect, "qv.embedding", "qv.embedding")
     return f"""
-WITH long AS ({_long_cast(dialect)}),
-proj AS (
-  SELECT l.vec_id, p.plane, sum(l.val * {pval}) AS dot
-  FROM long l CROSS JOIN {synth.series_sql(_PLANES, "plane", dialect)} p
-  GROUP BY l.vec_id, p.plane
-),
-buckets AS (
-  SELECT vec_id,
-    sum(CASE WHEN dot > 0e0 THEN {pow2} ELSE 0 END) AS bucket
-  FROM proj GROUP BY vec_id
+WITH band_sig AS ({_band_sig_sql(dialect)}),
+qb AS (SELECT band, sig FROM band_sig WHERE vec_id = {_QUERY_ID}),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM band_sig b JOIN qb ON b.band = qb.band AND b.sig = qb.sig
+  WHERE b.vec_id != {_QUERY_ID}
 )
-SELECT bucket, count(*) AS n_vecs,
-  CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs
-FROM buckets GROUP BY bucket ORDER BY bucket
+SELECT cv.vec_id, cv.label,
+  {synth.q6(f"{dot} / (sqrt({na}) * sqrt({nb}))")} AS cosine
+FROM cand c
+JOIN embeddings cv ON c.vec_id = cv.vec_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) qv
+ORDER BY cosine DESC, cv.vec_id
+LIMIT {_TOPK}
 """
 
 
 @register(
     "ns_sim_ann_lsh",
     oracle=_lsh_sql("duckdb"),
-    doc="ANN scale path: random-hyperplane LSH bucket assignment + candidate "
-    "pair counts (replaces O(n²) with within-bucket joins) (NS).",
+    doc="ANN scale path: banded random-hyperplane LSH — probe the query's "
+    "band buckets (equi-join on (band, sig)), exact fixed-order cosine "
+    "rerank of candidates only, top-k neighbors. Mirrors the IVF probe/"
+    "rerank shape; candidate generation never leaves O(n·planes) (NS).",
     tags=("ns", "similarity", "scale"),
 )
 def ns_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,11 +117,23 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JACCARD_T = "0.2e0"
+# Document-frequency cap on shingles: a shingle present in more than this
+# many docs is dropped from the index AND the per-doc set sizes. At 100 TB a
+# single stop-shingle ("in the of"-class) otherwise forms one posting list of
+# millions of docs → a quadratic hot key in the pair join; capping bounds
+# every posting list (and the skew of the shingle shuffle key) by a constant.
+# Near-dup signal lives in RARE shingles, so the cap barely moves Jaccard.
+_SHINGLE_DF_CAP = 50
 
 
 def _jaccard_sql(dialect: str) -> str:
     return f"""
-WITH sh AS ({shingles_sql(dialect)}),
+WITH sh0 AS ({shingles_sql(dialect)}),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {_SHINGLE_DF_CAP}
+),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep ON sh0.shingle = keep.shingle),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS shared
@@ -142,7 +154,9 @@ ORDER BY jaccard DESC, ai, bi
     "ns_dedup_ngram_jaccard",
     oracle=_jaccard_sql("duckdb"),
     doc="Near-dup detection: 3-gram shingle Jaccard >= 0.2 via inverted "
-    "shingle index (no O(n²) cross join) (NS).",
+    "shingle index (no O(n²) cross join), with a document-frequency cap "
+    "(df <= 50) pruning stop-shingles so no posting list can become a "
+    "quadratic hot key at 100 TB (NS).",
     tags=("ns", "dedup", "bench"),
 )
 def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,19 +216,34 @@ sig AS (
 bands AS (
   SELECT doc_id, {band} AS band, {_bandsig(dialect)} AS bandsig
   FROM sig GROUP BY doc_id, {band}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+),
+verify AS (
+  SELECT c.ai, c.bi,
+    sum(CASE WHEN sa.sig = sb.sig THEN 1e0 ELSE 0e0 END) / 16e0 AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.ai
+  JOIN sig sb ON sb.doc_id = c.bi AND sb.i = sa.i
+  GROUP BY c.ai, c.bi
 )
-SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
-ORDER BY ai, bi
+SELECT ai, bi, {synth.q6("est")} AS est_jaccard
+FROM verify WHERE est >= 0.25e0
+ORDER BY est_jaccard DESC, ai, bi
 """
 
 
 @register(
     "ns_dedup_minhash",
     oracle=_minhash_sql("duckdb"),
-    doc="MinHash (k=16) + LSH banding (4×4): near-dup candidate pairs via "
-    "band-signature equality join — the 100 TB near-dup pattern (NS).",
+    doc="MinHash (k=16) + LSH banding (4×4) + VERIFY: candidate pairs from "
+    "the band-signature equality join are confirmed by estimated Jaccard = "
+    "fraction of agreeing signature components (>= 0.25) — candidates stay "
+    "bucketed, the verify join touches only candidates; the complete 100 TB "
+    "near-dup pattern (NS).",
     tags=("ns", "dedup", "bench"),
 )
 def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,13 +257,34 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bit(dialect: str, h: str, j: str) -> str:
-    if dialect == "spark":
-        return f"(shiftright({h}, CAST({j} AS INT)) & 1)"
-    return f"(({h} >> CAST({j} AS INT)) & 1)"
+    """Pseudo-random bit j of token-hash h (dialect-independent).
+
+    The polyhash is only 31 bits wide, so direct bit extraction caps the
+    fingerprint at 32 useful bits; instead each of the _SIM_BITS positions
+    re-hashes h with a position-keyed affine map mod (2^31-1) and takes
+    parity — pure non-negative BIGINT arithmetic, identical both engines.
+    """
+    del dialect  # same text in both dialects
+    return (
+        f"((((2 * {j} + 1) * {h} + {j} * 2654435761 + 7919) "
+        f"% 2147483647) % 2)"
+    )
+
+
+_SIM_BITS = 48  # fingerprint width; 32 is too coarse on a correlated corpus
+_SIM_BANDS = 6  # one byte per band
+_HAMMING_R = 5  # max Hamming distance; exact recall (pigeonhole: 6 bands)
+
+
+def _xor(dialect: str, a: str, b: str) -> str:
+    """Bitwise xor — Spark `^` is xor but DuckDB `^` is POWER."""
+    return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
 
 
 def _simhash_sql(dialect: str) -> str:
     pow2 = "CAST(floor(pow(2e0, CAST(j AS DOUBLE)) + 0.5e0) AS BIGINT)"
+    byte = "(CAST(floor(simhash / pow(256e0, CAST(band AS DOUBLE))) AS BIGINT) % 256)"
+    ham = f"bit_count({_xor(dialect, 'fa.simhash', 'fb.simhash')})"
     return f"""
 WITH tok AS ({tokens_sql(dialect)}),
 hashed AS (
@@ -243,21 +293,42 @@ hashed AS (
 bits AS (
   SELECT doc_id, j,
     sum(2 * {_bit(dialect, "h", "j")} - 1) AS balance
-  FROM hashed CROSS JOIN {synth.series_sql(32, "j", dialect)}
+  FROM hashed CROSS JOIN {synth.series_sql(_SIM_BITS, "j", dialect)}
   GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+    sum(CASE WHEN balance > 0 THEN {pow2} ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band, {byte} AS byte
+  FROM fp CROSS JOIN {synth.series_sql(_SIM_BANDS, "band", dialect)}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
 )
-SELECT doc_id,
-  sum(CASE WHEN balance > 0 THEN {pow2} ELSE 0 END) AS simhash
-FROM bits GROUP BY doc_id ORDER BY doc_id
+SELECT c.ai, c.bi, CAST({ham} AS BIGINT) AS hamming
+FROM cand c
+JOIN fp fa ON c.ai = fa.doc_id
+JOIN fp fb ON c.bi = fb.doc_id
+WHERE {ham} <= {_HAMMING_R}
+ORDER BY hamming, ai, bi
 """
 
 
 @register(
     "ns_dedup_simhash",
     oracle=_simhash_sql("duckdb"),
-    doc="SimHash: 32-bit sign-of-weighted-bit-sum fingerprint per doc; "
-    "near-dups are small Hamming distance (NS).",
-    tags=("ns", "dedup"),
+    doc="SimHash near-dup pairs: 32-bit sign-of-weighted-bit-sum fingerprint "
+    "per doc, banded into 4 bytes; candidates share a (band, byte) bucket, "
+    "then popcount(xor(fp_a, fp_b)) <= 8 confirms. Pigeonhole gives exact "
+    "recall for Hamming <= 3 (4 bands can't all absorb an error); beyond "
+    "that banding trades recall for the bounded-bucket equi-join that "
+    "survives 100 TB — no all-pairs stage anywhere (NS).",
+    tags=("ns", "dedup", "scale"),
 )
 def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)

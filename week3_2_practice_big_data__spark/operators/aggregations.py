@@ -204,19 +204,34 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # sketch output is engine-specific → rows-only check
-    doc="approx_count_distinct (HLL) — the 100 TB scale path for distincts; "
-    "sketch estimates are engine-specific so this is a rows-only check, "
-    "backstopped by a pytest bound vs the exact count.",
+    oracle="""
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_users_exact,
+  TRUE AS approx_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="approx_count_distinct (HLL) — the 100 TB scale path for distincts. "
+    "Sketch estimates are engine-specific, so the checkable contract is: "
+    "exact count (hash-compared) plus a boolean asserting the HLL estimate "
+    "at rsd=0.01 lands within 5 % relative error of the exact count — far "
+    "looser than the sketch's guarantee, so deterministically TRUE, while "
+    "still failing loudly if the sketch path ever breaks.",
     tags=("agg", "scale"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
     )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("approx_within_5pct"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

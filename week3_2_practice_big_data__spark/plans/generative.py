@@ -162,13 +162,23 @@ mask AS (
 )"""
 
 
-def _shaded_sql(dialect: str, scene: str | None = None) -> str:
-    """Mask + shading + alpha (app.py:68-85) on top of the scene CTEs."""
+def _shaded_sql(
+    dialect: str,
+    scene: str | None = None,
+    lx: str = _LX,
+    ly: str = _LY,
+) -> str:
+    """Mask + shading + alpha (app.py:68-85) on top of the scene CTEs.
+
+    `lx`/`ly` are the reference's light_x/light_y sidebar sliders
+    (app.py:109-110, threaded into render_blob at 147-149) as SQL float
+    literals.
+    """
     return f"""{scene or _scene_ctes(dialect)},
 lit AS (
   SELECT m.*, b.depth, b.col_r, b.col_g, b.col_b,
     sqrt((m.x - c.ccx) * (m.x - c.ccx) + (m.y - c.ccy) * (m.y - c.ccy)) AS d,
-    (m.x - c.ccx) * {_LX} + (m.y - c.ccy) * {_LY} AS light
+    (m.x - c.ccx) * {lx} + (m.y - c.ccy) * {ly} AS light
   FROM mask m
   JOIN centroid c ON m.blob_id = c.blob_id
   JOIN blobs b ON m.blob_id = b.blob_id
@@ -381,15 +391,49 @@ def udf_rowwise_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _composite_sql(dialect: str) -> str:
-    shaded = _shaded_sql(dialect)
+# Background themes (app.py:126-130): two hex colors per theme; the canvas
+# background is the vertical gradient between them at alpha 0.2 over white
+# (app.py:132-133 — the reference draws a 600-step gradient imshow with
+# alpha=0.2 before compositing blobs). `None` keeps the plain white canvas.
+_THEMES = {
+    "cool": ("#a2cffe", "#f7faff"),
+    "warm": ("#ffdfba", "#fffaf0"),
+    "neutral": ("#e8e8e8", "#ffffff"),
+}
+_BG_ALPHA = 0.2
+
+
+def _theme_bg_exprs(theme: str | None, canvas: int) -> tuple[str, str, str]:
+    """Per-channel background expressions (may reference grouping col `row`).
+
+    bg(t) = (1-α)·white + α·(c1 + (c2-c1)·t), t = row/(canvas-1) — the
+    alpha-0.2 vertical gradient of app.py:132-133 over the white figure.
+    """
+    if theme is None:
+        return "1e0", "1e0", "1e0"
+    c1, c2 = _THEMES[theme]
+    out = []
+    for ch in range(3):
+        v1 = int(c1[1 + 2 * ch : 3 + 2 * ch], 16) / 255.0
+        v2 = int(c2[1 + 2 * ch : 3 + 2 * ch], 16) / 255.0
+        base = (1.0 - _BG_ALPHA) + _BG_ALPHA * v1
+        slope = _BG_ALPHA * (v2 - v1)
+        out.append(
+            f"({synth.flit(base)} + {synth.flit(slope)} * "
+            f"(row / {synth.flit(canvas - 1)}))"
+        )
+    return out[0], out[1], out[2]
+
+
+def _fold_sql(dialect: str, ir: str, ig: str, ib: str) -> str:
+    """Ordered alpha-over fold with per-pixel background init (ir/ig/ib)."""
     if dialect == "spark":
-        fold = """
+        return f"""
 SELECT row, col,
   aggregate(
     array_sort(collect_list(named_struct(
       'depth', depth, 'r', pr, 'g', pg, 'b', pb, 'a', alpha))),
-    named_struct('depth', 0e0, 'r', 1e0, 'g', 1e0, 'b', 1e0, 'a', 0e0),
+    named_struct('depth', 0e0, 'r', {ir}, 'g', {ig}, 'b', {ib}, 'a', 0e0),
     (acc, e) -> named_struct(
       'depth', 0e0,
       'r', e.r * e.a + acc.r * (1e0 - e.a),
@@ -399,17 +443,11 @@ SELECT row, col,
   ) AS px
 FROM shaded GROUP BY row, col
 """
-        return (
-            shaded
-            + f",\nfolded AS ({fold})\n"
-            + f"SELECT row, col, {synth.q6('px.r')} AS r, {synth.q6('px.g')} AS g, "
-            f"{synth.q6('px.b')} AS b FROM folded ORDER BY row, col"
-        )
-    fold = """
+    return f"""
 SELECT row, col,
   list_reduce(
     list_prepend(
-      struct_pack(depth := 0e0, r := 1e0, g := 1e0, b := 1e0, a := 0e0),
+      struct_pack(depth := 0e0, r := {ir}, g := {ig}, b := {ib}, a := 0e0),
       list(struct_pack(depth := depth, r := pr, g := pg, b := pb, a := alpha)
            ORDER BY depth)),
     (acc, e) -> struct_pack(
@@ -421,11 +459,40 @@ SELECT row, col,
   ) AS px
 FROM shaded GROUP BY row, col
 """
+
+
+def _composite_sql(
+    dialect: str,
+    seed: int = SEED,
+    nb: int = NB,
+    canvas: int = CANVAS,
+    lx: str = _LX,
+    ly: str = _LY,
+    theme: str | None = None,
+    scanline: bool = False,
+    order_by: bool = True,
+) -> str:
+    """Full poster composite, parameterized over the reference's UI surface
+    (app.py:107-113): seed, n_blobs, light direction, background theme —
+    plus canvas resolution and containment strategy (join vs scanline)."""
+    scene_fn = _scene_scanline_ctes if scanline else _scene_ctes
+    shaded = _shaded_sql(
+        dialect, scene=scene_fn(dialect, seed=seed, nb=nb, canvas=canvas),
+        lx=lx, ly=ly,
+    )
+    ir, ig, ib = _theme_bg_exprs(theme, canvas)
+    fold = _fold_sql(dialect, ir, ig, ib)
+    tail = " ORDER BY row, col" if order_by else ""
+    # Grid left-join completes the canvas: pixels outside every blob bbox
+    # never enter `pairs`/`shaded`, but the poster still shows background
+    # there (the reference renders the full figure, app.py:121-133).
     return (
         shaded
         + f",\nfolded AS ({fold})\n"
-        + f"SELECT row, col, {synth.q6('px.r')} AS r, {synth.q6('px.g')} AS g, "
-        f"{synth.q6('px.b')} AS b FROM folded ORDER BY row, col"
+        + f"SELECT row, col, {synth.q6(f'coalesce(px.r, {ir})')} AS r, "
+        f"{synth.q6(f'coalesce(px.g, {ig})')} AS g, "
+        f"{synth.q6(f'coalesce(px.b, {ib})')} AS b "
+        f"FROM grid LEFT JOIN folded USING (row, col){tail}"
     )
 
 
@@ -700,29 +767,8 @@ def udtf_explode_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _poster_full_sql() -> str:
-    shaded = _shaded_sql(
-        "spark", scene=_scene_scanline_ctes("spark", seed=SEED, nb=14, canvas=400)
-    )
-    fold = """
-SELECT row, col,
-  aggregate(
-    array_sort(collect_list(named_struct(
-      'depth', depth, 'r', pr, 'g', pg, 'b', pb, 'a', alpha))),
-    named_struct('depth', 0e0, 'r', 1e0, 'g', 1e0, 'b', 1e0, 'a', 0e0),
-    (acc, e) -> named_struct(
-      'depth', 0e0,
-      'r', e.r * e.a + acc.r * (1e0 - e.a),
-      'g', e.g * e.a + acc.g * (1e0 - e.a),
-      'b', e.b * e.a + acc.b * (1e0 - e.a),
-      'a', 0e0)
-  ) AS px
-FROM shaded GROUP BY row, col
-"""
-    return (
-        shaded
-        + f",\nfolded AS ({fold})\n"
-        + f"SELECT row, col, {synth.q6('px.r')} AS r, {synth.q6('px.g')} AS g, "
-        f"{synth.q6('px.b')} AS b FROM folded"
+    return _composite_sql(
+        "spark", seed=SEED, nb=14, canvas=400, scanline=True, order_by=False
     )
 
 
@@ -736,3 +782,31 @@ FROM shaded GROUP BY row, col
 )
 def gen_poster_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_poster_full_sql())
+
+
+# ---------------------------------------------------------------------------
+# gen_poster_param — the reference's UI parameter surface (app.py:107-113)
+# exercised at NON-default values: a user's first act is changing the seed,
+# so the engine proves the whole pipeline is a function of (seed, n_blobs,
+# light, theme), not a plan with baked-in constants. Oracle-checked at 64 px
+# (every stage identical to the default-parameter keys, only parameters
+# differ).
+# ---------------------------------------------------------------------------
+
+_PARAM_POINT = dict(
+    seed=7, nb=9, canvas=64, lx="0.4e0", ly="-0.7e0", theme="warm",
+    scanline=True,
+)
+
+
+@register(
+    "gen_poster_param",
+    oracle=_composite_sql("duckdb", **_PARAM_POINT),
+    doc="Parameterized poster (app.py:107-113 UI surface) at non-default "
+    "point: seed=7, n_blobs=9, light=(0.4,-0.7), theme=warm gradient "
+    "background, 64 px, scanline rasterization — full composite, "
+    "oracle-checked.",
+    tags=("generative", "param"),
+)
+def gen_poster_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_composite_sql("spark", **_PARAM_POINT))

@@ -38,6 +38,21 @@ _ITER = 8
 _DAMP = "0.85e0"
 _JUMP = "0.15e0"
 
+# Checkpoint discipline: every k rounds the loop state is localCheckpoint-ed
+# (eager), truncating lineage so plan depth — and with it analysis time,
+# task-binary size, and stack depth — stays BOUNDED no matter how many
+# rounds run. Values are unchanged; only the lineage is cut. At 8 rounds
+# this costs two tiny materializations (the state relations are vocab-/
+# node-bounded); at 100+ rounds it is the difference between running and
+# OOMing the driver. (VERDICT r1 §Next-round 9.)
+_CKPT_EVERY = 4
+
+
+def _maybe_checkpoint(df: DataFrame, round_idx: int, ckpt_every: int | None):
+    if ckpt_every and (round_idx + 1) % ckpt_every == 0:
+        return df.localCheckpoint(eager=True)
+    return df
+
 
 def _edges_sql(dialect: str) -> str:
     """Standalone SELECT producing the weighted token-bigram edge list."""
@@ -149,13 +164,22 @@ def _cached_graph(spark: SparkSession, sf_dir: str):
     tags=("iterative", "ns", "bench"),
 )
 def iter_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pagerank_rounds(spark, sf_dir, _ITER, _CKPT_EVERY)
+
+
+def _pagerank_rounds(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int,
+    ckpt_every: int | None,
+) -> DataFrame:
     import pyspark.sql.functions as F
 
     edges, nodes, outdeg, n = _cached_graph(spark, sf_dir)
     # Same float text as the oracle: nn.n is BIGINT there, `n` is int here —
     # both divisions are double / exact-integer → identical IEEE results.
     pr = nodes.select("token", F.expr(f"1e0 / {n}").alias("pr"))
-    for _ in range(_ITER):
+    for k in range(n_iter):
         # string-qualified aliases: edges/outdeg re-enter pr's own lineage
         # each iteration, so unqualified Column refs would be ambiguous
         # broadcast: every relation here is vocab-bounded, so broadcast
@@ -176,6 +200,7 @@ def iter_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"{_JUMP} / {n} + {_DAMP} * coalesce(ms.m, 0e0)").alias("pr"),
             )
         )
+        pr = _maybe_checkpoint(pr, k, ckpt_every)
     return (
         pr.select("token", F.expr(synth.q6("pr", 7)).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "token")
@@ -291,12 +316,17 @@ def _cached_cc_graph(spark: SparkSession):
     tags=("iterative", "ns"),
 )
 def iter_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cc_rounds(spark, _CC_ITER, _CKPT_EVERY)
+
+
+def _cc_rounds(
+    spark: SparkSession, n_iter: int, ckpt_every: int | None
+) -> DataFrame:
     import pyspark.sql.functions as F
 
-    del sf_dir  # graph is synthesized; scale-independent by design
     und, nodes = _cached_cc_graph(spark)
     lab = nodes.select("node", F.col("node").alias("lab"))
-    for _ in range(_CC_ITER):
+    for k in range(n_iter):
         m = (
             und.alias("e")
             .join(F.broadcast(lab.alias("l")), F.expr("e.src = l.node"))
@@ -311,6 +341,7 @@ def iter_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("least(n.lab, coalesce(m.minlab, n.lab))").alias("lab"),
             )
         )
+        lab = _maybe_checkpoint(lab, k, ckpt_every)
     return (
         lab.groupBy(F.col("lab").alias("component"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
