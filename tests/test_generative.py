@@ -175,3 +175,11 @@ def test_poster_theme_changes_background_only_outside_blobs(spark):
     )
     assert len(base) == len(warm) == 48 * 48  # full canvas incl. background
     assert diff > 0  # the gradient is visible somewhere
+
+
+def test_hires_export_dimensions(spark):
+    """dpi=300-style export: x3 bilinear upsample -> 288x288 valid PNG."""
+    rows = REGISTRY["sink_binary_export_hires"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    w, h = png_dimensions(bytes(rows[0]["png"]))
+    assert (w, h) == (288, 288)

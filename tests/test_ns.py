@@ -99,3 +99,25 @@ def test_mm_decode_meta_consistent(spark):
     rows = REGISTRY["ns_mm_decode_meta"].builder(spark, SF_SMALL).collect()
     assert all(r["meta_consistent"] for r in rows)
     assert all(r["parsed_height"] == r["height"] for r in rows)
+
+
+def test_dedup_cluster_elects_min_keeper(spark):
+    """Clusters cover all minhash-pair docs; keeper is the cluster min and a
+    member; every cluster has >= 2 docs (singletons are excluded)."""
+    pairs = REGISTRY["ns_dedup_minhash"].builder(spark, SF_SMALL).collect()
+    clustered_docs = {r["ai"] for r in pairs} | {r["bi"] for r in pairs}
+    rows = REGISTRY["ns_dedup_cluster"].builder(spark, SF_SMALL).collect()
+    assert rows
+    assert sum(r["n_docs"] for r in rows) == len(clustered_docs)
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert r["keep_doc"] == r["cluster"]  # converged: min label = min id
+
+
+def test_text_clean_normalizes(spark):
+    rows = REGISTRY["ns_text_clean"].builder(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:50]:
+        t = r["clean_text"]
+        assert t == t.lower() and "  " not in t and t == t.strip()
+        assert r["n_chars_after"] == len(t)

