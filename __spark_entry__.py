@@ -53,21 +53,43 @@ _R01_VERIFIED = frozenset({
 })
 
 
+# Keys whose implementation CHANGED this round (new or rewritten): these are
+# the ones whose prior verification status is stale, so they lead the window.
+_CHANGED_THIS_ROUND = [
+    "agg_approx_distinct",
+    "ns_sim_ann_lsh",
+    "ns_dedup_embed_cosine",
+    "ns_dedup_simhash",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_minhash",
+    "ns_dedup_cluster",
+    "ns_text_clean",
+    "gen_poster_param",
+    "gen_poster_shadow",
+    "proj_resample_bilinear",
+    "sort_composite_order",
+    "sink_display",
+    "filt_mask_apply",
+]
+
+
 def _ordered_keys() -> list[str]:
     """Registry keys ordered for the driver's bounded correctness window:
-    driver-unverified keys WITH an oracle first (strongest pending signal),
-    then unverified rows-only keys, then round-1-proven keys (registration
-    order preserved within each group)."""
+    keys changed this round first, then driver-unverified keys WITH an
+    oracle (strongest pending signal), then unverified rows-only keys, then
+    round-1-proven keys (registration order preserved within each group)."""
+    changed = [k for k in _CHANGED_THIS_ROUND if k in REGISTRY]
+    rest = [k for k in REGISTRY if k not in set(changed)]
     pending_oracle = [
-        k for k in REGISTRY
+        k for k in rest
         if k not in _R01_VERIFIED and REGISTRY[k].oracle is not None
     ]
     pending_rows_only = [
-        k for k in REGISTRY
+        k for k in rest
         if k not in _R01_VERIFIED and REGISTRY[k].oracle is None
     ]
-    proven = [k for k in REGISTRY if k in _R01_VERIFIED]
-    return pending_oracle + pending_rows_only + proven
+    proven = [k for k in rest if k in _R01_VERIFIED]
+    return changed + pending_oracle + pending_rows_only + proven
 
 
 def _tuned(builder: Callable[[SparkSession, str], DataFrame]):

@@ -149,8 +149,7 @@ def _cached_band_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir.rstrip("/"))
     if key not in _BAND_SIG_CACHE:
         _view(spark, sf_dir)
-        sig = spark.sql(_band_sig_sql("spark")).coalesce(4).persist()
-        sig.count()
+        sig = spark.sql(_band_sig_sql("spark")).coalesce(4).localCheckpoint(eager=True)
         _BAND_SIG_CACHE[key] = sig
     return _BAND_SIG_CACHE[key]
 
@@ -179,8 +178,7 @@ def _cached_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir.rstrip("/"))
     if key not in _EMB_NORM_CACHE:
         _view(spark, sf_dir)
-        emb = spark.sql(_emb_norm_sql("spark")).coalesce(4).persist()
-        emb.count()
+        emb = spark.sql(_emb_norm_sql("spark")).coalesce(4).localCheckpoint(eager=True)
         _EMB_NORM_CACHE[key] = emb
     return _EMB_NORM_CACHE[key]
 

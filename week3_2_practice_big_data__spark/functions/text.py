@@ -343,8 +343,7 @@ def _cached_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir.rstrip("/"))
     if key not in _SIMHASH_FP_CACHE:
         _view(spark, sf_dir)
-        fp = spark.sql(_simhash_fp_sql("spark")).coalesce(4).persist()
-        fp.count()
+        fp = spark.sql(_simhash_fp_sql("spark")).coalesce(4).localCheckpoint(eager=True)
         _SIMHASH_FP_CACHE[key] = fp
     return _SIMHASH_FP_CACHE[key]
 
@@ -467,8 +466,7 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir.rstrip("/"))
     if key not in _MINHASH_PAIRS_CACHE:
         _view(spark, sf_dir)
-        pairs = spark.sql(_minhash_sql("spark")).coalesce(2).persist()
-        pairs.count()
+        pairs = spark.sql(_minhash_sql("spark")).coalesce(2).localCheckpoint(eager=True)
         _MINHASH_PAIRS_CACHE[key] = pairs
     return _MINHASH_PAIRS_CACHE[key]
 

@@ -775,8 +775,7 @@ def _cached_canvas(spark: SparkSession) -> DataFrame:
     4-neighbor gather references it 4 times and Catalyst inlines CTEs."""
     key = id(spark)
     if key not in _CANVAS_CACHE:
-        cv = spark.sql(_composite_sql("spark", order_by=False)).coalesce(4).persist()
-        cv.count()
+        cv = spark.sql(_composite_sql("spark", order_by=False)).coalesce(4).localCheckpoint(eager=True)
         _CANVAS_CACHE[key] = cv
     return _CANVAS_CACHE[key]
 
