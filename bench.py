@@ -33,6 +33,8 @@ HEADLINE = [
     "win_conv2d_separable",
     "sort_composite_order",
     "gen_poster_full",
+    "gen_poster_shadow",
+    "proj_resample_bilinear",
     # scale patterns
     "join_bucketed_colocated",
     # NORTH-STAR LLM-pipeline ops
@@ -41,6 +43,7 @@ HEADLINE = [
     "ns_dedup_ngram_jaccard",
     "ns_dedup_simhash",
     "ns_dedup_embed_cosine",
+    "ns_dedup_cluster",
     "ns_sim_topk",
     "ns_sim_ann_lsh",
     "ns_text_tfidf",

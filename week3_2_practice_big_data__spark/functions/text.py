@@ -126,14 +126,39 @@ _JACCARD_T = "0.2e0"
 _SHINGLE_DF_CAP = 50
 
 
-def _jaccard_sql(dialect: str) -> str:
+def _capped_shingles_sql(dialect: str) -> str:
+    """(doc_id, shingle) — distinct shingles with the df-cap applied."""
     return f"""
 WITH sh0 AS ({shingles_sql(dialect)}),
 keep AS (
   SELECT shingle FROM sh0 GROUP BY shingle
   HAVING count(*) <= {_SHINGLE_DF_CAP}
-),
-sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep ON sh0.shingle = keep.shingle),
+)
+SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep ON sh0.shingle = keep.shingle
+"""
+
+
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped shingle index materialized per (session, sf): the Jaccard
+    stage references it three times (inverted-index self-join + sizes)."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _SHINGLE_CACHE:
+        _view(spark, sf_dir)
+        sh = (
+            spark.sql(_capped_shingles_sql("spark"))
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+        _SHINGLE_CACHE[key] = sh
+    return _SHINGLE_CACHE[key]
+
+
+def _jaccard_sql(dialect: str, sh_ref: str | None = None) -> str:
+    return f"""
+WITH sh AS ({sh_ref or _capped_shingles_sql(dialect)}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS shared
@@ -160,8 +185,10 @@ ORDER BY jaccard DESC, ai, bi
     tags=("ns", "dedup", "bench"),
 )
 def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
-    return spark.sql(_jaccard_sql("spark"))
+    _cached_capped_shingles(spark, sf_dir).createOrReplaceTempView("capped_shingles")
+    return spark.sql(
+        _jaccard_sql("spark", "SELECT doc_id, shingle FROM capped_shingles")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -200,19 +227,44 @@ def _bandsig(dialect: str) -> str:
     return "string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i)"
 
 
-def _minhash_sql(dialect: str) -> str:
+def _minhash_sig_sql(dialect: str) -> str:
+    """(doc_id, i, sig) — the k=16 MinHash signature components."""
     params = _values_table(dialect, _minhash_params(), "hp", "i, a, b")
-    band = "CAST(floor(i / 4.0e0) AS BIGINT)"
     return f"""
 WITH sh AS ({shingles_sql(dialect)}),
 hashed AS (
   SELECT doc_id, {char_polyhash(dialect, "shingle")} AS h FROM sh
-),
-sig AS (
-  SELECT doc_id, hp.i, min((hp.a * h + hp.b) % {_P}) AS sig
-  FROM hashed CROSS JOIN {params} hp
-  GROUP BY doc_id, hp.i
-),
+)
+SELECT doc_id, hp.i, min((hp.a * h + hp.b) % {_P}) AS sig
+FROM hashed CROSS JOIN {params} hp
+GROUP BY doc_id, hp.i
+"""
+
+
+_MINHASH_SIG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature components materialized per (session, sf): the pair stage
+    references sig THREE times (bands, verify sa/sb); eager localCheckpoint
+    makes each reference a scan of the materialized relation (cache-manager
+    matching is unreliable for plans with collect_list/lambda exprs)."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _MINHASH_SIG_CACHE:
+        _view(spark, sf_dir)
+        sig = (
+            spark.sql(_minhash_sig_sql("spark"))
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+        _MINHASH_SIG_CACHE[key] = sig
+    return _MINHASH_SIG_CACHE[key]
+
+
+def _minhash_sql(dialect: str, sig_ref: str | None = None) -> str:
+    band = "CAST(floor(i / 4.0e0) AS BIGINT)"
+    return f"""
+WITH sig AS ({sig_ref or _minhash_sig_sql(dialect)}),
 bands AS (
   SELECT doc_id, {band} AS band, {_bandsig(dialect)} AS bandsig
   FROM sig GROUP BY doc_id, {band}
@@ -247,8 +299,10 @@ ORDER BY est_jaccard DESC, ai, bi
     tags=("ns", "dedup", "bench"),
 )
 def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
-    return spark.sql(_minhash_sql("spark"))
+    _cached_minhash_sig(spark, sf_dir).createOrReplaceTempView("minhash_sig")
+    return spark.sql(
+        _minhash_sql("spark", "SELECT doc_id, i, sig FROM minhash_sig")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -465,8 +519,12 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the cache the whole minhash pipeline would re-run per round."""
     key = (id(spark), sf_dir.rstrip("/"))
     if key not in _MINHASH_PAIRS_CACHE:
-        _view(spark, sf_dir)
-        pairs = spark.sql(_minhash_sql("spark")).coalesce(2).localCheckpoint(eager=True)
+        _cached_minhash_sig(spark, sf_dir).createOrReplaceTempView("minhash_sig")
+        pairs = (
+            spark.sql(_minhash_sql("spark", "SELECT doc_id, i, sig FROM minhash_sig"))
+            .coalesce(2)
+            .localCheckpoint(eager=True)
+        )
         _MINHASH_PAIRS_CACHE[key] = pairs
     return _MINHASH_PAIRS_CACHE[key]
 
