@@ -483,16 +483,27 @@ def _composite_sql(
     ir, ig, ib = _theme_bg_exprs(theme, canvas)
     fold = _fold_sql(dialect, ir, ig, ib)
     tail = " ORDER BY row, col" if order_by else ""
-    # Grid left-join completes the canvas: pixels outside every blob bbox
-    # never enter `pairs`/`shaded`, but the poster still shows background
-    # there (the reference renders the full figure, app.py:121-133).
+    # Canvas completion: pixels outside every blob bbox never enter
+    # `pairs`/`shaded`, but the poster still shows background there (the
+    # reference renders the full figure, app.py:121-133). A zero-alpha
+    # sentinel layer per grid pixel (depth −1 sorts first, α=0 is a no-op in
+    # the alpha-over fold) routes EVERY pixel through the one fold groupBy —
+    # one shuffle, instead of a second grid⋈folded join shuffle.
     return (
         shaded
-        + f",\nfolded AS ({fold})\n"
-        + f"SELECT row, col, {synth.q6(f'coalesce(px.r, {ir})')} AS r, "
-        f"{synth.q6(f'coalesce(px.g, {ig})')} AS g, "
-        f"{synth.q6(f'coalesce(px.b, {ib})')} AS b "
-        f"FROM grid LEFT JOIN folded USING (row, col){tail}"
+        + """,
+all_layers AS (
+  SELECT blob_id, row, col, inside, mask_f, depth, shade, pr, pg, pb, alpha
+  FROM shaded
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS blob_id, row, col, false AS inside,
+    0e0 AS mask_f, -1e0 AS depth, 0e0 AS shade,
+    0e0 AS pr, 0e0 AS pg, 0e0 AS pb, 0e0 AS alpha
+  FROM grid
+)"""
+        + f",\nfolded AS ({fold.replace('FROM shaded', 'FROM all_layers')})\n"
+        + f"SELECT row, col, {synth.q6('px.r')} AS r, {synth.q6('px.g')} AS g, "
+        f"{synth.q6('px.b')} AS b FROM folded{tail}"
     )
 
 
@@ -961,12 +972,16 @@ layers AS (
   UNION ALL
   SELECT row, col, 1 AS z, depth, pr AS lr, pg AS lg, pb AS lb, alpha AS la
   FROM shaded
+  UNION ALL
+  SELECT row, col, -1 AS z, -1e0 AS depth, 0e0 AS lr, 0e0 AS lg, 0e0 AS lb,
+    0e0 AS la
+  FROM grid
 ),
 folded AS ({fold})
-SELECT row, col, {synth.q6(f'coalesce(px.r, {ir})')} AS r,
-  {synth.q6(f'coalesce(px.g, {ig})')} AS g,
-  {synth.q6(f'coalesce(px.b, {ib})')} AS b
-FROM grid LEFT JOIN folded USING (row, col)
+SELECT row, col, {synth.q6('px.r')} AS r,
+  {synth.q6('px.g')} AS g,
+  {synth.q6('px.b')} AS b
+FROM folded
 ORDER BY row, col
 """
 
