@@ -597,3 +597,99 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch aggregates (Apache DataSketches, built into Spark 4):
+# THE 100 TB pattern for distincts and quantiles — build a partial sketch
+# per partition/group (map-side, bounded memory), merge sketches across
+# groups (tiny shuffle), estimate at the end. Sketch bytes are
+# engine-specific, so the checkable contract mirrors agg_approx_distinct:
+# emit the EXACT value (hash-compared against DuckDB) plus a boolean
+# asserting the sketch estimate lands within a tolerance far looser than
+# the sketch's published error bound — deterministically TRUE, but failing
+# loudly if the sketch path ever breaks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_sketch_hll_merge",
+    oracle="""
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_users_exact,
+  TRUE AS merged_estimate_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="Two-level HLL: per-(event_type, user-bucket) partial sketches "
+    "(hll_sketch_agg) merged per event_type (hll_union_agg) — the "
+    "mergeable-sketch distinct-count pattern that replaces a global "
+    "shuffle-distinct at 100 TB. Contract: exact count + estimate-within-"
+    "5% boolean (HLL lgK=12 is ~1.6% RSE).",
+    tags=("agg", "scale", "sketch"),
+)
+def agg_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", (F.col("user_id") % F.lit(8)).alias("bucket")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = partial.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("merged_estimate_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_sketch_kll_quantile",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  TRUE AS median_rank_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="KLL quantile sketch: per-event_type kll_sketch_agg_double over "
+    "`value`, median estimated from the sketch, then VERIFIED by computing "
+    "the exact rank of the estimate (fraction of values <= estimate) and "
+    "asserting |rank - 0.5| <= 0.05 (KLL k=200 is ~1.65% rank error). "
+    "Quantiles without a global sort — the 100 TB percentile path.",
+    tags=("agg", "scale", "sketch"),
+)
+def agg_sketch_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    est = ev.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("v"), F.lit(0.5)
+        ).alias("med_est")
+    )
+    ranked = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(
+                F.when(F.col("v") <= F.col("med_est"), 1.0).otherwise(0.0)
+            ).alias("rank_of_est"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("rank_of_est") - 0.5) <= 0.05).alias(
+            "median_rank_within_5pct"
+        ),
+    ).orderBy("event_type")
