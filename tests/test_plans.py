@@ -164,3 +164,29 @@ def test_iterative_checkpoint_bounds_plan_depth(spark):
     cc16 = depth(_cc_rounds(spark, 16, _CKPT_EVERY))
     cc8 = depth(_cc_rounds(spark, 8, None))
     assert cc16 < cc8
+
+
+def test_materialized_relations_stay_materialized(spark):
+    """Regression guard for the cache-matching pitfall: multi-referenced
+    relations (minhash sig, simhash fp, band sigs, canvas, mask) must enter
+    consumer plans as RDD-backed scans (LogicalRDD), not be re-derived —
+    plan-matching caching silently misses for collect_list/lambda plans."""
+    from .conftest import SF_SMALL
+
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    expect = {
+        "ns_dedup_minhash": 1,      # sig referenced 3x -> >=1 RDD scan
+        "ns_dedup_cluster": 2,      # pairs per round + sig
+        "ns_dedup_simhash": 3,      # fp: bands + fa + fb
+        "ns_dedup_ngram_jaccard": 3,  # shingles: a + b + sizes
+        "ns_dedup_embed_cosine": 4,   # band_sig a/b + emb a/b
+        "proj_resample_bilinear": 4,  # canvas 4-neighbor gather
+        "gen_poster_shadow": 2,       # mask: shading chain + blur chain
+    }
+    for key, min_rdd in expect.items():
+        df = REGISTRY[key].builder(spark, SF_SMALL)
+        lp = df._jdf.queryExecution().optimizedPlan().toString()
+        assert lp.count("LogicalRDD") >= min_rdd, (
+            key, lp.count("LogicalRDD"), min_rdd
+        )

@@ -881,11 +881,20 @@ def _shadow_composite_sql(
     theme: str | None = None,
     blur_strength: float = _BLUR_STRENGTH,
     pass2_ref: str | None = None,
+    mask_ref: str | None = None,
 ) -> str:
-    shaded = _shaded_sql(
-        dialect, scene=_scene_ctes(dialect, seed=seed, nb=nb, canvas=canvas),
-        lx=lx, ly=ly,
-    )
+    # `mask_ref` substitutes a materialized rasterized-mask relation for the
+    # mask CTE: the shading chain AND the shadow-blur chain both consume it,
+    # so without materialization the pixel×edge rasterization runs twice
+    # (Spark builder passes a checkpointed view; DuckDB self-materializes).
+    if mask_ref is None:
+        scene = _scene_ctes(dialect, seed=seed, nb=nb, canvas=canvas)
+    else:
+        scene = (
+            _scene_prefix_ctes(dialect, seed=seed, nb=nb, canvas=canvas)
+            + f",\nmask AS ({mask_ref})"
+        )
+    shaded = _shaded_sql(dialect, scene=scene, lx=lx, ly=ly)
     sigma = max(2.0, canvas * blur_strength)
     x = synth.linspace("g.col", "0e0", "1e0", canvas)
     y = synth.linspace("g.row", "0e0", "1e0", canvas)
@@ -986,6 +995,26 @@ ORDER BY row, col
 """
 
 
+_MASK_CACHE: dict[int, DataFrame] = {}
+
+
+def _cached_mask(spark: SparkSession) -> DataFrame:
+    """Default-parameter rasterized mask, materialized per session (see
+    mask_ref note in _shadow_composite_sql)."""
+    key = id(spark)
+    if key not in _MASK_CACHE:
+        mask = (
+            spark.sql(
+                _scene_ctes("spark")
+                + "\nSELECT blob_id, row, col, x, y, inside, mask_f FROM mask"
+            )
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+        _MASK_CACHE[key] = mask
+    return _MASK_CACHE[key]
+
+
 @register(
     "gen_poster_shadow",
     oracle=_shadow_composite_sql("duckdb"),
@@ -997,7 +1026,14 @@ ORDER BY row, col
     tags=("generative", "param"),
 )
 def gen_poster_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_shadow_composite_sql("spark"))
+    _cached_mask(spark).createOrReplaceTempView("poster_mask")
+    return spark.sql(
+        _shadow_composite_sql(
+            "spark",
+            mask_ref="SELECT blob_id, row, col, x, y, inside, mask_f "
+            "FROM poster_mask",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
