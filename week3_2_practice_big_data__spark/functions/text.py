@@ -89,11 +89,17 @@ WHERE t2 IS NOT NULL AND t3 IS NOT NULL
 
 
 def _dedup_exact_sql(dialect: str) -> str:
-    return """
+    # Partition by the sha-256 DIGEST, not the text: the dedup shuffle then
+    # carries (doc_id, 64-hex-char digest) rows instead of whole documents —
+    # at 100 TB that is the difference between shuffling 100 TB and
+    # shuffling ~50 GB. Identical groups barring sha-256 collisions
+    # (cryptographically negligible). Same digest text in both dialects.
+    digest = "sha2(text, 256)" if dialect == "spark" else "sha256(text)"
+    return f"""
 SELECT doc_id, n_copies FROM (
   SELECT doc_id,
-    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
-    count(*) OVER (PARTITION BY text) AS n_copies
+    row_number() OVER (PARTITION BY {digest} ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY {digest}) AS n_copies
   FROM documents
 ) t WHERE rn = 1
 ORDER BY doc_id
@@ -103,8 +109,9 @@ ORDER BY doc_id
 @register(
     "ns_dedup_exact",
     oracle=_dedup_exact_sql("duckdb"),
-    doc="Exact dedup: first doc_id per identical text (NS; scale path "
-    "groups by sha2(text) digest).",
+    doc="Exact dedup: first doc_id per identical text, grouped by "
+    "sha-256 digest so the shuffle key is fixed-width — the 100 TB "
+    "shape (NS).",
     tags=("ns", "dedup", "bench"),
 )
 def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

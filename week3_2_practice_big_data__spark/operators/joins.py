@@ -435,3 +435,78 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic multi-join analytic shapes (REF-ANALOG; TPC-H Q3/Q5 skeletons
+# adapted to the driver star schema). These exist to exercise the plans a
+# warehouse user actually runs: selective dim filter -> 3-to-6-way join ->
+# grouped decimal aggregate -> top-k. At 100 TB the only big relation is
+# lineitem/orders; customer/supplier/nation/region are broadcast dims, so
+# the only large shuffle is the final group-by — verified in test_plans.
+# Shared SQL text both engines (Spark reads the /*+ BROADCAST */ hint,
+# DuckDB parses it as a comment).
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "join_q3_shipping_priority",
+    oracle=_Q3_SQL,
+    doc="TPC-H Q3 skeleton: selective segment filter -> customer⋈orders⋈"
+    "lineitem -> decimal revenue per order -> top-10. Broadcast customer, "
+    "shuffle only the grouped aggregate (REF-ANALOG).",
+    tags=("join", "agg", "bench"),
+)
+def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)
+
+
+_Q5_SQL = """
+SELECT /*+ BROADCAST(supplier, nation, region) */ n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "join_q5_region_volume",
+    oracle=_Q5_SQL,
+    doc="TPC-H Q5 skeleton: 6-way star join (region->nation->supplier dims "
+    "broadcast) with the local-supplier co-nation predicate, grouped "
+    "decimal revenue per nation (REF-ANALOG).",
+    tags=("join", "agg", "bench"),
+)
+def join_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)
