@@ -70,6 +70,13 @@ _CHANGED_THIS_ROUND = [
     "sort_composite_order",
     "sink_display",
     "filt_mask_apply",
+    "ns_dedup_exact",
+    "agg_sketch_hll_merge",
+    "agg_sketch_kll_quantile",
+    "join_q3_shipping_priority",
+    "join_q5_region_volume",
+    "ns_pack_sequences",
+    "ns_split_train_val",
 ]
 
 

@@ -37,6 +37,8 @@ HEADLINE = [
     "proj_resample_bilinear",
     # scale patterns
     "join_bucketed_colocated",
+    "join_q3_shipping_priority",
+    "join_q5_region_volume",
     # NORTH-STAR LLM-pipeline ops
     "ns_dedup_exact",
     "ns_dedup_minhash",

@@ -816,3 +816,91 @@ ORDER BY doc_id
 def ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ns_pack_sequences — context-window packing for LLM training: assign docs
+# (in deterministic doc_id order) to fixed-capacity token packs via a
+# running-sum window, pack_id = floor(cum_tokens / capacity). This is the
+# offset-based streaming pack assignment (docs may straddle a boundary and
+# are split at tokenization time); the exact greedy refill variant is
+# sequential by nature, and at 100 TB packing is done per-shard exactly
+# like this: one window over a deterministic order, no driver loop.
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+
+def _pack_sql(dialect: str) -> str:
+    ntok = (
+        "size(split(text, ' '))" if dialect == "spark"
+        else "len(string_split(text, ' '))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_tokens
+  FROM toks
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+    CAST(floor((cum_tokens - 1) / {synth.flit(_PACK_CAP)}) AS BIGINT) AS pack_id
+  FROM cum
+)
+SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY pack_id ORDER BY pack_id
+"""
+
+
+@register(
+    "ns_pack_sequences",
+    oracle=_pack_sql("duckdb"),
+    doc="LLM-training sequence packing: docs -> fixed-capacity (512-token) "
+    "packs via one running-sum window over deterministic doc order; "
+    "emits per-pack doc/token counts. The per-shard offset-based packing "
+    "pattern — no driver loop, no shuffle beyond the window sort (NS).",
+    tags=("ns", "text", "scale"),
+)
+def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_pack_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_split_train_val — deterministic hash-based corpus split: the split is a
+# pure function of doc_id (affine hash mod 100), so it is reproducible
+# across runs, engines, and shards — the property a training pipeline needs
+# (random() splits drift between reruns). 90/10 by hash bucket.
+# ---------------------------------------------------------------------------
+
+
+def _split_sql(dialect: str) -> str:
+    bucket = "((doc_id * 2654435761 + 40503) % 2147483647) % 100"
+    return f"""
+SELECT
+  CASE WHEN {bucket} < 90 THEN 'train' ELSE 'val' END AS split,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  min(doc_id) AS first_doc
+FROM documents
+GROUP BY CASE WHEN {bucket} < 90 THEN 'train' ELSE 'val' END
+ORDER BY split
+"""
+
+
+@register(
+    "ns_split_train_val",
+    oracle=_split_sql("duckdb"),
+    doc="Deterministic 90/10 train/val split by affine doc_id hash mod 100 "
+    "— reproducible across runs/engines/shards, unlike random() splits; "
+    "pure integer arithmetic, identical both dialects (NS).",
+    tags=("ns", "text"),
+)
+def ns_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_split_sql("spark"))
