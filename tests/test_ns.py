@@ -121,3 +121,43 @@ def test_text_clean_normalizes(spark):
         t = r["clean_text"]
         assert t == t.lower() and "  " not in t and t == t.strip()
         assert r["n_chars_after"] == len(t)
+
+
+def test_mm_resize_real_pixels(spark):
+    """Resize decodes REAL pixels (pure-stdlib PNG subset decoder) and emits
+    valid 32x32 thumbnails."""
+    from week3_2_practice_big_data__spark.plans.png import decode_png_rgb
+
+    rows = REGISTRY["ns_mm_resize"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    for r in rows:
+        px, w, h = decode_png_rgb(bytes(r["thumb"]))
+        assert (w, h) == (32, 32) and len(px) == 32 * 32 * 3
+        assert r["src_w"] > 32 and r["src_h"] > 32
+
+
+def test_mm_frame_sample_every_second_frame(spark):
+    """Frame sampler parses the 6-frame container and emits frames 0,2,4
+    per blob with valid dimensions."""
+    from week3_2_practice_big_data__spark.plans.png import png_dimensions
+
+    rows = REGISTRY["ns_mm_frame_sample"].builder(spark, SF_SMALL).collect()
+    per_blob = {}
+    for r in rows:
+        per_blob.setdefault(r["blob_id"], []).append(r["frame_idx"])
+        w, h = png_dimensions(bytes(r["frame"]))
+        assert (w, h) == (r["width"], r["height"])
+    assert all(sorted(v) == [0, 2, 4] for v in per_blob.values())
+
+
+def test_png_roundtrip():
+    """decode(encode(x)) == x for the engine's PNG subset."""
+    from week3_2_practice_big_data__spark.plans.png import (
+        decode_png_rgb,
+        encode_png_rgb,
+    )
+
+    pixels = bytes(range(256)) * 3  # 16x16 RGB
+    png = encode_png_rgb(pixels, 16, 16)
+    out, w, h = decode_png_rgb(png)
+    assert (w, h) == (16, 16) and out == pixels

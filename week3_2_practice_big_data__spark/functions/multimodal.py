@@ -5,10 +5,12 @@ compute that needs the bytes runs as Arrow-batched pandas UDFs / mapInPandas
 (never per-row Python), everything else stays relational on the metadata.
 
 The engine's own generative renders (plans/generative.py) supply real PNG
-bytes; metadata decode parses the PNG IHDR for real. Deep decode (full pixel
-decode / resize / frame sampling) would need image/video libs the container
-doesn't ship — per the driver brief those steps are STUBBED deterministically
-(`_stub_feature`) while the Spark-side plumbing (schema, batch shape,
+bytes. Round 2 upgraded pixel decode to REAL: plans/png.py ships a pure-
+stdlib decoder for the exact subset the engine encodes (RGB8, filter 0,
+zlib), so metadata decode, resize, and frame sampling all run on real
+pixels. Only SEMANTIC feature extraction remains a documented deterministic
+stub (`_stub_feature`) — that genuinely needs a model/image stack the
+container doesn't ship; its Spark-side plumbing (schema, batch shape,
 partitioning) is real and tested.
 """
 
@@ -95,11 +97,16 @@ def _stub_feature(png: bytes, n: int = 8) -> list[float]:
 
 
 def real_decode(png: bytes):
-    """Full pixel decode — intentionally unimplemented in this container."""
-    raise NotImplementedError(
-        "pixel decode requires an image library not shipped in this "
-        "container; use _stub_feature for the deterministic fake path"
-    )
+    """Full pixel decode — REAL for the engine's own PNG subset.
+
+    Round 1 stubbed this pending an image library; round 2 ships a pure-
+    stdlib decoder for the exact subset the engine encodes (RGB8, filter 0,
+    zlib), so decode/resize/frame-sample below run on real pixels. Foreign
+    PNGs (other filters/bit depths) still need a real image lib and raise.
+    """
+    from ..plans.png import decode_png_rgb
+
+    return decode_png_rgb(png)
 
 
 @register(
@@ -130,4 +137,136 @@ def ns_mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         posters.select("blob_id", "png")
         .mapInPandas(extract, "blob_id bigint, n_bytes bigint, features array<double>")
         .orderBy("blob_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ns_mm_resize — REAL image resize over the binary column: decode (pure-
+# stdlib PNG subset decoder, plans/png.py) → nearest-neighbor downscale to
+# 32×32 with NumPy → re-encode, all inside Arrow-batched mapInPandas. The
+# 100 TB thumbnailing pattern: bytes never leave the executor, metadata
+# stays relational.
+# ---------------------------------------------------------------------------
+
+_THUMB = 32
+
+
+@register(
+    "ns_mm_resize",
+    oracle=None,  # binary output → rows-only; pytest checks decoded dims
+    doc="Image resize over BinaryType media: real pixel decode (pure-stdlib "
+    "PNG subset), NumPy nearest-neighbor downscale to 32×32, re-encode — "
+    "mapInPandas, Arrow batches, bytes never leave the executor (NS).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    posters = _posters(spark, sf_dir)
+
+    def resize(batches):
+        import numpy as np
+
+        from ..plans.png import decode_png_rgb, encode_png_rgb
+
+        for pdf in batches:
+            out = {"blob_id": [], "src_w": [], "src_h": [], "thumb": []}
+            for blob_id, png in zip(pdf["blob_id"], pdf["png"]):
+                pixels, w, h = decode_png_rgb(bytes(png))
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                ri = (np.arange(_THUMB) * h) // _THUMB
+                ci = (np.arange(_THUMB) * w) // _THUMB
+                thumb = img[ri][:, ci]
+                out["blob_id"].append(blob_id)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["thumb"].append(
+                    encode_png_rgb(thumb.tobytes(), _THUMB, _THUMB)
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        posters.select("blob_id", "png")
+        .mapInPandas(resize, "blob_id bigint, src_w int, src_h int, thumb binary")
+        .orderBy("blob_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ns_mm_frame_sample — video-style frame sampling plumbing: a per-blob
+# "video" is a length-prefixed container of 6 PNG frames (real pixels,
+# per-frame brightness ramp), built AND sampled inside executors. The
+# sampler parses the container and emits every 2nd frame with its metadata
+# — the decode-container → select-frames → per-frame-rows pattern used for
+# video at 100 TB, with the codec swapped for the engine's own.
+# ---------------------------------------------------------------------------
+
+_N_FRAMES = 6
+_FRAME_STEP = 2
+
+
+def _pack_video(png: bytes) -> bytes:
+    """6-frame container: per-frame brightness-ramped re-encodes of the
+    poster, each frame length-prefixed (4-byte big-endian)."""
+    import struct
+
+    import numpy as np
+
+    from ..plans.png import decode_png_rgb, encode_png_rgb
+
+    pixels, w, h = decode_png_rgb(png)
+    img = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    frames = []
+    for f in range(_N_FRAMES):
+        scale = 0.5 + 0.1 * f
+        fb = encode_png_rgb(
+            np.clip(img * scale, 0, 255).astype(np.uint8).tobytes(), w, h
+        )
+        frames.append(struct.pack(">I", len(fb)) + fb)
+    return b"".join(frames)
+
+
+@register(
+    "ns_mm_frame_sample",
+    oracle=None,  # binary frames → rows-only; pytest checks count/dims
+    doc="Video frame sampling: per-blob 6-frame container (length-prefixed "
+    "real-pixel PNG frames) parsed in mapInPandas, every 2nd frame emitted "
+    "as its own row with (frame_idx, width, height, frame) — the container-"
+    "decode → frame-select plumbing for video columns at scale (NS).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    posters = _posters(spark, sf_dir)
+
+    def sample(batches):
+        import struct
+
+        from ..plans.png import png_dimensions
+
+        for pdf in batches:
+            out = {"blob_id": [], "frame_idx": [], "width": [], "height": [], "frame": []}
+            for blob_id, png in zip(pdf["blob_id"], pdf["png"]):
+                video = _pack_video(bytes(png))
+                pos, idx = 0, 0
+                while pos < len(video):
+                    (ln,) = struct.unpack(">I", video[pos : pos + 4])
+                    frame = video[pos + 4 : pos + 4 + ln]
+                    if idx % _FRAME_STEP == 0:
+                        w, h = png_dimensions(frame)
+                        out["blob_id"].append(blob_id)
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["frame"].append(frame)
+                    pos += 4 + ln
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return (
+        posters.select("blob_id", "png")
+        .mapInPandas(
+            sample,
+            "blob_id bigint, frame_idx int, width int, height int, frame binary",
+        )
+        .orderBy("blob_id", "frame_idx")
     )

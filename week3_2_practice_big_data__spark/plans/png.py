@@ -42,3 +42,34 @@ def png_dimensions(png: bytes) -> tuple[int, int]:
         raise ValueError("not a PNG")
     width, height = struct.unpack(">II", png[16:24])
     return width, height
+
+
+def decode_png_rgb(png: bytes) -> tuple[bytes, int, int]:
+    """Full pixel decode for the engine's own PNG subset (RGB8, filter 0,
+    any IDAT split) → (pixels, width, height) with len(pixels) == w*h*3.
+
+    A real decoder, not a stub: the engine only ever consumes PNGs it
+    encoded (filter byte 0 per scanline, zlib stream), so stdlib zlib
+    suffices — no image library needed.
+    """
+    width, height = png_dimensions(png)
+    idat = b""
+    pos = 8
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = width * 3 + 1
+    if len(raw) != stride * height:
+        raise ValueError("unexpected raster size")
+    rows = []
+    for y in range(height):
+        if raw[y * stride] != 0:
+            raise ValueError("unsupported PNG filter (engine writes filter 0)")
+        rows.append(raw[y * stride + 1 : (y + 1) * stride])
+    return b"".join(rows), width, height
