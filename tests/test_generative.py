@@ -183,3 +183,22 @@ def test_hires_export_dimensions(spark):
     assert len(rows) == 1
     w, h = png_dimensions(bytes(rows[0]["png"]))
     assert (w, h) == (288, 288)
+
+
+def test_poster_pixel_golden(spark):
+    """Golden pixel hash of the default export. The DuckDB oracle shares
+    formula TEXT with the Spark plans, so a semantic change to the shared
+    text drifts both engines together and parity cannot catch it — this
+    constant pins the actual rendered pixels. Hash is over DECODED pixels
+    (zlib-compressed bytes may vary across zlib builds; pixels cannot)."""
+    import hashlib
+
+    from week3_2_practice_big_data__spark.plans.png import decode_png_rgb
+
+    rows = REGISTRY["sink_binary_export"].builder(spark, SF_SMALL).collect()
+    px, w, h = decode_png_rgb(bytes(rows[0]["png"]))
+    assert (w, h) == (96, 96)
+    assert (
+        hashlib.sha256(px).hexdigest()
+        == "724686a3847fe0d84133b88910bc489484d0a486f56c5723204625aee4b30c95"
+    )

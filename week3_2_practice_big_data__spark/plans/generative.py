@@ -391,10 +391,14 @@ def udf_rowwise_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Background themes (app.py:126-130): two hex colors per theme; the canvas
-# background is the vertical gradient between them at alpha 0.2 over white
-# (app.py:132-133 — the reference draws a 600-step gradient imshow with
-# alpha=0.2 before compositing blobs). `None` keeps the plain white canvas.
+# Background themes: the reference declares two hex colors per theme
+# (bg_colors, app.py:126-130) and draws a vertical gradient imshow at
+# alpha 0.2 before compositing blobs (app.py:132-133). NOTE the reference
+# then colors that gradient with a matplotlib COLORMAP ("coolwarm"/"Wistia"),
+# leaving its own hex pairs unused — the engine deliberately uses the
+# declared hex pairs (a linear c1→c2 ramp) instead of reimplementing
+# matplotlib colormap tables; same layer semantics, documented deviation in
+# the gradient's color function. `None` keeps the plain white canvas.
 _THEMES = {
     "cool": ("#a2cffe", "#f7faff"),
     "warm": ("#ffdfba", "#fffaf0"),
