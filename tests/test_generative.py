@@ -202,3 +202,18 @@ def test_poster_pixel_golden(spark):
         hashlib.sha256(px).hexdigest()
         == "724686a3847fe0d84133b88910bc489484d0a486f56c5723204625aee4b30c95"
     )
+
+
+def test_poster_shadow_param_point_matches_oracle(spark):
+    """Shadow composite is parameterized too: oracle parity at a non-default
+    point (different seed/blob count/light/theme/blur strength)."""
+    from week3_2_practice_big_data__spark.plans.generative import (
+        _shadow_composite_sql,
+    )
+    from .oracle import compare, duck_run
+
+    pt = dict(seed=31, nb=4, canvas=48, lx="0.9e0", ly="-0.1e0",
+              theme="neutral", blur_strength=0.03)
+    sdf = spark.sql(_shadow_composite_sql("spark", **pt))
+    ddf = duck_run(_shadow_composite_sql("duckdb", **pt), SF_SMALL)
+    compare(sdf, ddf, key="gen_poster_shadow:param")
