@@ -77,6 +77,9 @@ _CHANGED_THIS_ROUND = [
     "join_q5_region_volume",
     "ns_pack_sequences",
     "ns_split_train_val",
+    "win_sessionize_gaps",
+    "win_funnel_conversion",
+    "agg_cohort_retention",
 ]
 
 

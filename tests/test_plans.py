@@ -190,3 +190,22 @@ def test_materialized_relations_stay_materialized(spark):
         assert lp.count("LogicalRDD") >= min_rdd, (
             key, lp.count("LogicalRDD"), min_rdd
         )
+
+
+def test_sessionize_strategies_agree(spark):
+    """Gaps-and-islands window sessionization and native session_window()
+    must produce identical sessions (physical-strategy pair, like pip-join
+    vs scanline)."""
+    from .conftest import SF_SMALL
+
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    a = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in REGISTRY["win_sessionize_gaps"].builder(spark, SF_SMALL).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in REGISTRY["stream_session_window"].builder(spark, SF_SMALL).collect()
+    )
+    assert a == b

@@ -19,7 +19,7 @@ from .io import TABLES, load_table, load_tables, register_views
 from .registry import REGISTRY, register, Query
 
 # Import query modules for their registration side effects.
-from .operators import aggregations, joins, windows, sorts, setops, filters, reshape  # noqa: F401
+from .operators import aggregations, joins, windows, sorts, setops, filters, reshape, analytics  # noqa: F401
 from .functions import projections, text, similarity, multimodal, scalar_ext  # noqa: F401
 from .sources import generators, files  # noqa: F401
 from .plans import generative, iterative  # noqa: F401

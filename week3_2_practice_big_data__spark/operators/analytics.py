@@ -1,0 +1,166 @@
+"""Event-analytics operators over `events` (REF-ANALOG; the daily queries of
+an event-analytics user: sessionization, funnel conversion, cohort
+retention).
+
+All three share one dialect seam — microsecond epoch extraction
+(`unix_micros` on Spark after io.py's nanos→micros conversion, `epoch_us`
+in DuckDB, which truncates parquet ns timestamps identically) — and are
+pure integer arithmetic from there, so the oracles are bit-exact.
+
+Scale notes (100 TB): every plan shuffles on user_id exactly once (window
+partition or group-by); stage joins in the funnel are per-user min-ts
+relations, orders of magnitude smaller than the event stream; the cohort
+grid is (days × offsets)-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+
+_GAP_US = 5 * 60 * 1_000_000  # same 5-minute gap as stream_session_window
+
+
+def _us(dialect: str) -> str:
+    return "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+
+
+def _view(spark: SparkSession, sf_dir: str) -> None:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# win_sessionize_gaps — BATCH sessionization via the gaps-and-islands window
+# pattern: lag() marks session starts, a running sum numbers sessions. The
+# second physical strategy for the session semantic (stream_session_window
+# uses Spark-native session_window()); both produce identical sessions —
+# the same plan-strategy pairing as pip-join vs scanline rasterization.
+# ---------------------------------------------------------------------------
+
+
+def _sessionize_sql(dialect: str) -> str:
+    us = _us(dialect)
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_id, {us} AS us,
+    lag({us}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, us,
+    CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, us,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, min(us) AS session_start_us, max(us) + {_GAP_US} AS session_end_us,
+  COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
+@register(
+    "win_sessionize_gaps",
+    oracle=_sessionize_sql("duckdb"),
+    doc="Batch sessionization (5-min gap) via gaps-and-islands windows: "
+    "lag() marks starts, running sum numbers sessions — one shuffle on "
+    "user_id; the window-function strategy for the same semantic as "
+    "stream_session_window's session_window() (REF-ANALOG).",
+    tags=("window", "analytics"),
+)
+def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_sessionize_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_funnel_conversion — ordered-stage funnel: first 'view', then first
+# 'click' strictly after it, then first 'purchase' strictly after that.
+# Stage relations shrink to one row per qualifying user before each join.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_sql(dialect: str) -> str:
+    us = _us(dialect)
+    return f"""
+WITH ev AS (SELECT user_id, event_type, {us} AS us FROM events),
+v AS (
+  SELECT user_id, min(us) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT ev.user_id, min(ev.us) AS t
+  FROM ev JOIN v ON ev.user_id = v.user_id AND ev.us > v.t
+  WHERE ev.event_type = 'click' GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, min(ev.us) AS t
+  FROM ev JOIN c ON ev.user_id = c.user_id AND ev.us > c.t
+  WHERE ev.event_type = 'purchase' GROUP BY ev.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+  UNION ALL SELECT '2_click', count(*) FROM c
+  UNION ALL SELECT '3_purchase', count(*) FROM p
+) s ORDER BY stage
+"""
+
+
+@register(
+    "win_funnel_conversion",
+    oracle=_funnel_sql("duckdb"),
+    doc="Ordered-stage funnel (view -> click -> purchase, strict ts order): "
+    "per-user first-occurrence chaining; each stage join touches only the "
+    "one-row-per-user stage relation, never the raw stream twice "
+    "(REF-ANALOG).",
+    tags=("window", "analytics"),
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_funnel_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_cohort_retention — classic cohort grid: cohort = user's first active
+# day, cell = distinct users active at each day offset (0..7).
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = "86400000000e0"
+
+
+def _cohort_sql(dialect: str) -> str:
+    us = _us(dialect)
+    day = f"CAST(floor({us} / {_US_PER_DAY}) AS BIGINT)"
+    return f"""
+WITH ev AS (SELECT user_id, {day} AS day FROM events),
+firsts AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS day_off
+  FROM ev e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort AS cohort_day, day_off, count(*) AS n_users
+FROM act WHERE day_off <= 7
+GROUP BY cohort, day_off
+ORDER BY cohort_day, day_off
+"""
+
+
+@register(
+    "agg_cohort_retention",
+    oracle=_cohort_sql("duckdb"),
+    doc="Cohort retention grid: cohort = first active epoch-day per user, "
+    "cells = distinct active users per (cohort, day offset 0..7). Two "
+    "user_id-keyed aggregations + one broadcastable first-day join "
+    "(REF-ANALOG).",
+    tags=("agg", "analytics"),
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_cohort_sql("spark"))
