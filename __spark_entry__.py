@@ -80,16 +80,27 @@ _CHANGED_THIS_ROUND = [
     "win_sessionize_gaps",
     "win_funnel_conversion",
     "agg_cohort_retention",
+    # rows-only keys that changed/appeared this round (driver can still
+    # catch errors + row-count/schema drift on them):
+    "gen_poster_full",
+    "sink_binary_export",
+    "sink_binary_export_hires",
+    "ns_mm_resize",
+    "ns_mm_frame_sample",
 ]
 
 
 def _ordered_keys() -> list[str]:
     """Registry keys ordered for the driver's bounded correctness window:
-    keys changed this round first, then driver-unverified keys WITH an
-    oracle (strongest pending signal), then unverified rows-only keys, then
-    round-1-proven keys (registration order preserved within each group)."""
+    changed-this-round keys with an oracle first (stale verification AND
+    strong signal), then driver-unverified oracle keys, then changed
+    rows-only keys (error/row-count signal only), then unverified rows-only
+    keys, then round-1-proven keys (registration order within groups)."""
     changed = [k for k in _CHANGED_THIS_ROUND if k in REGISTRY]
-    rest = [k for k in REGISTRY if k not in set(changed)]
+    changed_set = set(changed)
+    changed_oracle = [k for k in changed if REGISTRY[k].oracle is not None]
+    changed_rows_only = [k for k in changed if REGISTRY[k].oracle is None]
+    rest = [k for k in REGISTRY if k not in changed_set]
     pending_oracle = [
         k for k in rest
         if k not in _R01_VERIFIED and REGISTRY[k].oracle is not None
@@ -99,7 +110,13 @@ def _ordered_keys() -> list[str]:
         if k not in _R01_VERIFIED and REGISTRY[k].oracle is None
     ]
     proven = [k for k in rest if k in _R01_VERIFIED]
-    return changed + pending_oracle + pending_rows_only + proven
+    return (
+        changed_oracle
+        + pending_oracle
+        + changed_rows_only
+        + pending_rows_only
+        + proven
+    )
 
 
 def _tuned(builder: Callable[[SparkSession, str], DataFrame]):

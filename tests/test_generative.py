@@ -163,18 +163,45 @@ def test_poster_param_points_match_oracle(spark):
 
 
 def test_poster_theme_changes_background_only_outside_blobs(spark):
-    """Theme shifts background pixels; a themed canvas differs from the
-    white one exactly where the gradient shows through (alpha < 1)."""
-    from week3_2_practice_big_data__spark.plans.generative import _composite_sql
-
-    base = spark.sql(_composite_sql("spark", canvas=48)).collect()
-    warm = spark.sql(_composite_sql("spark", canvas=48, theme="warm")).collect()
-    diff = sum(
-        1 for a, b in zip(base, warm)
-        if (a["r"], a["g"], a["b"]) != (b["r"], b["g"], b["b"])
+    """Strong theme invariant: every pixel that is pure background on the
+    white canvas (all channels 1.0 — no blob layer can blend to exact 1.0,
+    shade < 1 and alpha >= 0.4) must equal EXACTLY the q6-rounded theme
+    gradient formula on the themed canvas; and the gradient must actually
+    be visible (some pixel differs)."""
+    from week3_2_practice_big_data__spark.plans.generative import (
+        _BG_ALPHA,
+        _THEMES,
+        _composite_sql,
     )
-    assert len(base) == len(warm) == 48 * 48  # full canvas incl. background
-    assert diff > 0  # the gradient is visible somewhere
+
+    canvas = 48
+    base = spark.sql(_composite_sql("spark", canvas=canvas)).collect()
+    warm = spark.sql(_composite_sql("spark", canvas=canvas, theme="warm")).collect()
+    assert len(base) == len(warm) == canvas * canvas
+
+    c1, c2 = _THEMES["warm"]
+
+    def expected(ch, row):
+        v1 = int(c1[1 + 2 * ch : 3 + 2 * ch], 16) / 255.0
+        v2 = int(c2[1 + 2 * ch : 3 + 2 * ch], 16) / 255.0
+        val = (1 - _BG_ALPHA) + _BG_ALPHA * v1 + _BG_ALPHA * (v2 - v1) * (
+            row / (canvas - 1)
+        )
+        import math
+
+        return math.floor(val * 1e6 + 0.5) / 1e6  # q6
+
+    n_bg, n_diff = 0, 0
+    for a, b in zip(base, warm):
+        assert (a["row"], a["col"]) == (b["row"], b["col"])
+        if (a["r"], a["g"], a["b"]) == (1.0, 1.0, 1.0):
+            n_bg += 1
+            assert b["r"] == expected(0, b["row"]), (b["row"], b["col"])
+            assert b["g"] == expected(1, b["row"])
+            assert b["b"] == expected(2, b["row"])
+        if (a["r"], a["g"], a["b"]) != (b["r"], b["g"], b["b"]):
+            n_diff += 1
+    assert n_bg > 0 and n_diff > 0
 
 
 def test_hires_export_dimensions(spark):

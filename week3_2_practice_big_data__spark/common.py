@@ -24,3 +24,18 @@ def dec(col: str) -> F.Column:
 def clip01(expr: str) -> str:
     """Shared SQL text: clamp to [0,1] (np.clip, app.py:73,80)."""
     return f"least(greatest({expr}, 0e0), 1e0)"
+
+
+def checkpointed(cache: dict, key, build):
+    """Materialize-once-per-key: eager localCheckpoint of build()'s result.
+
+    The ONE sanctioned pattern for relations consumed multiple times via a
+    temp view: persist()+view silently misses Spark's cache for plans
+    containing collect_list (flagged nondeterministic) or higher-order
+    lambdas (canonicalization fails), re-deriving the relation per
+    reference — an RDD-backed checkpoint cannot miss. Callers key by
+    (id(spark), sf_dir) for sf-dependent relations, id(spark) otherwise.
+    """
+    if key not in cache:
+        cache[key] = build().localCheckpoint(eager=True)
+    return cache[key]

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..registry import register
+from ..common import checkpointed
 from .. import synth
 
 _DIM = 64
@@ -146,12 +147,11 @@ def _cached_band_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relation twice (self-join sides / corpus+query probe) and Catalyst
     inlines CTEs, so the naive form re-runs the 8-plane projection per
     reference — the cache makes each reference an InMemoryTableScan."""
-    key = (id(spark), sf_dir.rstrip("/"))
-    if key not in _BAND_SIG_CACHE:
+    def build():
         _view(spark, sf_dir)
-        sig = spark.sql(_band_sig_sql("spark")).coalesce(4).localCheckpoint(eager=True)
-        _BAND_SIG_CACHE[key] = sig
-    return _BAND_SIG_CACHE[key]
+        return spark.sql(_band_sig_sql("spark")).coalesce(4)
+
+    return checkpointed(_BAND_SIG_CACHE, (id(spark), sf_dir.rstrip("/")), build)
 
 
 def _band_sig_ref(dialect: str) -> str:
@@ -175,12 +175,11 @@ _EMB_NORM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cached_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir.rstrip("/"))
-    if key not in _EMB_NORM_CACHE:
+    def build():
         _view(spark, sf_dir)
-        emb = spark.sql(_emb_norm_sql("spark")).coalesce(4).localCheckpoint(eager=True)
-        _EMB_NORM_CACHE[key] = emb
-    return _EMB_NORM_CACHE[key]
+        return spark.sql(_emb_norm_sql("spark")).coalesce(4)
+
+    return checkpointed(_EMB_NORM_CACHE, (id(spark), sf_dir.rstrip("/")), build)
 
 
 def _emb_norm_ref(dialect: str) -> str:

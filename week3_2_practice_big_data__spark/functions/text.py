@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..registry import register
+from ..common import checkpointed
 from .. import synth
 
 _P = 2_147_483_647  # hash modulus (2^31-1)
@@ -151,16 +152,11 @@ _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 def _cached_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped shingle index materialized per (session, sf): the Jaccard
     stage references it three times (inverted-index self-join + sizes)."""
-    key = (id(spark), sf_dir.rstrip("/"))
-    if key not in _SHINGLE_CACHE:
+    def build():
         _view(spark, sf_dir)
-        sh = (
-            spark.sql(_capped_shingles_sql("spark"))
-            .coalesce(4)
-            .localCheckpoint(eager=True)
-        )
-        _SHINGLE_CACHE[key] = sh
-    return _SHINGLE_CACHE[key]
+        return spark.sql(_capped_shingles_sql("spark")).coalesce(4)
+
+    return checkpointed(_SHINGLE_CACHE, (id(spark), sf_dir.rstrip("/")), build)
 
 
 def _jaccard_sql(dialect: str, sh_ref: str | None = None) -> str:
@@ -256,16 +252,11 @@ def _cached_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     references sig THREE times (bands, verify sa/sb); eager localCheckpoint
     makes each reference a scan of the materialized relation (cache-manager
     matching is unreliable for plans with collect_list/lambda exprs)."""
-    key = (id(spark), sf_dir.rstrip("/"))
-    if key not in _MINHASH_SIG_CACHE:
+    def build():
         _view(spark, sf_dir)
-        sig = (
-            spark.sql(_minhash_sig_sql("spark"))
-            .coalesce(4)
-            .localCheckpoint(eager=True)
-        )
-        _MINHASH_SIG_CACHE[key] = sig
-    return _MINHASH_SIG_CACHE[key]
+        return spark.sql(_minhash_sig_sql("spark")).coalesce(4)
+
+    return checkpointed(_MINHASH_SIG_CACHE, (id(spark), sf_dir.rstrip("/")), build)
 
 
 def _minhash_sql(dialect: str, sig_ref: str | None = None) -> str:
@@ -401,12 +392,11 @@ def _cached_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive one-SQL form re-tokenizes the corpus 4× — the cache turns every
     reference into an InMemoryTableScan (same discipline as the pagerank
     edge cache)."""
-    key = (id(spark), sf_dir.rstrip("/"))
-    if key not in _SIMHASH_FP_CACHE:
+    def build():
         _view(spark, sf_dir)
-        fp = spark.sql(_simhash_fp_sql("spark")).coalesce(4).localCheckpoint(eager=True)
-        _SIMHASH_FP_CACHE[key] = fp
-    return _SIMHASH_FP_CACHE[key]
+        return spark.sql(_simhash_fp_sql("spark")).coalesce(4)
+
+    return checkpointed(_SIMHASH_FP_CACHE, (id(spark), sf_dir.rstrip("/")), build)
 
 
 @register(
@@ -483,8 +473,13 @@ _CLUSTER_ITER = 4
 
 
 def _cluster_sql(dialect: str, edges_ref: str) -> str:
+    # DuckDB must MATERIALIZE the pairs CTE: every propagation round
+    # references it, and inlined re-evaluation re-runs the whole MinHash
+    # pipeline per round (measured 18 s -> 0.4 s at sf0.01). Spark reads a
+    # localCheckpoint-ed view instead (and has no MATERIALIZED syntax).
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     parts = [
-        f"""WITH pairs AS ({edges_ref}),
+        f"""WITH pairs AS {mat}({edges_ref}),
 und AS (
   SELECT ai AS src, bi AS dst FROM pairs
   UNION
@@ -524,16 +519,13 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confirmed minhash pairs persisted per (session, sf): every label-
     propagation round references the edge list, and Catalyst inlines CTEs —
     without the cache the whole minhash pipeline would re-run per round."""
-    key = (id(spark), sf_dir.rstrip("/"))
-    if key not in _MINHASH_PAIRS_CACHE:
+    def build():
         _cached_minhash_sig(spark, sf_dir).createOrReplaceTempView("minhash_sig")
-        pairs = (
-            spark.sql(_minhash_sql("spark", "SELECT doc_id, i, sig FROM minhash_sig"))
-            .coalesce(2)
-            .localCheckpoint(eager=True)
-        )
-        _MINHASH_PAIRS_CACHE[key] = pairs
-    return _MINHASH_PAIRS_CACHE[key]
+        return spark.sql(
+            _minhash_sql("spark", "SELECT doc_id, i, sig FROM minhash_sig")
+        ).coalesce(2)
+
+    return checkpointed(_MINHASH_PAIRS_CACHE, (id(spark), sf_dir.rstrip("/")), build)
 
 
 @register(
@@ -831,25 +823,32 @@ def ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CAP = 512
 
 
+_PACK_SHARD = 256  # docs per shard; the window partitions on shard
+
+
 def _pack_sql(dialect: str) -> str:
     ntok = (
         "size(split(text, ' '))" if dialect == "spark"
         else "len(string_split(text, ' '))"
     )
+    shard = f"CAST(floor(doc_id / {synth.flit(_PACK_SHARD)}) AS BIGINT)"
     return f"""
 WITH toks AS (
-  SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens FROM documents
+  SELECT doc_id, {shard} AS shard, CAST({ntok} AS BIGINT) AS n_tokens
+  FROM documents
 ),
 cum AS (
-  SELECT doc_id, n_tokens,
-    sum(n_tokens) OVER (ORDER BY doc_id
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS cum_tokens
   FROM toks
 ),
 packed AS (
   SELECT doc_id, n_tokens,
-    CAST(floor((cum_tokens - 1) / {synth.flit(_PACK_CAP)}) AS BIGINT) AS pack_id
+    shard * 1000000
+      + CAST(floor((cum_tokens - 1) / {synth.flit(_PACK_CAP)}) AS BIGINT)
+      AS pack_id
   FROM cum
 )
 SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
@@ -861,9 +860,9 @@ FROM packed GROUP BY pack_id ORDER BY pack_id
     "ns_pack_sequences",
     oracle=_pack_sql("duckdb"),
     doc="LLM-training sequence packing: docs -> fixed-capacity (512-token) "
-    "packs via one running-sum window over deterministic doc order; "
-    "emits per-pack doc/token counts. The per-shard offset-based packing "
-    "pattern — no driver loop, no shuffle beyond the window sort (NS).",
+    "packs via a running-sum window PARTITIONED BY 256-doc shard "
+    "(pack_id = shard*1e6 + within-shard pack) — genuinely parallel, no "
+    "single-reducer global window; emits per-pack doc/token counts (NS).",
     tags=("ns", "text", "scale"),
 )
 def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -144,9 +144,10 @@ firsts AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
 act AS (
   SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS day_off
   FROM ev e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.day - f.cohort <= 7
 )
 SELECT cohort AS cohort_day, day_off, count(*) AS n_users
-FROM act WHERE day_off <= 7
+FROM act
 GROUP BY cohort, day_off
 ORDER BY cohort_day, day_off
 """

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..common import clip01 as _clip01
+from ..common import checkpointed
 from .. import synth
 from .png import encode_png_rgb, png_dimensions
 
@@ -429,39 +430,58 @@ def _theme_bg_exprs(theme: str | None, canvas: int) -> tuple[str, str, str]:
     return out[0], out[1], out[2]
 
 
-def _fold_sql(dialect: str, ir: str, ig: str, ib: str) -> str:
-    """Ordered alpha-over fold with per-pixel background init (ir/ig/ib)."""
+def _fold_sql(
+    dialect: str,
+    ir: str,
+    ig: str,
+    ib: str,
+    source: str = "shaded",
+    cols: tuple[str, str, str, str] = ("pr", "pg", "pb", "alpha"),
+    with_z: bool = False,
+) -> str:
+    """Ordered alpha-over fold with per-pixel background init (ir/ig/ib).
+
+    ONE definition for both composites: the shadow pipeline passes
+    `with_z=True` (a leading zorder sort field — shadows under blobs) and
+    its layer column names; the accumulator arithmetic exists exactly once.
+    """
+    cr, cg, cb, ca = cols
+    ze = "'z', z, " if with_z else ""
+    zi = "'z', 0, " if with_z else ""
     if dialect == "spark":
         return f"""
 SELECT row, col,
   aggregate(
     array_sort(collect_list(named_struct(
-      'depth', depth, 'r', pr, 'g', pg, 'b', pb, 'a', alpha))),
-    named_struct('depth', 0e0, 'r', {ir}, 'g', {ig}, 'b', {ib}, 'a', 0e0),
+      {ze}'depth', depth, 'r', {cr}, 'g', {cg}, 'b', {cb}, 'a', {ca}))),
+    named_struct({zi}'depth', 0e0, 'r', {ir}, 'g', {ig}, 'b', {ib}, 'a', 0e0),
     (acc, e) -> named_struct(
-      'depth', 0e0,
+      {zi}'depth', 0e0,
       'r', e.r * e.a + acc.r * (1e0 - e.a),
       'g', e.g * e.a + acc.g * (1e0 - e.a),
       'b', e.b * e.a + acc.b * (1e0 - e.a),
       'a', 0e0)
   ) AS px
-FROM shaded GROUP BY row, col
+FROM {source} GROUP BY row, col
 """
+    zpe = "z := z, " if with_z else ""
+    zpi = "z := 0, " if with_z else ""
+    order = "ORDER BY z, depth" if with_z else "ORDER BY depth"
     return f"""
 SELECT row, col,
   list_reduce(
     list_prepend(
-      struct_pack(depth := 0e0, r := {ir}, g := {ig}, b := {ib}, a := 0e0),
-      list(struct_pack(depth := depth, r := pr, g := pg, b := pb, a := alpha)
-           ORDER BY depth)),
+      struct_pack({zpi}depth := 0e0, r := {ir}, g := {ig}, b := {ib}, a := 0e0),
+      list(struct_pack({zpe}depth := depth, r := {cr}, g := {cg}, b := {cb}, a := {ca})
+           {order})),
     (acc, e) -> struct_pack(
-      depth := 0e0,
+      {zpi}depth := 0e0,
       r := e.r * e.a + acc.r * (1e0 - e.a),
       g := e.g * e.a + acc.g * (1e0 - e.a),
       b := e.b * e.a + acc.b * (1e0 - e.a),
       a := 0e0)
   ) AS px
-FROM shaded GROUP BY row, col
+FROM {source} GROUP BY row, col
 """
 
 
@@ -689,6 +709,23 @@ def udf_grouped_map_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _assemble_png_pdf(pdf: pd.DataFrame, seed: int, nb: int) -> pd.DataFrame:
+    """Canvas rows (row, col, r, g, b) → one (seed, n_blobs, width, height,
+    png) row — the shared export assembly for both binary sinks."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["row", "col"])
+    h = int(pdf["row"].max()) + 1
+    w = int(pdf["col"].max()) + 1
+    img = np.ones((h, w, 3), dtype=np.float64)
+    for ch_i, ch in enumerate(("r", "g", "b")):
+        img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), ch_i] = pdf[ch].to_numpy()
+    png = encode_png_rgb((np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes(), w, h)
+    return pd.DataFrame(
+        {"seed": [seed], "n_blobs": [nb], "width": [w], "height": [h], "png": [png]}
+    )
+
+
 @register(
     "sink_binary_export",
     oracle=None,  # binary output → rows-only; pytest parses IHDR + pixel hash
@@ -697,32 +734,13 @@ def udf_grouped_map_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sink", "generative", "multimodal"),
 )
 def sink_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-
     canvas = spark.sql(_composite_sql("spark"))
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["row", "col"])
-        h = int(pdf["row"].max()) + 1
-        w = int(pdf["col"].max()) + 1
-        img = np.ones((h, w, 3), dtype=np.float64)
-        img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), 0] = pdf["r"].to_numpy()
-        img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), 1] = pdf["g"].to_numpy()
-        img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), 2] = pdf["b"].to_numpy()
-        png = encode_png_rgb((np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes(), w, h)
-        return pd.DataFrame(
-            {
-                "seed": [SEED],
-                "n_blobs": [NB],
-                "width": [w],
-                "height": [h],
-                "png": [png],
-            }
-        )
+        return _assemble_png_pdf(pdf, SEED, NB)
 
     return (
         canvas.withColumn("_g", F.lit(1))
@@ -788,11 +806,10 @@ _CANVAS_CACHE: dict[tuple, DataFrame] = {}
 def _cached_canvas(spark: SparkSession) -> DataFrame:
     """Default-parameter composited canvas, persisted per session: the
     4-neighbor gather references it 4 times and Catalyst inlines CTEs."""
-    key = id(spark)
-    if key not in _CANVAS_CACHE:
-        cv = spark.sql(_composite_sql("spark", order_by=False)).coalesce(4).localCheckpoint(eager=True)
-        _CANVAS_CACHE[key] = cv
-    return _CANVAS_CACHE[key]
+    def build():
+        return spark.sql(_composite_sql("spark", order_by=False)).coalesce(4)
+
+    return checkpointed(_CANVAS_CACHE, id(spark), build)
 
 
 @register(
@@ -830,8 +847,6 @@ def proj_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sink", "generative", "multimodal"),
 )
 def sink_binary_export_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
@@ -841,16 +856,7 @@ def sink_binary_export_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["row", "col"])
-        h = int(pdf["row"].max()) + 1
-        w = int(pdf["col"].max()) + 1
-        img = np.ones((h, w, 3), dtype=np.float64)
-        for ch_i, ch in enumerate(("r", "g", "b")):
-            img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), ch_i] = pdf[ch].to_numpy()
-        png = encode_png_rgb((np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes(), w, h)
-        return pd.DataFrame(
-            {"seed": [SEED], "n_blobs": [NB], "width": [w], "height": [h], "png": [png]}
-        )
+        return _assemble_png_pdf(pdf, SEED, NB)
 
     return (
         hires.withColumn("_g", F.lit(1))
@@ -921,39 +927,10 @@ def _shadow_composite_sql(
         "coalesce(p11.blur2, 0e0) * s.wc) * s.wr)"
     )
 
-    if dialect == "spark":
-        fold = f"""
-SELECT row, col,
-  aggregate(
-    array_sort(collect_list(named_struct(
-      'z', z, 'depth', depth, 'r', lr, 'g', lg, 'b', lb, 'a', la))),
-    named_struct('z', 0, 'depth', 0e0, 'r', {ir}, 'g', {ig}, 'b', {ib}, 'a', 0e0),
-    (acc, e) -> named_struct(
-      'z', 0, 'depth', 0e0,
-      'r', e.r * e.a + acc.r * (1e0 - e.a),
-      'g', e.g * e.a + acc.g * (1e0 - e.a),
-      'b', e.b * e.a + acc.b * (1e0 - e.a),
-      'a', 0e0)
-  ) AS px
-FROM layers GROUP BY row, col
-"""
-    else:
-        fold = f"""
-SELECT row, col,
-  list_reduce(
-    list_prepend(
-      struct_pack(z := 0, depth := 0e0, r := {ir}, g := {ig}, b := {ib}, a := 0e0),
-      list(struct_pack(z := z, depth := depth, r := lr, g := lg, b := lb, a := la)
-           ORDER BY z, depth)),
-    (acc, e) -> struct_pack(
-      z := 0, depth := 0e0,
-      r := e.r * e.a + acc.r * (1e0 - e.a),
-      g := e.g * e.a + acc.g * (1e0 - e.a),
-      b := e.b * e.a + acc.b * (1e0 - e.a),
-      a := 0e0)
-  ) AS px
-FROM layers GROUP BY row, col
-"""
+    fold = _fold_sql(
+        dialect, ir, ig, ib, source="layers",
+        cols=("lr", "lg", "lb", "la"), with_z=True,
+    )
 
     return f"""{shaded},
 spass2 AS ({pass2_ref}),
@@ -1005,18 +982,13 @@ _MASK_CACHE: dict[int, DataFrame] = {}
 def _cached_mask(spark: SparkSession) -> DataFrame:
     """Default-parameter rasterized mask, materialized per session (see
     mask_ref note in _shadow_composite_sql)."""
-    key = id(spark)
-    if key not in _MASK_CACHE:
-        mask = (
-            spark.sql(
-                _scene_ctes("spark")
-                + "\nSELECT blob_id, row, col, x, y, inside, mask_f FROM mask"
-            )
-            .coalesce(4)
-            .localCheckpoint(eager=True)
-        )
-        _MASK_CACHE[key] = mask
-    return _MASK_CACHE[key]
+    def build():
+        return spark.sql(
+            _scene_ctes("spark")
+            + "\nSELECT blob_id, row, col, x, y, inside, mask_f FROM mask"
+        ).coalesce(4)
+
+    return checkpointed(_MASK_CACHE, id(spark), build)
 
 
 @register(

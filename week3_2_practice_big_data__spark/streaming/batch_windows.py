@@ -26,7 +26,7 @@ from .. import synth
 
 _WIN_S = 600  # 10-minute tumbling window
 _SLIDE_S = 300  # 5-minute slide
-_GAP_US = 300_000_000  # 5-minute session gap, microseconds
+from ..operators.analytics import _GAP_US  # 5-minute session gap (one definition)
 
 
 def _view(spark: SparkSession, sf_dir: str) -> None:
@@ -111,31 +111,12 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Session windows: gaps-and-islands oracle — a new session starts when the
 # gap to the previous event of the same user exceeds the 5-minute gap.
-_SESSION_ORACLE = f"""
-WITH ordered AS (
-  SELECT user_id, event_id, epoch_us(ts) AS us,
-    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-  FROM events
-),
-marked AS (
-  SELECT user_id, event_id, us,
-    CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS new_s
-  FROM ordered
-),
-sessions AS (
-  -- event_id tie-break: same-timestamp rows must accumulate new_s in the
-  -- same order the lag() pass marked them, or a boundary tie splits wrong
-  SELECT user_id, us,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM marked
-)
-SELECT user_id, min(us) AS session_start_us, max(us) + {_GAP_US} AS session_end_us,
-  COUNT(*) AS n_events
-FROM sessions
-GROUP BY user_id, sid
-ORDER BY user_id, session_start_us
-"""
+# Gaps-and-islands session oracle: ONE definition, shared with the batch
+# window-function strategy (operators/analytics.win_sessionize_gaps) so the
+# two physical strategies and this oracle can never drift apart.
+from ..operators.analytics import _sessionize_sql as _session_sql  # noqa: E402
+
+_SESSION_ORACLE = _session_sql("duckdb")
 
 
 @register(
