@@ -80,6 +80,7 @@ _CHANGED_THIS_ROUND = [
     "win_sessionize_gaps",
     "win_funnel_conversion",
     "agg_cohort_retention",
+    "src_orc_roundtrip",
     # rows-only keys that changed/appeared this round (driver can still
     # catch errors + row-count/schema drift on them):
     "gen_poster_full",

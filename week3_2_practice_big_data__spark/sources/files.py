@@ -99,3 +99,35 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_ORC_ORACLE = """
+SELECT p_brand,
+  COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle=_ORC_ORACLE,
+    doc="ORC sink + source round trip (Spark-native columnar format #2 "
+    "beside parquet; schema travels in the file) aggregated back against "
+    "the parquet original's oracle (REF-ANALOG source).",
+    tags=("source", "sink"),
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "orcsrc")
+    load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    ).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
