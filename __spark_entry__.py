@@ -81,6 +81,11 @@ _CHANGED_THIS_ROUND = [
     "win_funnel_conversion",
     "agg_cohort_retention",
     "src_orc_roundtrip",
+    "set_intersect_all",
+    "set_except_all",
+    "win_cume_dist",
+    "agg_conditional",
+    "fn_bitwise_ops",
     # rows-only keys that changed/appeared this round (driver can still
     # catch errors + row-count/schema drift on them):
     "gen_poster_full",

@@ -96,3 +96,46 @@ ORDER BY doc_id
 def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_regex_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_bitwise_ops — bitwise scalar surface over BIGINT keys: and/or are
+# shared text; xor (Spark `^` vs DuckDB `xor()` — DuckDB's `^` is POWER),
+# shifts (Spark shiftleft/shiftright fns vs DuckDB `<<`/`>>`), and
+# bit_count are dialect-seamed. Pure integer ops → exact oracle.
+# ---------------------------------------------------------------------------
+
+
+def _bitwise_sql(dialect: str) -> str:
+    if dialect == "spark":
+        xor = "(o_orderkey ^ o_custkey)"
+        shl = "shiftleft(o_custkey % 1024, 3)"
+        shr = "shiftright(o_orderkey, 4)"
+    else:
+        xor = "xor(o_orderkey, o_custkey)"
+        shl = "((o_custkey % 1024) << 3)"
+        shr = "(o_orderkey >> 4)"
+    return f"""
+SELECT o_orderkey,
+  (o_orderkey & 255) AS low_byte,
+  (o_orderkey | 1) AS odd_key,
+  {xor} AS key_xor,
+  {shl} AS cust_shl3,
+  {shr} AS key_shr4,
+  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+FROM orders WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "fn_bitwise_ops",
+    oracle=_bitwise_sql("duckdb"),
+    doc="Bitwise scalar surface (&, |, xor, shifts, popcount) over BIGINT "
+    "keys — codegen-only expressions; xor/shift names are the only dialect "
+    "seam (REF-ANALOG).",
+    tags=("function",),
+)
+def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_bitwise_sql("spark"))

@@ -693,3 +693,44 @@ def agg_sketch_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_rank_within_5pct"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# agg_conditional — conditional / argmax aggregate surface: count_if,
+# max_by/min_by (DuckDB: arg_max/arg_min), bool_and/bool_or. One hash-agg
+# pass; max_by ties are impossible here (value is continuous), keeping the
+# cross-engine result deterministic.
+# ---------------------------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT event_type,
+  count(*) FILTER (WHERE value > 50) AS n_high,
+  arg_max(event_id, value) AS top_event,
+  arg_min(event_id, value) AS bottom_event,
+  bool_or(value > 99) AS any_near_max,
+  bool_and(value >= 0) AS all_nonneg
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+_COND_SPARK = """
+SELECT event_type,
+  count_if(value > 50) AS n_high,
+  max_by(event_id, value) AS top_event,
+  min_by(event_id, value) AS bottom_event,
+  bool_or(value > 99) AS any_near_max,
+  bool_and(value >= 0) AS all_nonneg
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "agg_conditional",
+    oracle=_COND_ORACLE,
+    doc="Conditional/argmax aggregates: count_if (FILTER), max_by/min_by "
+    "(arg_max/arg_min), bool_and/bool_or — one hash-agg pass, "
+    "dialect-seamed names only (REF-ANALOG).",
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_COND_SPARK)

@@ -80,3 +80,55 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .exceptAll(orders.select(F.col("o_custkey").alias("c_custkey")).distinct())
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+# multiplicity (min / difference of per-row counts), a distinct relational
+# surface from the distinct-set forms above. Both engines support the ALL
+# variants natively.
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+"""
+
+
+@register(
+    "set_intersect_all",
+    oracle=_INTERSECT_ALL_ORACLE,
+    doc="INTERSECT ALL (bag semantics — min multiplicity per key): "
+    "customers' completed-order keys ∩ open-order keys with counts "
+    "preserved (REF-ANALOG).",
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersectAll(b).orderBy("o_custkey")
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+"""
+
+
+@register(
+    "set_except_all",
+    oracle=_EXCEPT_ALL_ORACLE,
+    doc="EXCEPT ALL (bag semantics — count difference per key) on order "
+    "keys by status (REF-ANALOG).",
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.exceptAll(b).orderBy("o_custkey")

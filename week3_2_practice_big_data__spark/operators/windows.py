@@ -309,3 +309,35 @@ ORDER BY o_orderstatus, o_orderkey
 def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PCTRANK_SQL)
+
+
+_CUME_DIST_ORACLE = """
+SELECT event_id, event_type,
+  cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id)
+    AS cd
+FROM events WHERE event_id < 3000
+ORDER BY event_type, cd, event_id
+"""
+
+
+@register(
+    "win_cume_dist",
+    oracle=_CUME_DIST_ORACLE,
+    doc="cume_dist() ranking window (fraction of partition <= current row; "
+    "exact rational n/N, so no float discipline needed) (REF-ANALOG).",
+    tags=("window",),
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            "event_type",
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("event_type", "cd", "event_id")
+    )
