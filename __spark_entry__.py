@@ -86,6 +86,7 @@ _CHANGED_THIS_ROUND = [
     "win_cume_dist",
     "agg_conditional",
     "fn_bitwise_ops",
+    "join_interval_bucketed",
     # rows-only keys that changed/appeared this round (driver can still
     # catch errors + row-count/schema drift on them):
     "gen_poster_full",
