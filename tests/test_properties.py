@@ -64,3 +64,74 @@ def test_blobs_sql_bounds_any_n(n):
         assert 0.1 <= d["r"] <= 0.26 and 0.12 <= d["cx"] <= 0.88
         assert 0.0 <= min(d["col_r"], d["col_g"], d["col_b"])
         assert max(d["col_r"], d["col_g"], d["col_b"]) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the cross-engine determinism foundation: the shared SQL
+# texts in synth.py must evaluate EXACTLY like a pure-Python replay of the
+# same formula (DuckDB side; the Spark side is pinned by the 118 oracle
+# parities). Hypothesis drives the key/seed/value space.
+# ---------------------------------------------------------------------------
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from week3_2_practice_big_data__spark import synth
+
+
+def _py_lcg_u(key: int, seed: int, draw: int = 0) -> float:
+    x = (key * 1000003 + seed * 7919 + synth.LCG_C) % synth.M31
+    for _ in range(draw + 1):
+        x = (synth.LCG_A * x + synth.LCG_C) % synth.M31
+    return x / float(synth.M31)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    key=st.integers(min_value=0, max_value=10_000_000),
+    seed=st.integers(min_value=0, max_value=99_999),
+    draw=st.integers(min_value=0, max_value=3),
+)
+def test_lcg_u_duckdb_matches_python_exactly(key, seed, draw):
+    # CAST like real call sites: keys are BIGINT columns there, but a bare
+    # DuckDB literal parses as INT32 and overflows the multiply.
+    expr = synth.lcg_u(f"CAST({key} AS BIGINT)", seed, draw)
+    got = duckdb.sql(f"SELECT {expr} AS v").fetchone()[0]
+    want = _py_lcg_u(key, seed, draw)
+    assert got == want
+    assert 0.0 <= got < 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_q6_duckdb_matches_python_and_is_idempotent(x):
+    import math
+
+    expr = synth.q6(synth.flit(x))
+    got = duckdb.sql(f"SELECT {expr} AS v").fetchone()[0]
+    want = math.floor(x * 1e6 + 0.5) / 1e6
+    assert got == want
+    # idempotence: quantizing a quantized value is a no-op
+    got2 = duckdb.sql(f"SELECT {synth.q6(synth.flit(got))} AS v").fetchone()[0]
+    assert got2 == got
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=99_999),
+    nb=st.integers(min_value=1, max_value=30),
+)
+def test_blob_params_bounds_any_seed(seed, nb):
+    """The reference's parameter ranges (app.py:138-140) hold for EVERY
+    seed/n_blobs a user could pick, not just the tested fixtures."""
+    exprs = synth.blob_param_exprs(seed, nb, id_expr="i")
+    rows = duckdb.sql(
+        f"SELECT {exprs['r']} AS r, {exprs['wobble']} AS w, "
+        f"{exprs['cx']} AS cx, {exprs['cy']} AS cy "
+        f"FROM (SELECT unnest(generate_series(0, {nb - 1})) AS i)"
+    ).fetchall()
+    for r, w, cx, cy in rows:
+        assert 0.1 <= r < 0.26
+        assert 0.08 <= w < 0.22
+        assert 0.12 <= cx < 0.88 and 0.12 <= cy < 0.88
