@@ -87,6 +87,8 @@ _CHANGED_THIS_ROUND = [
     "agg_conditional",
     "fn_bitwise_ops",
     "join_interval_bucketed",
+    "ns_decontaminate",
+    "ns_pipeline_e2e",
     # rows-only keys that changed/appeared this round (driver can still
     # catch errors + row-count/schema drift on them):
     "gen_poster_full",

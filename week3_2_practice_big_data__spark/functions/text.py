@@ -903,3 +903,100 @@ ORDER BY split
 def ns_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_split_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_decontaminate — benchmark-contamination check: which documents contain
+# any of a probe set of eval-set phrases (substring match, the standard
+# first-pass decontamination filter). Probes broadcast (they are an eval
+# suite, thousands of rows at most); the scan is one pass over the corpus —
+# contains() per (doc, probe) via broadcast nested loop, never a shuffle of
+# the corpus. The probe list here is a fixed literal table; a real pipeline
+# swaps in its eval-set n-grams.
+# ---------------------------------------------------------------------------
+
+_PROBES = [
+    "batch batch",           # common bigram — expected present at any sf
+    "table scan",            # expected present
+    "held out eval phrase",  # absent — must report 0
+    "spark window",          # expected present
+]
+
+
+def _decontaminate_sql(dialect: str) -> str:
+    vals = ", ".join(f"('{p}')" for p in _PROBES)
+    if dialect == "spark":
+        probes = f"(SELECT * FROM VALUES {vals} AS probes(probe))"
+    else:
+        probes = f"(SELECT * FROM (VALUES {vals}) AS probes(probe))"
+    hit = "contains(d.text, p.probe)"
+    return f"""
+SELECT p.probe,
+  CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  coalesce(min(CASE WHEN {hit} THEN d.doc_id END), -1) AS first_doc
+FROM documents d CROSS JOIN {probes} p
+GROUP BY p.probe
+ORDER BY p.probe
+"""
+
+
+@register(
+    "ns_decontaminate",
+    oracle=_decontaminate_sql("duckdb"),
+    doc="Benchmark decontamination first pass: per eval-probe phrase, count "
+    "of documents containing it + first contaminated doc_id — probes "
+    "broadcast against one corpus scan (NS).",
+    tags=("ns", "text"),
+)
+def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_decontaminate_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_pipeline_e2e — the composed pipeline a user actually runs: exact-dedup
+# keepers ∩ quality threshold ∩ language allowlist → surviving-corpus stats
+# per language. Each stage is an already-oracle-checked relation; this key
+# proves they COMPOSE into one lazy plan (no intermediate materialization,
+# one corpus scan per stage input, keeper anti-join instead of a second
+# pass).
+# ---------------------------------------------------------------------------
+
+
+def _strip_trailing_order(sql: str) -> str:
+    """Remove only the FINAL `ORDER BY doc_id` (subquery use) — a blanket
+    replace would also strip window ORDER BYs inside the stage SQL."""
+    idx = sql.rstrip().rfind("ORDER BY doc_id")
+    return sql[:idx]
+
+
+def _pipeline_sql(dialect: str) -> str:
+    quality = f"({_strip_trailing_order(_quality_sql(dialect))})"
+    keepers = f"({_strip_trailing_order(_dedup_exact_sql(dialect))})"
+    return f"""
+WITH q AS {quality},
+k AS {keepers},
+kept AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM documents d
+  JOIN k ON d.doc_id = k.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality >= 0.5e0 AND d.lang IN ('en', 'de', 'fr')
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "ns_pipeline_e2e",
+    oracle=_pipeline_sql("duckdb"),
+    doc="Composed cleaning pipeline: exact-dedup keepers ∩ quality >= 0.5 ∩ "
+    "language allowlist → per-language surviving-corpus stats. One lazy "
+    "plan over already-proven stage relations — the end-to-end shape a "
+    "data pipeline actually ships (NS).",
+    tags=("ns", "text", "bench"),
+)
+def ns_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_pipeline_sql("spark"))
