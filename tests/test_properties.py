@@ -69,7 +69,7 @@ def test_blobs_sql_bounds_any_n(n):
 # ---------------------------------------------------------------------------
 # Property tests for the cross-engine determinism foundation: the shared SQL
 # texts in synth.py must evaluate EXACTLY like a pure-Python replay of the
-# same formula (DuckDB side; the Spark side is pinned by the 118 oracle
+# same formula (DuckDB side; the Spark side is pinned by the oracle
 # parities). Hypothesis drives the key/seed/value space.
 # ---------------------------------------------------------------------------
 

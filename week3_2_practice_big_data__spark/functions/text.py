@@ -957,8 +957,8 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ns_pipeline_e2e — the composed pipeline a user actually runs: exact-dedup
 # keepers ∩ quality threshold ∩ language allowlist → surviving-corpus stats
 # per language. Each stage is an already-oracle-checked relation; this key
-# proves they COMPOSE into one lazy plan (no intermediate materialization,
-# one corpus scan per stage input, keeper anti-join instead of a second
+# proves they COMPOSE into one lazy plan (no intermediate materialization;
+# the keeper relation inner-joins back so duplicates drop in the same
 # pass).
 # ---------------------------------------------------------------------------
 
@@ -966,8 +966,9 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _strip_trailing_order(sql: str) -> str:
     """Remove only the FINAL `ORDER BY doc_id` (subquery use) — a blanket
     replace would also strip window ORDER BYs inside the stage SQL."""
-    idx = sql.rstrip().rfind("ORDER BY doc_id")
-    return sql[:idx]
+    marker = "ORDER BY doc_id"
+    assert sql.rstrip().endswith(marker), "stage SQL tail changed; fix caller"
+    return sql[: sql.rstrip().rfind(marker)]
 
 
 def _pipeline_sql(dialect: str) -> str:

@@ -696,27 +696,25 @@ def agg_sketch_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# agg_conditional — conditional / argmax aggregate surface: count_if,
-# max_by/min_by (DuckDB: arg_max/arg_min), bool_and/bool_or. One hash-agg
-# pass; max_by ties are impossible here (value is continuous), keeping the
-# cross-engine result deterministic.
+# agg_conditional — conditional / argmax aggregate surface: count_if
+# (FILTER), argmax/argmin, bool_and/bool_or in one hash-agg pass.
+# `value` is 2-decimal-quantized, so max_by/arg_max TIES EXIST and the two
+# engines break them differently (confirmed divergent at sf0.1) — instead
+# the argmax is computed over a composite integer key
+# round(value·100)·10^7 + event_id (exact: value·100 is an integer ≤ 10^5,
+# event_id < 10^7), making the tie-break (higher id for max, lower id for
+# min) part of the deterministic contract. Same text both dialects.
 # ---------------------------------------------------------------------------
 
-_COND_ORACLE = """
+_VKEY = (
+    "(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) * 10000000 + event_id)"
+)
+
+_COND_SHARED = f"""
 SELECT event_type,
   count(*) FILTER (WHERE value > 50) AS n_high,
-  arg_max(event_id, value) AS top_event,
-  arg_min(event_id, value) AS bottom_event,
-  bool_or(value > 99) AS any_near_max,
-  bool_and(value >= 0) AS all_nonneg
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-_COND_SPARK = """
-SELECT event_type,
-  count_if(value > 50) AS n_high,
-  max_by(event_id, value) AS top_event,
-  min_by(event_id, value) AS bottom_event,
+  CAST(max({_VKEY}) % 10000000 AS BIGINT) AS top_event,
+  CAST(min({_VKEY}) % 10000000 AS BIGINT) AS bottom_event,
   bool_or(value > 99) AS any_near_max,
   bool_and(value >= 0) AS all_nonneg
 FROM events GROUP BY event_type ORDER BY event_type
@@ -725,12 +723,13 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 @register(
     "agg_conditional",
-    oracle=_COND_ORACLE,
-    doc="Conditional/argmax aggregates: count_if (FILTER), max_by/min_by "
-    "(arg_max/arg_min), bool_and/bool_or — one hash-agg pass, "
-    "dialect-seamed names only (REF-ANALOG).",
+    oracle=_COND_SHARED,
+    doc="Conditional/argmax aggregates: count_if (FILTER), argmax/argmin "
+    "via a composite integer key with a DETERMINISTIC tie-break (quantized "
+    "values tie; engine-native max_by/arg_max break ties differently), "
+    "bool_and/bool_or — one hash-agg pass, shared text (REF-ANALOG).",
     tags=("agg",),
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_COND_SPARK)
+    return spark.sql(_COND_SHARED)
