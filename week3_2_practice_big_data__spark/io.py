@@ -55,10 +55,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     except Exception:
         return _events_fallback(spark, path)
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         # nanos → micros truncation, matching DuckDB's TIMESTAMP read.
         # Integer DIV, not `/`: double division loses µs precision at 1e18 ns.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Newer Spark 4 readers map TIMESTAMP(NANOS,false) to TIMESTAMP_NTZ
+        # (micros-truncated) instead of honoring the nanosAsLong legacy conf.
+        # Session tz is pinned UTC, so NTZ → LTZ is a pure type change with
+        # identical micros — the schema every operator (unix_micros, window(),
+        # watermarks) was built against.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
