@@ -209,3 +209,50 @@ def test_sessionize_strategies_agree(spark):
         for r in REGISTRY["stream_session_window"].builder(spark, SF_SMALL).collect()
     )
     assert a == b
+
+
+def test_correlated_scalar_decorrelates_to_one_join(spark):
+    """The per-customer COUNT subquery must become aggregate + outer join —
+    no iterative per-row subquery execution node."""
+    plan = _formatted_plan(spark, "qry_correlated_scalar")
+    assert "Subquery" not in plan  # fully decorrelated
+    assert plan.count("HashAggregate") >= 2  # partial+final grouped count
+
+
+def test_exists_plans_as_semi_and_anti_join(spark):
+    plan = _formatted_plan(spark, "qry_exists_correlated")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan  # both correlations are equi-joins
+
+
+def test_q4_exists_semi_join_prunes_lineitem(spark):
+    """Q4's EXISTS must semi-join and read only the two lineitem columns
+    the predicate needs (orderkey, shipdate)."""
+    plan = _formatted_plan(spark, "join_q4_order_priority")
+    assert "LeftSemi" in plan
+    lineitem_schema = [
+        line
+        for line in plan.splitlines()
+        if "ReadSchema" in line and "l_orderkey" in line
+    ]
+    assert lineitem_schema and "l_extendedprice" not in lineitem_schema[0]
+
+
+def test_q7_broadcasts_all_dimensions(spark):
+    """Q7's star join: lineitem is the only big input; supplier, customer
+    and both nation sides broadcast — the fact table never shuffles for
+    the joins."""
+    plan = _formatted_plan(spark, "join_q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_recursive_cte_depth_profile(spark):
+    """Halving-walk invariants: depth 0 holds every part exactly once and
+    level sizes never grow as the walk ascends."""
+    df = REGISTRY["qry_recursive_cte"].builder(spark, SF_SMALL)
+    rows = {r["depth"]: r["n_nodes"] for r in df.collect()}
+    n_parts = REGISTRY["src_parquet_scan"].builder  # noqa: F841  (doc pointer)
+    assert rows[0] == 200  # sf0.001 part rowcount
+    assert all(rows[d] >= rows[d + 1] for d in range(max(rows)))

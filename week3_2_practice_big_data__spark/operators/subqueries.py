@@ -1,0 +1,231 @@
+"""Subquery surface (REF-ANALOG): scalar / correlated-scalar / EXISTS /
+IN–NOT IN three-valued logic / LATERAL / recursive CTE.
+
+The reference (`/root/reference/app.py`) has no SQL and therefore no
+subqueries; these keys complete the declarative query surface a user of a
+relational engine expects, the same way §2.1-D added the join family. Every
+key is a single `spark.sql` plan — Catalyst decorrelates the correlated
+forms into joins (scalar-agg → aggregate + left outer join, EXISTS → left
+semi, NOT EXISTS → left anti), which is exactly the 100 TB-safe shape: no
+per-row re-execution of the inner query, one shuffle per decorrelated join.
+
+Scale notes:
+- `qry_lateral_topk` is semantics coverage for LATERAL; its physical plan
+  (per-group limit under a correlated join) is the slow path — the scale
+  form of the same computation is `limit_topk_per_group` (window + filter).
+- `qry_recursive_cte` iterates a bounded walk (depth ≤ log2(max key), ~20
+  levels at 100 TB key ranges); Spark's recursive CTE executes level-by-
+  level like the unrolled iterative plans in plans/iterative.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# qry_scalar_subquery — uncorrelated scalar subquery as a filter threshold.
+# max() is order-insensitive and *0.5 is exact in binary floating point, so
+# the predicate boundary is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_SCALAR_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > (SELECT max(p_retailprice) FROM part) * 0.5
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "qry_scalar_subquery",
+    oracle=_SCALAR_SQL,
+    doc="Uncorrelated scalar subquery as a filter threshold (parts above "
+    "half the max retail price). Catalyst evaluates the subquery once and "
+    "folds it into the scan predicate — one extra job, no join "
+    "(REF-ANALOG).",
+    tags=("subquery",),
+)
+def qry_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("part",))
+    return spark.sql(_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# qry_correlated_scalar — correlated scalar aggregate in the SELECT list.
+# Catalyst decorrelates to: orders groupBy(o_custkey) count → LEFT OUTER
+# join on custkey → coalesce(count, 0). One aggregation + one join, never a
+# per-customer re-scan — the decorrelation IS the scale story.
+# ---------------------------------------------------------------------------
+
+_CORR_SCALAR_SQL = """
+SELECT c_custkey, c_name,
+  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "qry_correlated_scalar",
+    oracle=_CORR_SCALAR_SQL,
+    doc="Correlated scalar COUNT subquery per customer, decorrelated by "
+    "Catalyst into one grouped aggregate + left outer join (zero-order "
+    "customers get 0, not NULL, per ANSI COUNT semantics) (REF-ANALOG).",
+    tags=("subquery",),
+)
+def qry_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_CORR_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# qry_exists_correlated — EXISTS (left semi) + NOT EXISTS (left anti) in one
+# predicate: customers with an urgent order and no pending order.
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o2
+    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "qry_exists_correlated",
+    oracle=_EXISTS_SQL,
+    doc="Correlated EXISTS + NOT EXISTS combined: planned as a left-semi "
+    "join chained with a left-anti join on c_custkey — both shuffle once "
+    "on the key and carry only the key column of orders (REF-ANALOG).",
+    tags=("subquery",),
+)
+def qry_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# qry_in_null_semantics — the NOT IN null footgun, pinned as a contract.
+# A NULL in the NOT IN list makes every non-matching comparison UNKNOWN, so
+# the count drops to 0; IN still matches rows equal to a non-null element.
+# The NULL is injected deterministically (nullif on the minimum custkey of
+# the sublist) so both engines see the identical list.
+# ---------------------------------------------------------------------------
+
+_IN_NULL_SQL = """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+    AS n_not_in_clean,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT nullif(o_custkey,
+                   (SELECT min(o_custkey) FROM orders WHERE o_orderstatus = 'F'))
+     FROM orders WHERE o_orderstatus = 'F'))
+    AS n_not_in_with_null,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey IN (
+     SELECT nullif(o_custkey,
+                   (SELECT min(o_custkey) FROM orders WHERE o_orderstatus = 'F'))
+     FROM orders WHERE o_orderstatus = 'F'))
+    AS n_in_with_null
+"""
+
+
+@register(
+    "qry_in_null_semantics",
+    oracle=_IN_NULL_SQL,
+    doc="ANSI three-valued logic of IN/NOT IN with a NULL in the subquery "
+    "list: NOT IN collapses to 0 rows once any list element is NULL, while "
+    "IN keeps matching non-null elements. Both engines must agree exactly "
+    "(null-aware anti join in Spark) (REF-ANALOG).",
+    tags=("subquery",),
+)
+def qry_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_IN_NULL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# qry_lateral_topk — correlated LATERAL derived table with ORDER BY + LIMIT:
+# top-2 orders per customer. Semantics coverage for LATERAL; the scale form
+# of per-group top-k is limit_topk_per_group (window row_number <= k).
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) l
+ORDER BY c.c_custkey, l.o_orderkey
+"""
+
+
+@register(
+    "qry_lateral_topk",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated derived table (top-2 orders per customer by "
+    "total price, orderkey tie-break). Inner join semantics: zero-order "
+    "customers drop out. Scale path for the same semantic is "
+    "limit_topk_per_group (REF-ANALOG).",
+    tags=("subquery", "join"),
+)
+def qry_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# qry_recursive_cte — WITH RECURSIVE walk of the implicit binary tree over
+# part keys (parent = node / 2): per-level node count and key sum. Depth is
+# bounded by log2(max p_partkey), so the recursion terminates in ~log(n)
+# levels at any scale. Dialect seam: integer division is `DIV` in Spark,
+# `//` in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _recursive_sql(dialect: str) -> str:
+    div = "node DIV 2" if dialect == "spark" else "node // 2"
+    return f"""
+WITH RECURSIVE walk(node, depth) AS (
+  SELECT p_partkey, CAST(0 AS INT) FROM part
+  UNION ALL
+  SELECT {div}, depth + 1 FROM walk WHERE node > 1
+)
+SELECT depth, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_nodes
+FROM walk
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@register(
+    "qry_recursive_cte",
+    oracle=_recursive_sql("duckdb"),
+    doc="WITH RECURSIVE (Spark 4 recursive CTE): halving walk from every "
+    "part key to the root — per-depth node counts and exact BIGINT key "
+    "sums. Level-synchronous execution, depth bounded by log2(max key) "
+    "(REF-ANALOG; the declarative sibling of plans/iterative.py).",
+    tags=("subquery", "iterative"),
+)
+def qry_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("part",))
+    return spark.sql(_recursive_sql("spark"))
