@@ -1,0 +1,298 @@
+"""NORTH-STAR LLM-training-data preparation operators, round-2 extensions.
+
+Beyond the dedup/similarity/text-stats families (functions/text.py,
+functions/similarity.py), these are the remaining operations a large-scale
+training-data pipeline runs per corpus refresh: repetition-based quality
+filtering (Gopher-style), collocation mining (PMI), domain-mixture
+reweighting, n-gram benchmark decontamination, and the batch kNN join that
+backs retrieval-based filtering. All are single declarative plans over the
+`documents` / `embeddings` driver tables with DuckDB oracles.
+
+Scale notes (100 TB):
+- Every text key tokenizes the corpus exactly once (shared `tokens_sql`
+  CTE) and shuffles on bounded keys (doc_id, token, source).
+- Decontamination joins the corpus against the DISTINCT eval n-gram set —
+  eval suites are tiny, so that side broadcasts; the corpus is scanned
+  once. Never the reverse join order.
+- The kNN join crosses the corpus with a BOUNDED broadcast query set (the
+  per-query fan-out is a map-side loop, not a shuffle); unbounded
+  query sets route through the IVF cell-probe plan (`ns_sim_ann_ivf`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import synth
+from ..io import load_table
+from ..registry import register
+from .text import tokens_sql
+from .similarity import _dot_fold
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# ns_repetition_filter — Gopher-style repetition signals: fraction of
+# repeated tokens and the share of the most frequent bigram. Documents
+# dominated by repetition are low-quality boilerplate; the keep rule uses
+# the quantized fractions so the boundary is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_DUP_TOK_MAX = "0.3e0"
+_TOP_BIGRAM_MAX = "0.18e0"
+
+
+def _repetition_sql(dialect: str) -> str:
+    dup_frac = synth.q6("1e0 - st.n_uniq / (st.n_tok + 0e0)")
+    top_frac = synth.q6("bga.top_c / (bga.n_big + 0e0)")
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+st AS (
+  SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_uniq
+  FROM tok GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, token || ' ' || nxt AS bigram
+  FROM (
+    SELECT doc_id, token,
+      lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM tok) x
+  WHERE nxt IS NOT NULL
+),
+bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+bga AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big, max(c) AS top_c
+  FROM bgc GROUP BY doc_id
+),
+scored AS (
+  SELECT st.doc_id, {dup_frac} AS dup_token_frac, {top_frac} AS top_bigram_frac
+  FROM st JOIN bga ON st.doc_id = bga.doc_id
+)
+SELECT doc_id, dup_token_frac, top_bigram_frac,
+  (dup_token_frac <= {_DUP_TOK_MAX} AND top_bigram_frac <= {_TOP_BIGRAM_MAX})
+    AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_repetition_filter",
+    oracle=_repetition_sql("duckdb"),
+    doc="Gopher-style repetition quality signals per document: repeated-"
+    "token fraction and top-bigram share, with the keep decision on "
+    "quantized boundaries. One tokenize pass, doc_id-keyed aggregations "
+    "only (NS).",
+    tags=("ns", "text", "quality"),
+)
+def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_repetition_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_pmi — collocation mining: pointwise mutual information of adjacent
+# token pairs, min support 3, top-20. PMI = ln(p(ab) / (p(a)·p(b))); the ln
+# is q6-quantized (same discipline as tf-idf's ln).
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 3
+
+
+def _pmi_sql(dialect: str) -> str:
+    pmi = synth.q6(
+        "ln((big.c2 / (bt.nb + 0e0)) / "
+        "((ua.c1 / (tt.n + 0e0)) * (ub.c1 / (tt.n + 0e0))))"
+    )
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+tt AS (SELECT count(*) AS n FROM tok),
+big AS (
+  SELECT token AS tok_a, nxt AS tok_b, count(*) AS c2
+  FROM (
+    SELECT doc_id, token,
+      lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM tok) x
+  WHERE nxt IS NOT NULL
+  GROUP BY token, nxt
+),
+bt AS (SELECT CAST(sum(c2) AS BIGINT) AS nb FROM big)
+SELECT big.tok_a, big.tok_b, big.c2 AS pair_count, {pmi} AS pmi
+FROM big
+JOIN uni ua ON big.tok_a = ua.token
+JOIN uni ub ON big.tok_b = ub.token
+CROSS JOIN bt CROSS JOIN tt
+WHERE big.c2 >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, big.tok_a, big.tok_b
+LIMIT 20
+"""
+
+
+@register(
+    "ns_text_pmi",
+    oracle=_pmi_sql("duckdb"),
+    doc="Collocation mining via pointwise mutual information of adjacent "
+    "token pairs (min support 3, top-20). Unigram and bigram counts are "
+    "token-keyed aggregates; the totals are scalar broadcasts (NS).",
+    tags=("ns", "text"),
+)
+def ns_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_pmi_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_domain_mix — domain-mixture accounting and reweighting: per-source doc
+# and token counts, token share, and the resampling weight that would level
+# the mixture to a uniform target (target_share / actual_share — the
+# standard mixture-reweighting computation before sampling a training mix).
+# ---------------------------------------------------------------------------
+
+
+def _domain_mix_sql(dialect: str) -> str:
+    share = "per_src.n_tokens / (tot.t + 0e0)"
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+per_src AS (
+  SELECT d.source, count(*) AS n_docs, CAST(sum(dl.n_tok) AS BIGINT) AS n_tokens
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  GROUP BY d.source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS s FROM per_src
+)
+SELECT per_src.source, per_src.n_docs, per_src.n_tokens,
+  {synth.q6(share)} AS token_share,
+  {synth.q6(f"(1e0 / tot.s) / ({share})")} AS mix_weight
+FROM per_src CROSS JOIN tot
+ORDER BY per_src.source
+"""
+
+
+@register(
+    "ns_domain_mix",
+    oracle=_domain_mix_sql("duckdb"),
+    doc="Domain-mixture accounting: per-source doc/token counts, token "
+    "share, and the uniform-target resampling weight (target/actual). Two "
+    "bounded-key aggregations + a scalar broadcast (NS).",
+    tags=("ns", "text", "sampling"),
+)
+def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_domain_mix_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_decontaminate_ngram — n-gram benchmark decontamination (the standard
+# eval-overlap pass): every 97th document plays the held-out eval set; a
+# corpus document is contaminated in proportion to the distinct 5-grams it
+# shares with any eval document. Candidate generation is an equi-join on
+# the gram string against the DISTINCT (broadcast-sized) eval gram set.
+# ---------------------------------------------------------------------------
+
+_EVAL_MOD = 97
+_NGRAM_N = 5
+
+
+def _ngram_sql(dialect: str) -> str:
+    """(doc_id, gram) distinct 5-token grams, built with lead() offsets."""
+    leads = ", ".join(
+        f"lead(token, {i}) OVER w AS t{i}" for i in range(1, _NGRAM_N)
+    )
+    concat = " || ' ' || ".join(["token"] + [f"t{i}" for i in range(1, _NGRAM_N)])
+    notnull = " AND ".join(f"t{i} IS NOT NULL" for i in range(1, _NGRAM_N))
+    return f"""
+SELECT DISTINCT doc_id, {concat} AS gram
+FROM (
+  SELECT doc_id, token, {leads}
+  FROM ({tokens_sql(dialect)}) tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+) g
+WHERE {notnull}
+"""
+
+
+def _decontaminate_ngram_sql(dialect: str) -> str:
+    return f"""
+WITH ng AS ({_ngram_sql(dialect)}),
+eval_g AS (SELECT DISTINCT gram FROM ng WHERE doc_id % {_EVAL_MOD} = 0),
+corpus AS (SELECT doc_id, gram FROM ng WHERE doc_id % {_EVAL_MOD} <> 0)
+SELECT c.doc_id, count(*) AS n_shared_grams
+FROM corpus c JOIN eval_g e ON c.gram = e.gram
+GROUP BY c.doc_id
+ORDER BY n_shared_grams DESC, c.doc_id
+LIMIT 50
+"""
+
+
+@register(
+    "ns_decontaminate_ngram",
+    oracle=_decontaminate_ngram_sql("duckdb"),
+    doc="N-gram benchmark decontamination: distinct 5-gram overlap between "
+    "corpus documents and a held-out eval slice (doc_id % 97 = 0). The "
+    "DISTINCT eval gram set broadcasts; the corpus is scanned once — the "
+    "join direction that survives 100 TB (NS; complements the phrase-probe "
+    "ns_decontaminate).",
+    tags=("ns", "text", "decontamination"),
+)
+def ns_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_decontaminate_ngram_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_ann_knn_join — batch kNN join: top-5 cosine neighbors for EVERY query
+# in a bounded query set (every 50th vector), in one plan. The query side
+# broadcasts, scoring is a map-side fixed-order fold over the corpus scan,
+# and ranking shuffles once on qid. This is the retrieval shape behind
+# embedding-based filtering; unbounded query sets go through IVF cell
+# probing instead (ns_sim_ann_ivf).
+# ---------------------------------------------------------------------------
+
+_KNN_MOD = 50
+_KNN_K = 5
+
+
+def _knn_join_sql(dialect: str) -> str:
+    dot = _dot_fold(dialect, "c.embedding", "q.qemb")
+    na = _dot_fold(dialect, "c.embedding", "c.embedding")
+    nb = _dot_fold(dialect, "q.qemb", "q.qemb")
+    cos = synth.q6(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qemb
+  FROM embeddings WHERE vec_id % {_KNN_MOD} = 0
+),
+scored AS (
+  SELECT q.qid, c.vec_id, c.label, {cos} AS cosine
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, label, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, rk, vec_id, label, cosine
+FROM ranked WHERE rk <= {_KNN_K}
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "ns_ann_knn_join",
+    oracle=_knn_join_sql("duckdb"),
+    doc="Batch kNN join: top-5 cosine neighbors for every 50th vector as "
+    "queries, one plan — broadcast query set, map-side fixed-order dot "
+    "folds, single qid shuffle for ranking (NS; IVF probe is the unbounded-"
+    "query scale path).",
+    tags=("ns", "similarity"),
+)
+def ns_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_knn_join_sql("spark"))
