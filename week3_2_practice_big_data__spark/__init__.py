@@ -28,7 +28,7 @@ from .streaming import batch_windows, streams  # noqa: F401
 # the key list, and the prefix is already packed with this round's changed
 # keys (see __spark_entry__._ordered_keys) — new keys queue behind them.
 from .operators import subqueries, tpch  # noqa: F401
-from .functions import llmprep  # noqa: F401
+from .functions import llmprep, semantics  # noqa: F401
 
 __all__ = [
     "get_spark",

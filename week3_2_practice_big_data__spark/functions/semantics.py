@@ -1,0 +1,272 @@
+"""SQL-semantics scalar/aggregate surface, round-2 extensions (REF-ANALOG).
+
+The reference has no nulls, no maps, no JSON and no URLs (SURVEY.md §1.1
+"Not present"); these keys pin the semantics a relational user relies on
+daily — ANSI three-valued logic, map-typed columns, semi-structured VARIANT
+access (Spark 4's headline type), URL decomposition, edit-distance fuzzy
+matching, and deterministic ordered string aggregation — each checked
+bit-exact against DuckDB.
+
+Scale notes (100 TB):
+- `fn_string_similarity` blocks the pair join on the distinct-name noun
+  (vocabulary-bounded) before computing levenshtein — never an all-pairs
+  edit-distance pass over rows.
+- `agg_string_listagg` aggregates bounded groups (dimension-sized); an
+  unbounded listagg over a fact table is an anti-pattern (one cell grows
+  with the data) and is deliberately not offered.
+- Everything else is a pure map-side projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# fn_null_semantics — coalesce / nullif / plain vs null-safe equality.
+# Dialect seam: Spark spells null-safe equality `<=>`, DuckDB
+# `IS NOT DISTINCT FROM`; everything else is shared text.
+# ---------------------------------------------------------------------------
+
+
+def _null_semantics_sql(dialect: str) -> str:
+    nse = "a <=> b" if dialect == "spark" else "a IS NOT DISTINCT FROM b"
+    # Checked outputs are deliberately null-free (coalesced / CASE-encoded):
+    # engines and dataframe bridges represent NULL cells differently
+    # (None vs NaN vs masked), which would turn a representation detail into
+    # a value-hash mismatch. The NULLs still flow through every compared
+    # expression inside the query.
+    return f"""
+SELECT c_custkey,
+  coalesce(a, -99) AS a_filled,
+  coalesce(b, -99) AS b_filled,
+  coalesce(a, b, -1) AS first_non_null,
+  CASE WHEN (a = b) IS NULL THEN 'unknown'
+       WHEN (a = b) THEN 'true' ELSE 'false' END AS plain_eq_3vl,
+  ({nse}) AS null_safe_eq,
+  CASE WHEN a IS NULL THEN 'null' ELSE 'set' END AS a_state
+FROM (
+  SELECT c_custkey,
+    nullif(c_nationkey % 5, 0) AS a,
+    nullif(CAST(c_custkey % 5 AS INT), 0) AS b
+  FROM customer) t
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "fn_null_semantics",
+    oracle=_null_semantics_sql("duckdb"),
+    doc="ANSI null semantics in one projection: nullif-injected NULLs, "
+    "coalesce, three-valued plain equality (NULL result rows) vs null-safe "
+    "equality (`<=>` / IS NOT DISTINCT FROM), and IS NULL dispatch "
+    "(REF-ANALOG).",
+    tags=("scalar", "semantics"),
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_null_semantics_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_map_ops — map-typed column construction and re-explosion. The map is
+# built from scalar columns and immediately exploded back to (key, value)
+# rows so the checked output stays engine-neutral relational.
+# ---------------------------------------------------------------------------
+
+
+def _map_ops_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+SELECT n_nationkey, k, v FROM (
+  SELECT n_nationkey,
+    explode(map_from_arrays(array('name', 'region'),
+                            array(n_name, CAST(n_regionkey AS STRING)))) AS (k, v)
+  FROM nation) t
+ORDER BY n_nationkey, k
+"""
+    return """
+SELECT n_nationkey, u.key AS k, u.value AS v
+FROM (
+  SELECT n_nationkey,
+    unnest(map_entries(MAP {'name': n_name,
+                            'region': CAST(n_regionkey AS VARCHAR)})) AS u
+  FROM nation) t
+ORDER BY n_nationkey, k
+"""
+
+
+@register(
+    "fn_map_ops",
+    oracle=_map_ops_sql("duckdb"),
+    doc="Map-typed column surface: build a map from scalar columns "
+    "(map_from_arrays / MAP literal) and explode it back to key-value "
+    "rows — the engine-neutral way to check map semantics (REF-ANALOG).",
+    tags=("scalar", "semantics"),
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "nation")
+    return spark.sql(_map_ops_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_string_similarity — edit-distance fuzzy matching with blocking: pair
+# DISTINCT part names that share their noun (second token), keep pairs
+# within levenshtein 4. The distinct-project bounds the join input by
+# vocabulary size, the noun block bounds pair fan-out.
+# ---------------------------------------------------------------------------
+
+
+def _string_similarity_sql(dialect: str) -> str:
+    noun = (
+        "element_at(split(p_name, ' '), 2)"
+        if dialect == "spark"
+        else "string_split(p_name, ' ')[2]"
+    )
+    return f"""
+WITH names AS (SELECT DISTINCT p_name, {noun} AS noun FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  levenshtein(a.p_name, b.p_name) AS dist
+FROM names a
+JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+ORDER BY dist, name_a, name_b
+"""
+
+
+@register(
+    "fn_string_similarity",
+    oracle=_string_similarity_sql("duckdb"),
+    doc="Levenshtein fuzzy matching of part names, blocked on the shared "
+    "noun token over the DISTINCT name vocabulary — edit distance runs on "
+    "vocab-sized blocks, never all row pairs (REF-ANALOG).",
+    tags=("scalar", "semantics", "dedup"),
+)
+def fn_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "part")
+    return spark.sql(_string_similarity_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_variant_json — Spark 4 VARIANT ingestion of the events.props JSON:
+# parse once, typed-path extract, aggregate by event type. The DuckDB
+# oracle reads the same path with its JSON functions.
+# ---------------------------------------------------------------------------
+
+
+def _variant_json_sql(dialect: str) -> str:
+    k = (
+        "variant_get(parse_json(props), '$.k', 'int')"
+        if dialect == "spark"
+        else "CAST(json_extract_string(props, '$.k') AS INT)"
+    )
+    return f"""
+SELECT event_type, count(*) AS n_events,
+  min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type, {k} AS k FROM events) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "fn_variant_json",
+    oracle=_variant_json_sql("duckdb"),
+    doc="Semi-structured access via Spark 4 VARIANT: parse_json(props) + "
+    "typed variant_get on the JSON path, aggregated per event type "
+    "(oracle: DuckDB json_extract). Parse happens once in the projection, "
+    "map-side (REF-ANALOG of fn_json_extract with the modern type).",
+    tags=("scalar", "semantics", "json"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_variant_json_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_url_parse — URL decomposition. URLs are synthesized deterministically
+# from document columns (the tables carry none), then Spark's parse_url
+# extracts host/path/query-param; the oracle recomputes the same pieces
+# with regexes.
+# ---------------------------------------------------------------------------
+
+
+def _url_parse_sql(dialect: str) -> str:
+    if dialect == "spark":
+        fmt = (
+            "format_string('https://%s.example.com/docs/%d?lang=%s', "
+            "source, doc_id, lang)"
+        )
+        host = "parse_url(url, 'HOST')"
+        path = "parse_url(url, 'PATH')"
+        lang = "parse_url(url, 'QUERY', 'lang')"
+    else:
+        fmt = (
+            "printf('https://%s.example.com/docs/%d?lang=%s', "
+            "source, doc_id, lang)"
+        )
+        host = "regexp_extract(url, 'https://([^/]+)', 1)"
+        path = "regexp_extract(url, 'https://[^/]+(/[^?]*)', 1)"
+        lang = "regexp_extract(url, 'lang=(.*)$', 1)"
+    return f"""
+SELECT doc_id, {host} AS host, {path} AS path, {lang} AS lang_param
+FROM (SELECT doc_id, {fmt} AS url, lang FROM documents) u
+ORDER BY doc_id
+"""
+
+
+@register(
+    "fn_url_parse",
+    oracle=_url_parse_sql("duckdb"),
+    doc="URL decomposition (host / path / query parameter) via parse_url "
+    "over deterministically synthesized document URLs; pure map-side "
+    "projection (REF-ANALOG; the oracle recomputes with regexes).",
+    tags=("scalar", "semantics"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_url_parse_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_string_listagg — deterministic ordered string aggregation: Spark 4
+# listagg WITHIN GROUP vs DuckDB string_agg ORDER BY. Groups are
+# dimension-bounded (nations per region), which is the only shape ordered
+# listagg should take at scale.
+# ---------------------------------------------------------------------------
+
+
+def _listagg_sql(dialect: str) -> str:
+    agg = (
+        "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+        if dialect == "spark"
+        else "string_agg(n_name, ',' ORDER BY n_name)"
+    )
+    return f"""
+SELECT r_name, count(*) AS n_nations, {agg} AS nation_list
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@register(
+    "agg_string_listagg",
+    oracle=_listagg_sql("duckdb"),
+    doc="Ordered string aggregation (Spark 4 listagg WITHIN GROUP / DuckDB "
+    "string_agg ORDER BY) of nation names per region — explicit intra-"
+    "group order makes the concatenation deterministic; offered only for "
+    "bounded groups (REF-ANALOG).",
+    tags=("agg", "semantics"),
+)
+def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "nation")
+    _view(spark, sf_dir, "region")
+    return spark.sql(_listagg_sql("spark"))
