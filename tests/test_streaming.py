@@ -50,3 +50,33 @@ def test_foreachbatch_sink_preserves_all_rows(spark):
     rows = REGISTRY["stream_foreachbatch"].builder(spark, SF_SMALL).collect()
     assert len(rows) == 4  # one row per micro-batch chunk
     assert sum(r["n"] for r in rows) == 1000
+
+
+def test_transform_with_state_matches_custom_state(spark):
+    """The Spark 4 StatefulProcessor key must produce the exact per-user
+    totals of its applyInPandasWithState predecessor (same semantics, new
+    API) — and of the batch aggregation. Its worker protocol needs
+    protobuf; where the runtime lacks it, the key must be gated OUT of the
+    registry (a registered-but-erroring key would fail the driver gate)."""
+    import pytest
+
+    from week3_2_practice_big_data__spark.streaming.modern import _HAS_TWS
+
+    if not _HAS_TWS:
+        assert "stream_transform_with_state" not in REGISTRY
+        pytest.skip("runtime lacks protobuf for transformWithStateInPandas")
+    tws = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in REGISTRY["stream_transform_with_state"].builder(spark, SF_SMALL).collect()
+    }
+    old = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in REGISTRY["stream_custom_state"].builder(spark, SF_SMALL).collect()
+    }
+    assert tws == old
+
+
+def test_trigger_availablenow_drains_backlog(spark):
+    """AvailableNow must terminate on its own having seen every event."""
+    rows = REGISTRY["stream_trigger_availablenow"].builder(spark, SF_SMALL).collect()
+    assert sum(r["n"] for r in rows) == 1000  # full events table drained

@@ -29,6 +29,7 @@ from .streaming import batch_windows, streams  # noqa: F401
 # keys (see __spark_entry__._ordered_keys) — new keys queue behind them.
 from .operators import subqueries, tpch  # noqa: F401
 from .functions import llmprep, semantics  # noqa: F401
+from .streaming import modern  # noqa: F401
 
 __all__ = [
     "get_spark",
