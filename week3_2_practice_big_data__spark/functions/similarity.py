@@ -104,15 +104,24 @@ def ns_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Banded random-hyperplane LSH signatures — shared candidate-generation stage
-# for ns_sim_ann_lsh and ns_dedup_embed_cosine. 8 hyperplanes (deterministic
-# LCG components) → 8 sign bits → 2 bands × 4 bits: two vectors are
-# CANDIDATES iff they agree on all 4 bits of at least one band. This is the
+# for ns_sim_ann_lsh and ns_dedup_embed_cosine. 32 hyperplanes (deterministic
+# LCG components) → 32 sign bits → 4 bands × 8 bits: two vectors are
+# CANDIDATES iff they agree on all 8 bits of at least one band. This is the
 # 100 TB pattern: candidate generation is an equi-join on (band, sig) — a
 # shuffle on a small key — never an all-pairs join.
+#
+# Band sizing follows ~log2(n): random collisions per band ≈ C(n,2)/2^bits,
+# so 8-bit bands keep the rerank linear-ish at the 10^3-10^4 vectors of the
+# test scales (the round-1 2×4-bit setup passed n²/32 pairs to the rerank —
+# the measured 4 s bench cost at sf0.1). More, narrower bands would raise
+# borderline-pair recall at the same cost; strong-pair (cos≥0.9) recall of
+# 4×8 ≈ 2×4 while reranking ~8× fewer candidates. At 100 TB both knobs grow:
+# bits with log2(n), bands with the recall target.
 # ---------------------------------------------------------------------------
 
-_PLANES = 8
-_BANDS = 2  # 4 planes per band → 16 buckets per band
+_PLANES = 32
+_BITS = 8  # planes per band
+_BANDS = _PLANES // _BITS  # 4 bands × 8 bits → 256 buckets per band
 
 
 def _band_sig_sql(dialect: str) -> str:
@@ -124,8 +133,10 @@ def _band_sig_sql(dialect: str) -> str:
     continuous data).
     """
     pval = f"({synth.lcg_u('p.plane * 64 + l.dim', 1234, 0)} - 0.5e0)"
-    pow2m = "CAST(floor(pow(2e0, CAST(plane % 4 AS DOUBLE)) + 0.5e0) AS BIGINT)"
-    band = "CAST(floor(CAST(plane AS DOUBLE) / 4e0) AS BIGINT)"
+    pow2m = (
+        f"CAST(floor(pow(2e0, CAST(plane % {_BITS} AS DOUBLE)) + 0.5e0) AS BIGINT)"
+    )
+    band = f"CAST(floor(CAST(plane AS DOUBLE) / {_BITS}e0) AS BIGINT)"
     return f"""
 SELECT vec_id, {band} AS band,
   sum(CASE WHEN dot > 0e0 THEN {pow2m} ELSE 0 END) AS sig
