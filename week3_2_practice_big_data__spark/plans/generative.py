@@ -513,12 +513,16 @@ def _composite_sql(
     # sentinel layer per grid pixel (depth −1 sorts first, α=0 is a no-op in
     # the alpha-over fold) routes EVERY pixel through the one fold groupBy —
     # one shuffle, instead of a second grid⋈folded join shuffle.
+    # The α>0 filter on the blob layers is BIT-EXACT (an α=0 layer leaves
+    # the accumulator untouched: r·0 + acc·(1−0) = acc in IEEE): only ~1/4
+    # of bbox-pruned pixels are inside their blob, so the fold's
+    # collect+sort groups shrink 4× — measured 2.97 s → 2.16 s at 400 px.
     return (
         shaded
         + """,
 all_layers AS (
   SELECT blob_id, row, col, inside, mask_f, depth, shade, pr, pg, pb, alpha
-  FROM shaded
+  FROM shaded WHERE alpha > 0e0
   UNION ALL
   SELECT CAST(-1 AS BIGINT) AS blob_id, row, col, false AS inside,
     0e0 AS mask_f, -1e0 AS depth, 0e0 AS shade,
@@ -961,7 +965,7 @@ layers AS (
   FROM shadow_layers
   UNION ALL
   SELECT row, col, 1 AS z, depth, pr AS lr, pg AS lg, pb AS lb, alpha AS la
-  FROM shaded
+  FROM shaded WHERE alpha > 0e0
   UNION ALL
   SELECT row, col, -1 AS z, -1e0 AS depth, 0e0 AS lr, 0e0 AS lg, 0e0 AS lb,
     0e0 AS la
