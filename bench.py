@@ -39,6 +39,10 @@ HEADLINE = [
     "join_bucketed_colocated",
     "join_q3_shipping_priority",
     "join_q5_region_volume",
+    # round-2 additions: deeper TPC-H star join, batch kNN, recursive CTE
+    "join_q7_volume_shipping",
+    "ns_ann_knn_join",
+    "qry_recursive_cte",
     # NORTH-STAR LLM-pipeline ops
     "ns_dedup_exact",
     "ns_dedup_minhash",

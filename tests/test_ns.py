@@ -161,3 +161,18 @@ def test_png_roundtrip():
     png = encode_png_rgb(pixels, 16, 16)
     out, w, h = decode_png_rgb(png)
     assert (w, h) == (16, 16) and out == pixels
+
+
+def test_audio_window_deterministic_frames(spark):
+    """Audio windowing: 4 frames per track, full frames only, deterministic
+    RMS across runs, energy in the plausible int16-noise range."""
+    a = REGISTRY["ns_mm_audio_window"].builder(spark, SF_SMALL).collect()
+    b = REGISTRY["ns_mm_audio_window"].builder(spark, SF_SMALL).collect()
+    assert [r["rms"] for r in a] == [r["rms"] for r in b]
+    per_track = {}
+    for r in a:
+        per_track.setdefault(r["track_id"], []).append(r)
+        assert r["n_samples"] == 1024
+        assert 15000 < r["rms"] < 25000  # uniform int16 noise RMS ≈ 18918
+    assert len(per_track) == 8
+    assert all(len(v) == 4 for v in per_track.values())

@@ -284,6 +284,76 @@ ORDER BY qid, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# ns_embed_quantize — int8 symmetric quantization of embeddings (the
+# standard 4× storage/bandwidth reduction before ANN serving): per-vector
+# scale = max|v|/127, q = clamp(round(v/scale)), plus reconstruction RMSE.
+# Every per-vector reduction is a FIXED-ORDER array fold (the similarity.py
+# discipline) so both engines produce bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_QLEVELS = 127
+
+
+def _fold(dialect: str, elem: str, init: str, comb: str) -> str:
+    """Fixed-order fold over the 64 embedding dims with element expr on x."""
+    if dialect == "spark":
+        return (
+            f"aggregate(transform(embedding, x -> {elem}), {init}, "
+            f"(acc, v) -> {comb})"
+        )
+    return (
+        f"list_reduce(list_prepend({init}, "
+        f"list_transform(generate_series(1, 64), "
+        f"i -> {elem.replace('CAST(x AS DOUBLE)', 'CAST(embedding[i] AS DOUBLE)')})), "
+        f"(acc, v) -> {comb})"
+    )
+
+
+def _quantize_sql(dialect: str) -> str:
+    x = "CAST(x AS DOUBLE)"
+    amax = _fold(dialect, f"abs({x})", "0e0", "greatest(acc, v)")
+    # q(x) = clamp(floor(x/scale + 0.5)) — floor(+0.5), not round(): the two
+    # engines' round() disagree at decimal midpoints (synth.q6 rationale).
+    qv = (
+        f"greatest(-{_QLEVELS}e0, least({_QLEVELS}e0, "
+        f"floor({x} / s.scale + 0.5e0)))"
+    )
+    sq_err = _fold(
+        dialect, f"({x} - ({qv}) * s.scale) * ({x} - ({qv}) * s.scale)",
+        "0e0", "acc + v",
+    )
+    qmin = _fold(dialect, qv, f"{_QLEVELS}e0", "least(acc, v)")
+    qmax = _fold(dialect, qv, f"-{_QLEVELS}e0", "greatest(acc, v)")
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, label, embedding, {amax} / {_QLEVELS}e0 AS scale
+  FROM embeddings
+)
+SELECT s.vec_id, s.label,
+  {synth.q6("s.scale")} AS scale_q6,
+  CAST({qmin} AS BIGINT) AS q_min,
+  CAST({qmax} AS BIGINT) AS q_max,
+  {synth.q6(f"sqrt(({sq_err}) / 64e0)")} AS rmse
+FROM scaled s
+ORDER BY s.vec_id
+"""
+
+
+@register(
+    "ns_embed_quantize",
+    oracle=_quantize_sql("duckdb"),
+    doc="Int8 symmetric embedding quantization: per-vector scale = "
+    "max|v|/127, clamp(floor(v/scale+0.5)) codes, reconstruction RMSE — "
+    "all fixed-order array folds, map-side only, zero shuffle (NS; the "
+    "storage-reduction step before ANN serving).",
+    tags=("ns", "similarity", "scale"),
+)
+def ns_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_quantize_sql("spark"))
+
+
 @register(
     "ns_ann_knn_join",
     oracle=_knn_join_sql("duckdb"),

@@ -270,3 +270,79 @@ def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blob_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# ns_mm_audio_window — audio columns: waveforms live as opaque PCM BINARY
+# next to typed metadata; DSP runs windowed over decoded samples inside
+# mapInPandas. The waveform is SYNTHESIZED deterministically (int16 LCG
+# noise — the container ships no audio files or codecs; the decode step for
+# real formats would slot in where np.frombuffer stands), but everything
+# Spark-side — binary column, Arrow batching, frame windowing, per-frame
+# reduction — is the real production shape.
+# ---------------------------------------------------------------------------
+
+_AUDIO_TRACKS = 8
+_AUDIO_SAMPLES = 4096
+_AUDIO_FRAME = 1024
+
+
+def synth_pcm(track_id: int) -> bytes:
+    """Deterministic int16 little-endian PCM noise for one track (LCG —
+    same modulus family as synth.py, so reruns and engines agree)."""
+    import numpy as np
+
+    out = np.empty(_AUDIO_SAMPLES, dtype=np.int16)
+    x = (track_id * 1_000_003 + 12_345) % 2_147_483_648
+    for i in range(_AUDIO_SAMPLES):
+        x = (1_103_515_245 * x + 12_345) % 2_147_483_648
+        out[i] = (x % 65_536) - 32_768
+    return out.tobytes()
+
+
+@register(
+    "ns_mm_audio_window",
+    oracle=None,  # binary waveform path → rows-only; pytest pins RMS values
+    doc="Audio-column windowing: per-track int16 PCM BINARY column, framed "
+    "into 1024-sample windows inside mapInPandas, per-frame RMS energy "
+    "emitted as rows — the decode→window→reduce plumbing for audio at "
+    "scale; synthesis is deterministic LCG noise (no codecs in the "
+    "container), the Spark path is real (NS).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    del sf_dir  # waveform is engine-synthesized; no table input
+    ensure_package_on_workers(spark)
+    tracks = spark.range(_AUDIO_TRACKS).withColumnRenamed("id", "track_id")
+
+    def gen(batches):
+        from . import multimodal as mm
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "track_id": pdf["track_id"],
+                    "pcm": [mm.synth_pcm(int(t)) for t in pdf["track_id"]],
+                }
+            )
+
+    def frame_rms(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"track_id": [], "frame_idx": [], "n_samples": [], "rms": []}
+            for track_id, pcm in zip(pdf["track_id"], pdf["pcm"]):
+                samples = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.float64)
+                for idx in range(0, len(samples) // _AUDIO_FRAME):
+                    frame = samples[idx * _AUDIO_FRAME : (idx + 1) * _AUDIO_FRAME]
+                    out["track_id"].append(track_id)
+                    out["frame_idx"].append(idx)
+                    out["n_samples"].append(len(frame))
+                    out["rms"].append(round(float(np.sqrt(np.mean(frame * frame))), 6))
+            yield pd.DataFrame(out)
+
+    return (
+        tracks.mapInPandas(gen, "track_id bigint, pcm binary")
+        .mapInPandas(frame_rms, "track_id bigint, frame_idx int, n_samples int, rms double")
+        .orderBy("track_id", "frame_idx")
+    )
