@@ -1,0 +1,229 @@
+"""Data-quality / warehouse-maintenance operators (REF-ANALOG).
+
+The operational queries around a 100 TB warehouse, each as one declarative
+plan:
+
+- `dq_constraint_check` — Deequ-style constraint suite in one result set:
+  referential integrity, key uniqueness, range and non-emptiness checks,
+  each reporting its violation count. FK checks are broadcast anti joins;
+  everything else is a single pass over its table.
+- `merge_scd2` — slowly-changing-dimension type-2 build: per-user
+  event_type change points become versioned rows with [valid_from,
+  valid_to) and an is_current flag — lag() finds changes, lead() closes
+  intervals; one user_id shuffle.
+- `win_moving_zscore` — streaming-style anomaly detection in batch: moving
+  mean/std over the trailing 10 readings per user from integer-exact
+  micro-scaled values (BIGINT frame sums are exact; BIGINT→DOUBLE
+  conversion is IEEE round-to-nearest, identical cross-engine), z-score
+  and |z|>2 flag.
+- `src_table_stats` — the ANALYZE pass: per-column row/ndv/min/max/null
+  counts in one scan — the statistics that feed a cost-based optimizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import synth
+from ..io import load_table
+from ..registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _us(dialect: str) -> str:
+    return "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+
+
+# ---------------------------------------------------------------------------
+# dq_constraint_check
+# ---------------------------------------------------------------------------
+
+
+def _dq_sql(dialect: str) -> str:
+    del dialect  # shared text
+    return """
+WITH checks AS (
+  SELECT 'orders_custkey_fk' AS check_name, count(*) AS n_violations
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  WHERE c_custkey IS NULL
+  UNION ALL
+  SELECT 'orders_orderkey_unique', count(*) FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) d
+  UNION ALL
+  SELECT 'orders_totalprice_positive', count(*)
+  FROM orders WHERE o_totalprice <= 0
+  UNION ALL
+  SELECT 'lineitem_discount_range', count(*)
+  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', count(*)
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey IS NULL
+  UNION ALL
+  SELECT 'documents_text_nonempty', count(*)
+  FROM documents WHERE text IS NULL OR length(text) = 0
+)
+SELECT check_name, n_violations, (n_violations = 0) AS passed
+FROM checks ORDER BY check_name
+"""
+
+
+@register(
+    "dq_constraint_check",
+    oracle=_dq_sql("duckdb"),
+    doc="Data-quality constraint suite in one result set: two referential-"
+    "integrity checks (broadcast anti-join shape), key uniqueness, value "
+    "ranges, non-emptiness — per-check violation counts and pass flags "
+    "(REF-ANALOG; the Deequ-style gate before a pipeline run).",
+    tags=("quality", "agg"),
+)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("orders", "customer", "lineitem", "documents"))
+    return spark.sql(_dq_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# merge_scd2
+# ---------------------------------------------------------------------------
+
+_SCD2_OPEN_END = 253_402_300_799_000_000  # 9999-12-31 23:59:59 in micros
+
+
+def _scd2_sql(dialect: str) -> str:
+    us = _us(dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, {us} AS us, event_type FROM events
+),
+ordered AS (
+  SELECT user_id, event_id, us, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      AS prev_type
+  FROM ev
+),
+changes AS (
+  SELECT user_id, event_id, us, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+versions AS (
+  SELECT user_id, event_type, us AS valid_from,
+    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_from
+  FROM changes
+)
+SELECT user_id, event_type, valid_from,
+  coalesce(next_from, {_SCD2_OPEN_END}) AS valid_to,
+  (next_from IS NULL) AS is_current
+FROM versions
+ORDER BY user_id, valid_from
+"""
+
+
+@register(
+    "merge_scd2",
+    oracle=_scd2_sql("duckdb"),
+    doc="Slowly-changing-dimension type-2 build from an event stream: "
+    "per-user attribute change points become versioned rows with "
+    "[valid_from, valid_to) micros and an is_current flag — lag() detects "
+    "changes, lead() closes intervals, one user_id shuffle (REF-ANALOG; "
+    "complements merge_upsert's type-1 MERGE).",
+    tags=("quality", "window", "merge"),
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("events",))
+    return spark.sql(_scd2_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_moving_zscore
+# ---------------------------------------------------------------------------
+
+_Z_FRAME = 9  # trailing frame: current + 9 preceding
+_Z_THRESH = "2e0"
+
+
+def _zscore_sql(dialect: str) -> str:
+    us = _us(dialect)
+    w = (
+        "PARTITION BY user_id ORDER BY us, event_id "
+        f"ROWS BETWEEN {_Z_FRAME} PRECEDING AND CURRENT ROW"
+    )
+    # Integer-exact frame sums: value scaled to micro-units (BIGINT), so
+    # the window sums carry no float-order drift; the BIGINT→DOUBLE casts
+    # below are IEEE round-to-nearest — deterministic on both engines.
+    mean = "CAST(s1 AS DOUBLE) / n"
+    var = "(n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (n * n)"
+    z = f"(CAST(v6 AS DOUBLE) - ({mean})) / sqrt(({var}) + 1e0)"
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, {us} AS us,
+    CAST(floor(value * 1e6) AS BIGINT) AS v6
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, us, v6,
+    CAST(count(*) OVER ({w}) AS DOUBLE) AS n,
+    sum(v6) OVER ({w}) AS s1,
+    sum(v6 * v6) OVER ({w}) AS s2
+  FROM ev
+)
+SELECT event_id, user_id,
+  {synth.q6(z)} AS zscore,
+  (abs({z}) > {_Z_THRESH}) AS is_anomaly
+FROM framed
+ORDER BY user_id, us, event_id
+"""
+
+
+@register(
+    "win_moving_zscore",
+    oracle=_zscore_sql("duckdb"),
+    doc="Moving-window anomaly detection: z-score of each reading against "
+    "the trailing-10 mean/std per user, from integer-exact micro-scaled "
+    "frame sums (no float-order drift), |z|>2 flag — the batch twin of a "
+    "streaming anomaly monitor (REF-ANALOG).",
+    tags=("quality", "window", "stats"),
+)
+def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("events",))
+    return spark.sql(_zscore_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# src_table_stats
+# ---------------------------------------------------------------------------
+
+
+def _stats_col(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name, count(*) AS n_rows,
+  count(DISTINCT {col}) AS ndv,
+  CAST(min({col}) AS DOUBLE) AS min_v,
+  CAST(max({col}) AS DOUBLE) AS max_v,
+  CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+FROM lineitem"""
+
+
+def _table_stats_sql(dialect: str) -> str:
+    del dialect  # shared text
+    cols = ("l_discount", "l_extendedprice", "l_linenumber", "l_quantity")
+    union = "\nUNION ALL".join(_stats_col(c) for c in cols)
+    return f"{union}\nORDER BY column_name"
+
+
+@register(
+    "src_table_stats",
+    oracle=_table_stats_sql("duckdb"),
+    doc="ANALYZE-style table statistics: per-column row count, NDV, "
+    "min/max, null count in one scan of lineitem — the inputs a "
+    "cost-based optimizer consumes (REF-ANALOG; min/max are order-free "
+    "exact, so fully hash-checkable).",
+    tags=("quality", "source", "stats"),
+)
+def src_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_table_stats_sql("spark"))
