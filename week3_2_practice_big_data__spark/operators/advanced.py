@@ -1,0 +1,261 @@
+"""Advanced distributed-computation patterns (REF-ANALOG / NS-adjacent).
+
+Four shapes that separate a scale-ready engine from a SQL runner, each as
+one declarative plan with exact cross-engine results:
+
+- `iter_gd_logreg` — distributed logistic-regression training: 3 unrolled
+  gradient-descent steps where every per-row gradient contribution is
+  quantized to integer micro-units BEFORE the sum, so gradient aggregation
+  is BIGINT-exact (no float-order drift) — the all-reduce discipline of
+  distributed SGD expressed relationally. One scan per step, weights are
+  scalar broadcasts.
+- `join_spatial_grid` — 2-D radius search via grid bucketing: queries
+  explode to their 3×3 neighbor cells, candidates come from a cell
+  equi-join, the exact distance predicate verifies each candidate — the
+  planar twin of join_interval_bucketed (never an all-pairs distance join).
+- `agg_bitmap_distinct` — exact distinct counting via word-partitioned
+  bitmaps (62 ids per BIGINT word, bit_or + popcount): the shuffle carries
+  one word per 62 ids instead of every id — the roaring-bitmap pattern for
+  COUNT(DISTINCT) at 100 TB, cross-checked against count(DISTINCT) itself.
+- `win_islands_ranges` — gaps-and-islands over an id sequence: collapse
+  present ids into contiguous [start, end] ranges (the missing-data /
+  compaction report).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import synth
+from ..io import load_table
+from ..registry import register
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# iter_gd_logreg
+# ---------------------------------------------------------------------------
+
+_GD_STEPS = 3
+_GD_LR = "1e0"
+
+
+def _gd_grad(j_expr: str) -> str:
+    """Integer-quantized per-row gradient component, summed exactly."""
+    p = "1e0 / (1e0 + exp(-(p.w0 + p.w1 * d.x1 + p.w2 * d.x2)))"
+    return (
+        f"CAST(sum(CAST(floor(({p} - d.y) * {j_expr} * 1e6) AS BIGINT)) "
+        f"AS DOUBLE) / 1e6"
+    )
+
+
+def _gd_step(prev: str) -> str:
+    g0, g1, g2 = _gd_grad("1e0"), _gd_grad("d.x1"), _gd_grad("d.x2")
+    return f"""(
+  SELECT {synth.q6(f"w0 - {_GD_LR} * g0 / n")} AS w0,
+         {synth.q6(f"w1 - {_GD_LR} * g1 / n")} AS w1,
+         {synth.q6(f"w2 - {_GD_LR} * g2 / n")} AS w2
+  FROM (
+    SELECT p.w0, p.w1, p.w2, CAST(count(*) AS DOUBLE) AS n,
+      {g0} AS g0, {g1} AS g1, {g2} AS g2
+    FROM data d CROSS JOIN {prev} p
+    GROUP BY p.w0, p.w1, p.w2
+  ) s
+)"""
+
+
+def _gd_logreg_sql(dialect: str) -> str:
+    del dialect  # shared text
+    weights = "(SELECT 0e0 AS w0, 0e0 AS w1, 0e0 AS w2)"
+    for _ in range(_GD_STEPS):
+        weights = _gd_step(weights)
+    pred = "1e0 / (1e0 + exp(-(f.w0 + f.w1 * d.x1 + f.w2 * d.x2)))"
+    correct = (
+        f"CASE WHEN (CASE WHEN {pred} >= 0.5e0 THEN 1e0 ELSE 0e0 END) = d.y "
+        "THEN 1e0 ELSE 0e0 END"
+    )
+    return f"""
+WITH data AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1e0 ELSE 0e0 END AS y,
+    (l_quantity / 50e0) AS x1,
+    (l_discount * 10e0) AS x2
+  FROM lineitem
+)
+SELECT f.w0, f.w1, f.w2,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  {synth.q6(f"avg({correct})")} AS accuracy
+FROM data d CROSS JOIN {weights} f
+GROUP BY f.w0, f.w1, f.w2
+"""
+
+
+@register(
+    "iter_gd_logreg",
+    oracle=_gd_logreg_sql("duckdb"),
+    doc="Distributed logistic regression (predict returned lines from "
+    "quantity/discount): 3 unrolled gradient-descent steps; per-row "
+    "gradients quantized to integer micro-units before the sum, so the "
+    "gradient all-reduce is BIGINT-exact with zero float-order drift. One "
+    "lineitem scan per step, weights broadcast (REF-ANALOG; the fully "
+    "oracle-checked training loop beside k-means/pagerank).",
+    tags=("iterative", "ml", "scale"),
+)
+def iter_gd_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_gd_logreg_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# join_spatial_grid
+# ---------------------------------------------------------------------------
+
+_SP_N_POINTS = 4000
+_SP_N_QUERIES = 16
+_SP_R = "0.05e0"  # search radius; grid cell size = radius
+
+
+def _spatial_sql(dialect: str) -> str:
+    px = synth.lcg_u("i + 5000000", 501, 0)
+    py = synth.lcg_u("i + 6000000", 501, 0)
+    qx = synth.lcg_u("i + 7000000", 777, 0)
+    qy = synth.lcg_u("i + 8000000", 777, 0)
+    cell = "CAST(floor({v} / {r}) AS BIGINT)".format
+    d2 = "(p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)"
+    return f"""
+WITH points AS (
+  SELECT i AS pid, {px} AS x, {py} AS y
+  FROM {synth.series_sql(_SP_N_POINTS, "i", dialect)} s
+),
+queries AS (
+  SELECT i AS qid, {qx} AS x, {qy} AS y
+  FROM {synth.series_sql(_SP_N_QUERIES, "i", dialect)} s
+),
+pcells AS (
+  SELECT pid, x, y,
+    {cell(v="x", r=_SP_R)} AS cx, {cell(v="y", r=_SP_R)} AS cy
+  FROM points
+),
+qcells AS (
+  SELECT q.qid, q.x, q.y,
+    {cell(v="q.x", r=_SP_R)} + (dx.i - 1) AS cx,
+    {cell(v="q.y", r=_SP_R)} + (dy.i - 1) AS cy
+  FROM queries q
+  CROSS JOIN {synth.series_sql(3, "i", dialect)} dx
+  CROSS JOIN {synth.series_sql(3, "i", dialect)} dy
+),
+verified AS (
+  SELECT q.qid, p.pid, {d2} AS d2
+  FROM qcells q JOIN pcells p ON q.cx = p.cx AND q.cy = p.cy
+  WHERE {d2} <= {_SP_R} * {_SP_R}
+)
+SELECT qid, count(*) AS n_within,
+  {synth.q6("min(sqrt(d2))")} AS nearest_dist
+FROM verified
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+@register(
+    "join_spatial_grid",
+    oracle=_spatial_sql("duckdb"),
+    doc="2-D radius search via grid bucketing: cell-size = radius, queries "
+    "explode to their 3x3 neighbor cells, candidates from a (cx, cy) "
+    "equi-join, exact distance verify — the planar twin of the bucketed "
+    "interval join; per-query neighbor count + nearest distance "
+    "(REF-ANALOG; exact recall since a radius ball fits the neighborhood).",
+    tags=("join", "spatial", "scale"),
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    del sf_dir  # inputs are engine-synthesized LCG point clouds
+    return spark.sql(_spatial_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct
+# ---------------------------------------------------------------------------
+
+_BM_BITS = 62  # ids per word; stay clear of the BIGINT sign/overflow bit
+
+
+def _bitmap_sql(dialect: str) -> str:
+    pos = f"(user_id % {_BM_BITS})"
+    if dialect == "spark":
+        bit = f"shiftleft(CAST(1 AS BIGINT), CAST({pos} AS INT))"
+    else:
+        bit = f"(CAST(1 AS BIGINT) << {pos})"
+    word = f"CAST((user_id - {pos}) / {_BM_BITS}e0 AS BIGINT)"
+    return f"""
+WITH bits AS (
+  SELECT {word} AS word, {bit} AS bit FROM events
+),
+words AS (
+  SELECT word, bit_or(bit) AS bm FROM bits GROUP BY word
+),
+bm_count AS (
+  SELECT CAST(sum(CAST(bit_count(bm) AS BIGINT)) AS BIGINT) AS n_bitmap
+  FROM words
+),
+exact_count AS (
+  SELECT count(DISTINCT user_id) AS n_exact FROM events
+)
+SELECT n_bitmap, n_exact, (n_bitmap = n_exact) AS agree
+FROM bm_count CROSS JOIN exact_count
+"""
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle=_bitmap_sql("duckdb"),
+    doc="Exact COUNT(DISTINCT) via word-partitioned bitmaps: 62 ids per "
+    "BIGINT word, bit_or per word, popcount sum — the shuffle carries one "
+    "word per 62 ids instead of every id (the bitmap-index pattern for "
+    "dense-ish integer keys at 100 TB), cross-checked against "
+    "count(DISTINCT) in the same result row (REF-ANALOG).",
+    tags=("agg", "scale"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_bitmap_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_islands_ranges
+# ---------------------------------------------------------------------------
+
+
+def _islands_sql(dialect: str) -> str:
+    del dialect  # shared text
+    return """
+WITH present AS (
+  SELECT event_id FROM events WHERE event_id % 13 <> 0
+),
+grp AS (
+  SELECT event_id,
+    event_id - row_number() OVER (ORDER BY event_id) AS g
+  FROM present
+)
+SELECT min(event_id) AS range_start, max(event_id) AS range_end,
+  count(*) AS range_len
+FROM grp
+GROUP BY g
+ORDER BY range_start
+"""
+
+
+@register(
+    "win_islands_ranges",
+    oracle=_islands_sql("duckdb"),
+    doc="Gaps-and-islands over the id sequence (every 13th id masked out): "
+    "contiguous runs collapse to [start, end, len] ranges via the "
+    "id-minus-row_number constant — the missing-data / compaction report. "
+    "Single global window here; at scale the same plan runs per id-block "
+    "partition with block-boundary stitching (REF-ANALOG).",
+    tags=("window", "quality"),
+)
+def win_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_islands_sql("spark"))
