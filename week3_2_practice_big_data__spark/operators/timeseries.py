@@ -1,0 +1,196 @@
+"""Time-series join/smoothing operators, round-2 extensions (REF-ANALOG).
+
+Completes the as-of family (operators/joins.py `join_asof` is the backward
+direction) with the two other directions pandas' merge_asof offers, plus
+exponentially-weighted smoothing:
+
+- `join_asof_forward` — first click at-or-after each purchase per user,
+  via the union+window trick mirrored forward (min over the following
+  frame). One user_id shuffle, no range self-join.
+- `join_asof_nearest` — nearest click within a 1-hour tolerance, either
+  direction; backward wins ties (pandas semantics). Both directions come
+  from the same single window pass.
+- `win_ewma_smooth` — EWMA over the trailing 12 readings (α=0.3),
+  renormalized over the truncated head window: the kernel is a fixed
+  lag-term expression (the win_conv1d_frame discipline — one window sort,
+  no kernel join), weights are driver-computed float literals, and the
+  fixed parse-tree summation order makes both engines produce identical
+  doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import synth
+from ..io import load_table
+from ..registry import register
+
+
+def _view(spark: SparkSession, sf_dir: str) -> None:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+def _us(dialect: str) -> str:
+    return "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+
+
+# ---------------------------------------------------------------------------
+# join_asof_forward
+# ---------------------------------------------------------------------------
+
+
+def _asof_forward_sql(dialect: str) -> str:
+    epoch = _us(dialect)
+    return f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'click' THEN {epoch} END AS click_us,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, is_purchase,
+    min(click_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS next_click_us
+  FROM tagged
+)
+SELECT user_id, event_id AS purchase_event_id,
+  coalesce(next_click_us, -1) AS next_click_us,
+  coalesce(next_click_us - {epoch}, -1) AS us_until_click
+FROM carried
+WHERE is_purchase = 1
+ORDER BY user_id, purchase_event_id
+"""
+
+
+@register(
+    "join_asof_forward",
+    oracle=_asof_forward_sql("duckdb"),
+    doc="Forward as-of join (first click at-or-after each purchase per "
+    "user) via union + running-min over the following frame — the "
+    "direction='forward' sibling of join_asof, one user_id shuffle, no "
+    "range self-join (REF-ANALOG).",
+    tags=("join", "window", "timeseries"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_asof_forward_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# join_asof_nearest
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_US = 3_600_000_000  # 1 hour
+
+
+def _asof_nearest_sql(dialect: str) -> str:
+    epoch = _us(dialect)
+    back_gap = f"({epoch} - prev_click_us)"
+    fwd_gap = f"(next_click_us - {epoch})"
+    pick_back = (
+        f"prev_click_us IS NOT NULL AND {back_gap} <= {_NEAREST_TOL_US} "
+        f"AND (next_click_us IS NULL OR {back_gap} <= {fwd_gap} "
+        f"OR {fwd_gap} > {_NEAREST_TOL_US})"
+    )
+    pick_fwd = (
+        f"next_click_us IS NOT NULL AND {fwd_gap} <= {_NEAREST_TOL_US}"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'click' THEN {epoch} END AS click_us,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, is_purchase,
+    max(click_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS prev_click_us,
+    min(click_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS next_click_us
+  FROM tagged
+)
+SELECT user_id, event_id AS purchase_event_id,
+  CASE WHEN {pick_back} THEN 'backward'
+       WHEN {pick_fwd} THEN 'forward'
+       ELSE 'none' END AS matched_direction,
+  CASE WHEN {pick_back} THEN {back_gap}
+       WHEN {pick_fwd} THEN {fwd_gap}
+       ELSE -1 END AS gap_us
+FROM carried
+WHERE is_purchase = 1
+ORDER BY user_id, purchase_event_id
+"""
+
+
+@register(
+    "join_asof_nearest",
+    oracle=_asof_nearest_sql("duckdb"),
+    doc="Nearest as-of join within a 1-hour tolerance, either direction "
+    "(backward wins ties — pandas merge_asof semantics): both directions "
+    "from one window pass over the tagged union, tolerance applied in the "
+    "projection (REF-ANALOG).",
+    tags=("join", "window", "timeseries"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_asof_nearest_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_ewma_smooth
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 12  # trailing taps
+
+
+def _ewma_weights() -> list[float]:
+    return [
+        _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)
+    ]
+
+
+def _ewma_sql(dialect: str) -> str:
+    epoch = _us(dialect)
+    w = "PARTITION BY user_id ORDER BY us, event_id"
+    num = " + ".join(
+        f"{synth.flit(wj)} * coalesce(lag(value, {j}) OVER ({w}), 0e0)"
+        for j, wj in enumerate(_ewma_weights())
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(us, {j}) OVER ({w}) IS NULL THEN 0e0 "
+        f"ELSE {synth.flit(wj)} END"
+        for j, wj in enumerate(_ewma_weights())
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, {epoch} AS us, value FROM events
+)
+SELECT event_id, user_id,
+  {synth.q6(f"({num}) / ({den})")} AS ewma
+FROM ev
+ORDER BY user_id, us, event_id
+"""
+
+
+@register(
+    "win_ewma_smooth",
+    oracle=_ewma_sql("duckdb"),
+    doc="EWMA smoothing (α=0.3, trailing 12 taps, head-renormalized): "
+    "exponential kernel as fixed lag-term expressions in ONE window sort "
+    "(win_conv1d_frame discipline), driver-computed weight literals, "
+    "fixed parse-tree summation → identical doubles cross-engine "
+    "(REF-ANALOG).",
+    tags=("window", "timeseries", "stats"),
+)
+def win_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_ewma_sql("spark"))
