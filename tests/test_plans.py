@@ -256,3 +256,35 @@ def test_recursive_cte_depth_profile(spark):
     n_parts = REGISTRY["src_parquet_scan"].builder  # noqa: F841  (doc pointer)
     assert rows[0] == 200  # sf0.001 part rowcount
     assert all(rows[d] >= rows[d + 1] for d in range(max(rows)))
+
+
+def test_gd_logreg_bounded_scans(spark):
+    """Each unrolled GD step re-scans lineitem once (3 steps + accuracy
+    pass): the plan must stay a bounded chain of scans + broadcast scalar
+    weights — no NestedLoop blowup, no per-row subquery."""
+    df = REGISTRY["iter_gd_logreg"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("Scan parquet") == 0  # training set checkpointed once
+    assert plan.count("Scan ExistingRDD") >= 4  # steps read the materialization
+
+
+def test_spatial_grid_is_equi_join(spark):
+    """Candidate generation must be a hash equi-join on (cx, cy), never a
+    nested-loop distance join."""
+    plan = _formatted_plan(spark, "join_spatial_grid")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_directions_agree_on_shared_matches(spark):
+    """Sanity tying the three as-of directions together: whenever nearest
+    picks 'backward', its gap must equal the backward join's gap for the
+    same purchase."""
+    back = {
+        r["purchase_event_id"]: r["us_since_click"]
+        for r in REGISTRY["join_asof"].builder(spark, SF_SMALL).collect()
+    }
+    for r in REGISTRY["join_asof_nearest"].builder(spark, SF_SMALL).collect():
+        if r["matched_direction"] == "backward":
+            assert back[r["purchase_event_id"]] == r["gap_us"]
