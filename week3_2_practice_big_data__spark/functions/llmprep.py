@@ -258,19 +258,24 @@ _KNN_MOD = 50
 _KNN_K = 5
 
 
-def _knn_join_sql(dialect: str) -> str:
+def _knn_join_sql(dialect: str, emb_ref: str | None = None) -> str:
+    # Norms come precomputed from the shared checkpointed (vec_id, label,
+    # embedding, nrm) relation (similarity.py), so scoring is ONE dot fold
+    # per pair instead of three — same doubles, same q6 output.
     dot = _dot_fold(dialect, "c.embedding", "q.qemb")
-    na = _dot_fold(dialect, "c.embedding", "c.embedding")
-    nb = _dot_fold(dialect, "q.qemb", "q.qemb")
-    cos = synth.q6(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    cos = synth.q6(f"{dot} / (c.nrm * q.qnrm)")
+    from .similarity import _emb_norm_sql
+
+    emb = emb_ref or _emb_norm_sql(dialect)
     return f"""
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qemb
-  FROM embeddings WHERE vec_id % {_KNN_MOD} = 0
+WITH emb AS ({emb}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+  FROM emb WHERE vec_id % {_KNN_MOD} = 0
 ),
 scored AS (
   SELECT q.qid, c.vec_id, c.label, {cos} AS cosine
-  FROM embeddings c CROSS JOIN q
+  FROM emb c CROSS JOIN q
   WHERE c.vec_id <> q.qid
 ),
 ranked AS (
@@ -364,5 +369,12 @@ def ns_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ns", "similarity"),
 )
 def ns_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _cached_emb_norm
+
     _view(spark, sf_dir, "embeddings")
-    return spark.sql(_knn_join_sql("spark"))
+    _cached_emb_norm(spark, sf_dir).createOrReplaceTempView("embeddings_norm")
+    return spark.sql(
+        _knn_join_sql(
+            "spark", emb_ref="SELECT vec_id, label, embedding, nrm FROM embeddings_norm"
+        )
+    )
