@@ -288,3 +288,12 @@ def test_asof_directions_agree_on_shared_matches(spark):
     for r in REGISTRY["join_asof_nearest"].builder(spark, SF_SMALL).collect():
         if r["matched_direction"] == "backward":
             assert back[r["purchase_event_id"]] == r["gap_us"]
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The partitioned-orders scan must carry a dynamicpruning expression
+    in its PartitionFilters — the dim filter reached the fact scan at
+    runtime."""
+    df = REGISTRY["join_dpp_partitioned"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan

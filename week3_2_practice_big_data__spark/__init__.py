@@ -27,7 +27,7 @@ from .streaming import batch_windows, streams  # noqa: F401
 # Round-2 extensions register LAST: the driver verifies a bounded prefix of
 # the key list, and the prefix is already packed with this round's changed
 # keys (see __spark_entry__._ordered_keys) — new keys queue behind them.
-from .operators import subqueries, tpch, statml, quality, advanced, timeseries  # noqa: F401
+from .operators import subqueries, tpch, statml, quality, advanced, timeseries, partitioned  # noqa: F401
 from .functions import llmprep, semantics  # noqa: F401
 from .streaming import modern  # noqa: F401
 

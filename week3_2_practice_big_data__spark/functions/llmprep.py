@@ -290,6 +290,67 @@ ORDER BY qid, rk
 
 
 # ---------------------------------------------------------------------------
+# ns_dedup_paragraph — sub-document dedup (the Falcon/RefinedWeb granularity
+# between exact-doc and near-doc dedup): documents split into 8-token
+# chunks, chunks counted corpus-wide, per-document duplicated-chunk
+# fraction and keep decision. Chunk assembly is an ORDERED string agg
+# (listagg WITHIN GROUP / string_agg ORDER BY), so chunk identity is
+# deterministic; at 100 TB the chunk join key becomes sha2(chunk) so the
+# shuffle carries fixed-width digests instead of text (the ns_dedup_exact
+# digest discipline).
+# ---------------------------------------------------------------------------
+
+_PARA_CHUNK = 8
+_PARA_KEEP_MAX = "0.5e0"
+
+
+def _dedup_paragraph_sql(dialect: str) -> str:
+    agg = (
+        "listagg(token, ' ') WITHIN GROUP (ORDER BY pos)"
+        if dialect == "spark"
+        else "string_agg(token, ' ' ORDER BY pos)"
+    )
+    frac = synth.q6("n_dup / (n_chunks + 0e0)")
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+chunks AS (
+  SELECT doc_id, CAST(floor(pos / {_PARA_CHUNK}e0) AS BIGINT) AS chunk_id,
+    {agg} AS chunk_text
+  FROM tok
+  GROUP BY doc_id, CAST(floor(pos / {_PARA_CHUNK}e0) AS BIGINT)
+),
+chunk_counts AS (
+  SELECT chunk_text, count(*) AS n_occ FROM chunks GROUP BY chunk_text
+),
+per_doc AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+    CAST(sum(CASE WHEN cc.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM chunks c JOIN chunk_counts cc ON c.chunk_text = cc.chunk_text
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_chunks, n_dup AS n_dup_chunks,
+  {frac} AS dup_chunk_frac,
+  ({frac} <= {_PARA_KEEP_MAX}) AS keep
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_dedup_paragraph",
+    oracle=_dedup_paragraph_sql("duckdb"),
+    doc="Sub-document dedup: 8-token chunks assembled with ordered string "
+    "agg, counted corpus-wide, per-document duplicated-chunk fraction + "
+    "keep rule — the paragraph-granularity pass between exact and near "
+    "dedup; chunk keys become digests at scale (NS).",
+    tags=("ns", "dedup", "text"),
+)
+def ns_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_dedup_paragraph_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # ns_embed_quantize — int8 symmetric quantization of embeddings (the
 # standard 4× storage/bandwidth reduction before ANN serving): per-vector
 # scale = max|v|/127, q = clamp(round(v/scale)), plus reconstruction RMSE.

@@ -1,0 +1,87 @@
+"""Partition-pruning join demonstration (REF-ANALOG, scale-critical).
+
+`join_dpp_partitioned` — the one scan optimization SURVEY §4.1 couldn't
+show on flat test files: the fact table is written PARTITIONED by ship
+year into the repo scratch warehouse (once per sf, marker-guarded), then
+joined to a filtered year dimension. Catalyst's dynamic partition pruning
+turns the dimension filter into a runtime partition filter on the fact
+scan — at 100 TB this is the difference between scanning two year
+partitions and scanning the table. The executed plan carries a
+`dynamicpruning` expression in the fact scan's PartitionFilters (pinned
+by a plan test); the DuckDB oracle computes the same aggregate from the
+raw table, proving partitioning changed the plan, not the answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+
+_TARGET_YEARS = (1996, 1997)
+
+
+def _warehouse(sf_dir: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        f"dpp_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    out = _warehouse(sf_dir)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(out)
+        )
+        open(marker, "w").close()
+    return out
+
+
+_DPP_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE CAST(year(o_orderdate) AS INT) IN {_TARGET_YEARS}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle=_DPP_ORACLE,
+    doc="Dynamic partition pruning: orders written partitioned by year, "
+    "joined to a filtered year dimension — the dim filter becomes a "
+    "runtime PartitionFilter on the fact scan (dynamicpruning expression, "
+    "pinned by plan test), so only the two target-year partitions are "
+    "read. Oracle recomputes from the raw table: partitioning changes the "
+    "plan, never the answer (REF-ANALOG; the 100 TB scan-elision "
+    "pattern).",
+    tags=("join", "source", "scale"),
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_orders(spark, sf_dir)
+    spark.read.parquet(path).createOrReplaceTempView("orders_part")
+    years = spark.range(1995, 2002).select(
+        F.col("id").cast("int").alias("y")
+    )
+    years.createOrReplaceTempView("years_dim")
+    return spark.sql(f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders_part JOIN years_dim ON o_year = y
+WHERE y IN {_TARGET_YEARS}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
