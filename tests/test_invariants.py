@@ -1,0 +1,91 @@
+"""Semantic invariants of the round-2 extension operators (SURVEY §5.2.3).
+
+Oracle parity proves Spark == DuckDB; these assert the answers are also
+RIGHT — bounds, conservation, and internal consistency a correct
+implementation cannot violate regardless of data.
+"""
+
+from __future__ import annotations
+
+from week3_2_practice_big_data__spark import REGISTRY
+
+from .conftest import SF_SMALL
+
+
+def test_histogram_conserves_rows_and_orders_buckets(spark):
+    rows = REGISTRY["agg_histogram"].builder(spark, SF_SMALL).collect()
+    assert sum(r["n"] for r in rows) == 1500  # every order lands in a bucket
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == sorted(buckets) and buckets[0] >= 0 and buckets[-1] <= 19
+    los = [r["bucket_lo"] for r in rows]
+    assert los == sorted(los)
+
+
+def test_interpolation_preserves_observed_and_bounds_filled(spark):
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark.io import load_table
+
+    rows = REGISTRY["win_interpolate_gaps"].builder(spark, SF_SMALL).collect()
+    raw = {
+        r["event_id"]: r["value"]
+        for r in load_table(spark, SF_SMALL, "events").select("event_id", "value").collect()
+    }
+    lo, hi = min(raw.values()), max(raw.values())
+    kinds = {r["fill_kind"] for r in rows}
+    assert kinds == {"observed", "interpolated", "edge"}
+    for r in rows:
+        if r["fill_kind"] == "observed":
+            assert abs(r["v_filled"] - raw[r["event_id"]]) < 1e-6  # q6 only
+        else:
+            assert lo - 1e-6 <= r["v_filled"] <= hi + 1e-6
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    rows = REGISTRY["ns_embed_quantize"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        # worst-case per-dim rounding error is scale/2 → RMSE ≤ scale/2
+        assert r["rmse"] <= r["scale_q6"] / 2 + 1e-6
+
+
+def test_ewma_stays_within_user_value_range(spark):
+    from week3_2_practice_big_data__spark.io import load_table
+
+    per_user: dict[int, list[float]] = {}
+    for r in load_table(spark, SF_SMALL, "events").select("user_id", "value").collect():
+        per_user.setdefault(r["user_id"], []).append(r["value"])
+    for r in REGISTRY["win_ewma_smooth"].builder(spark, SF_SMALL).collect():
+        vals = per_user[r["user_id"]]
+        assert min(vals) - 1e-6 <= r["ewma"] <= max(vals) + 1e-6
+
+
+def test_paragraph_dedup_fractions_consistent(spark):
+    for r in REGISTRY["ns_dedup_paragraph"].builder(spark, SF_SMALL).collect():
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert 0.0 <= r["dup_chunk_frac"] <= 1.0
+        assert r["keep"] == (r["dup_chunk_frac"] <= 0.5)
+
+
+def test_scd2_versions_tile_timeline(spark):
+    per_user: dict[int, list] = {}
+    for r in REGISTRY["merge_scd2"].builder(spark, SF_SMALL).collect():
+        per_user.setdefault(r["user_id"], []).append(r)
+    for versions in per_user.values():
+        # builder orders by (user, valid_from); versions must chain exactly
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]  # half-open tiling
+            assert not a["is_current"]
+        assert versions[-1]["is_current"]
+
+
+def test_repetition_filter_fraction_bounds(spark):
+    rows = REGISTRY["ns_repetition_filter"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 < r["top_bigram_frac"] <= 1.0
+        assert r["keep"] == (
+            r["dup_token_frac"] <= 0.3 and r["top_bigram_frac"] <= 0.18
+        )
