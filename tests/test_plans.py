@@ -297,3 +297,12 @@ def test_dpp_prunes_fact_partitions(spark):
     df = REGISTRY["join_dpp_partitioned"].builder(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
+
+
+def test_static_partition_prune_in_scan(spark):
+    """The literal year predicate must land in PartitionFilters (planning-
+    time pruning) — not as a post-scan data filter."""
+    df = REGISTRY["src_partition_prune_static"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_line and "1996" in scan_line[0]

@@ -290,6 +290,83 @@ ORDER BY qid, rk
 
 
 # ---------------------------------------------------------------------------
+# ns_dedup_incremental — incremental near-dup ingestion: a NEW batch (every
+# 10th document) probes the EXISTING corpus's MinHash band index; only
+# new×old candidate pairs are generated (never old×old — that work was done
+# when the corpus was built), verified by signature agreement, and each new
+# document gets an admit/reject decision. This is the production shape of
+# dedup at 100 TB: the corpus index is standing state, each ingest batch
+# joins against it in time proportional to the BATCH, not the corpus.
+# Reuses the checkpointed signature relation of ns_dedup_minhash.
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 10  # doc_id % 10 = 0 → the incoming batch
+_INC_T = "0.25e0"
+
+
+def _dedup_incremental_sql(dialect: str, sig_ref: str | None = None) -> str:
+    from .text import _bandsig, _minhash_sig_sql
+
+    band = "CAST(floor(i / 4.0e0) AS BIGINT)"
+    return f"""
+WITH sig AS ({sig_ref or _minhash_sig_sql(dialect)}),
+bands AS (
+  SELECT doc_id, {band} AS band, {_bandsig(dialect)} AS bandsig
+  FROM sig GROUP BY doc_id, {band}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.bandsig = o.bandsig
+  WHERE n.doc_id % {_INC_MOD} = 0 AND o.doc_id % {_INC_MOD} <> 0
+),
+verify AS (
+  SELECT c.new_id, c.old_id,
+    sum(CASE WHEN sa.sig = sb.sig THEN 1e0 ELSE 0e0 END) / 16e0 AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.new_id
+  JOIN sig sb ON sb.doc_id = c.old_id AND sb.i = sa.i
+  GROUP BY c.new_id, c.old_id
+),
+matches AS (
+  SELECT new_id, count(*) AS n_dup_matches, max(est) AS max_est
+  FROM verify WHERE est >= {_INC_T}
+  GROUP BY new_id
+),
+newdocs AS (
+  SELECT DISTINCT doc_id FROM sig WHERE doc_id % {_INC_MOD} = 0
+)
+SELECT nd.doc_id AS new_id,
+  coalesce(m.n_dup_matches, 0) AS n_dup_matches,
+  {synth.q6("coalesce(m.max_est, 0e0)")} AS max_est,
+  (m.new_id IS NULL) AS admit
+FROM newdocs nd LEFT JOIN matches m ON nd.doc_id = m.new_id
+ORDER BY new_id
+"""
+
+
+@register(
+    "ns_dedup_incremental",
+    oracle=_dedup_incremental_sql("duckdb"),
+    doc="Incremental near-dup ingestion: the new batch (every 10th doc) "
+    "probes the standing MinHash band index — only new×old candidates, "
+    "verified by signature agreement, per-document admit/reject. Ingest "
+    "cost scales with the batch, not the corpus (NS; reuses the "
+    "checkpointed signature relation).",
+    tags=("ns", "dedup", "scale"),
+)
+def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _cached_minhash_sig
+
+    _cached_minhash_sig(spark, sf_dir).createOrReplaceTempView("minhash_sig")
+    return spark.sql(
+        _dedup_incremental_sql(
+            "spark", sig_ref="SELECT doc_id, i, sig FROM minhash_sig"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ns_dedup_paragraph — sub-document dedup (the Falcon/RefinedWeb granularity
 # between exact-doc and near-doc dedup): documents split into 8-token
 # chunks, chunks counted corpus-wide, per-document duplicated-chunk

@@ -85,3 +85,37 @@ WHERE y IN {_TARGET_YEARS}
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """)
+
+
+_STATIC_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE CAST(year(o_orderdate) AS INT) = 1996
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "src_partition_prune_static",
+    oracle=_STATIC_ORACLE,
+    doc="Static partition pruning: a literal predicate on the partition "
+    "column of the partitioned orders dataset prunes at PLANNING time — "
+    "the scan lists only the one matching partition directory (plan test: "
+    "PartitionFilters carries the literal, zero data filters needed). The "
+    "planning-time sibling of join_dpp_partitioned's runtime pruning "
+    "(REF-ANALOG).",
+    tags=("source", "scale"),
+)
+def src_partition_prune_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_orders(spark, sf_dir)
+    spark.read.parquet(path).createOrReplaceTempView("orders_part")
+    return spark.sql("""
+SELECT o_orderpriority, count(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders_part
+WHERE o_year = 1996
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")

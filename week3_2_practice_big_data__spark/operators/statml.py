@@ -179,6 +179,58 @@ FROM m ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_skew_kurt — population skewness / excess kurtosis per group from raw
+# integer power sums: l_quantity is integer-valued, so Σx..Σx⁴ are exact
+# BIGINTs (max ~50⁴·6·10⁵ ≈ 3.8e12 ≪ 2⁶³); the central-moment combination
+# runs on identical doubles in both engines. The builtin skewness()/
+# kurtosis() stream doubles in partition order → drift; this is order-free.
+# ---------------------------------------------------------------------------
+
+
+def _skew_kurt_sql(dialect: str) -> str:
+    del dialect  # shared text
+    q = "CAST(l_quantity AS BIGINT)"
+    mom = f"""
+  SELECT l_returnflag,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum({q}) AS DOUBLE) AS s1,
+    CAST(sum({q} * {q}) AS DOUBLE) AS s2,
+    CAST(sum({q} * {q} * {q}) AS DOUBLE) AS s3,
+    CAST(sum({q} * {q} * {q} * {q}) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag"""
+    mean = "(s1 / n)"
+    m2 = f"(s2 / n - {mean} * {mean})"
+    m3 = f"(s3 / n - 3e0 * {mean} * s2 / n + 2e0 * {mean} * {mean} * {mean})"
+    m4 = (
+        f"(s4 / n - 4e0 * {mean} * s3 / n + 6e0 * {mean} * {mean} * s2 / n "
+        f"- 3e0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    return f"""
+WITH m AS ({mom})
+SELECT l_returnflag,
+  {synth.q6(mean)} AS mean_qty,
+  {synth.q6(f"{m3} / pow({m2}, 1.5e0)")} AS skewness,
+  {synth.q6(f"{m4} / ({m2} * {m2}) - 3e0")} AS excess_kurtosis
+FROM m ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_skew_kurt",
+    oracle=_skew_kurt_sql("duckdb"),
+    doc="Population skewness and excess kurtosis per group from exact "
+    "integer power sums (Σx..Σx⁴ are BIGINT-exact for the integer-valued "
+    "quantity) — order-free higher-moment statistics in one pass, the "
+    "agg_corr_moments discipline extended to 3rd/4th moments "
+    "(REF-ANALOG).",
+    tags=("agg", "stats"),
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_skew_kurt_sql("spark"))
+
+
 @register(
     "ml_linreg_closed",
     oracle=_linreg_sql("duckdb"),
