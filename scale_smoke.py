@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""10× scale smoke (SURVEY §9 evidence): derive a ~sf1 lineitem/orders by
+unioning the sf0.1 tables 10× with shifted keys (repo .tmp scratch; the
+driver's read-only testdata is never touched), symlink the unscaled tables
+beside them, and run headline relational keys at both scales. The point is
+the RATIO: a plan that survives 10× with ~linear wall growth has no hidden
+quadratic or skew pathology. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+from week3_2_practice_big_data__spark import REGISTRY, get_spark, load_table
+from week3_2_practice_big_data__spark.io import TABLES
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = 10
+KEYS = [
+    "agg_groupby_multi",
+    "join_inner_equi",
+    "join_q5_region_volume",
+    "agg_q18_large_orders",
+    "win_running_agg",
+    "iter_gd_logreg",
+]
+_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "scale10")
+
+
+def build_scaled(spark) -> str:
+    marker = os.path.join(_SCRATCH, "_DONE")
+    if os.path.exists(marker):
+        return _SCRATCH
+    os.makedirs(_SCRATCH, exist_ok=True)
+    li = load_table(spark, BASE_SF, "lineitem")
+    od = load_table(spark, BASE_SF, "orders")
+    max_ok = od.agg(F.max("o_orderkey")).first()[0] + 1
+    li_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        for i in range(FACTOR)
+    ]
+    od_parts = [
+        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
+        for i in range(FACTOR)
+    ]
+    out_li = li_parts[0]
+    for p in li_parts[1:]:
+        out_li = out_li.unionAll(p)
+    out_od = od_parts[0]
+    for p in od_parts[1:]:
+        out_od = out_od.unionAll(p)
+    out_li.write.mode("overwrite").parquet(os.path.join(_SCRATCH, "lineitem.parquet"))
+    out_od.write.mode("overwrite").parquet(os.path.join(_SCRATCH, "orders.parquet"))
+    for name in TABLES:
+        if name in ("lineitem", "orders"):
+            continue
+        dst = os.path.join(_SCRATCH, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f"{name}.parquet"), dst)
+    open(marker, "w").close()
+    return _SCRATCH
+
+
+def run_once(spark, key: str, sf_dir: str) -> float:
+    start = time.perf_counter()
+    REGISTRY[key].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    spark = get_spark("w32bd-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled = build_scaled(spark)
+    report = {}
+    for key in KEYS:
+        for sf_dir in (BASE_SF, scaled):  # warm both paths
+            run_once(spark, key, sf_dir)
+        base = statistics.median(run_once(spark, key, BASE_SF) for _ in range(3))
+        big = statistics.median(run_once(spark, key, scaled) for _ in range(3))
+        report[key] = {
+            "base_s": round(base, 3),
+            "x10_s": round(big, 3),
+            "ratio": round(big / base, 2),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "scale10_ratio",
+                "factor": FACTOR,
+                "base_sf_dir": BASE_SF,
+                "queries": report,
+                "max_ratio": max(r["ratio"] for r in report.values()),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
