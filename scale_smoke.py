@@ -32,7 +32,13 @@ KEYS = [
     "win_running_agg",
     "iter_gd_logreg",
 ]
-_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "scale10")
+# Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
+# never reuse scaled data built from a different base.
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".tmp",
+    f"scale10_{os.path.basename(BASE_SF.rstrip('/'))}",
+)
 
 
 def build_scaled(spark) -> str:

@@ -26,6 +26,15 @@ def clip01(expr: str) -> str:
     return f"least(greatest({expr}, 0e0), 1e0)"
 
 
+def ordered_string_agg(dialect: str, expr: str, sep: str, order_by: str) -> str:
+    """Deterministic ordered string aggregation — the one dialect seam for
+    listagg: Spark spells it `listagg(x, sep) WITHIN GROUP (ORDER BY o)`,
+    DuckDB `string_agg(x, sep ORDER BY o)`."""
+    if dialect == "spark":
+        return f"listagg({expr}, {sep}) WITHIN GROUP (ORDER BY {order_by})"
+    return f"string_agg({expr}, {sep} ORDER BY {order_by})"
+
+
 def checkpointed(cache: dict, key, build):
     """Materialize-once-per-key: eager localCheckpoint of build()'s result.
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import synth
+from ..common import ordered_string_agg
 from ..io import load_table
 from ..registry import register
 from .text import tokens_sql
@@ -68,8 +69,11 @@ bga AS (
   FROM bgc GROUP BY doc_id
 ),
 scored AS (
-  SELECT st.doc_id, {dup_frac} AS dup_token_frac, {top_frac} AS top_bigram_frac
-  FROM st JOIN bga ON st.doc_id = bga.doc_id
+  -- LEFT JOIN: a document with fewer than 2 tokens has no bigrams, but a
+  -- quality filter must still rule on it (top fraction defaults to 0).
+  SELECT st.doc_id, {dup_frac} AS dup_token_frac,
+    coalesce({top_frac}, 0e0) AS top_bigram_frac
+  FROM st LEFT JOIN bga ON st.doc_id = bga.doc_id
 )
 SELECT doc_id, dup_token_frac, top_bigram_frac,
   (dup_token_frac <= {_DUP_TOK_MAX} AND top_bigram_frac <= {_TOP_BIGRAM_MAX})
@@ -305,9 +309,9 @@ _INC_T = "0.25e0"
 
 
 def _dedup_incremental_sql(dialect: str, sig_ref: str | None = None) -> str:
-    from .text import _bandsig, _minhash_sig_sql
+    from .text import MINHASH_BAND, MINHASH_K, _bandsig, _minhash_sig_sql
 
-    band = "CAST(floor(i / 4.0e0) AS BIGINT)"
+    band = MINHASH_BAND
     return f"""
 WITH sig AS ({sig_ref or _minhash_sig_sql(dialect)}),
 bands AS (
@@ -322,7 +326,7 @@ cand AS (
 ),
 verify AS (
   SELECT c.new_id, c.old_id,
-    sum(CASE WHEN sa.sig = sb.sig THEN 1e0 ELSE 0e0 END) / 16e0 AS est
+    sum(CASE WHEN sa.sig = sb.sig THEN 1e0 ELSE 0e0 END) / {MINHASH_K}e0 AS est
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.new_id
   JOIN sig sb ON sb.doc_id = c.old_id AND sb.i = sa.i
@@ -334,7 +338,9 @@ matches AS (
   GROUP BY new_id
 ),
 newdocs AS (
-  SELECT DISTINCT doc_id FROM sig WHERE doc_id % {_INC_MOD} = 0
+  -- From the documents TABLE, not sig: a sub-3-token new doc has no
+  -- shingles (hence no signature) but still needs an admit decision.
+  SELECT doc_id FROM documents WHERE doc_id % {_INC_MOD} = 0
 )
 SELECT nd.doc_id AS new_id,
   coalesce(m.n_dup_matches, 0) AS n_dup_matches,
@@ -358,6 +364,7 @@ ORDER BY new_id
 def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _cached_minhash_sig
 
+    _view(spark, sf_dir, "documents")
     _cached_minhash_sig(spark, sf_dir).createOrReplaceTempView("minhash_sig")
     return spark.sql(
         _dedup_incremental_sql(
@@ -382,11 +389,7 @@ _PARA_KEEP_MAX = "0.5e0"
 
 
 def _dedup_paragraph_sql(dialect: str) -> str:
-    agg = (
-        "listagg(token, ' ') WITHIN GROUP (ORDER BY pos)"
-        if dialect == "spark"
-        else "string_agg(token, ' ' ORDER BY pos)"
-    )
+    agg = ordered_string_agg(dialect, "token", "' '", "pos")
     frac = synth.q6("n_dup / (n_chunks + 0e0)")
     return f"""
 WITH tok AS ({tokens_sql(dialect)}),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..common import ordered_string_agg
 from ..io import load_table
 from ..registry import register
 
@@ -244,11 +245,7 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _listagg_sql(dialect: str) -> str:
-    agg = (
-        "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
-        if dialect == "spark"
-        else "string_agg(n_name, ',' ORDER BY n_name)"
-    )
+    agg = ordered_string_agg(dialect, "n_name", "','", "n_name")
     return f"""
 SELECT r_name, count(*) AS n_nations, {agg} AS nation_list
 FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -5,14 +5,12 @@ Over `embeddings` (vec_id, embedding ARRAY<FLOAT> dim=64, label):
 - `ns_sim_topk` — brute-force cosine top-k against a query vector, computed
   with a FIXED-ORDER array fold (zip_with + aggregate / list_reduce) so both
   engines add products in the same sequence → bit-identical scores.
-- `ns_dedup_embed_cosine` — all pairs with cosine ≥ τ, computed RELATIONALLY
-  (posexplode to (vec_id, dim, val) long format, join on dim, group-sum):
-  this is the representation that scales — at 100 TB you partition the
-  long-format table by dim-block and the pair-join by candidate bucket.
-- `ns_sim_ann_lsh` — the scale path: random-hyperplane LSH buckets
-  (deterministic LCG plane components), bucket histogram + within-bucket
-  candidate counts. Brute force is O(n²·d); LSH makes candidate generation
-  O(n·planes) + within-bucket joins.
+- `ns_dedup_embed_cosine` — near-dup pairs with cosine ≥ τ, LSH-GATED:
+  banded-signature equi-join generates candidates, a fixed-order fold
+  reranks them exactly. Never an all-pairs join.
+- `ns_sim_ann_lsh` — ANN search: probe the query's band buckets, exact
+  cosine rerank, top-k neighbors. Brute force is O(n²·d); LSH makes
+  candidate generation an equi-join on (band, sig).
 
 Float discipline: products/sums of doubles from identical inputs; the only
 order-nondeterministic sums (relational group-sums over 64 dims) carry
@@ -200,8 +198,8 @@ _BAND_SIG_CACHE: dict[tuple, DataFrame] = {}
 def _cached_band_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band signatures persisted per (session, sf): both consumers reference
     the relation twice (self-join sides / corpus+query probe) and Catalyst
-    inlines CTEs, so the naive form re-runs the 8-plane projection per
-    reference — the cache makes each reference an InMemoryTableScan."""
+    inlines CTEs, so the naive form re-runs the 32-plane projection per
+    reference — the checkpoint makes each reference a materialized scan."""
     def build():
         _view(spark, sf_dir)
         return spark.sql(_band_sig_sql("spark")).coalesce(4)

@@ -202,7 +202,11 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_params(k: int = 16, seed: int = 7) -> list[tuple[int, int, int]]:
+MINHASH_K = 16  # signature components; shared by ns_dedup_minhash + incremental
+MINHASH_BAND = "CAST(floor(i / 4.0e0) AS BIGINT)"  # 4 bands x 4 components
+
+
+def _minhash_params(k: int = MINHASH_K, seed: int = 7) -> list[tuple[int, int, int]]:
     out = []
     state = seed
     for i in range(k):
@@ -260,7 +264,7 @@ def _cached_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(dialect: str, sig_ref: str | None = None) -> str:
-    band = "CAST(floor(i / 4.0e0) AS BIGINT)"
+    band = MINHASH_BAND
     return f"""
 WITH sig AS ({sig_ref or _minhash_sig_sql(dialect)}),
 bands AS (

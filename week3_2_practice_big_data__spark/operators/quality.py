@@ -152,23 +152,28 @@ def _zscore_sql(dialect: str) -> str:
         "PARTITION BY user_id ORDER BY us, event_id "
         f"ROWS BETWEEN {_Z_FRAME} PRECEDING AND CURRENT ROW"
     )
-    # Integer-exact frame sums: value scaled to micro-units (BIGINT), so
+    # Integer-exact frame sums: value scaled to MILLI-units (BIGINT), so
     # the window sums carry no float-order drift; the BIGINT→DOUBLE casts
     # below are IEEE round-to-nearest — deterministic on both engines.
+    # Milli (not micro): the squared sum must fit BIGINT under Spark's
+    # ANSI overflow check — 10·(v·10³)² stays exact for |value| < ~3×10⁶,
+    # while micro-units overflow at |value| ≈ 960 (observed max is 560 and
+    # rising with scale; DuckDB would silently promote to HUGEINT and the
+    # engines would diverge).
     mean = "CAST(s1 AS DOUBLE) / n"
     var = "(n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (n * n)"
-    z = f"(CAST(v6 AS DOUBLE) - ({mean})) / sqrt(({var}) + 1e0)"
+    z = f"(CAST(v3 AS DOUBLE) - ({mean})) / sqrt(({var}) + 1e0)"
     return f"""
 WITH ev AS (
   SELECT event_id, user_id, {us} AS us,
-    CAST(floor(value * 1e6) AS BIGINT) AS v6
+    CAST(floor(value * 1e3) AS BIGINT) AS v3
   FROM events
 ),
 framed AS (
-  SELECT event_id, user_id, us, v6,
+  SELECT event_id, user_id, us, v3,
     CAST(count(*) OVER ({w}) AS DOUBLE) AS n,
-    sum(v6) OVER ({w}) AS s1,
-    sum(v6 * v6) OVER ({w}) AS s2
+    sum(v3) OVER ({w}) AS s1,
+    sum(v3 * v3) OVER ({w}) AS s2
   FROM ev
 )
 SELECT event_id, user_id,
@@ -183,7 +188,7 @@ ORDER BY user_id, us, event_id
     "win_moving_zscore",
     oracle=_zscore_sql("duckdb"),
     doc="Moving-window anomaly detection: z-score of each reading against "
-    "the trailing-10 mean/std per user, from integer-exact micro-scaled "
+    "the trailing-10 mean/std per user, from integer-exact milli-scaled "
     "frame sums (no float-order drift), |z|>2 flag — the batch twin of a "
     "streaming anomaly monitor (REF-ANALOG).",
     tags=("quality", "window", "stats"),

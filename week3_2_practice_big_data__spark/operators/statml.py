@@ -102,7 +102,12 @@ def _interpolate_sql(dialect: str) -> str:
     nus = _ignore_nulls(
         dialect, "first_value", "CASE WHEN v IS NOT NULL THEN us END", nxt
     )
-    interp = "pv + (nv - pv) * ((us - pus) / (nus - pus + 0e0))"
+    # Equal neighbor timestamps (possible once micros collide at scale)
+    # would make the weight 0/0 = NaN; prefer the backward neighbor then.
+    interp = (
+        "CASE WHEN nus = pus THEN pv "
+        "ELSE pv + (nv - pv) * ((us - pus) / (nus - pus + 0e0)) END"
+    )
     return f"""
 WITH ev AS (
   SELECT event_id, user_id, {us} AS us,

@@ -82,8 +82,8 @@ FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+  WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
@@ -93,7 +93,9 @@ ORDER BY supp_nation, cust_nation, l_year
 @register(
     "join_q7_volume_shipping",
     oracle=_Q7_SQL,
-    doc="TPC-H Q7 skeleton: directed trade volume between two nations per "
+    doc="TPC-H Q7 skeleton: directed trade volume between two nations (a pair "
+    "with flows at every test scale, so the parity check is never "
+    "vacuously empty-vs-empty) per "
     "ship year — nation broadcast-joined twice under an OR of direction "
     "pairs, exact decimal volume sums (REF-ANALOG).",
     tags=("join", "agg", "tpch"),
