@@ -248,3 +248,126 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_linreg_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem")
     return spark.sql(_linreg_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_market_basket — association mining over order baskets: support,
+# confidence and lift for part pairs co-occurring in an order. The pair
+# join is keyed on l_orderkey and bounded by basket size (TPC-H-ish
+# baskets are ~4 lines), so pair fan-out is O(orders · basket²) — the
+# classic a-priori first pass, never a global part×part product.
+# ---------------------------------------------------------------------------
+
+_MB_MIN_PAIR = 3  # minimum pair support
+
+
+def _market_basket_sql(dialect: str) -> str:
+    del dialect  # shared text
+    conf = "pc.n_pair / (ia.n_orders + 0e0)"
+    lift = f"({conf}) / (ib.n_orders / (t.n + 0e0))"
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item_counts AS (
+  SELECT l_partkey, count(*) AS n_orders FROM baskets GROUP BY l_partkey
+),
+t AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_MB_MIN_PAIR}
+)
+SELECT pc.part_a, pc.part_b, pc.n_pair,
+  {synth.q6(conf)} AS confidence_a_to_b,
+  {synth.q6(lift)} AS lift
+FROM pair_counts pc
+JOIN item_counts ia ON pc.part_a = ia.l_partkey
+JOIN item_counts ib ON pc.part_b = ib.l_partkey
+CROSS JOIN t
+ORDER BY lift DESC, pc.part_a, pc.part_b
+LIMIT 25
+"""
+
+
+@register(
+    "agg_market_basket",
+    oracle=_market_basket_sql("duckdb"),
+    doc="Market-basket association mining: part pairs co-occurring in an "
+    "order with support / confidence / lift, top-25 by lift. The pair "
+    "join is keyed on orderkey (bounded by basket size), item counts "
+    "broadcast — the a-priori first pass, no global part×part product "
+    "(REF-ANALOG).",
+    tags=("agg", "join", "stats"),
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_market_basket_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_corr — rolling autocorrelation: Pearson correlation between
+# each reading and its predecessor over the trailing 20 pairs per user,
+# from integer-exact milli-scaled frame sums (the win_moving_zscore
+# discipline: BIGINT sums carry no float order, BIGINT→DOUBLE casts are
+# IEEE-deterministic).
+# ---------------------------------------------------------------------------
+
+_RC_FRAME = 19  # trailing frame: current + 19 preceding pairs
+
+
+def _rolling_corr_sql(dialect: str) -> str:
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    w = (
+        "PARTITION BY user_id ORDER BY us, event_id "
+        f"ROWS BETWEEN {_RC_FRAME} PRECEDING AND CURRENT ROW"
+    )
+    corr = (
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        "sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) + 1e0)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, {us} AS us,
+    CAST(floor(value * 1e3) AS BIGINT) AS x
+  FROM events
+),
+paired AS (
+  SELECT event_id, user_id, us, x,
+    lag(x) OVER (PARTITION BY user_id ORDER BY us, event_id) AS y
+  FROM ev
+),
+framed AS (
+  SELECT event_id, user_id, us,
+    CAST(count(*) OVER ({w}) AS DOUBLE) AS n,
+    sum(x) OVER ({w}) AS sx,
+    sum(y) OVER ({w}) AS sy,
+    sum(x * x) OVER ({w}) AS sxx,
+    sum(y * y) OVER ({w}) AS syy,
+    sum(x * y) OVER ({w}) AS sxy
+  FROM paired
+  WHERE y IS NOT NULL
+)
+SELECT event_id, user_id, {synth.q6(corr)} AS rolling_autocorr
+FROM framed
+WHERE n >= 5
+ORDER BY user_id, us, event_id
+"""
+
+
+@register(
+    "win_rolling_corr",
+    oracle=_rolling_corr_sql("duckdb"),
+    doc="Rolling autocorrelation per user: Pearson correlation of each "
+    "reading with its predecessor over the trailing 20 pairs, from "
+    "integer-exact milli-scaled frame sums (no float-order drift; +1 "
+    "variance damping keeps constant-window frames defined) "
+    "(REF-ANALOG; the win_moving_zscore discipline extended to products).",
+    tags=("window", "stats", "timeseries"),
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_rolling_corr_sql("spark"))
