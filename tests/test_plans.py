@@ -306,3 +306,11 @@ def test_static_partition_prune_in_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan_line = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan_line and "1996" in scan_line[0]
+
+
+def test_market_basket_pairs_join_on_orderkey(spark):
+    """The pair stage must be an equi-join keyed on l_orderkey (basket-
+    bounded fan-out), never a cartesian part×part product."""
+    plan = _formatted_plan(spark, "agg_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "l_orderkey" in plan  # join key survives into the physical plan
