@@ -519,3 +519,57 @@ def ns_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark", emb_ref="SELECT vec_id, label, embedding, nrm FROM embeddings_norm"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ns_bpe_pair_stats — the first step of BPE vocabulary induction: corpus-
+# weighted adjacent-character-pair frequencies over the DISTINCT token
+# vocabulary (each pair weighted by its token's corpus count — exactly the
+# statistic the first BPE merge maximizes). Characters come from a bounded
+# series join against the distinct vocab, so the explode is vocab-sized,
+# not corpus-sized.
+# ---------------------------------------------------------------------------
+
+_BPE_MAX_TOKEN_LEN = 24
+_BPE_TOP = 20
+
+
+def _bpe_pair_sql(dialect: str) -> str:
+    series = synth.series_sql(_BPE_MAX_TOKEN_LEN, "i", dialect)
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+chars AS (
+  SELECT v.token, v.freq, s.i AS pos,
+    substring(v.token, CAST(s.i AS INT) + 1, 1) AS ch
+  FROM vocab v CROSS JOIN {series} s
+  WHERE s.i < length(v.token)
+),
+paired AS (
+  SELECT token, freq,
+    ch || lead(ch) OVER (PARTITION BY token ORDER BY pos) AS pair
+  FROM chars
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n_weighted,
+  count(*) AS n_vocab_tokens
+FROM paired
+WHERE pair IS NOT NULL AND length(pair) = 2
+GROUP BY pair
+ORDER BY n_weighted DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+@register(
+    "ns_bpe_pair_stats",
+    oracle=_bpe_pair_sql("duckdb"),
+    doc="BPE vocabulary induction, first pass: corpus-weighted adjacent "
+    "character-pair frequencies over the distinct token vocabulary — the "
+    "argmax of this table IS the first BPE merge. Character explode is "
+    "vocab-bounded (distinct tokens × token length), never corpus-sized "
+    "(NS).",
+    tags=("ns", "text", "tokenizer"),
+)
+def ns_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_bpe_pair_sql("spark"))

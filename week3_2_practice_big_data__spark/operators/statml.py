@@ -371,3 +371,57 @@ ORDER BY user_id, us, event_id
 def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "events")
     return spark.sql(_rolling_corr_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_revenue — revenue-concentration inequality per market segment:
+# the Gini coefficient from the rank-weighted formulation
+# G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over per-customer revenue cents.
+# Every sum is DECIMAL-exact (cents are integers, rank·cents products sum
+# as DECIMAL(38,0)); ties rank deterministically by customer key.
+# ---------------------------------------------------------------------------
+
+
+def _gini_sql(dialect: str) -> str:
+    del dialect  # shared text
+    return f"""
+WITH cust AS (
+  SELECT c_mktsegment, o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, cents,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY cents, o_custkey) AS rk
+  FROM cust
+),
+m AS (
+  SELECT c_mktsegment,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(CAST(sum(CAST(cents AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+    CAST(sum(CAST(rk AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0))) AS DOUBLE) AS w
+  FROM ranked
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+  CAST(n AS BIGINT) AS n_customers,
+  {synth.q6("2e0 * w / (n * s) - (n + 1e0) / n")} AS gini
+FROM m ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "agg_gini_revenue",
+    oracle=_gini_sql("duckdb"),
+    doc="Gini coefficient of per-customer revenue concentration per market "
+    "segment, rank-weighted formulation with DECIMAL-exact cent sums and "
+    "deterministic tie ranking — inequality metrics as one ranked window "
+    "plus one grouped aggregate (REF-ANALOG).",
+    tags=("agg", "stats"),
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_gini_sql("spark"))
