@@ -425,3 +425,105 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "orders")
     _view(spark, sf_dir, "customer")
     return spark.sql(_gini_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_ohlc_bars — time-series downsampling to 30-minute OHLC bars: open and
+# close come from deterministic (us, event_id)-ordered row_numbers folded
+# into conditional aggregates, high/low are order-free extremes. One
+# bucket-keyed shuffle; the standard resample shape for telemetry/market
+# data.
+# ---------------------------------------------------------------------------
+
+_BAR_US = 1_800_000_000  # 30-minute bars
+
+
+def _ohlc_sql(dialect: str) -> str:
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    return f"""
+WITH ev AS (
+  SELECT CAST(floor({us} / {_BAR_US}e0) AS BIGINT) AS bar,
+    {us} AS us, event_id, value
+  FROM events
+),
+rn AS (
+  SELECT bar, value,
+    row_number() OVER (PARTITION BY bar ORDER BY us, event_id) AS rf,
+    row_number() OVER (PARTITION BY bar ORDER BY us DESC, event_id DESC) AS rl
+  FROM ev
+)
+SELECT bar, count(*) AS n_events,
+  max(CASE WHEN rf = 1 THEN value END) AS open_v,
+  max(value) AS high_v,
+  min(value) AS low_v,
+  max(CASE WHEN rl = 1 THEN value END) AS close_v
+FROM rn
+GROUP BY bar
+ORDER BY bar
+"""
+
+
+@register(
+    "agg_ohlc_bars",
+    oracle=_ohlc_sql("duckdb"),
+    doc="30-minute OHLC downsampling bars: open/close via deterministic "
+    "(ts, event_id)-ordered row_numbers folded into conditional "
+    "aggregates, high/low as order-free extremes — one bucket-keyed "
+    "shuffle, the standard telemetry/market resample (REF-ANALOG).",
+    tags=("agg", "timeseries"),
+)
+def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_ohlc_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_mad_robust — robust dispersion and outlier counting: median absolute
+# deviation per group (both medians exact R-7 interpolation, q6-quantized
+# before reuse so the outlier boundary is bit-identical cross-engine),
+# outliers = |x − median| > 3·1.4826·MAD (the normal-consistency scaling).
+# ---------------------------------------------------------------------------
+
+
+def _pct(dialect: str, expr: str, p: str) -> str:
+    if dialect == "spark":
+        return f"percentile({expr}, {p}e0)"
+    return f"quantile_cont({expr}, {p})"
+
+
+def _mad_sql(dialect: str) -> str:
+    med = synth.q6(_pct(dialect, "l_extendedprice", "0.5"))
+    mad = synth.q6(_pct(dialect, "abs(d.x - d.m)", "0.5"))
+    return f"""
+WITH med AS (
+  SELECT l_returnflag, {med} AS m FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+  SELECT l.l_returnflag, l.l_extendedprice AS x, med.m
+  FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+),
+stats AS (
+  SELECT d.l_returnflag, d.m, {mad} AS mad
+  FROM dev d GROUP BY d.l_returnflag, d.m
+)
+SELECT d.l_returnflag, s.m AS median_price, s.mad,
+  CAST(sum(CASE WHEN abs(d.x - s.m) > 3e0 * 1.4826e0 * s.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN stats s ON d.l_returnflag = s.l_returnflag
+GROUP BY d.l_returnflag, s.m, s.mad
+ORDER BY d.l_returnflag
+"""
+
+
+@register(
+    "agg_mad_robust",
+    oracle=_mad_sql("duckdb"),
+    doc="Median absolute deviation per group with outlier counting "
+    "(|x − median| > 3·1.4826·MAD): both medians exact R-7 interpolation, "
+    "q6-quantized before reuse so the outlier boundary is bit-identical "
+    "cross-engine — the robust twin of the z-score monitor (REF-ANALOG).",
+    tags=("agg", "stats", "quality"),
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_mad_sql("spark"))
