@@ -176,3 +176,14 @@ def test_audio_window_deterministic_frames(spark):
         assert 15000 < r["rms"] < 25000  # uniform int16 noise RMS ≈ 18918
     assert len(per_track) == 8
     assert all(len(v) == 4 for v in per_track.values())
+
+
+def test_binary_files_roundtrip_dims(spark):
+    """binaryFile ingest: every rendered poster file comes back with
+    parseable dimensions and a plausible byte length."""
+    rows = REGISTRY["src_binary_files"].builder(spark, SF_SMALL).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["file_name"].endswith(".png")
+        assert r["length"] > 100
+        assert r["width"] > 0 and r["height"] > 0

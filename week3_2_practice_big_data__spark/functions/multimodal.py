@@ -346,3 +346,64 @@ def ns_mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(frame_rms, "track_id bigint, frame_idx int, n_samples int, rms double")
         .orderBy("track_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# src_binary_files — the production ingest path for media: image files on
+# disk read with Spark's binaryFile source (path/length/content columns),
+# dimensions parsed from the bytes. The files are the engine's own rendered
+# posters, exported once per session to repo scratch — so the key
+# round-trips sink (files on disk) → source (binaryFile) → decode.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_binary_files",
+    oracle=None,  # binary file source → rows-only; pytest pins the dims
+    doc="binaryFile source format: per-blob PNG files written to scratch, "
+    "read back as (path, length, content BINARY) rows, IHDR dimensions "
+    "parsed from the bytes and checked against the byte length — the "
+    "file-based media ingest path beside the column-based "
+    "ns_multimodal_cols (NS).",
+    tags=("ns", "multimodal", "source"),
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    ensure_package_on_workers(spark)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        f"png_files_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        for row in _posters(spark, sf_dir).select("blob_id", "png").collect():
+            with open(os.path.join(out, f"blob_{row['blob_id']:02d}.png"), "wb") as f:
+                f.write(bytes(row["png"]))
+        open(marker, "w").close()
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(out)
+
+    def parse_dims(content: pd.Series) -> pd.DataFrame:
+        from ..plans.png import png_dimensions
+
+        dims = [png_dimensions(bytes(b)) for b in content]
+        return pd.DataFrame({"width": [w for w, _ in dims], "height": [h for _, h in dims]})
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("width int, height int")
+    def dims_udf(content: pd.Series) -> pd.DataFrame:
+        return parse_dims(content)
+
+    return (
+        files.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length"),
+            dims_udf("content").alias("dims"),
+        )
+        .select("file_name", "length", "dims.width", "dims.height")
+        .orderBy("file_name")
+    )
