@@ -31,6 +31,14 @@ KEYS = [
     "agg_q18_large_orders",
     "win_running_agg",
     "iter_gd_logreg",
+    # NS family over the 10x-duplicated corpus: each text appears 10x, so
+    # the dedup keys must FIND ~45 extra pairs per duplicate group — this
+    # measures the candidate-bounded plans under real duplicate pressure,
+    # not just bigger row counts.
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_text_tfidf",
+    "ns_sim_ann_lsh",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
@@ -46,27 +54,27 @@ def build_scaled(spark) -> str:
     if os.path.exists(marker):
         return _SCRATCH
     os.makedirs(_SCRATCH, exist_ok=True)
-    li = load_table(spark, BASE_SF, "lineitem")
-    od = load_table(spark, BASE_SF, "orders")
-    max_ok = od.agg(F.max("o_orderkey")).first()[0] + 1
-    li_parts = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
-        for i in range(FACTOR)
-    ]
-    od_parts = [
-        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
-        for i in range(FACTOR)
-    ]
-    out_li = li_parts[0]
-    for p in li_parts[1:]:
-        out_li = out_li.unionAll(p)
-    out_od = od_parts[0]
-    for p in od_parts[1:]:
-        out_od = out_od.unionAll(p)
-    out_li.write.mode("overwrite").parquet(os.path.join(_SCRATCH, "lineitem.parquet"))
-    out_od.write.mode("overwrite").parquet(os.path.join(_SCRATCH, "orders.parquet"))
+    def times10(df, key_col):
+        parts = None
+        shift = df.agg(F.max(key_col)).first()[0] + 1
+        for i in range(FACTOR):
+            p = df.withColumn(key_col, F.col(key_col) + F.lit(i * shift))
+            parts = p if parts is None else parts.unionAll(p)
+        return parts
+
+    scaled = {
+        "lineitem": times10(load_table(spark, BASE_SF, "lineitem"), "l_orderkey"),
+        "orders": times10(load_table(spark, BASE_SF, "orders"), "o_orderkey"),
+        # documents keep their TEXT on every copy — the 10x corpus carries
+        # 10 exact duplicates of every document, the worst realistic load
+        # for the dedup family; embeddings likewise duplicate vectors.
+        "documents": times10(load_table(spark, BASE_SF, "documents"), "doc_id"),
+        "embeddings": times10(load_table(spark, BASE_SF, "embeddings"), "vec_id"),
+    }
+    for name, df in scaled.items():
+        df.write.mode("overwrite").parquet(os.path.join(_SCRATCH, f"{name}.parquet"))
     for name in TABLES:
-        if name in ("lineitem", "orders"):
+        if name in scaled:
             continue
         dst = os.path.join(_SCRATCH, f"{name}.parquet")
         if not os.path.exists(dst):
