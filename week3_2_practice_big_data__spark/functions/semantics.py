@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import synth
 from ..common import ordered_string_agg
 from ..io import load_table
 from ..registry import register
@@ -267,3 +268,52 @@ def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "nation")
     _view(spark, sf_dir, "region")
     return spark.sql(_listagg_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_try_arith — error-safe arithmetic under ANSI mode: Spark 4 runs with
+# ANSI on, where overflow / division-by-zero / bad casts THROW; the try_*
+# family returns NULL instead — the contract a pipeline needs to survive
+# dirty data without per-row exception handling. The DuckDB oracle builds
+# the same NULL outcomes from guarded CASE expressions and TRY_CAST.
+# Checked outputs are NULL-free (counts of null outcomes), per the repo's
+# null-representation rule.
+# ---------------------------------------------------------------------------
+
+
+def _try_arith_sql(dialect: str) -> str:
+    if dialect == "spark":
+        div = "try_divide(o_totalprice, CAST(o_custkey % 10 AS DOUBLE))"
+        add = "try_add(9223372036854775807, o_orderkey)"
+        cast = "try_cast(o_orderpriority AS INT)"
+    else:
+        div = (
+            "CASE WHEN o_custkey % 10 = 0 THEN NULL "
+            "ELSE o_totalprice / CAST(o_custkey % 10 AS DOUBLE) END"
+        )
+        add = "CASE WHEN o_orderkey > 0 THEN NULL ELSE 9223372036854775807 + o_orderkey END"
+        cast = "TRY_CAST(o_orderpriority AS INT)"
+    return f"""
+SELECT
+  count(*) AS n_rows,
+  CAST(sum(CASE WHEN {div} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+  CAST(sum(CASE WHEN {add} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+  CAST(sum(CASE WHEN {cast} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_fail,
+  {synth.q6(f"sum(coalesce(floor({div}), 0e0))")} AS sum_safe_div
+FROM orders
+"""
+
+
+@register(
+    "fn_try_arith",
+    oracle=_try_arith_sql("duckdb"),
+    doc="ANSI-mode error-safe arithmetic: try_divide / try_add overflow / "
+    "try_cast return NULL where ANSI would throw — per-outcome null "
+    "counts plus a floor-quantized safe-division sum (oracle rebuilds the "
+    "same outcomes with guarded CASE + TRY_CAST) (REF-ANALOG of the "
+    "reference's sigma<=0 guard, app.py:23-24).",
+    tags=("scalar", "semantics", "ansi"),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_try_arith_sql("spark"))
