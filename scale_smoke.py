@@ -49,27 +49,48 @@ _SCRATCH = os.path.join(
 )
 
 
+_SCALED_SET = "documents,embeddings,lineitem,orders"
+
+
 def build_scaled(spark) -> str:
+    # The marker RECORDS what was scaled: a scratch built by an older
+    # script version (different scaled set / factor) must not be reused —
+    # it would silently time unscaled tables and publish ~1.0 ratios.
     marker = os.path.join(_SCRATCH, "_DONE")
-    if os.path.exists(marker):
+    stamp = f"{_SCALED_SET}@{FACTOR}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return _SCRATCH
+    import shutil
+
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
     os.makedirs(_SCRATCH, exist_ok=True)
-    def times10(df, key_col):
+    def times10(df, key_col, shift):
         parts = None
-        shift = df.agg(F.max(key_col)).first()[0] + 1
         for i in range(FACTOR):
             p = df.withColumn(key_col, F.col(key_col) + F.lit(i * shift))
             parts = p if parts is None else parts.unionAll(p)
         return parts
 
+    # lineitem and orders MUST shift by the same amount or only copy 0
+    # would join; the shared shift comes from the orders side (superset of
+    # referenced keys).
+    ok_shift = (
+        load_table(spark, BASE_SF, "orders").agg(F.max("o_orderkey")).first()[0] + 1
+    )
+    doc_shift = (
+        load_table(spark, BASE_SF, "documents").agg(F.max("doc_id")).first()[0] + 1
+    )
+    vec_shift = (
+        load_table(spark, BASE_SF, "embeddings").agg(F.max("vec_id")).first()[0] + 1
+    )
     scaled = {
-        "lineitem": times10(load_table(spark, BASE_SF, "lineitem"), "l_orderkey"),
-        "orders": times10(load_table(spark, BASE_SF, "orders"), "o_orderkey"),
+        "lineitem": times10(load_table(spark, BASE_SF, "lineitem"), "l_orderkey", ok_shift),
+        "orders": times10(load_table(spark, BASE_SF, "orders"), "o_orderkey", ok_shift),
         # documents keep their TEXT on every copy — the 10x corpus carries
         # 10 exact duplicates of every document, the worst realistic load
         # for the dedup family; embeddings likewise duplicate vectors.
-        "documents": times10(load_table(spark, BASE_SF, "documents"), "doc_id"),
-        "embeddings": times10(load_table(spark, BASE_SF, "embeddings"), "vec_id"),
+        "documents": times10(load_table(spark, BASE_SF, "documents"), "doc_id", doc_shift),
+        "embeddings": times10(load_table(spark, BASE_SF, "embeddings"), "vec_id", vec_shift),
     }
     for name, df in scaled.items():
         df.write.mode("overwrite").parquet(os.path.join(_SCRATCH, f"{name}.parquet"))
@@ -79,7 +100,8 @@ def build_scaled(spark) -> str:
         dst = os.path.join(_SCRATCH, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(BASE_SF, f"{name}.parquet"), dst)
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(stamp)
     return _SCRATCH
 
 

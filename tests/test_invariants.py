@@ -89,3 +89,13 @@ def test_repetition_filter_fraction_bounds(spark):
         assert r["keep"] == (
             r["dup_token_frac"] <= 0.3 and r["top_bigram_frac"] <= 0.18
         )
+
+
+def test_mad_thresholds_bite(spark):
+    """The strict 3·1.4826·MAD count may legitimately be 0 on uniform-ish
+    prices, but the 1-MAD count must be non-zero and bounded — proving the
+    boundary comparison actually executes on both sides of the threshold."""
+    for r in REGISTRY["agg_mad_robust"].builder(spark, SF_SMALL).collect():
+        assert r["mad"] > 0
+        assert 0 < r["n_beyond_mad"]
+        assert r["n_outliers"] <= r["n_beyond_mad"]

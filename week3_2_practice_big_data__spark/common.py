@@ -26,6 +26,19 @@ def clip01(expr: str) -> str:
     return f"least(greatest({expr}, 0e0), 1e0)"
 
 
+def scratch_dir(sf_dir: str, name: str) -> str:
+    """Repo-local .tmp scratch path keyed by (name, sf): the ONE place the
+    scratch root is defined (sinks, stream chunks, partitioned warehouse,
+    media exports all build under it)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
 def ordered_string_agg(dialect: str, expr: str, sep: str, order_by: str) -> str:
     """Deterministic ordered string aggregation — the one dialect seam for
     listagg: Spark spells it `listagg(x, sep) WITHIN GROUP (ORDER BY o)`,

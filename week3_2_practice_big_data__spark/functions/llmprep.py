@@ -551,7 +551,7 @@ paired AS (
   FROM chars
 )
 SELECT pair, CAST(sum(freq) AS BIGINT) AS n_weighted,
-  count(*) AS n_vocab_tokens
+  count(*) AS n_pair_occurrences
 FROM paired
 WHERE pair IS NOT NULL AND length(pair) = 2
 GROUP BY pair

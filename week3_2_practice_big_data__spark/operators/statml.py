@@ -508,7 +508,9 @@ stats AS (
 )
 SELECT d.l_returnflag, s.m AS median_price, s.mad,
   CAST(sum(CASE WHEN abs(d.x - s.m) > 3e0 * 1.4826e0 * s.mad
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(sum(CASE WHEN abs(d.x - s.m) > s.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_mad
 FROM dev d JOIN stats s ON d.l_returnflag = s.l_returnflag
 GROUP BY d.l_returnflag, s.m, s.mad
 ORDER BY d.l_returnflag
@@ -519,7 +521,10 @@ ORDER BY d.l_returnflag
     "agg_mad_robust",
     oracle=_mad_sql("duckdb"),
     doc="Median absolute deviation per group with outlier counting "
-    "(|x − median| > 3·1.4826·MAD): both medians exact R-7 interpolation, "
+    "(|x − median| > 3·1.4826·MAD, plus the always-populated beyond-1-MAD "
+    "count so the threshold comparison is exercised at every scale — the "
+    "uniform-ish test prices have no 3-sigma-equivalent tail): both "
+    "medians exact R-7 interpolation, "
     "q6-quantized before reuse so the outlier boundary is bit-identical "
     "cross-engine — the robust twin of the z-score monitor (REF-ANALOG).",
     tags=("agg", "stats", "quality"),

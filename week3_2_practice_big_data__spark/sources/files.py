@@ -24,16 +24,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..common import dec as _dec
+from ..common import scratch_dir
 from ..io import load_table
 from ..registry import register
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".tmp",
-        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    return scratch_dir(sf_dir, name)
 
 
 _CSV_ORACLE = """
