@@ -532,3 +532,46 @@ ORDER BY d.l_returnflag
 def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem")
     return spark.sql(_mad_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_entropy — Shannon entropy of each user's event-type distribution (a
+# standard behavioral/quality feature): H = −Σ p·ln p from exact integer
+# counts, ln q6-quantized. Two bounded-key aggregations; the per-user type
+# histogram is at most |event types| rows.
+# ---------------------------------------------------------------------------
+
+
+def _entropy_sql(dialect: str) -> str:
+    del dialect  # shared text
+    h = synth.q6(
+        "-sum((c + 0e0) / n * ln((c + 0e0) / n))"
+    )
+    return f"""
+WITH type_counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+totals AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types
+  FROM type_counts GROUP BY user_id
+)
+SELECT t.user_id, tt.n AS n_events, tt.n_types, {h} AS entropy
+FROM type_counts t JOIN totals tt ON t.user_id = tt.user_id
+GROUP BY t.user_id, tt.n, tt.n_types
+ORDER BY t.user_id
+"""
+
+
+@register(
+    "agg_entropy",
+    oracle=_entropy_sql("duckdb"),
+    doc="Shannon entropy of each user's event-type distribution from exact "
+    "integer counts (−Σ p·ln p, q6-quantized ln) — the behavioral-"
+    "diversity feature; two bounded-key aggregations, histogram rows "
+    "capped by the type cardinality (REF-ANALOG).",
+    tags=("agg", "stats"),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_entropy_sql("spark"))
