@@ -279,3 +279,126 @@ ORDER BY range_start
 def win_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "events")
     return spark.sql(_islands_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# iter_kcore — k-core decomposition of the token co-occurrence graph:
+# repeatedly remove nodes of degree < k until a fixed point; survivors are
+# the graph's cohesive core (the vocabulary-pruning step before graph-based
+# text mining). Four unrolled pruning rounds as shared-text CTEs — like
+# iter_kmeans, the declarative sibling of the driver-loop iterative family;
+# each round is one degree aggregation + one semi-join on the (bounded)
+# vocabulary graph.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_sql(dialect: str) -> str:
+    from ..functions.text import tokens_sql
+
+    # Each round references the previous edge list three times (two degree
+    # union arms + the filter join); inlined CTEs would re-evaluate the
+    # whole prefix ~3^rounds times (measured ~57 s PER ENGINE at 4
+    # rounds). DuckDB materializes each round explicitly (AS MATERIALIZED);
+    # the Spark builder runs the equivalent driver loop with a
+    # localCheckpoint per round (the pagerank/CC discipline) and is checked
+    # against this oracle.
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    rounds = []
+    prev_edges = "edges0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+deg{r} AS{mat} (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM {prev_edges}
+    UNION ALL
+    SELECT b AS node FROM {prev_edges}) u
+  GROUP BY node
+),
+keep{r} AS{mat} (SELECT node FROM deg{r} WHERE d >= {_KCORE_K}),
+edges{r} AS{mat} (
+  SELECT e.a, e.b FROM {prev_edges} e
+  JOIN keep{r} ka ON e.a = ka.node
+  JOIN keep{r} kb ON e.b = kb.node
+)""")
+        prev_edges = f"edges{r}"
+    chain = ",".join(rounds)
+    return f"""
+WITH tok AS{mat} ({tokens_sql(dialect)}),
+pairs AS{mat} (
+  SELECT doc_id, token,
+    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+),
+edges0 AS{mat} (
+  SELECT DISTINCT
+    CASE WHEN token < nxt THEN token ELSE nxt END AS a,
+    CASE WHEN token < nxt THEN nxt ELSE token END AS b
+  FROM pairs WHERE nxt IS NOT NULL AND token <> nxt
+),{chain},
+final_deg AS{mat} (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM {prev_edges}
+    UNION ALL
+    SELECT b AS node FROM {prev_edges}) u
+  GROUP BY node
+)
+SELECT node AS token, degree
+FROM final_deg
+ORDER BY degree DESC, token
+LIMIT 50
+"""
+
+
+@register(
+    "iter_kcore",
+    oracle=_kcore_sql("duckdb"),
+    doc="K-core decomposition (k=3, 4 unrolled pruning rounds) of the "
+    "distinct adjacent-token co-occurrence graph: each round is one "
+    "degree aggregation + one keep semi-join over the vocabulary-bounded "
+    "edge list — the graph-cohesion pruning beside pagerank/connected-"
+    "components, fully oracle-checked (REF-ANALOG).",
+    tags=("iterative", "graph"),
+)
+def iter_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..functions.text import tokens_sql
+
+    _view(spark, sf_dir, "documents")
+    edges = spark.sql(f"""
+SELECT DISTINCT
+  CASE WHEN token < nxt THEN token ELSE nxt END AS a,
+  CASE WHEN token < nxt THEN nxt ELSE token END AS b
+FROM (
+  SELECT doc_id, token,
+    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM ({tokens_sql("spark")}) tok) p
+WHERE nxt IS NOT NULL AND token <> nxt
+""").localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    final = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("node").alias("token"), "degree")
+        .orderBy(F.desc("degree"), "token")
+        .limit(50)
+    )
+    return final
