@@ -187,3 +187,14 @@ def test_binary_files_roundtrip_dims(spark):
         assert r["file_name"].endswith(".png")
         assert r["length"] > 100
         assert r["width"] > 0 and r["height"] > 0
+
+
+def test_csv_malformed_quarantine(spark):
+    """PERMISSIVE ingestion: every corrupt row is quarantined (not dropped,
+    not fatal), clean rows reconcile exactly."""
+    r = REGISTRY["src_csv_malformed"].builder(spark, SF_SMALL).collect()[0]
+    assert r["n_rows"] == 1000
+    assert r["n_quarantined"] == 20  # 1000 rows / every-50th corrupt
+    assert r["n_clean"] == 980
+    assert r["n_rows"] == r["n_clean"] + r["n_quarantined"]
+    assert r["clean_total_price"] > 0

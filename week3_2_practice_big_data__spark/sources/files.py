@@ -128,3 +128,77 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# src_csv_malformed — ingestion robustness: a landing CSV with deliberately
+# corrupt rows (wrong arity, unparseable numbers) read under PERMISSIVE
+# mode with a _corrupt_record rescue column — the production answer to
+# dirty feeds (quarantine bad rows, never fail the job, never silently
+# drop). Output: per-outcome counts plus the aggregate over clean rows.
+# The corrupt rows are deterministic, so the rows-only check is stable;
+# cross-engine CSV error semantics differ (DuckDB skips, Spark rescues),
+# hence no value-hash oracle — pytest pins both counts.
+# ---------------------------------------------------------------------------
+
+_CSV_BAD_EVERY = 50  # every 50th row is written corrupt
+
+
+@register(
+    "src_csv_malformed",
+    oracle=None,  # engine-specific malformed-row semantics → rows-only
+    doc="PERMISSIVE CSV ingestion with _corrupt_record rescue: a landing "
+    "file with deterministic corrupt rows (wrong arity / bad numerics) is "
+    "read without failing; output counts clean vs quarantined rows and "
+    "aggregates only the clean ones — the dirty-feed landing pattern "
+    "(REF-ANALOG; sibling of src_csv_roundtrip's clean path).",
+    tags=("source", "quality"),
+)
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import csv
+
+    out = _scratch(sf_dir, "csv_malformed")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .limit(1000)
+            .collect()
+        )
+        with open(os.path.join(out, "orders_feed.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            for i, r in enumerate(rows):
+                if i % _CSV_BAD_EVERY == 7:
+                    f.write(f"{r['o_orderkey']},oops-not-a-number\n")  # bad arity+type
+                else:
+                    w.writerow([r["o_orderkey"], r["o_custkey"], r["o_totalprice"]])
+        open(marker, "w").close()
+
+    df = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+            "_corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(os.path.join(out, "orders_feed.csv"))
+        # Spark disallows filtering on ONLY the rescue column of a raw CSV
+        # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materializing the parsed
+        # relation first is the documented remedy.
+        .localCheckpoint(eager=True)
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    return df.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_quarantined"),
+    ).crossJoin(
+        clean.select(
+            F.count(F.lit(1)).alias("n_clean"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+                "clean_total_price"
+            ),
+        )
+    )
