@@ -194,3 +194,51 @@ ORDER BY user_id, us, event_id
 def win_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_ewma_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_distinct_rolling — distinct cardinality over a sliding frame: how
+# many distinct event types each user touched in their trailing 10 events
+# (the behavioral-breadth feature). Dialect seam: Spark has no windowed
+# COUNT(DISTINCT) so it takes size(collect_set(...)) over the frame;
+# DuckDB supports count(DISTINCT ...) OVER directly — identical semantics,
+# set-sized per-frame state (bounded by the type cardinality).
+# ---------------------------------------------------------------------------
+
+_DR_FRAME = 9  # trailing frame: current + 9 preceding
+
+
+def _distinct_rolling_sql(dialect: str) -> str:
+    us = _us(dialect)
+    w = (
+        "PARTITION BY user_id ORDER BY us, event_id "
+        f"ROWS BETWEEN {_DR_FRAME} PRECEDING AND CURRENT ROW"
+    )
+    distinct = (
+        f"size(collect_set(event_type) OVER ({w}))"
+        if dialect == "spark"
+        else f"count(DISTINCT event_type) OVER ({w})"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, {us} AS us, event_type FROM events
+)
+SELECT event_id, user_id,
+  CAST({distinct} AS BIGINT) AS n_distinct_types
+FROM ev
+ORDER BY user_id, us, event_id
+"""
+
+
+@register(
+    "win_distinct_rolling",
+    oracle=_distinct_rolling_sql("duckdb"),
+    doc="Distinct event-type cardinality over each user's trailing 10 "
+    "events (behavioral breadth): size(collect_set) over the frame on "
+    "Spark, windowed COUNT(DISTINCT) on DuckDB — same semantics, frame "
+    "state bounded by type cardinality (REF-ANALOG).",
+    tags=("window", "timeseries", "stats"),
+)
+def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_distinct_rolling_sql("spark"))
