@@ -253,8 +253,8 @@ def test_recursive_cte_depth_profile(spark):
     level sizes never grow as the walk ascends."""
     df = REGISTRY["qry_recursive_cte"].builder(spark, SF_SMALL)
     rows = {r["depth"]: r["n_nodes"] for r in df.collect()}
-    n_parts = REGISTRY["src_parquet_scan"].builder  # noqa: F841  (doc pointer)
-    assert rows[0] == 200  # sf0.001 part rowcount
+    # 200 = the sf0.001 `part` table rowcount (the walk's seed level).
+    assert rows[0] == 200
     assert all(rows[d] >= rows[d + 1] for d in range(max(rows)))
 
 

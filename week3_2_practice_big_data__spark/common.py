@@ -39,6 +39,52 @@ def scratch_dir(sf_dir: str, name: str) -> str:
     )
 
 
+def build_once(out: str, build, stamp: str = "") -> str:
+    """Build a scratch directory exactly once, race-safely.
+
+    A bare check-then-act on a ``_DONE`` marker can race (pytest-xdist and
+    the driver sharing one repo): instead ``build(tmp)`` populates a
+    private pid-suffixed sibling which is atomically rename(2)d into
+    place. A loser whose rename fails because the winner's directory
+    already exists discards its tmp and reads the winner's output.
+    ``stamp`` is stored in the marker so outputs built under an older
+    configuration are rebuilt, not silently reused.
+    """
+    import os
+    import shutil
+
+    marker = os.path.join(out, "_DONE")
+
+    def done() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read() == stamp
+        except OSError:
+            return False
+
+    if done():
+        return out
+    tmp = f"{out}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    build(tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write(stamp)
+    # A stale or stamp-mismatched `out` blocks the rename: clear it and
+    # retry once; if a concurrent winner lands in between, keep theirs.
+    for _ in range(2):
+        try:
+            os.rename(tmp, out)
+            return out
+        except OSError:
+            if done():
+                shutil.rmtree(tmp, ignore_errors=True)
+                return out
+            shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def ordered_string_agg(dialect: str, expr: str, sep: str, order_by: str) -> str:
     """Deterministic ordered string aggregation — the one dialect seam for
     listagg: Spark spells it `listagg(x, sep) WITHIN GROUP (ORDER BY o)`,

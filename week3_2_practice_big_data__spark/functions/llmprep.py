@@ -159,12 +159,16 @@ def ns_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _domain_mix_sql(dialect: str) -> str:
     share = "per_src.n_tokens / (tot.t + 0e0)"
+    # LEFT JOIN so a source whose documents all tokenize to zero tokens is
+    # still reported (n_tokens = 0) with a sentinel mix_weight of 0 instead
+    # of vanishing or dividing by zero.
     return f"""
 WITH tok AS ({tokens_sql(dialect)}),
 dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
 per_src AS (
-  SELECT d.source, count(*) AS n_docs, CAST(sum(dl.n_tok) AS BIGINT) AS n_tokens
-  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  SELECT d.source, count(*) AS n_docs,
+    CAST(sum(coalesce(dl.n_tok, 0)) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
   GROUP BY d.source
 ),
 tot AS (
@@ -172,7 +176,8 @@ tot AS (
 )
 SELECT per_src.source, per_src.n_docs, per_src.n_tokens,
   {synth.q6(share)} AS token_share,
-  {synth.q6(f"(1e0 / tot.s) / ({share})")} AS mix_weight
+  CASE WHEN per_src.n_tokens = 0 THEN 0e0
+       ELSE {synth.q6(f"(1e0 / tot.s) / ({share})")} END AS mix_weight
 FROM per_src CROSS JOIN tot
 ORDER BY per_src.source
 """

@@ -370,26 +370,20 @@ def ns_mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    import shutil
-
-    from ..common import scratch_dir
+    from ..common import build_once, scratch_dir
 
     ensure_package_on_workers(spark)
-    out = scratch_dir(sf_dir, "png_files")
-    marker = os.path.join(out, "_DONE")
     rows = _posters(spark, sf_dir).select("blob_id", "png").collect()
-    # Marker records the blob count: a scratch exported by an older
-    # renderer configuration (different blob count) must be rebuilt, not
-    # silently globbed (stale files would leak into the result).
-    stamp = f"blobs={len(rows)}"
-    if not (os.path.exists(marker) and open(marker).read() == stamp):
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
+
+    def build(tmp: str) -> None:
         for row in rows:
-            with open(os.path.join(out, f"blob_{row['blob_id']:02d}.png"), "wb") as f:
+            with open(os.path.join(tmp, f"blob_{row['blob_id']:02d}.png"), "wb") as f:
                 f.write(bytes(row["png"]))
-        with open(marker, "w") as f:
-            f.write(stamp)
+
+    # Stamp records the blob count: a scratch exported by an older renderer
+    # configuration (different blob count) must be rebuilt, not silently
+    # globbed (stale files would leak into the result).
+    out = build_once(scratch_dir(sf_dir, "png_files"), build, stamp=f"blobs={len(rows)}")
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(out)
 

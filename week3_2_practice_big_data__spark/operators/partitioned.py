@@ -19,6 +19,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..common import build_once
 from ..io import load_table
 from ..registry import register
 
@@ -34,18 +35,16 @@ def _warehouse(sf_dir: str) -> str:
 
 
 def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
-    out = _warehouse(sf_dir)
-    marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
+    def build(tmp: str) -> None:
         (
             load_table(spark, sf_dir, "orders")
             .withColumn("o_year", F.year("o_orderdate"))
             .write.mode("overwrite")
             .partitionBy("o_year")
-            .parquet(out)
+            .parquet(tmp)
         )
-        open(marker, "w").close()
-    return out
+
+    return build_once(_warehouse(sf_dir), build)
 
 
 _DPP_ORACLE = f"""

@@ -44,13 +44,16 @@ def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
 def _histogram_sql(dialect: str) -> str:
     del dialect  # shared text
     width = f"((ext.hi - ext.lo) / {_N_BUCKETS}e0)"
+    # Degenerate guard: if every value is identical (hi = lo) the width is 0
+    # and floor(0/0) would yield NaN buckets; route all rows to bucket 0.
     return f"""
 WITH ext AS (
   SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
 ),
 bucketed AS (
-  SELECT least(CAST(floor((o_totalprice - ext.lo) / {width}) AS BIGINT),
-               {_N_BUCKETS - 1}) AS bucket,
+  SELECT CASE WHEN ext.hi = ext.lo THEN CAST(0 AS BIGINT)
+         ELSE least(CAST(floor((o_totalprice - ext.lo) / {width}) AS BIGINT),
+                    {_N_BUCKETS - 1}) END AS bucket,
     ext.lo, ext.hi
   FROM orders CROSS JOIN ext
 )

@@ -23,6 +23,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..common import build_once
 from ..common import dec as _dec
 from ..common import scratch_dir
 from ..io import load_table
@@ -157,10 +158,7 @@ _CSV_BAD_EVERY = 50  # every 50th row is written corrupt
 def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import csv
 
-    out = _scratch(sf_dir, "csv_malformed")
-    marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
+    def build(tmp: str) -> None:
         rows = (
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -168,14 +166,15 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1000)
             .collect()
         )
-        with open(os.path.join(out, "orders_feed.csv"), "w", newline="") as f:
+        with open(os.path.join(tmp, "orders_feed.csv"), "w", newline="") as f:
             w = csv.writer(f)
             for i, r in enumerate(rows):
                 if i % _CSV_BAD_EVERY == 7:
                     f.write(f"{r['o_orderkey']},oops-not-a-number\n")  # bad arity+type
                 else:
                     w.writerow([r["o_orderkey"], r["o_custkey"], r["o_totalprice"]])
-        open(marker, "w").close()
+
+    out = build_once(_scratch(sf_dir, "csv_malformed"), build)
 
     df = (
         spark.read.schema(

@@ -85,7 +85,14 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)
     ev = load_table(spark, sf_dir, "events")
     src = _chunked_source(spark, sf_dir, "tws", dup_first=0)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    # Session conf is shared with every later streaming key: remember the
+    # prior provider so it can be restored after the query stops.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prior_provider = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prior_provider = None
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
 
     for q in spark.streams.active:
         if q.name == "w32bd_tws":
@@ -109,6 +116,10 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.processAllAvailable()
     query.stop()
+    if prior_provider is not None:
+        spark.conf.set(_PROVIDER_KEY, prior_provider)
+    else:
+        spark.conf.unset(_PROVIDER_KEY)
     # update-mode sink holds one row per (batch, user); the final state per
     # user is its last (largest n_events) update.
     from pyspark.sql.window import Window

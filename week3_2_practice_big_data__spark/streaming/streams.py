@@ -22,6 +22,7 @@ import shutil
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..common import build_once
 from ..io import load_table
 from ..registry import register
 
@@ -36,36 +37,34 @@ def _chunked_source(spark: SparkSession, sf_dir: str, tag: str, dup_first: int =
     data for the dedup/watermark paths). Deterministic per (sf_dir, tag)."""
     ev = load_table(spark, sf_dir, "events")
     out = os.path.join(_REPO_TMP, f"stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
-    marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    n = ev.count()
-    per = (n + _CHUNKS - 1) // _CHUNKS
-    # stable chunking by row_number over ts
-    from pyspark.sql.window import Window
 
-    ranked = ev.withColumn(
-        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
-    ).withColumn("_chunk", ((F.col("_rn") - 1) / per).cast("int"))
-    for c in range(_CHUNKS):
-        (
-            ranked.filter(F.col("_chunk") == c)
-            .drop("_rn", "_chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"chunk={c:02d}"))
-        )
-    if dup_first:
-        (
-            ranked.filter(F.col("_rn") <= dup_first)
-            .drop("_rn", "_chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"chunk={_CHUNKS:02d}_dups"))
-        )
-    open(marker, "w").close()
-    return out
+    def build(tmp: str) -> None:
+        n = ev.count()
+        per = (n + _CHUNKS - 1) // _CHUNKS
+        # stable chunking by row_number over ts
+        from pyspark.sql.window import Window
+
+        ranked = ev.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        ).withColumn("_chunk", ((F.col("_rn") - 1) / per).cast("int"))
+        for c in range(_CHUNKS):
+            (
+                ranked.filter(F.col("_chunk") == c)
+                .drop("_rn", "_chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"chunk={c:02d}"))
+            )
+        if dup_first:
+            (
+                ranked.filter(F.col("_rn") <= dup_first)
+                .drop("_rn", "_chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"chunk={_CHUNKS:02d}_dups"))
+            )
+
+    return build_once(out, build, stamp=f"dup_first={dup_first}")
 
 
 def _run_stream(spark: SparkSession, src_dir: str, schema, transform, name: str) -> DataFrame:
