@@ -39,6 +39,9 @@ KEYS = [
     "ns_dedup_minhash",
     "ns_text_tfidf",
     "ns_sim_ann_lsh",
+    # scale-derived band width (b=⌈log₂ n⌉): the 10× corpus must show
+    # ~linear candidate growth, not the fixed-width quadratic collapse.
+    "ns_dedup_embed_cosine",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

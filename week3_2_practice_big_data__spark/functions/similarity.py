@@ -102,24 +102,38 @@ def ns_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Banded random-hyperplane LSH signatures — shared candidate-generation stage
-# for ns_sim_ann_lsh and ns_dedup_embed_cosine. 32 hyperplanes (deterministic
-# LCG components) → 32 sign bits → 4 bands × 8 bits: two vectors are
-# CANDIDATES iff they agree on all 8 bits of at least one band. This is the
-# 100 TB pattern: candidate generation is an equi-join on (band, sig) — a
-# shuffle on a small key — never an all-pairs join.
+# for ns_sim_ann_lsh and ns_dedup_embed_cosine. Deterministic-LCG hyperplanes
+# → sign bits → _BANDS bands × b bits: two vectors are CANDIDATES iff they
+# agree on all b bits of at least one band. This is the 100 TB pattern:
+# candidate generation is an equi-join on (band, sig) — a shuffle on a small
+# key — never an all-pairs join.
 #
-# Band sizing follows ~log2(n): random collisions per band ≈ C(n,2)/2^bits,
-# so 8-bit bands keep the rerank linear-ish at the 10^3-10^4 vectors of the
-# test scales (the round-1 2×4-bit setup passed n²/32 pairs to the rerank —
-# the measured 4 s bench cost at sf0.1). More, narrower bands would raise
-# borderline-pair recall at the same cost; strong-pair (cos≥0.9) recall of
-# 4×8 ≈ 2×4 while reranking ~8× fewer candidates. At 100 TB both knobs grow:
-# bits with log2(n), bands with the recall target.
+# Band WIDTH is scale-derived, not a constant: random collisions per band
+# ≈ C(n,2)/2^b, so b must grow with log₂(n) for the rerank to stay ~linear
+# in n (a fixed 8-bit setup measured ~260k correlated candidates on the
+# clustered sf0.1 corpus). Both engines compute b = clamp(⌈log₂(count(*))⌉,
+# 8, 16) from the SAME scalar subquery, so the gate — and therefore the
+# emitted pair set — stays bit-identical cross-engine at every sf. The
+# literal plane table carries _BANDS·16 rows (the b=16 ceiling, ~65k
+# vectors); beyond that, bands (recall knob) and the plane budget grow
+# together — components are seed-derived, so extending the table is free.
 # ---------------------------------------------------------------------------
 
-_PLANES = 32
-_BITS = 8  # planes per band
-_BANDS = _PLANES // _BITS  # 4 bands × 8 bits → 256 buckets per band
+_BANDS = 4
+_MAX_BITS = 16
+_MAX_PLANES = _BANDS * _MAX_BITS  # 64 hyperplanes emitted; first 4·b used
+
+
+def _bits_sql() -> str:
+    """Scalar (b INT): band width ⌈log₂(n)⌉ clamped to [8, 16] — shared
+    text, so both engines derive the identical gate from the corpus size.
+    log2 is exact in both libms at powers of two, so the ceil boundary
+    cannot disagree cross-engine."""
+    return (
+        "SELECT least(16, greatest(8, "
+        "CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INT))) AS b "
+        "FROM embeddings"
+    )
 
 
 def _plane_components() -> list[list[float]]:
@@ -131,7 +145,7 @@ def _plane_components() -> list[list[float]]:
     exactly like the Gaussian taps (synth.gaussian_kernel)."""
     m31, a, c, seed = synth.M31, synth.LCG_A, synth.LCG_C, 1234
     out = []
-    for plane in range(_PLANES):
+    for plane in range(_MAX_PLANES):
         row = []
         for dim in range(_DIM):
             key = plane * 64 + dim
@@ -166,9 +180,9 @@ def _band_sig_sql(dialect: str) -> str:
     measured 6.2 s → ~1 s for the sf0.1 signature build).
     """
     pow2m = (
-        f"CAST(floor(pow(2e0, CAST(plane % {_BITS} AS DOUBLE)) + 0.5e0) AS BIGINT)"
+        "CAST(floor(pow(2e0, CAST(plane % b AS DOUBLE)) + 0.5e0) AS BIGINT)"
     )
-    band = f"CAST(floor(CAST(plane AS DOUBLE) / {_BITS}e0) AS BIGINT)"
+    band = "CAST(floor(CAST(plane AS DOUBLE) / CAST(b AS DOUBLE)) AS BIGINT)"
     planes = _plane_values(dialect)
     if dialect == "spark":
         dot = (
@@ -184,9 +198,11 @@ def _band_sig_sql(dialect: str) -> str:
 SELECT vec_id, {band} AS band,
   sum(CASE WHEN dot > 0e0 THEN {pow2m} ELSE 0 END) AS sig
 FROM (
-  SELECT e.vec_id, p.plane, {dot} AS dot
+  SELECT e.vec_id, p.plane, nb.b, {dot} AS dot
   FROM embeddings e
   CROSS JOIN {planes} p
+  CROSS JOIN ({_bits_sql()}) nb
+  WHERE p.plane < {_BANDS} * nb.b
 ) proj
 GROUP BY vec_id, {band}
 """
@@ -254,7 +270,7 @@ def _embed_pairs_sql(dialect: str) -> str:
 WITH band_sig AS ({_band_sig_ref(dialect)}),
 emb AS ({_emb_norm_ref(dialect)}),
 cand AS (
-  SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+  SELECT a.vec_id AS ai, b.vec_id AS bi
   FROM band_sig a JOIN band_sig b ON a.band = b.band AND a.sig = b.sig
     AND a.vec_id < b.vec_id
 ),
@@ -264,7 +280,7 @@ scored AS (
   JOIN emb ea ON c.ai = ea.vec_id
   JOIN emb eb ON c.bi = eb.vec_id
 )
-SELECT ai, bi, {synth.q6("cos")} AS cosine
+SELECT DISTINCT ai, bi, {synth.q6("cos")} AS cosine
 FROM scored WHERE cos >= {_COS_T}
 ORDER BY cosine DESC, ai, bi
 """
@@ -274,10 +290,12 @@ ORDER BY cosine DESC, ai, bi
     "ns_dedup_embed_cosine",
     oracle=_embed_pairs_sql("duckdb"),
     doc="Embedding-cosine near-dup pairs (τ=0.4), LSH-GATED: candidate pairs "
-    "come from a banded-signature equi-join (never all-pairs — the O(n²) "
-    "dim-join of round 1 is gone), then an exact fixed-order cosine rerank "
-    "confirms each candidate. The shape that survives 100 TB: shuffle keys "
-    "are (band, sig), rerank touches only candidates (NS).",
+    "come from a banded-signature equi-join with scale-derived band width "
+    "(b=⌈log₂(n)⌉, never all-pairs), then an exact fixed-order cosine "
+    "rerank confirms each candidate. A pair colliding in k bands is "
+    "reranked k times — map-side and cheap — and DISTINCT-collapsed only "
+    "AFTER the τ filter, so the sole pair-keyed shuffle carries confirmed "
+    "pairs, not the candidate flood of a correlated corpus (NS).",
     tags=("ns", "dedup", "similarity", "scale"),
 )
 def ns_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
