@@ -60,30 +60,50 @@ HEADLINE = [
 ]
 
 
-# Standing per-query baseline: round-1 medians (BENCH_r01.json, sf0.1,
+# Standing per-query baseline: round-2 medians (BENCH_r02.json, sf0.1,
 # local[32]). Each round's output includes vs_prev ratios and flags any
 # query that regressed >2× its standing median (VERDICT r1 §Next-round 10).
-PREV_ROUND = "r01"
+PREV_ROUND = "r02"
 PREV_MEDIANS = {
-    "agg_groupby_multi": 1.2481,
-    "join_inner_equi": 0.6455,
-    "join_range_theta": 0.4437,
-    "sort_orderby": 0.5429,
-    "win_conv1d_frame": 0.7924,
-    "filt_point_in_polygon": 1.4011,
-    "filt_pip_scanline": 1.258,
-    "win_conv2d_separable": 1.4743,
-    "sort_composite_order": 1.3495,
-    "gen_poster_full": 2.9765,
-    "join_bucketed_colocated": 0.4784,
-    "ns_dedup_exact": 0.3092,
-    "ns_dedup_minhash": 1.2035,
-    "ns_dedup_ngram_jaccard": 2.1866,
-    "ns_sim_topk": 0.2989,
-    "ns_text_tfidf": 0.5603,
-    "iter_pagerank_tokens": 1.9713,
-    "stream_tumbling_agg": 0.3404,
-    "stream_session_window": 0.5554,
+    "agg_groupby_multi": 1.3452,
+    "join_inner_equi": 0.9931,
+    "join_range_theta": 0.5738,
+    "sort_orderby": 0.8382,
+    "win_conv1d_frame": 0.7337,
+    "filt_point_in_polygon": 1.445,
+    "filt_pip_scanline": 1.0555,
+    "win_conv2d_separable": 2.0581,
+    "sort_composite_order": 2.577,
+    "gen_poster_full": 3.5595,
+    "gen_poster_shadow": 3.7945,
+    "proj_resample_bilinear": 0.4551,
+    "join_bucketed_colocated": 0.6127,
+    "join_q3_shipping_priority": 1.1721,
+    "join_q5_region_volume": 1.9892,
+    "join_q7_volume_shipping": 1.6555,
+    "ns_ann_knn_join": 1.4552,
+    "qry_recursive_cte": 1.8985,
+    "ns_dedup_exact": 0.3408,
+    "ns_dedup_minhash": 0.8211,
+    "ns_dedup_ngram_jaccard": 1.4251,
+    "ns_dedup_simhash": 0.6989,
+    "ns_dedup_embed_cosine": 3.6726,
+    "ns_dedup_cluster": 1.4391,
+    "ns_sim_topk": 0.3698,
+    "ns_sim_ann_lsh": 0.2798,
+    "ns_text_tfidf": 0.7236,
+    "iter_pagerank_tokens": 2.6203,
+    "stream_tumbling_agg": 0.4838,
+    "stream_session_window": 0.8393,
+}
+
+# Keys whose ratio vs the standing median reflects deliberate FUNCTIONAL
+# GROWTH, not a plan regression — carried in the output so a >1.3× entry
+# is read with its cause (VERDICT r2 §What's wrong).
+GROWTH_NOTES = {
+    "sort_composite_order": "r2 widened the key from bbox-only to "
+    "full-canvas compositing with themed backgrounds; r1 ratio 1.91x was "
+    "functional growth, baseline now reset to the wide form",
 }
 
 
@@ -122,11 +142,15 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "n": 3,  # BASELINE.md protocol: median of 3 timed runs
                 "queries": per_query,
                 "sf": sf,
                 "prev_round": PREV_ROUND,
                 "vs_prev": vs_prev,
                 "regressions": regressions,
+                "growth_notes": {
+                    k: v for k, v in GROWTH_NOTES.items() if k in per_query
+                },
             }
         )
     )

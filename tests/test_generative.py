@@ -231,6 +231,29 @@ def test_poster_pixel_golden(spark):
     )
 
 
+def test_tiled_export_stitches_to_single_png(spark):
+    """The scale-safe tiled sink must reproduce the single-file export
+    EXACTLY: decoding every 32x32 tile PNG into its (row0, col0) slot
+    yields the same pixel buffer as sink_binary_export's one PNG."""
+    import numpy as np
+
+    from week3_2_practice_big_data__spark.plans.png import decode_png_rgb
+
+    single = REGISTRY["sink_binary_export"].builder(spark, SF_SMALL).collect()
+    ref_px, w, h = decode_png_rgb(bytes(single[0]["png"]))
+    ref = np.frombuffer(ref_px, dtype=np.uint8).reshape(h, w, 3)
+
+    tiles = REGISTRY["sink_binary_export_tiled"].builder(spark, SF_SMALL).collect()
+    assert len(tiles) == (96 // 32) ** 2
+    out = np.zeros_like(ref)
+    for t in tiles:
+        px, tw, th = decode_png_rgb(bytes(t["png"]))
+        assert (tw, th) == (t["width"], t["height"]) == (32, 32)
+        tile = np.frombuffer(px, dtype=np.uint8).reshape(th, tw, 3)
+        out[t["row0"] : t["row0"] + th, t["col0"] : t["col0"] + tw] = tile
+    assert np.array_equal(out, ref)
+
+
 def test_poster_shadow_param_point_matches_oracle(spark):
     """Shadow composite is parameterized too: oracle parity at a non-default
     point (different seed/blob count/light/theme/blur strength)."""
@@ -239,8 +262,10 @@ def test_poster_shadow_param_point_matches_oracle(spark):
     )
     from .oracle import compare, duck_run
 
+    # blur 0.08 at canvas 48 → σ = 3.84: past the max(2, ·) floor, so the
+    # point varies the kernel width for real (0.03 would collapse to σ=2).
     pt = dict(seed=31, nb=4, canvas=48, lx="0.9e0", ly="-0.1e0",
-              theme="neutral", blur_strength=0.03)
+              theme="neutral", blur_strength=0.08)
     sdf = spark.sql(_shadow_composite_sql("spark", **pt))
     ddf = duck_run(_shadow_composite_sql("duckdb", **pt), SF_SMALL)
     compare(sdf, ddf, key="gen_poster_shadow:param")

@@ -870,6 +870,78 @@ def sink_binary_export_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sink_binary_export_tiled — the scale-safe form of the PNG export sink:
+# the single-file path funnels the whole canvas through ONE applyInPandas
+# task (inherent for one output file; fine at 96², wrong at 10⁵²). Here the
+# canvas is partitioned into _TILE×_TILE tiles and each tile encodes ITS OWN
+# PNG row in parallel (the udf_grouped_map_render per-group shape) — at
+# 100 TB this is one task per tile with no single-task assembly anywhere;
+# a consumer stitches tiles positionally (pytest proves the stitch equals
+# the single-file PNG bit-for-bit).
+# ---------------------------------------------------------------------------
+
+_TILE = 32  # tile edge; CANVAS=96 → 3×3 tiles
+
+
+def _assemble_tile_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One tile's canvas rows → one (tile_row, tile_col, row0, col0, width,
+    height, png) row. Missing pixels (never happens on the dense canvas,
+    but tiles must not rely on it) default to the white background."""
+    import numpy as np
+
+    tr = int(pdf["tile_row"].iloc[0])
+    tc = int(pdf["tile_col"].iloc[0])
+    r0, c0 = tr * _TILE, tc * _TILE
+    img = np.ones((_TILE, _TILE, 3), dtype=np.float64)
+    rows = pdf["row"].to_numpy() - r0
+    cols = pdf["col"].to_numpy() - c0
+    for ch_i, ch in enumerate(("r", "g", "b")):
+        img[rows, cols, ch_i] = pdf[ch].to_numpy()
+    png = encode_png_rgb(
+        (np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes(), _TILE, _TILE
+    )
+    return pd.DataFrame(
+        {
+            "tile_row": [tr],
+            "tile_col": [tc],
+            "row0": [r0],
+            "col0": [c0],
+            "width": [_TILE],
+            "height": [_TILE],
+            "png": [png],
+        }
+    )
+
+
+@register(
+    "sink_binary_export_tiled",
+    oracle=None,  # binary output → rows-only; pytest stitches == single PNG
+    doc="Tiled PNG export sink (app.py:156-159, scale-safe form): canvas "
+    "partitioned into 32×32 tiles, one applyInPandas task per tile emits "
+    "one PNG row — no single-task canvas assembly; pytest stitches the "
+    "tiles bit-identical to sink_binary_export's output.",
+    tags=("sink", "generative", "multimodal", "scale"),
+)
+def sink_binary_export_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    canvas = spark.sql(_composite_sql("spark", order_by=False))
+    tiled = canvas.withColumn(
+        "tile_row", (F.col("row") / _TILE).cast("int")
+    ).withColumn("tile_col", (F.col("col") / _TILE).cast("int"))
+    return (
+        tiled.groupBy("tile_row", "tile_col")
+        .applyInPandas(
+            _assemble_tile_pdf,
+            "tile_row int, tile_col int, row0 int, col0 int, "
+            "width int, height int, png binary",
+        )
+        .orderBy("tile_row", "tile_col")
+    )
+
+
+# ---------------------------------------------------------------------------
 # gen_poster_shadow — shadow_toggle=True compositing (app.py:87-91): each
 # blob casts a shadow layer = separable Gaussian blur of its mask
 # (σ = max(2, canvas·blur_strength), app.py:88), drawn OFFSET by
@@ -1010,6 +1082,35 @@ def gen_poster_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _shadow_composite_sql(
             "spark",
+            mask_ref="SELECT blob_id, row, col, x, y, inside, mask_f "
+            "FROM poster_mask",
+        )
+    )
+
+
+# σ = max(2, canvas·blur_strength) (app.py:88,113): at the DEFAULT point
+# 96·0.015 = 1.44 → the floor wins and σ collapses to 2 — blur_strength is
+# dead there. This second oracle point (0.05 → σ = 4.8) drives the kernel
+# width through the parameter for real, so the blur taps, the normalization
+# and the frame bounds are all exercised at a non-degenerate σ.
+_BLUR_POINT = 0.05
+
+
+@register(
+    "gen_poster_shadow_blur",
+    oracle=_shadow_composite_sql("duckdb", blur_strength=_BLUR_POINT),
+    doc="gen_poster_shadow at blur_strength=0.05 (slider point, app.py:113): "
+    "σ = 4.8 instead of the floor-clamped default 2 — oracle parity with a "
+    "genuinely wider separable kernel (same mask raster, reused from the "
+    "session cache).",
+    tags=("generative", "param"),
+)
+def gen_poster_shadow_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cached_mask(spark).createOrReplaceTempView("poster_mask")
+    return spark.sql(
+        _shadow_composite_sql(
+            "spark",
+            blur_strength=_BLUR_POINT,
             mask_ref="SELECT blob_id, row, col, x, y, inside, mask_f "
             "FROM poster_mask",
         )
