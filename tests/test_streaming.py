@@ -28,6 +28,36 @@ def test_stream_dedup_removes_replayed_chunk(spark):
     assert len(ids) == 1000  # 1100 streamed rows incl. 100 replayed dups
 
 
+def test_file_rate_source_progresses_batch_by_batch(spark):
+    """File-rate source (maxFilesPerTrigger=1): final window counts equal
+    the batch tumbling agg, and the update-mode multiplicity proves the
+    state advanced across micro-batches — windows straddling a file-chunk
+    boundary must have been updated in more than one batch."""
+    import pyspark.sql.functions as F
+    from week3_2_practice_big_data__spark.io import load_table
+
+    rows = REGISTRY["stream_tumbling_file_rate"].builder(spark, SF_SMALL).collect()
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "86400 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    )
+    batch_map = {(r["win_start"], r["event_type"]): r["n"] for r in batch}
+    assert len(rows) == len(batch_map)
+    for r in rows:
+        assert r["n"] == batch_map[(r["win_start"], r["event_type"])]
+        assert 1 <= r["n_updates"] <= 4  # at most one update per file chunk
+    # 4 time-ordered chunks → 3 boundaries; the windows straddling them
+    # must show multi-batch progression.
+    assert any(r["n_updates"] >= 2 for r in rows)
+
+
 def test_custom_state_matches_batch_totals(spark):
     """applyInPandasWithState final per-user counts == batch groupBy."""
     import pyspark.sql.functions as F

@@ -142,6 +142,69 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream_tumbling_file_rate — the production-shaped source for the windowed
+# agg family: a file-backed readStream throttled to ONE file per trigger
+# (the file-source analog of a rate limit), update-mode tumbling window agg
+# at 1-day width — wide enough that windows hold many events and straddle
+# file chunks (the 10-min width of stream_tumbling_agg holds ~1 event per
+# window on the sparse test timeline, which would hide the progression).
+# Each micro-batch emits the updated cumulative count for every window it
+# touched, so the memory sink records the PROGRESSION: a window whose rows
+# span k file-chunks appears k times with increasing counts. The builder
+# folds the sink to (final count, n_updates) per window — n_updates > 1 for
+# chunk-straddling windows is the pytest-pinned evidence that the agg state
+# really advanced batch by batch rather than in one gulp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_file_rate",
+    oracle=None,  # micro-batch progression semantics → rows-only; pytest
+    doc="Tumbling 1-day window agg over a file-rate source "
+    "(maxFilesPerTrigger=1, update mode): final per-window counts match "
+    "the batch form while n_updates records how many micro-batches "
+    "touched each window — the production-shaped incremental ingest path "
+    "beside the deterministic in-memory variants (NS).",
+    tags=("streaming", "source"),
+)
+def stream_tumbling_file_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "tfr", dup_first=0)
+
+    for q in spark.streams.active:
+        if q.name == "w32bd_tfr":
+            q.stop()
+    query = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .groupBy(F.window("ts", "86400 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .writeStream.format("memory")
+        .queryName("w32bd_tfr")
+        .outputMode("update")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    # Update-mode sink: one row per (micro-batch, window) update carrying
+    # the cumulative count — the final value is the max, the row count is
+    # the number of batches that touched the window.
+    return (
+        spark.table("w32bd_tfr")
+        .groupBy("win_start", "event_type")
+        .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("n_updates"))
+        .orderBy("win_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # stream_custom_state — custom stateful operator via applyInPandasWithState
 # (SURVEY §2.1-I note): per-user running event count + running value sum
 # maintained in explicit GroupState across micro-batches. This is the escape
