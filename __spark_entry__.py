@@ -26,12 +26,19 @@ from week3_2_practice_big_data__spark.session import ensure_session_confs  # noq
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "agg_groupby_multi"
 
-# Keys already hash-verified by the driver in round 1 (CORRECTNESS_r01.json).
-# The driver checks a bounded prefix of `queries()`, so keys NOT yet
-# driver-verified are emitted first; these proven keys go to the back.
-# (`agg_approx_distinct` had a row but only `no_oracle`; its contract gained
-# an oracle this round, so it is deliberately left OUT of this set to be
-# re-checked inside the window.)
+# Keys already hash-verified by the driver (CORRECTNESS_r01 + r02, all
+# green). The driver checks a bounded prefix (~50 keys) of `queries()`, so
+# keys NOT yet driver-verified are emitted first; these proven keys go to
+# the back.
+#
+# ROUND-4 ORDERING NOTE (do this when rotating after r3): fold
+# CORRECTNESS_r03's green keys into _R03_VERIFIED below, empty and then
+# repopulate _CHANGED_THIS_ROUND with round-4 work, and keep the remaining
+# never-verified oracle keys (≈24 after r3: the llmprep/semantics/statml
+# tail of _PENDING_PRIORITY plus whatever r3's window did not reach) at the
+# front of the pending block, followed by the rows-only pending keys. Any
+# key whose implementation changes in r4 re-enters _CHANGED_THIS_ROUND even
+# if verified here — no key ships two rounds unverified.
 _R01_VERIFIED = frozenset({
     "agg_groupby_multi", "agg_extent", "agg_centroid_mean",
     "agg_sum_normalize", "agg_count_distinct", "agg_rollup_cube",
@@ -52,73 +59,124 @@ _R01_VERIFIED = frozenset({
     "proj_wobble", "proj_gauss_exp",
 })
 
+# CORRECTNESS_r02.json: 50/50 green (rows + schema + hash).
+_R02_VERIFIED = frozenset({
+    "agg_approx_distinct", "agg_cohort_retention", "agg_conditional",
+    "agg_sketch_hll_merge", "agg_sketch_kll_quantile", "filt_mask_apply",
+    "filt_pip_scanline", "filt_point_in_polygon", "fn_bitwise_ops",
+    "fn_datetime_math", "fn_hsv_to_rgb", "fn_json_extract", "fn_string_fmt",
+    "gen_poster_param", "gen_poster_shadow", "join_interval_bucketed",
+    "join_q3_shipping_priority", "join_q5_region_volume", "ns_decontaminate",
+    "ns_dedup_cluster", "ns_dedup_embed_cosine", "ns_dedup_exact",
+    "ns_dedup_minhash", "ns_dedup_ngram_jaccard", "ns_dedup_simhash",
+    "ns_pack_sequences", "ns_pipeline_e2e", "ns_sample_stratified",
+    "ns_sim_ann_ivf", "ns_sim_ann_lsh", "ns_sim_topk", "ns_split_train_val",
+    "ns_text_clean", "ns_text_fingerprint", "ns_text_langid",
+    "ns_text_quality", "ns_text_stats", "ns_text_tfidf", "ns_text_tokens",
+    "proj_cond_guard", "proj_mod_cycle", "proj_resample_bilinear",
+    "set_except_all", "set_intersect_all", "sink_display",
+    "sort_composite_order", "src_orc_roundtrip", "win_cume_dist",
+    "win_funnel_conversion", "win_sessionize_gaps",
+})
 
-# Keys whose implementation CHANGED this round (new or rewritten): these are
-# the ones whose prior verification status is stale, so they lead the window.
+_VERIFIED = _R01_VERIFIED | _R02_VERIFIED
+
+
+# Keys whose implementation CHANGED in round 3 (new or rewritten): their
+# prior verification status is stale, so they lead the window.
 _CHANGED_THIS_ROUND = [
-    "agg_approx_distinct",
-    "ns_sim_ann_lsh",
+    # LSH band width is now scale-derived (⌈log₂ n⌉) and the pair dedup
+    # moved past the cosine filter — the whole banded-signature family
+    # re-enters the window.
     "ns_dedup_embed_cosine",
-    "ns_dedup_simhash",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_minhash",
-    "ns_dedup_cluster",
-    "ns_text_clean",
-    "gen_poster_param",
-    "gen_poster_shadow",
-    "proj_resample_bilinear",
-    "sort_composite_order",
-    "sink_display",
-    "filt_mask_apply",
-    "ns_dedup_exact",
-    "agg_sketch_hll_merge",
-    "agg_sketch_kll_quantile",
-    "join_q3_shipping_priority",
-    "join_q5_region_volume",
-    "ns_pack_sequences",
-    "ns_split_train_val",
-    "win_sessionize_gaps",
-    "win_funnel_conversion",
-    "agg_cohort_retention",
-    "src_orc_roundtrip",
-    "set_intersect_all",
-    "set_except_all",
-    "win_cume_dist",
-    "agg_conditional",
-    "fn_bitwise_ops",
-    "join_interval_bucketed",
-    "ns_decontaminate",
-    "ns_pipeline_e2e",
-    # rows-only keys that changed/appeared this round (driver can still
-    # catch errors + row-count/schema drift on them):
-    "gen_poster_full",
-    "sink_binary_export",
-    "sink_binary_export_hires",
-    "ns_mm_resize",
-    "ns_mm_frame_sample",
+    "ns_sim_ann_lsh",
+    # degenerate-width guard (ADVICE r2)
+    "agg_histogram",
+    # LEFT JOIN + zero-token sentinel weight (ADVICE r2)
+    "ns_domain_mix",
+    # new: second shadow-blur oracle point past the σ floor
+    "gen_poster_shadow_blur",
+    # scratch builds are now race-safe (build-to-tmp + atomic rename);
+    # same results, changed build path
+    "join_dpp_partitioned",
+    # rows-only keys that changed/appeared this round (driver still catches
+    # errors + row-count/schema drift on them):
+    "sink_binary_export_tiled",
+    "stream_tumbling_file_rate",
+    "src_csv_malformed",
+    "src_binary_files",
+]
+
+
+# Never-driver-verified oracle keys, priority-ordered for the r3 window:
+# SURVEY §2 CONTRACT keys first (sources, batch event-time windows, UDF/
+# UDTF surface, conv2d), then subqueries/TPC-H, then the llmprep/statml/
+# timeseries/partitioned/iterative tail. Keys not listed here sort after
+# the listed ones in registration order.
+_PENDING_PRIORITY = [
+    # §2 contract
+    "src_range_gen", "src_sequence", "src_param_lookup", "src_parquet_scan",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "udf_rowwise_lambda", "udf_geom_contains", "udtf_explode_gen",
+    "win_conv2d_separable",
+    # subqueries + TPC-H
+    "qry_scalar_subquery", "qry_correlated_scalar", "qry_exists_correlated",
+    "qry_in_null_semantics", "qry_lateral_topk", "qry_recursive_cte",
+    "join_q4_order_priority", "join_q7_volume_shipping",
+    "join_q10_returned_item", "agg_q14_promo_share", "agg_q16_supplier_cnt",
+    "agg_q18_large_orders",
+    # sources/sinks tail
+    "sink_partitioned_write", "src_csv_roundtrip", "src_json_roundtrip",
+    "src_table_stats", "src_partition_prune_static",
+    # llmprep NS tail
+    "ns_repetition_filter", "ns_text_pmi", "ns_decontaminate_ngram",
+    "ns_dedup_incremental", "ns_dedup_paragraph", "ns_embed_quantize",
+    "ns_ann_knn_join", "ns_bpe_pair_stats",
+    # statml / analytics / timeseries
+    "agg_skew_kurt", "ml_linreg_closed", "agg_market_basket",
+    "win_rolling_corr", "agg_gini_revenue", "agg_ohlc_bars",
+    "agg_mad_robust", "agg_entropy", "dq_constraint_check", "merge_scd2",
+    "win_moving_zscore", "win_interpolate_gaps", "agg_bitmap_distinct",
+    "win_islands_ranges", "join_spatial_grid", "join_asof_forward",
+    "join_asof_nearest", "win_ewma_smooth", "win_distinct_rolling",
+    "join_dpp_partitioned",
+    # iterative
+    "iter_pagerank_tokens", "iter_connected_components", "iter_kmeans_points",
+    "iter_gd_logreg", "iter_kcore",
+    # streaming joins
+    "stream_stream_join", "stream_static_join",
+    # scalar-function tail
+    "fn_array_ops", "fn_regex_extract", "fn_null_semantics", "fn_map_ops",
+    "fn_string_similarity", "fn_variant_json", "fn_url_parse",
+    "agg_string_listagg", "fn_try_arith",
 ]
 
 
 def _ordered_keys() -> list[str]:
     """Registry keys ordered for the driver's bounded correctness window:
     changed-this-round keys with an oracle first (stale verification AND
-    strong signal), then driver-unverified oracle keys, then changed
-    rows-only keys (error/row-count signal only), then unverified rows-only
-    keys, then round-1-proven keys (registration order within groups)."""
+    strong signal), then driver-unverified oracle keys (§2 contract keys
+    leading, per _PENDING_PRIORITY), then changed rows-only keys (error/
+    row-count signal only), then unverified rows-only keys, then proven
+    keys (registration order within unlisted groups)."""
     changed = [k for k in _CHANGED_THIS_ROUND if k in REGISTRY]
     changed_set = set(changed)
     changed_oracle = [k for k in changed if REGISTRY[k].oracle is not None]
     changed_rows_only = [k for k in changed if REGISTRY[k].oracle is None]
     rest = [k for k in REGISTRY if k not in changed_set]
-    pending_oracle = [
-        k for k in rest
-        if k not in _R01_VERIFIED and REGISTRY[k].oracle is not None
-    ]
+    prio = {k: i for i, k in enumerate(_PENDING_PRIORITY)}
+    pending_oracle = sorted(
+        (
+            k for k in rest
+            if k not in _VERIFIED and REGISTRY[k].oracle is not None
+        ),
+        key=lambda k: prio.get(k, len(prio)),
+    )
     pending_rows_only = [
         k for k in rest
-        if k not in _R01_VERIFIED and REGISTRY[k].oracle is None
+        if k not in _VERIFIED and REGISTRY[k].oracle is None
     ]
-    proven = [k for k in rest if k in _R01_VERIFIED]
+    proven = [k for k in rest if k in _VERIFIED]
     return (
         changed_oracle
         + pending_oracle
