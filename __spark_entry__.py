@@ -96,6 +96,12 @@ _CHANGED_THIS_ROUND = [
     "ns_domain_mix",
     # new: second shadow-blur oracle point past the σ floor
     "gen_poster_shadow_blur",
+    # new LLM-pipeline operators (SemDeDup / CCNet-perplexity / importance
+    # sampling); ns_sim_ann_ivf re-enters via the shared IVF CTE refactor
+    "ns_semdedup",
+    "ns_text_perplexity",
+    "ns_sample_importance",
+    "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path
     "join_dpp_partitioned",

@@ -578,3 +578,105 @@ LIMIT {_BPE_TOP}
 def ns_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
     return spark.sql(_bpe_pair_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_perplexity — CCNet-style LM quality scoring (Wenzek et al. 2020,
+# arXiv:1911.00359): per-document mean negative log-likelihood under an
+# add-1-smoothed UNIGRAM model estimated from the corpus itself, bucketed
+# into head/middle/tail perplexity terciles — the standard "keep the head,
+# sample the middle, drop the tail" quality split. The unigram table is a
+# token-keyed aggregate (broadcast-sized vocabulary); scoring is one join
+# of the token stream against it — corpus scanned once, shuffled on token
+# then doc_id only.
+# ---------------------------------------------------------------------------
+
+
+def _perplexity_sql(dialect: str) -> str:
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM uni
+),
+lp AS (
+  SELECT tk.doc_id, ln((u.c + 1e0) / (tot.t + tot.v + 0e0)) AS lp
+  FROM tok tk JOIN uni u ON tk.token = u.token CROSS JOIN tot
+),
+doc AS (
+  SELECT doc_id, count(*) AS n_tokens, {synth.q6("-avg(lp)")} AS nll
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, nll,
+  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+    AS ppl_bucket
+FROM (
+  SELECT doc_id, n_tokens, nll,
+    ntile(3) OVER (ORDER BY nll, doc_id) AS nt
+  FROM doc
+) ranked
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_text_perplexity",
+    oracle=_perplexity_sql("duckdb"),
+    doc="CCNet-style LM quality scoring (public method, arXiv:1911.00359): "
+    "per-doc mean NLL under a corpus-estimated add-1 unigram model, "
+    "head/middle/tail perplexity terciles (ntile over the q6-quantized "
+    "score, doc_id tie-break → deterministic cross-engine) (NS).",
+    tags=("ns", "text", "quality"),
+)
+def ns_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_perplexity_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_sample_importance — quality-weighted importance subsampling: documents
+# ranked into quality terciles (reusing ns_text_quality's score text), each
+# tier keeps a fixed fraction (100% / 50% / 10%) chosen by the same affine
+# doc_id hash as ns_split_train_val — deterministic, shard-independent,
+# engine-independent, and the keep decision needs no shuffle at all (the
+# tier assignment is the only windowed step; at scale it becomes a quantile
+# cut against precomputed score quantiles instead of a global ntile).
+# ---------------------------------------------------------------------------
+
+_TIER_PCT = {1: 100, 2: 50, 3: 10}
+
+
+def _importance_sql(dialect: str) -> str:
+    from .text import _quality_sql
+
+    rate = (
+        f"CASE tier WHEN 1 THEN {_TIER_PCT[1]} WHEN 2 THEN {_TIER_PCT[2]} "
+        f"ELSE {_TIER_PCT[3]} END"
+    )
+    bucket = "((doc_id * 2654435761 + 40503) % 2147483647) % 100"
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql(dialect)}) qq),
+tiers AS (
+  SELECT doc_id, quality,
+    ntile(3) OVER (ORDER BY quality DESC, doc_id) AS tier
+  FROM q
+)
+SELECT doc_id, tier, {rate} AS keep_pct,
+  ({bucket} < {rate}) AS keep
+FROM tiers
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ns_sample_importance",
+    oracle=_importance_sql("duckdb"),
+    doc="Quality-weighted importance subsampling: quality terciles keep "
+    "100/50/10 percent via the deterministic affine doc_id hash (same as "
+    "ns_split_train_val) — reproducible across engines and shards, no "
+    "random() anywhere (NS).",
+    tags=("ns", "text", "sampling"),
+)
+def ns_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_importance_sql("spark"))

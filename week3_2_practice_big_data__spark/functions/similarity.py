@@ -368,13 +368,12 @@ _IVF_PROBE = 2
 _IVF_SEED = 4242
 
 
-def _ivf_sql(dialect: str) -> str:
+def _ivf_assign_ctes(dialect: str) -> str:
+    """Shared coarse-quantizer CTE chain: long → cent → dist → assign →
+    cells (vec_id, cell). Consumed by the IVF probe search AND the
+    SemDeDup within-cell pruning."""
     cval = f"({synth.uniform('cs.c * 64 + ds.dim', _IVF_SEED, 0, -1.0, 1.0)})"
-    dot = _dot_fold(dialect, "cv.embedding", "qv.embedding")
-    na = _dot_fold(dialect, "cv.embedding", "cv.embedding")
-    nb = _dot_fold(dialect, "qv.embedding", "qv.embedding")
-    return f"""
-WITH long AS ({_long_cast(dialect)}),
+    return f"""long AS ({_long_cast(dialect)}),
 cent AS (
   SELECT cs.c, ds.dim, {cval} AS cval
   FROM {synth.series_sql(_IVF_CELLS, "c", dialect)} cs
@@ -391,7 +390,15 @@ assign AS (
     row_number() OVER (PARTITION BY vec_id ORDER BY dq, c) AS rn
   FROM dist
 ),
-cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1)"""
+
+
+def _ivf_sql(dialect: str) -> str:
+    dot = _dot_fold(dialect, "cv.embedding", "qv.embedding")
+    na = _dot_fold(dialect, "cv.embedding", "cv.embedding")
+    nb = _dot_fold(dialect, "qv.embedding", "qv.embedding")
+    return f"""
+WITH {_ivf_assign_ctes(dialect)},
 probe AS (
   SELECT cell FROM assign WHERE vec_id = {_QUERY_ID} AND rn <= {_IVF_PROBE}
 )
@@ -418,3 +425,53 @@ LIMIT {_TOPK}
 def ns_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_ivf_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_semdedup — semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
+# arXiv:2303.09540): assign every embedding to its nearest coarse-quantizer
+# cell (the IVF chain above), compute exact cosine only WITHIN each cell,
+# and drop every vector that duplicates (cos ≥ τ) a lower-id vector of its
+# cell — one keeper per semantic duplicate group. The cluster step is what
+# bounds the quadratic term: pairwise work is Σ|cell|², never n², and at
+# 100 TB the cell count grows with n (k ∝ √n keeps cells ~constant-sized)
+# while the per-cell work stays an equi-join on `cell`.
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_sql(dialect: str) -> str:
+    dot = _dot_fold(dialect, "ea.embedding", "eb.embedding")
+    return f"""
+WITH {_ivf_assign_ctes(dialect)},
+emb AS ({_emb_norm_ref(dialect)}),
+pairs AS (
+  SELECT ca.cell, ca.vec_id AS ai, cb.vec_id AS bi
+  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+),
+dup AS (
+  SELECT DISTINCT p.bi
+  FROM pairs p
+  JOIN emb ea ON p.ai = ea.vec_id
+  JOIN emb eb ON p.bi = eb.vec_id
+  WHERE {dot} / (ea.nrm * eb.nrm) >= {_COS_T}
+)
+SELECT cl.vec_id, cl.cell, (dup.bi IS NULL) AS keep
+FROM cells cl LEFT JOIN dup ON cl.vec_id = dup.bi
+ORDER BY cl.vec_id
+"""
+
+
+@register(
+    "ns_semdedup",
+    oracle=_semdedup_sql("duckdb"),
+    doc="SemDeDup-style semantic dedup (public method, arXiv:2303.09540): "
+    "IVF cell assignment bounds the pairwise cosine pass to within-cell "
+    "pairs; a vector duplicating (cos ≥ 0.4) any lower-id cell-mate is "
+    "dropped, keeping one representative per semantic group. Fixed-order "
+    "folds keep the τ boundary bit-identical cross-engine (NS).",
+    tags=("ns", "dedup", "similarity", "scale"),
+)
+def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    _cached_emb_norm(spark, sf_dir).createOrReplaceTempView("embeddings_norm")
+    return spark.sql(_semdedup_sql("spark"))
