@@ -101,6 +101,7 @@ _CHANGED_THIS_ROUND = [
     "ns_semdedup",
     "ns_text_perplexity",
     "ns_sample_importance",
+    "ns_dedup_substring",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

@@ -53,6 +53,10 @@ HEADLINE = [
     "ns_sim_topk",
     "ns_sim_ann_lsh",
     "ns_text_tfidf",
+    # round-3 additions: semantic dedup, LM-quality scoring, span dedup
+    "ns_semdedup",
+    "ns_text_perplexity",
+    "ns_dedup_substring",
     "iter_pagerank_tokens",
     # event-time windows
     "stream_tumbling_agg",

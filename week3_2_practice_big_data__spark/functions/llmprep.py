@@ -680,3 +680,59 @@ ORDER BY doc_id
 def ns_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
     return spark.sql(_importance_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_dedup_substring — exact-substring span dedup (the pattern of Lee et
+# al. 2022, "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499): document pairs sharing at least one EXACT run of
+# _SPAN_K consecutive tokens. Where shingle-Jaccard measures set overlap,
+# this catches verbatim copied passages regardless of the rest of the
+# document. Candidate generation is the inverted span index — an equi-join
+# on the span string — with the same df-cap discipline as
+# ns_dedup_ngram_jaccard so no boilerplate span can become a quadratic hot
+# key. Span explosion is one window pass over the token stream (7 leads),
+# linear in corpus tokens.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per span
+_SPAN_DF_CAP = 50  # spans in more docs than this are boilerplate → pruned
+
+
+def _substring_sql(dialect: str) -> str:
+    over = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    leads = ", ".join(f"lead(token, {i}) {over} AS l{i}" for i in range(1, _SPAN_K))
+    span = " || ' ' || ".join(["token"] + [f"l{i}" for i in range(1, _SPAN_K)])
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+spans AS (
+  SELECT doc_id, {span} AS span
+  FROM (SELECT doc_id, pos, token, {leads} FROM tok) x
+  WHERE l{_SPAN_K - 1} IS NOT NULL
+),
+sd AS (SELECT DISTINCT doc_id, span FROM spans),
+df AS (
+  SELECT span FROM sd GROUP BY span
+  HAVING count(*) BETWEEN 2 AND {_SPAN_DF_CAP}
+)
+SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared_spans
+FROM sd a
+JOIN df ON a.span = df.span
+JOIN sd b ON b.span = a.span AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY n_shared_spans DESC, da, db
+"""
+
+
+@register(
+    "ns_dedup_substring",
+    oracle=_substring_sql("duckdb"),
+    doc="Exact-substring span dedup (public method, arXiv:2107.06499): doc "
+    "pairs sharing an exact 8-token run, via an inverted span index with "
+    "df ≤ 50 cap — catches verbatim passage copies that set-overlap "
+    "measures dilute; one window pass + span-keyed equi-join (NS).",
+    tags=("ns", "dedup", "text"),
+)
+def ns_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_substring_sql("spark"))

@@ -548,24 +548,48 @@ def ns_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _semdedup_sql(dialect: str) -> str:
+def _semdedup_sql(
+    dialect: str,
+    norm_ref: str | None = None,
+    gm_ref: str | None = None,
+) -> str:
+    # Pairwise work at REPRESENTATIVE level only (exact-duplicate collapse,
+    # same reduction as ns_dedup_embed_cosine): a non-rep vector is always
+    # dominated by its own rep (identical bytes, cos = 1 ≥ τ), and a rep is
+    # dominated iff a LOWER-ID REP in its cell clears τ — a lower-id
+    # non-rep v implies its rep r_v < v also clears τ (cos(r, v) =
+    # cos(r, r_v)), so restricting the dominance join to reps loses
+    # nothing. keep ⇔ (is-rep AND not dominated). Duplicate-heavy corpora
+    # cost Σ|rep-cell|², not Σ|cell|².
     dot = _dot_fold(dialect, "ea.embedding", "eb.embedding")
+    rep = _rep_sql(dialect)
+    norm_ref = norm_ref or _emb_norm_sql(dialect, rel=f"({rep})", label=False)
+    gm_ref = gm_ref or _gm_sql(dialect, rep)
     return f"""
 WITH {_ivf_assign_ctes(dialect)},
-emb AS ({_emb_norm_ref(dialect)}),
-pairs AS (
-  SELECT ca.cell, ca.vec_id AS ai, cb.vec_id AS bi
-  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+emb AS ({norm_ref}),
+gm AS ({gm_ref}),
+rcells AS (
+  SELECT c.vec_id, c.cell
+  FROM cells c JOIN (SELECT DISTINCT gid FROM gm) g ON c.vec_id = g.gid
 ),
-dup AS (
-  SELECT DISTINCT p.bi
+pairs AS (
+  SELECT ca.cell, ca.vec_id AS ra, cb.vec_id AS rb
+  FROM rcells ca JOIN rcells cb
+    ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+),
+dom AS (
+  SELECT DISTINCT p.rb
   FROM pairs p
-  JOIN emb ea ON p.ai = ea.vec_id
-  JOIN emb eb ON p.bi = eb.vec_id
+  JOIN emb ea ON p.ra = ea.vec_id
+  JOIN emb eb ON p.rb = eb.vec_id
   WHERE {dot} / (ea.nrm * eb.nrm) >= {_COS_T}
 )
-SELECT cl.vec_id, cl.cell, (dup.bi IS NULL) AS keep
-FROM cells cl LEFT JOIN dup ON cl.vec_id = dup.bi
+SELECT cl.vec_id, cl.cell,
+  (gm.gid = cl.vec_id AND dom.rb IS NULL) AS keep
+FROM cells cl
+JOIN gm ON cl.vec_id = gm.vec_id
+LEFT JOIN dom ON gm.gid = dom.rb
 ORDER BY cl.vec_id
 """
 
@@ -575,12 +599,20 @@ ORDER BY cl.vec_id
     oracle=_semdedup_sql("duckdb"),
     doc="SemDeDup-style semantic dedup (public method, arXiv:2303.09540): "
     "IVF cell assignment bounds the pairwise cosine pass to within-cell "
-    "pairs; a vector duplicating (cos ≥ 0.4) any lower-id cell-mate is "
-    "dropped, keeping one representative per semantic group. Fixed-order "
-    "folds keep the τ boundary bit-identical cross-engine (NS).",
+    "pairs, computed at exact-duplicate-collapsed representative level "
+    "(dominance provably reduces to reps); a vector duplicating "
+    "(cos ≥ 0.4) any lower-id cell-mate is dropped, keeping one "
+    "representative per semantic group. Fixed-order folds keep the τ "
+    "boundary bit-identical cross-engine (NS).",
     tags=("ns", "dedup", "similarity", "scale"),
 )
 def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
-    _cached_emb_norm(spark, sf_dir).createOrReplaceTempView("embeddings_norm")
-    return spark.sql(_semdedup_sql("spark"))
+    _rep_views(spark, sf_dir)
+    return spark.sql(
+        _semdedup_sql(
+            "spark",
+            norm_ref="SELECT vec_id, embedding, nrm FROM reps_norm",
+            gm_ref="SELECT vec_id, gid FROM embeddings_gm",
+        )
+    )
