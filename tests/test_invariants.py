@@ -99,3 +99,58 @@ def test_mad_thresholds_bite(spark):
         assert r["mad"] > 0
         assert 0 < r["n_beyond_mad"]
         assert r["n_outliers"] <= r["n_beyond_mad"]
+
+
+def test_perplexity_terciles_balanced_and_bounded(spark):
+    """Unigram NLL is positive (probabilities < 1); ntile(3) buckets split
+    the corpus into near-equal head/middle/tail; bucket order follows the
+    score (max head NLL <= min tail NLL)."""
+    rows = REGISTRY["ns_text_perplexity"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    by = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        assert r["nll"] > 0
+        by[r["ppl_bucket"]].append(r["nll"])
+    sizes = sorted(len(v) for v in by.values())
+    assert sizes[2] - sizes[0] <= 1
+    assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+
+
+def test_importance_sampling_rates_realized(spark):
+    """Tier keep fractions must track the declared 100/50/10 percent rates
+    (the affine hash is uniform mod 100), and tier 1 keeps everything."""
+    rows = REGISTRY["ns_sample_importance"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    kept = {1: [0, 0], 2: [0, 0], 3: [0, 0]}
+    for r in rows:
+        assert r["keep_pct"] == {1: 100, 2: 50, 3: 10}[r["tier"]]
+        kept[r["tier"]][0] += int(r["keep"])
+        kept[r["tier"]][1] += 1
+    assert kept[1][0] == kept[1][1]  # 100% tier keeps all
+    for tier, pct in ((2, 50), (3, 10)):
+        n_keep, n = kept[tier]
+        assert abs(n_keep / n - pct / 100) < 0.15, (tier, n_keep, n)
+
+
+def test_semdedup_keeps_one_per_cell_minimum(spark):
+    """Every nonempty cell keeps at least its lowest-id representative, and
+    every vector appears exactly once."""
+    rows = REGISTRY["ns_semdedup"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    assert len({r["vec_id"] for r in rows}) == 500
+    cells = {}
+    for r in rows:
+        cells.setdefault(r["cell"], []).append(r)
+    for cell, members in cells.items():
+        assert any(m["keep"] for m in members), f"cell {cell} kept nothing"
+        assert min(m["vec_id"] for m in members) in {
+            m["vec_id"] for m in members if m["keep"]
+        }
+
+
+def test_substring_pairs_are_ordered_and_positive(spark):
+    rows = REGISTRY["ns_dedup_substring"].builder(spark, SF_SMALL).collect()
+    assert len(rows) > 0  # near-dup corpus shares verbatim 8-token runs
+    for r in rows:
+        assert r["da"] < r["db"]
+        assert r["n_shared_spans"] >= 1
