@@ -351,6 +351,7 @@ def _embed_pairs_oracle() -> str:
     )
 
 
+_CELLS_CACHE: dict[tuple, DataFrame] = {}
 _REP_CACHE: dict[tuple, DataFrame] = {}
 _REP_SIG_CACHE: dict[tuple, DataFrame] = {}
 _REP_NORM_CACHE: dict[tuple, DataFrame] = {}
@@ -477,22 +478,60 @@ _IVF_PROBE = 2
 _IVF_SEED = 4242
 
 
+def _centroid_components() -> list[list[float]]:
+    """Seeded centroid components, driver-computed: the exact doubles
+    synth.uniform(c*64+dim, seed=4242, draw=0, -1, 1) evaluates to
+    in-engine (the LCG==python property is pinned by
+    tests/test_properties.py). Literal arrays let cell assignment be a
+    map-side fold instead of a rows×dims×cells join + group-sum shuffle."""
+    m31, a, c_, seed = synth.M31, synth.LCG_A, synth.LCG_C, _IVF_SEED
+    out = []
+    for cell in range(_IVF_CELLS):
+        row = []
+        for dim in range(_DIM):
+            key = cell * 64 + dim
+            x = (key * 1000003 + seed * 7919 + c_) % m31
+            x = (a * x + c_) % m31
+            row.append(-1.0 + (x / m31) * 2.0)
+        out.append(row)
+    return out
+
+
+def _centroid_values(dialect: str) -> str:
+    """(c, comps ARRAY<DOUBLE>) literal centroid table, both dialects."""
+    rows = []
+    for cell, comps in enumerate(_centroid_components()):
+        lits = ", ".join(synth.flit(v) for v in comps)
+        arr = f"array({lits})" if dialect == "spark" else f"[{lits}]"
+        rows.append(f"({cell}, {arr})")
+    vals = ", ".join(rows)
+    if dialect == "spark":
+        return f"(SELECT * FROM VALUES {vals} AS ct(c, comps))"
+    return f"(SELECT * FROM (VALUES {vals}) AS ct(c, comps))"
+
+
 def _ivf_assign_ctes(dialect: str) -> str:
-    """Shared coarse-quantizer CTE chain: long → cent → dist → assign →
-    cells (vec_id, cell). Consumed by the IVF probe search AND the
-    SemDeDup within-cell pruning."""
-    cval = f"({synth.uniform('cs.c * 64 + ds.dim', _IVF_SEED, 0, -1.0, 1.0)})"
-    return f"""long AS ({_long_cast(dialect)}),
-cent AS (
-  SELECT cs.c, ds.dim, {cval} AS cval
-  FROM {synth.series_sql(_IVF_CELLS, "c", dialect)} cs
-  CROSS JOIN {synth.series_sql(_DIM, "dim", dialect)} ds
-),
-dist AS (
-  SELECT l.vec_id, ct.c,
-    {synth.q6("sum((l.val - ct.cval) * (l.val - ct.cval))")} AS dq
-  FROM long l JOIN cent ct ON l.dim = ct.dim
-  GROUP BY l.vec_id, ct.c
+    """Shared coarse-quantizer CTE chain: dist → assign → cells (vec_id,
+    cell). Consumed by the IVF probe search AND the SemDeDup within-cell
+    pruning. Squared distance to each centroid is a FIXED-ORDER fold of
+    the embedding against a literal centroid array — map-side only, no
+    rows×dims×cells shuffle; q6 quantization before the argmin keeps the
+    assignment the deterministic cross-engine contract."""
+    if dialect == "spark":
+        d2 = (
+            "aggregate(zip_with(e.embedding, ct.comps, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "0e0, (acc, v) -> acc + v)"
+        )
+    else:
+        d2 = (
+            f"list_reduce(list_prepend(0e0, list_transform(generate_series(1, {_DIM}), "
+            "j -> (CAST(e.embedding[j] AS DOUBLE) - ct.comps[j]) * "
+            "(CAST(e.embedding[j] AS DOUBLE) - ct.comps[j]))), (acc, v) -> acc + v)"
+        )
+    return f"""dist AS (
+  SELECT e.vec_id, ct.c, {synth.q6(d2)} AS dq
+  FROM embeddings e CROSS JOIN {_centroid_values(dialect)} ct
 ),
 assign AS (
   SELECT vec_id, c AS cell,
@@ -552,6 +591,7 @@ def _semdedup_sql(
     dialect: str,
     norm_ref: str | None = None,
     gm_ref: str | None = None,
+    cells_ref: str | None = None,
 ) -> str:
     # Pairwise work at REPRESENTATIVE level only (exact-duplicate collapse,
     # same reduction as ns_dedup_embed_cosine): a non-rep vector is always
@@ -565,8 +605,16 @@ def _semdedup_sql(
     rep = _rep_sql(dialect)
     norm_ref = norm_ref or _emb_norm_sql(dialect, rel=f"({rep})", label=False)
     gm_ref = gm_ref or _gm_sql(dialect, rep)
+    # The cells relation is consumed TWICE (pair generation + final member
+    # scan); the Spark builder passes a checkpointed view so the inlined
+    # CTE is not re-evaluated per reference.
+    cells = (
+        f"cells AS ({cells_ref})"
+        if cells_ref
+        else _ivf_assign_ctes(dialect)
+    )
     return f"""
-WITH {_ivf_assign_ctes(dialect)},
+WITH {cells},
 emb AS ({norm_ref}),
 gm AS ({gm_ref}),
 rcells AS (
@@ -609,10 +657,21 @@ ORDER BY cl.vec_id
 def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     _rep_views(spark, sf_dir)
+    key = (id(spark), sf_dir.rstrip("/"))
+
+    def cells():
+        return spark.sql(
+            f"WITH {_ivf_assign_ctes('spark')} SELECT vec_id, cell FROM cells"
+        ).coalesce(4)
+
+    checkpointed(_CELLS_CACHE, key, cells).createOrReplaceTempView(
+        "embeddings_cells"
+    )
     return spark.sql(
         _semdedup_sql(
             "spark",
             norm_ref="SELECT vec_id, embedding, nrm FROM reps_norm",
             gm_ref="SELECT vec_id, gid FROM embeddings_gm",
+            cells_ref="SELECT vec_id, cell FROM embeddings_cells",
         )
     )
