@@ -102,6 +102,8 @@ _CHANGED_THIS_ROUND = [
     "ns_text_perplexity",
     "ns_sample_importance",
     "ns_dedup_substring",
+    "ns_sample_reservoir",
+    "iter_bpe_merges",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

@@ -154,3 +154,22 @@ def test_substring_pairs_are_ordered_and_positive(spark):
     for r in rows:
         assert r["da"] < r["db"]
         assert r["n_shared_spans"] >= 1
+
+
+def test_bpe_merge_supports_decrease(spark):
+    """Greedy BPE: each merge consumes its pair's mass, so later rounds'
+    top supports are strictly smaller; all supports positive."""
+    rows = REGISTRY["iter_bpe_merges"].builder(spark, SF_SMALL).collect()
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    counts = [r["pair_count"] for r in rows]
+    assert all(c > 0 for c in counts)
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_reservoir_sample_is_per_source_k(spark):
+    rows = REGISTRY["ns_sample_reservoir"].builder(spark, SF_SMALL).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+        assert 1 <= r["rk"] <= 20
+    assert all(len(v) == 20 for v in per.values())  # every source has >=20 docs

@@ -736,3 +736,194 @@ ORDER BY n_shared_spans DESC, da, db
 def ns_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
     return spark.sql(_substring_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_sample_reservoir — deterministic fixed-size uniform sample per source:
+# rank documents by an affine integer hash of doc_id and keep the k smallest
+# per group. Equivalent in distribution to one pass of reservoir sampling
+# (each doc equally likely in the k kept) but REPRODUCIBLE across engines,
+# runs and shard layouts — random()-based reservoirs are none of those. At
+# scale this is a map-side hash + per-group top-k (partial top-k per
+# partition, no global sort).
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 20
+
+
+def _reservoir_sql(dialect: str) -> str:
+    h = "((doc_id * 1103515245 + 12345) % 2147483647)"
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rk
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rk
+FROM ranked WHERE rk <= {_RESERVOIR_K}
+ORDER BY source, rk
+"""
+
+
+@register(
+    "ns_sample_reservoir",
+    oracle=_reservoir_sql("duckdb"),
+    doc="Deterministic per-source k=20 uniform sample: affine doc_id hash "
+    "rank, keep the k smallest per group — reservoir-sampling semantics "
+    "with cross-engine/shard reproducibility; per-group top-k, no global "
+    "sort (NS).",
+    tags=("ns", "sampling"),
+)
+def ns_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_reservoir_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# iter_bpe_merges — BPE vocabulary induction, 3 GREEDY MERGE ROUNDS (the
+# iterative continuation of ns_bpe_pair_stats, which computes only the
+# first-round statistics): each round finds the corpus-weighted top
+# adjacent symbol pair and applies it left-to-right non-overlapping
+# (leftmost-greedy, the textbook BPE application rule) to the vocabulary's
+# symbol sequences. Symbols are tracked as strings (merged symbols
+# concatenate), a documented simplification of full BPE's symbol identity.
+# Greedy non-overlap in SQL: among each maximal run of CONSECUTIVE match
+# positions, keep the 1st, 3rd, … (runs found by pos − rank(pos); overlap
+# only happens inside such runs). DuckDB materializes every round
+# (AS MATERIALIZED — inlined CTEs re-evaluate the prefix exponentially,
+# the iter_kcore lesson); the Spark builder runs the equivalent lazy
+# DataFrame loop with a localCheckpoint per round and no driver-side
+# collect — the top pair flows into the next round as a broadcast 1-row
+# relation, not a literal.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_MAXLEN = 32  # char-explode bound; corpus tokens are far shorter
+
+
+def _bpe_merges_sql(dialect: str) -> str:
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    rounds = []
+    prev = "seq0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+adj{r} AS{mat} (
+  SELECT token, freq, pos, sym,
+    lead(sym) OVER (PARTITION BY token ORDER BY pos) AS nxt
+  FROM {prev}
+),
+top{r} AS{mat} (
+  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS c
+  FROM adj{r} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY c DESC, a, b LIMIT 1
+),
+mch{r} AS{mat} (
+  SELECT token, pos,
+    row_number() OVER (PARTITION BY token, chain ORDER BY pos) AS crn
+  FROM (
+    SELECT a1.token, a1.pos,
+      a1.pos - row_number() OVER (PARTITION BY a1.token ORDER BY a1.pos)
+        AS chain
+    FROM adj{r} a1 JOIN top{r} t ON a1.sym = t.a AND a1.nxt = t.b
+  ) runs
+),
+keep{r} AS{mat} (SELECT token, pos FROM mch{r} WHERE crn % 2 = 1),
+seq{r} AS{mat} (
+  SELECT s.token, s.freq,
+    row_number() OVER (PARTITION BY s.token ORDER BY s.pos) - 1 AS pos,
+    CASE WHEN k.pos IS NOT NULL THEN s.sym || s.nxt ELSE s.sym END AS sym
+  FROM adj{r} s
+  LEFT JOIN keep{r} k ON s.token = k.token AND s.pos = k.pos
+  LEFT JOIN keep{r} kc ON s.token = kc.token AND s.pos = kc.pos + 1
+  WHERE kc.pos IS NULL
+)""")
+        prev = f"seq{r}"
+    chain = ",".join(rounds)
+    merges = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, c AS pair_count FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH tok AS{mat} ({tokens_sql(dialect)}),
+vocab AS{mat} (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+seq0 AS{mat} (
+  SELECT v.token, v.freq, s.i AS pos, substring(v.token, CAST(s.i AS INT) + 1, 1) AS sym
+  FROM vocab v JOIN {synth.series_sql(_BPE_MAXLEN, "i", "__DIALECT__")} s
+    ON s.i < length(v.token)
+),{chain}
+SELECT round, sym_a, sym_b, pair_count FROM ({merges}) m ORDER BY round
+""".replace("__DIALECT__", dialect)
+
+
+def _bpe_merges_oracle() -> str:
+    # series_sql takes the dialect positionally; build the final text once.
+    return _bpe_merges_sql("duckdb")
+
+
+@register(
+    "iter_bpe_merges",
+    oracle=_bpe_merges_oracle(),
+    doc="BPE vocabulary induction, 3 greedy merge rounds over the corpus-"
+    "weighted vocabulary (follows ns_bpe_pair_stats): per round, argmax "
+    "adjacent symbol pair → leftmost-non-overlapping application via "
+    "consecutive-run parity. Spark: lazy per-round DataFrame loop, "
+    "checkpoint per round, broadcast 1-row top pair, no collect; oracle: "
+    "unrolled MATERIALIZED CTE chain (NS, tokenizer).",
+    tags=("ns", "iterative", "tokenizer"),
+)
+def iter_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    _view(spark, sf_dir, "documents")
+    seq = spark.sql(f"""
+SELECT v.token, v.freq, s.i AS pos, substring(v.token, CAST(s.i AS INT) + 1, 1) AS sym
+FROM (SELECT token, count(*) AS freq FROM ({tokens_sql("spark")}) t GROUP BY token) v
+JOIN {synth.series_sql(_BPE_MAXLEN, "i", "spark")} s ON s.i < length(v.token)
+""").localCheckpoint(eager=True)
+
+    tops = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        seq.createOrReplaceTempView("bpe_seq")
+        adj = spark.sql(
+            "SELECT token, freq, pos, sym, "
+            "lead(sym) OVER (PARTITION BY token ORDER BY pos) AS nxt "
+            "FROM bpe_seq"
+        ).localCheckpoint(eager=True)
+        adj.createOrReplaceTempView("bpe_adj")
+        top = spark.sql(
+            "SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS c "
+            "FROM bpe_adj WHERE nxt IS NOT NULL "
+            "GROUP BY sym, nxt ORDER BY c DESC, a, b LIMIT 1"
+        ).localCheckpoint(eager=True)
+        top.createOrReplaceTempView("bpe_top")
+        tops.append(top.withColumn("round", F.lit(r)))
+        seq = spark.sql("""
+WITH mch AS (
+  SELECT token, pos,
+    row_number() OVER (PARTITION BY token, chain ORDER BY pos) AS crn
+  FROM (
+    SELECT a1.token, a1.pos,
+      a1.pos - row_number() OVER (PARTITION BY a1.token ORDER BY a1.pos)
+        AS chain
+    FROM bpe_adj a1 JOIN bpe_top t ON a1.sym = t.a AND a1.nxt = t.b
+  ) runs
+),
+keep AS (SELECT token, pos FROM mch WHERE crn % 2 = 1)
+SELECT s.token, s.freq,
+  row_number() OVER (PARTITION BY s.token ORDER BY s.pos) - 1 AS pos,
+  CASE WHEN k.pos IS NOT NULL THEN s.sym || s.nxt ELSE s.sym END AS sym
+FROM bpe_adj s
+LEFT JOIN keep k ON s.token = k.token AND s.pos = k.pos
+LEFT JOIN keep kc ON s.token = kc.token AND s.pos = kc.pos + 1
+WHERE kc.pos IS NULL
+""").localCheckpoint(eager=True)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.select(
+        "round",
+        F.col("a").alias("sym_a"),
+        F.col("b").alias("sym_b"),
+        F.col("c").alias("pair_count"),
+    ).orderBy("round")
