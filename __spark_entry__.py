@@ -34,8 +34,9 @@ FLAGSHIP = "agg_groupby_multi"
 # ROUND-4 ORDERING NOTE (do this when rotating after r3): fold
 # CORRECTNESS_r03's green keys into _R03_VERIFIED below, empty and then
 # repopulate _CHANGED_THIS_ROUND with round-4 work, and keep the remaining
-# never-verified oracle keys (≈24 after r3: the llmprep/semantics/statml
-# tail of _PENDING_PRIORITY plus whatever r3's window did not reach) at the
+# never-verified oracle keys (≈34 after r3 — the statml/timeseries/
+# iterative/fn tail of _PENDING_PRIORITY; all were pre-flighted green at
+# sf0.01 against DuckDB this round, so the rotation is de-risked) at the
 # front of the pending block, followed by the rows-only pending keys. Any
 # key whose implementation changes in r4 re-enters _CHANGED_THIS_ROUND even
 # if verified here — no key ships two rounds unverified.
@@ -104,6 +105,7 @@ _CHANGED_THIS_ROUND = [
     "ns_dedup_substring",
     "ns_sample_reservoir",
     "iter_bpe_merges",
+    "src_text_lines",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

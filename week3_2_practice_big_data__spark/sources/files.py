@@ -201,3 +201,38 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TEXT_ORACLE = """
+SELECT count(*) AS n_lines,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  min(length(text)) AS min_len,
+  max(length(text)) AS max_len
+FROM documents
+"""
+
+
+@register(
+    "src_text_lines",
+    oracle=_TEXT_ORACLE,
+    doc="Line-oriented text source (spark.read.text) — the rawest LLM "
+    "corpus ingest format: documents written one per line, read back as "
+    "untyped lines; the oracle recomputes the same length statistics from "
+    "the original table, proving the round trip is content-preserving "
+    "(REF-ANALOG source; completes the parquet/csv/json/orc/binary/text "
+    "family).",
+    tags=("source", "sink", "ns"),
+)
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "textsrc")
+    # one document per line; texts contain no newlines (corpus invariant)
+    load_table(spark, sf_dir, "documents").select("text").orderBy(
+        "doc_id"
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.select(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("n_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
