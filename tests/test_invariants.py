@@ -173,3 +173,46 @@ def test_reservoir_sample_is_per_source_k(spark):
         per.setdefault(r["source"], set()).add(r["doc_id"])
         assert 1 <= r["rk"] <= 20
     assert all(len(v) == 20 for v in per.values())  # every source has >=20 docs
+
+
+def test_build_once_single_winner_under_racing_builders():
+    """ADVICE r2: concurrent scratch builds must never expose a partially
+    built directory. Race 8 threads through build_once; every thread must
+    return a directory whose marker is complete and whose payload is one
+    builder's full output."""
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    from week3_2_practice_big_data__spark.common import build_once
+
+    root = tempfile.mkdtemp(prefix="bo_race_")
+    out = os.path.join(root, "scratch")
+    results = []
+
+    def build(tmp: str) -> None:
+        me = threading.current_thread().name
+        for i in range(5):
+            with open(os.path.join(tmp, f"f{i}.txt"), "w") as f:
+                f.write(me)
+
+    def worker():
+        got = build_once(out, build, stamp="v1")
+        names = sorted(
+            n for n in os.listdir(got) if n != "_DONE"
+        )
+        owners = {open(os.path.join(got, n)).read() for n in names}
+        results.append((names, owners, open(os.path.join(got, "_DONE")).read()))
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    for names, owners, marker in results:
+        assert names == [f"f{i}.txt" for i in range(5)]
+        assert len(owners) == 1  # one builder's complete payload, no mixing
+        assert marker == "v1"
+    shutil.rmtree(root, ignore_errors=True)

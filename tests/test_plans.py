@@ -180,7 +180,8 @@ def test_materialized_relations_stay_materialized(spark):
         "ns_dedup_cluster": 2,      # pairs per round + sig
         "ns_dedup_simhash": 3,      # fp: bands + fa + fb
         "ns_dedup_ngram_jaccard": 3,  # shingles: a + b + sizes
-        "ns_dedup_embed_cosine": 4,   # band_sig a/b + emb a/b
+        "ns_dedup_embed_cosine": 4,   # rep band_sig a/b + rep norms a/b + gm
+        "ns_semdedup": 3,             # cells ref x2 + rep norms + gm
         "proj_resample_bilinear": 4,  # canvas 4-neighbor gather
         "gen_poster_shadow": 2,       # mask: shading chain + blur chain
     }
@@ -314,3 +315,17 @@ def test_market_basket_pairs_join_on_orderkey(spark):
     plan = _formatted_plan(spark, "agg_market_basket")
     assert "CartesianProduct" not in plan
     assert "l_orderkey" in plan  # join key survives into the physical plan
+
+
+def test_rep_dedup_plans_have_no_cartesian(spark):
+    """The rep-collapsed dedup plans must stay equi-join shaped: the only
+    nested-loop join allowed is the bounded literal broadcast (centroid /
+    plane / scalar-bits tables), never a data×data cartesian."""
+    from .conftest import SF_SMALL
+
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    for key in ("ns_dedup_embed_cosine", "ns_semdedup"):
+        df = REGISTRY[key].builder(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key

@@ -64,9 +64,16 @@ def build_once(out: str, build, stamp: str = "") -> str:
 
     if done():
         return out
-    tmp = f"{out}.build.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    # pid alone is not unique enough: threads in one process (pytest main +
+    # a streaming listener, or a threaded test) would share the tmp dir —
+    # mkdtemp gives every CALL its own build directory.
+    import tempfile
+
+    parent = os.path.dirname(out) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(
+        prefix=f"{os.path.basename(out)}.build.", dir=parent
+    )
     build(tmp)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(stamp)
