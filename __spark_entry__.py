@@ -106,6 +106,8 @@ _CHANGED_THIS_ROUND = [
     "ns_sample_reservoir",
     "iter_bpe_merges",
     "src_text_lines",
+    "ts_resample_fill",
+    "ns_pii_scrub",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

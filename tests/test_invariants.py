@@ -216,3 +216,34 @@ def test_build_once_single_winner_under_racing_builders():
         assert len(owners) == 1  # one builder's complete payload, no mixing
         assert marker == "v1"
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_resample_fill_covers_every_user_day(spark):
+    """Densified series: contiguous day range per user, zero-filled gaps
+    flagged, totals conserved vs the raw events."""
+    import pyspark.sql.functions as F
+    from week3_2_practice_big_data__spark.io import load_table
+
+    rows = REGISTRY["ts_resample_fill"].builder(spark, SF_SMALL).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["user_id"], []).append(r)
+        if r["gap_filled"]:
+            assert r["n_events"] == 0 and r["sum_value"] == 0.0
+    n_raw = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_raw
+    for user, days in per.items():
+        ds = sorted(d["day"] for d in days)
+        assert ds == list(range(ds[0], ds[-1] + 1)), user  # contiguous
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = {r["rec_id"]: r for r in REGISTRY["ns_pii_scrub"].builder(spark, SF_SMALL).collect()}
+    assert rows[0]["n_emails"] == 1 and "<EMAIL>" in rows[0]["scrubbed"]
+    assert rows[1]["n_phones"] == 2 and rows[1]["scrubbed"].count("<PHONE>") == 2
+    assert rows[2]["n_ips"] == 2 and rows[2]["scrubbed"].count("<IP>") == 2
+    assert rows[3]["scrubbed"] == "no personal data in this line at all"
+    assert rows[4]["n_emails"] == 1 and rows[4]["n_phones"] == 1 and rows[4]["n_ips"] == 1
+    assert rows[5]["n_emails"] == 0 and rows[5]["n_phones"] == 0 and rows[5]["n_ips"] == 0
+    for r in rows.values():
+        assert "@" not in r["scrubbed"] or r["n_emails"] == 0

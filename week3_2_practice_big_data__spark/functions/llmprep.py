@@ -927,3 +927,78 @@ WHERE kc.pos IS NULL
         F.col("b").alias("sym_b"),
         F.col("c").alias("pair_count"),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# ns_pii_scrub — PII detection + redaction (the compliance pass every
+# training-data pipeline runs before release): emails, phone numbers and
+# IPv4 addresses found by bracket-class regexes (no backslash escapes —
+# the one regex subset Spark's Java regex and DuckDB's RE2 treat
+# identically) are replaced with typed placeholder tags and counted per
+# record. The driver corpus is synthetic lowercase prose with no PII, so
+# the operator runs over a deterministic literal sample relation (the
+# ns_decontaminate probe-table pattern); a real pipeline points the same
+# expressions at its documents column. Pure map-side projection — scans
+# once, shuffles nothing.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,4}"
+_PII_PHONE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+_PII_SAMPLE = [
+    (0, "contact me at jane.doe@example.com for details"),
+    (1, "call 555-867-5309 or 555 123 4567 before noon"),
+    (2, "server logs show 192.168.0.17 and 10.0.0.1 hitting /login"),
+    (3, "no personal data in this line at all"),
+    (4, "mixed: bob@mail.co phoned 333-444-5555 from 172.16.254.3"),
+    (5, "edge: not-an-email@ nor 12-34-56 nor 999.999"),
+]
+
+
+def _pii_sql(dialect: str) -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in _PII_SAMPLE)
+    rel = (
+        f"(SELECT * FROM VALUES {rows} AS s(rec_id, txt))"
+        if dialect == "spark"
+        else f"(SELECT * FROM (VALUES {rows}) AS s(rec_id, txt))"
+    )
+
+    def scrub(expr: str, pat: str, tag: str) -> str:
+        if dialect == "spark":
+            return f"regexp_replace({expr}, '{pat}', '{tag}')"
+        return f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+
+    def count(pat: str) -> str:
+        if dialect == "spark":
+            return f"size(regexp_extract_all(txt, '{pat}', 0))"
+        return f"len(regexp_extract_all(txt, '{pat}'))"
+
+    scrubbed = scrub(
+        scrub(scrub("txt", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"),
+        _PII_IP,
+        "<IP>",
+    )
+    return f"""
+SELECT rec_id,
+  {scrubbed} AS scrubbed,
+  {count(_PII_EMAIL)} AS n_emails,
+  {count(_PII_PHONE)} AS n_phones,
+  {count(_PII_IP)} AS n_ips
+FROM {rel} t
+ORDER BY rec_id
+"""
+
+
+@register(
+    "ns_pii_scrub",
+    oracle=_pii_sql("duckdb"),
+    doc="PII redaction pass: email/phone/IPv4 regexes (bracket-class only "
+    "— the Java-regex/RE2 common subset) replaced with typed tags and "
+    "counted per record; deterministic literal sample relation, map-side "
+    "only (NS, compliance).",
+    tags=("ns", "text", "quality"),
+)
+def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    del sf_dir  # literal sample relation; scale-independent by design
+    return spark.sql(_pii_sql("spark"))

@@ -242,3 +242,62 @@ ORDER BY user_id, us, event_id
 def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_distinct_rolling_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ts_resample_fill — calendar densification: per-user DAILY resample over
+# each user's own [first, last] activity range, with explicit zero-filled
+# gap days (the step every downstream rolling/EWMA computation silently
+# assumes — a rolling mean over a sparse series is wrong without it).
+# The grid explode is bounded by user-range days (never a global calendar
+# cross join); the fill is one LEFT JOIN on (user_id, day).
+# ---------------------------------------------------------------------------
+
+
+def _grid_days(dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            "SELECT user_id, explode(sequence(d0, d1)) AS day FROM bounds"
+        )
+    return (
+        "SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds"
+    )
+
+
+def _resample_fill_sql(dialect: str) -> str:
+    epoch = _us(dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+    CAST(floor({epoch} / 86400e6) AS BIGINT) AS day,
+    value
+  FROM events
+),
+bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id),
+grid AS ({_grid_days(dialect)}),
+daily AS (
+  SELECT user_id, day, count(*) AS n,
+    {synth.q6("sum(value)")} AS sumv
+  FROM ev GROUP BY user_id, day
+)
+SELECT g.user_id, g.day,
+  coalesce(d.n, 0) AS n_events,
+  coalesce(d.sumv, 0e0) AS sum_value,
+  (d.n IS NULL) AS gap_filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+ORDER BY g.user_id, g.day
+"""
+
+
+@register(
+    "ts_resample_fill",
+    oracle=_resample_fill_sql("duckdb"),
+    doc="Per-user daily resample with explicit zero-filled gap days over "
+    "each user's own activity range — calendar densification before any "
+    "rolling computation; grid explode bounded per user, one (user, day) "
+    "LEFT JOIN (REF-ANALOG timeseries).",
+    tags=("timeseries", "window"),
+)
+def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_resample_fill_sql("spark"))
