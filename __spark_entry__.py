@@ -108,6 +108,8 @@ _CHANGED_THIS_ROUND = [
     "src_text_lines",
     "ts_resample_fill",
     "ns_pii_scrub",
+    "graph_triangle_count",
+    "ml_naive_bayes",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

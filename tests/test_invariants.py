@@ -247,3 +247,32 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[5]["n_emails"] == 0 and rows[5]["n_phones"] == 0 and rows[5]["n_ips"] == 0
     for r in rows.values():
         assert "@" not in r["scrubbed"] or r["n_emails"] == 0
+
+
+def test_naive_bayes_beats_uniform_prior(spark):
+    """Training accuracy of the NB classifier must beat random guessing
+    over the language set (the corpus shares one vocabulary, so profile
+    separation is weak — but the statistical model must still find it on
+    its own training data)."""
+    rows = REGISTRY["ml_naive_bayes"].builder(spark, SF_SMALL).collect()
+    langs = [r["lang"] for r in rows]
+    total = sum(r["n_docs"] for r in rows)
+    correct = sum(r["n_correct"] for r in rows)
+    assert total == 500
+    assert correct / total > 1.0 / len(langs), (correct, total, langs)
+    for r in rows:
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["n_correct"] <= r["n_docs"]
+
+
+def test_triangle_count_consistent(spark):
+    """Global triangle total is one scalar repeated per row; per-node
+    memberships are positive and can't exceed 3x the total."""
+    rows = REGISTRY["graph_triangle_count"].builder(spark, SF_SMALL).collect()
+    assert rows
+    totals = {r["n_triangles"] for r in rows}
+    assert len(totals) == 1
+    total = totals.pop()
+    assert total > 0  # dense small-vocab co-occurrence graph has triangles
+    for r in rows:
+        assert 0 < r["n_tri"] <= total

@@ -402,3 +402,65 @@ WHERE nxt IS NOT NULL AND token <> nxt
         .limit(50)
     )
     return final
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — triangle counting on the distinct adjacent-token
+# co-occurrence graph (the third classic distributed-graph primitive beside
+# pagerank/cc/kcore): orient every edge a<b, then one two-hop equi-join
+# chain e1(a,b)·e2(b,c)·e3(a,c) counts each triangle exactly once — the
+# standard shuffle-on-vertex MapReduce formulation; no vertex ever sees
+# more than its neighborhood. Output: per-node triangle memberships
+# (top 20) plus the global total as a cross-joined scalar.
+# ---------------------------------------------------------------------------
+
+
+def _triangle_sql(dialect: str) -> str:
+    from ..functions.text import tokens_sql
+
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+pairs AS (
+  SELECT doc_id, token,
+    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+),
+edges AS (
+  SELECT DISTINCT
+    CASE WHEN token < nxt THEN token ELSE nxt END AS a,
+    CASE WHEN token < nxt THEN nxt ELSE token END AS b
+  FROM pairs WHERE nxt IS NOT NULL AND token <> nxt
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+total AS (SELECT count(*) AS n_triangles FROM tri),
+member AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri) u
+  GROUP BY node
+)
+SELECT m.node AS token, m.n_tri, t.n_triangles
+FROM member m CROSS JOIN total t
+ORDER BY m.n_tri DESC, m.node
+LIMIT 20
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_triangle_sql("duckdb"),
+    doc="Triangle counting on the oriented (a<b) token co-occurrence "
+    "graph: one two-hop equi-join chain counts each triangle once (the "
+    "classic MapReduce formulation); per-node memberships top-20 + global "
+    "total. Completes the pagerank/cc/kcore graph family (REF-ANALOG).",
+    tags=("graph", "iterative"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_triangle_sql("spark"))

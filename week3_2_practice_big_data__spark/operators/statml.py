@@ -578,3 +578,86 @@ ORDER BY t.user_id
 def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "events")
     return spark.sql(_entropy_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes — multinomial naive-Bayes language classifier trained AND
+# evaluated in one declarative plan (the statistical upgrade of
+# ns_text_langid's profile overlap): add-1-smoothed per-language token
+# log-likelihoods + log priors from the corpus itself, per-document score
+# = ln P(lang) + Σ ln P(token|lang), argmax prediction, per-language
+# accuracy report. Training is two bounded-key aggregations ((lang, token)
+# and lang); scoring joins the token stream to the (broadcast-sized)
+# likelihood table — corpus scanned once, shuffled on (doc, lang) then
+# lang. Scores are q6-quantized BEFORE the argmax row_number with a lang
+# tie-break, so the prediction is the deterministic cross-engine contract.
+# ---------------------------------------------------------------------------
+
+
+def _naive_bayes_sql(dialect: str) -> str:
+    from ..functions.text import tokens_sql
+
+    score = synth.q6("pr.lp + s.ll")
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+labeled AS (
+  SELECT t.doc_id, t.token, d.lang FROM tok t
+  JOIN documents d ON t.doc_id = d.doc_id
+),
+cnt AS (
+  SELECT lang, token, count(*) AS c FROM labeled GROUP BY lang, token
+),
+ltot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM cnt GROUP BY lang
+),
+vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok),
+prior AS (
+  SELECT lang, ln(count(*) / (SELECT count(*) + 0e0 FROM documents)) AS lp
+  FROM documents GROUP BY lang
+),
+ll AS (
+  SELECT lt.lang, tk.token,
+    ln((coalesce(c.c, 0) + 1e0) / (lt.tl + vb.v + 0e0)) AS l
+  FROM (SELECT DISTINCT token FROM tok) tk
+  CROSS JOIN ltot lt
+  CROSS JOIN vocab vb
+  LEFT JOIN cnt c ON c.lang = lt.lang AND c.token = tk.token
+),
+scored AS (
+  SELECT t.doc_id, l.lang, sum(l.l) AS ll
+  FROM tok t JOIN ll l ON t.token = l.token
+  GROUP BY t.doc_id, l.lang
+),
+ranked AS (
+  SELECT s.doc_id, s.lang AS pred,
+    row_number() OVER (
+      PARTITION BY s.doc_id ORDER BY {score} DESC, s.lang
+    ) AS rn
+  FROM scored s JOIN prior pr ON s.lang = pr.lang
+),
+pred AS (SELECT doc_id, pred FROM ranked WHERE rn = 1)
+SELECT d.lang, count(*) AS n_docs,
+  CAST(sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  {synth.q6("sum(CASE WHEN p.pred = d.lang THEN 1e0 ELSE 0e0 END) / count(*)")}
+    AS accuracy
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=_naive_bayes_sql("duckdb"),
+    doc="Multinomial naive Bayes trained and evaluated in one plan: add-1 "
+    "per-language token log-likelihoods + log priors, per-doc argmax "
+    "(q6-quantized score, lang tie-break → deterministic), per-language "
+    "training accuracy. Two bounded-key training aggregations; scoring "
+    "joins the token stream to the broadcast-sized likelihood table "
+    "(REF-ANALOG statml).",
+    tags=("statml", "ns", "text"),
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_naive_bayes_sql("spark"))
