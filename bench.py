@@ -126,9 +126,17 @@ def main() -> None:
     # Warm the JVM/codegen/file-listing paths once before timing.
     for key in keys:
         run_once(spark, key)
-    per_query = {}
-    for key in keys:
-        per_query[key] = round(statistics.median(run_once(spark, key) for _ in range(3)), 4)
+    # Three PASS-INTERLEAVED timed runs (not 3 back-to-back per key): the
+    # host VM's throughput drifts over minutes, and interleaving spreads
+    # that drift evenly across keys instead of loading it onto whichever
+    # keys run last.
+    samples = {key: [] for key in keys}
+    for _ in range(3):
+        for key in keys:
+            samples[key].append(run_once(spark, key))
+    per_query = {
+        key: round(statistics.median(vals), 4) for key, vals in samples.items()
+    }
     total = round(sum(per_query.values()), 4)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
