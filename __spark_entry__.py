@@ -110,6 +110,9 @@ _CHANGED_THIS_ROUND = [
     "ns_pii_scrub",
     "graph_triangle_count",
     "ml_naive_bayes",
+    "agg_t_test",
+    "win_cusum_changepoint",
+    "ts_downsample_lttb",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

@@ -276,3 +276,27 @@ def test_triangle_count_consistent(spark):
     assert total > 0  # dense small-vocab co-occurrence graph has triangles
     for r in rows:
         assert 0 < r["n_tri"] <= total
+
+
+def test_lttb_keeps_endpoints_and_bucket_peaks(spark):
+    """Downsample contract: per user exactly one 'first', one 'last', and
+    at most one peak per interior bucket."""
+    rows = REGISTRY["ts_downsample_lttb"].builder(spark, SF_SMALL).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["user_id"], []).append(r)
+    for user, rs in per.items():
+        kinds = [r["kind"] for r in rs]
+        assert kinds.count("first") == 1 and kinds.count("last") == 1, user
+        peaks = [r["bkt"] for r in rs if r["kind"] == "peak"]
+        assert len(peaks) == len(set(peaks)), user  # <=1 per bucket
+        assert all(2 <= b <= 9 for b in peaks), user  # interior buckets only
+
+
+def test_cusum_flags_are_rare_and_bounded(spark):
+    """Deviation sums start near 0 and the 3-sigma flag must fire on a
+    minority of points (uniform-ish synthetic values have no real drift)."""
+    rows = REGISTRY["win_cusum_changepoint"].builder(spark, SF_SMALL).collect()
+    assert rows
+    flagged = sum(1 for r in rows if r["drift_flag"])
+    assert flagged / len(rows) < 0.5

@@ -661,3 +661,63 @@ ORDER BY d.lang
 def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
     return spark.sql(_naive_bayes_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_t_test — Welch's two-sample t-test from EXACT decimal moments (the
+# ml_linreg_closed discipline): per order-status, compare mean order value
+# of high-priority (1-URGENT/2-HIGH) vs normal/low orders. Sums of
+# DECIMAL(18,2) are exact in both engines, so n/Σx/Σx² are bit-identical
+# and the t statistic / Welch–Satterthwaite dof computed from them are the
+# same doubles. One grouped aggregation — the 100 TB A/B-test shape.
+# ---------------------------------------------------------------------------
+
+
+def _t_test_sql(dialect: str) -> str:
+    del dialect  # shared text
+    d = "CAST(o_totalprice AS DECIMAL(18,2))"
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    va = "((sxa - sa * sa / na) / (na - 1e0))"  # sample variance, group A
+    vb = "((sxb - sb * sb / nb) / (nb - 1e0))"
+    sea = f"({va} / na)"
+    seb = f"({vb} / nb)"
+    t = f"((sa / na - sb / nb) / sqrt({sea} + {seb}))"
+    dof = (
+        f"(({sea} + {seb}) * ({sea} + {seb}) / "
+        f"({sea} * {sea} / (na - 1e0) + {seb} * {seb} / (nb - 1e0)))"
+    )
+    return f"""
+WITH m AS (
+  SELECT o_orderstatus,
+    CAST(sum(CASE WHEN {hi} THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+    CAST(sum(CASE WHEN {hi} THEN {d} END) AS DOUBLE) AS sa,
+    CAST(sum(CASE WHEN {hi} THEN {d} * {d} END) AS DOUBLE) AS sxa,
+    CAST(sum(CASE WHEN NOT ({hi}) THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+    CAST(sum(CASE WHEN NOT ({hi}) THEN {d} END) AS DOUBLE) AS sb,
+    CAST(sum(CASE WHEN NOT ({hi}) THEN {d} * {d} END) AS DOUBLE) AS sxb
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+  CAST(na AS BIGINT) AS n_high, CAST(nb AS BIGINT) AS n_normal,
+  {synth.q6("sa / na")} AS mean_high,
+  {synth.q6("sb / nb")} AS mean_normal,
+  {synth.q6(t)} AS t_stat,
+  {synth.q6(dof)} AS welch_dof
+FROM m
+WHERE na > 1 AND nb > 1
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "agg_t_test",
+    oracle=_t_test_sql("duckdb"),
+    doc="Welch two-sample t-test per order status (high- vs normal-priority "
+    "order values) from exact decimal moments — t statistic + "
+    "Welch–Satterthwaite dof in one grouped aggregation; the distributed "
+    "A/B-test shape (REF-ANALOG statml).",
+    tags=("agg", "stats"),
+)
+def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_t_test_sql("spark"))

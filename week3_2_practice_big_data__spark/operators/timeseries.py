@@ -301,3 +301,144 @@ ORDER BY g.user_id, g.day
 def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_resample_fill_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_cusum_changepoint — cumulative-sum control chart per user: running
+# sum of deviations from the user's own mean, flagged where |S_i| exceeds
+# h·σ (h = 3). The classic drift detector; the non-resetting chart form is
+# exactly one windowed cumulative sum (the resetting max(0, ·) variant is
+# a sequential recurrence — that escape hatch is applyInPandasWithState,
+# stream_custom_state). Mean/σ come from exact per-user moments; one
+# user_id shuffle total (moments broadcast back via window, not a join).
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = "3e0"
+
+
+def _cusum_sql(dialect: str) -> str:
+    epoch = _us(dialect)
+    full = "PARTITION BY user_id"
+    run = f"PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, {epoch} AS us, value FROM events
+),
+stats AS (
+  SELECT user_id, event_id, us, value,
+    avg(value) OVER ({full}) AS mu,
+    count(*) OVER ({full}) AS n,
+    sum(value * value) OVER ({full}) AS sxx,
+    sum(value) OVER ({full}) AS sx
+  FROM ev
+),
+cum AS (
+  SELECT user_id, event_id, us, value, mu,
+    sqrt((sxx - sx * sx / n) / (n - 1e0)) AS sigma,
+    sum(value - mu) OVER ({run}) AS s
+  FROM stats WHERE n > 1
+)
+SELECT user_id, event_id,
+  {synth.q6("s")} AS cusum,
+  (abs({synth.q6("s")}) > {_CUSUM_H} * {synth.q6("sigma")}) AS drift_flag
+FROM cum
+ORDER BY user_id, us, event_id
+"""
+
+
+@register(
+    "win_cusum_changepoint",
+    oracle=_cusum_sql("duckdb"),
+    doc="CUSUM control chart per user: windowed cumulative sum of "
+    "deviations from the user's own exact mean, drift flagged beyond "
+    "3σ — one user_id shuffle, moments via window (no second join) "
+    "(REF-ANALOG timeseries).",
+    tags=("timeseries", "window", "stats"),
+)
+def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_cusum_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_lttb — largest-triangle-three-buckets downsampling (the
+# standard visualization reducer, Steinarsson 2013), bucket-average
+# variant: per user the series is cut into _LTTB_BUCKETS equal-count
+# buckets; first/last points are always kept, and each interior bucket
+# keeps the point with the largest triangle area against the PREVIOUS and
+# NEXT buckets' centroids. (True LTTB anchors on the previously SELECTED
+# point — a sequential recurrence; the centroid anchor is the standard
+# parallelizable variant and is what makes every bucket's argmax
+# independent.) Deterministic: area is q6-quantized before the argmax,
+# event_id breaks ties. One user_id shuffle + one bucket-keyed aggregate.
+# ---------------------------------------------------------------------------
+
+_LTTB_BUCKETS = 10
+
+
+def _lttb_sql(dialect: str) -> str:
+    epoch = _us(dialect)
+    area = (
+        "abs((pb.cx - nb.cx) * (p.value - pb.cv) - "
+        "(pb.cx - p.x) * (nb.cv - pb.cv))"
+    )
+    return f"""
+WITH raw AS (
+  SELECT user_id, event_id, {epoch} AS us, value FROM events
+),
+ev AS (
+  -- x rescaled to exact per-user day offsets: integer µs subtraction is
+  -- exact, so x is bit-identical cross-engine and triangle areas stay at
+  -- O(1) magnitude where the q6 quantum is meaningful (at raw-epoch
+  -- magnitude ~1e15 the quantum is far below double ulp and argmax order
+  -- would hinge on summation noise).
+  SELECT user_id, event_id,
+    CAST(us - min(us) OVER (PARTITION BY user_id) AS DOUBLE) / 86400e6 AS x,
+    value,
+    ntile({_LTTB_BUCKETS}) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+    ) AS bkt,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+    ) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM raw
+),
+cent AS (
+  SELECT user_id, bkt, avg(x) AS cx, {synth.q6("avg(value)")} AS cv
+  FROM ev GROUP BY user_id, bkt
+),
+scored AS (
+  SELECT p.user_id, p.event_id, p.bkt, p.rn, p.n,
+    row_number() OVER (
+      PARTITION BY p.user_id, p.bkt
+      ORDER BY {synth.q6(area)} DESC, p.event_id
+    ) AS ar
+  FROM ev p
+  JOIN cent pb ON p.user_id = pb.user_id AND pb.bkt = p.bkt - 1
+  JOIN cent nb ON p.user_id = nb.user_id AND nb.bkt = p.bkt + 1
+)
+SELECT user_id, event_id, bkt, 'peak' AS kind
+FROM scored WHERE ar = 1
+UNION ALL
+SELECT user_id, event_id, bkt,
+  CASE WHEN rn = 1 THEN 'first' ELSE 'last' END AS kind
+FROM ev WHERE rn = 1 OR rn = n
+ORDER BY user_id, bkt, kind
+"""
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=_lttb_sql("duckdb"),
+    doc="Largest-triangle-three-buckets downsampling (public method, "
+    "Steinarsson 2013), parallelizable centroid-anchor variant: per-user "
+    "equal-count buckets, endpoints kept, each interior bucket keeps its "
+    "max-triangle-area point vs neighbor-bucket centroids (q6 area, "
+    "event_id tie-break). One shuffle + one bucket aggregate (REF-ANALOG "
+    "timeseries).",
+    tags=("timeseries", "window", "sampling"),
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_lttb_sql("spark"))
