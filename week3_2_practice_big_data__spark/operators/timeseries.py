@@ -309,8 +309,17 @@ def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # h·σ (h = 3). The classic drift detector; the non-resetting chart form is
 # exactly one windowed cumulative sum (the resetting max(0, ·) variant is
 # a sequential recurrence — that escape hatch is applyInPandasWithState,
-# stream_custom_state). Mean/σ come from exact per-user moments; one
-# user_id shuffle total (moments broadcast back via window, not a join).
+# stream_custom_state).
+#
+# EXACT-INTEGER discipline: the deviation sum S_i = prefix_i − i·mean
+# lands on .5e-6 quantization boundaries systematically (values are
+# 2-decimal), so a float mean would flip q6 on boundary rows. Instead
+# values become BIGINT micro-units (exact, 6-decimal inputs) and
+# S_i·n = n·prefix_i − i·total is computed in exact integer arithmetic;
+# the final division and the cross-multiplied 3σ comparison are single
+# IEEE expressions over identical integers — bit-identical cross-engine.
+# Headroom: |sn6| ≤ n²·max|v|·1e6 and n·sxx12 ≤ n·v²·1e12·n — fine to
+# ~1e4 events/user; beyond that switch the two products to DECIMAL(38,0).
 # ---------------------------------------------------------------------------
 
 _CUSUM_H = "3e0"
@@ -319,28 +328,43 @@ _CUSUM_H = "3e0"
 def _cusum_sql(dialect: str) -> str:
     epoch = _us(dialect)
     full = "PARTITION BY user_id"
-    run = f"PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    run = (
+        "PARTITION BY user_id ORDER BY us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    d = "CAST({x} AS DOUBLE)"
+    sn6 = d.format(x="sn6")
+    nn = "(n + 0e0)"
+    lhs = f"{sn6} * {sn6} * ({nn} - 1e0)"
+    rhs = (
+        f"9e0 * {nn} * {nn} * {d.format(x='sxx12')} "
+        f"- 9e0 * {nn} * {d.format(x='sx6')} * {d.format(x='sx6')}"
+    )
     return f"""
 WITH ev AS (
-  SELECT user_id, event_id, {epoch} AS us, value FROM events
+  SELECT user_id, event_id, {epoch} AS us,
+    CAST(floor(value * 1e6 + 0.5e0) AS BIGINT) AS v6
+  FROM events
 ),
-stats AS (
-  SELECT user_id, event_id, us, value,
-    avg(value) OVER ({full}) AS mu,
+w AS (
+  SELECT user_id, event_id, us,
     count(*) OVER ({full}) AS n,
-    sum(value * value) OVER ({full}) AS sxx,
-    sum(value) OVER ({full}) AS sx
+    sum(v6) OVER ({full}) AS sx6,
+    sum(v6 * v6) OVER ({full}) AS sxx12,
+    sum(v6) OVER ({run}) AS p6,
+    row_number() OVER (
+      {full} ORDER BY us, event_id
+    ) AS i
   FROM ev
 ),
 cum AS (
-  SELECT user_id, event_id, us, value, mu,
-    sqrt((sxx - sx * sx / n) / (n - 1e0)) AS sigma,
-    sum(value - mu) OVER ({run}) AS s
-  FROM stats WHERE n > 1
+  SELECT user_id, event_id, us, n, sx6, sxx12,
+    n * p6 - i * sx6 AS sn6
+  FROM w WHERE n > 1
 )
 SELECT user_id, event_id,
-  {synth.q6("s")} AS cusum,
-  (abs({synth.q6("s")}) > {_CUSUM_H} * {synth.q6("sigma")}) AS drift_flag
+  {synth.q6(f"{sn6} / ({nn} * 1e6)")} AS cusum,
+  ({lhs} > {rhs}) AS drift_flag
 FROM cum
 ORDER BY user_id, us, event_id
 """
@@ -349,10 +373,11 @@ ORDER BY user_id, us, event_id
 @register(
     "win_cusum_changepoint",
     oracle=_cusum_sql("duckdb"),
-    doc="CUSUM control chart per user: windowed cumulative sum of "
-    "deviations from the user's own exact mean, drift flagged beyond "
-    "3σ — one user_id shuffle, moments via window (no second join) "
-    "(REF-ANALOG timeseries).",
+    doc="CUSUM control chart per user: deviation sums from the user's own "
+    "mean computed in exact integer micro-units (n·prefix − i·total), "
+    "drift flagged beyond 3σ via a cross-multiplied exact comparison — "
+    "one user_id shuffle, no float-summation boundary flips (REF-ANALOG "
+    "timeseries).",
     tags=("timeseries", "window", "stats"),
 )
 def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
