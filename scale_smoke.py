@@ -42,6 +42,9 @@ KEYS = [
     # scale-derived band width (b=⌈log₂ n⌉): the 10× corpus must show
     # ~linear candidate growth, not the fixed-width quadratic collapse.
     "ns_dedup_embed_cosine",
+    # rep-level dominance: within-cell pairwise is Σ|rep-cell|², so the
+    # 10× duplicated corpus costs the same as the base.
+    "ns_semdedup",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
