@@ -113,6 +113,8 @@ _CHANGED_THIS_ROUND = [
     "agg_t_test",
     "win_cusum_changepoint",
     "ts_downsample_lttb",
+    "agg_chi2_independence",
+    "ml_pca_power",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

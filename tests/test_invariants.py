@@ -300,3 +300,24 @@ def test_cusum_flags_are_rare_and_bounded(spark):
     assert rows
     flagged = sum(1 for r in rows if r["drift_flag"])
     assert flagged / len(rows) < 0.5
+
+
+def test_pca_power_is_unit_norm_and_spectrally_bounded(spark):
+    """Power iteration contract on a near-isotropic spectrum: the loading
+    vector is unit norm, and the Rayleigh quotient lies between the mean
+    and max eigenvalue of the TRUE covariance (computed via numpy) — the
+    estimate must beat a random direction even where full convergence
+    needs many more rounds than the spectral gap allows."""
+    import numpy as np
+    import duckdb
+
+    rows = REGISTRY["ml_pca_power"].builder(spark, SF_SMALL).collect()
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    lam = rows[0]["eigenvalue"]
+    assert abs(float(v @ v) - 1.0) < 1e-4
+    emb = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchnumpy()
+    X = np.stack([np.array(e, dtype=np.float64) for e in emb["embedding"]])
+    w = np.linalg.eigvalsh(np.cov(X.T, bias=True))
+    assert w.mean() <= lam <= w[-1] * 1.001, (lam, w.mean(), w[-1])

@@ -675,3 +675,116 @@ def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cells_ref="SELECT vec_id, cell FROM embeddings_cells",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_pca_power — top principal component of the embedding covariance by
+# POWER ITERATION (8 rounds), fully relational: the 64×64 covariance is a
+# long-format cell aggregation (q6-quantized per cell, so both engines
+# iterate from the IDENTICAL matrix), each round is one matvec join +
+# normalization with the new vector re-quantized — engines stay in
+# lockstep round over round. Deterministic start (uniform unit vector)
+# fixes the eigenvector sign. Output: 64 loadings + the Rayleigh-quotient
+# eigenvalue. The PCA front half of embedding compression/whitening
+# pipelines; at scale the cell aggregation is the only data-sized pass
+# (dims² cells, partitionable), every iteration touches 64² cells only.
+# DuckDB materializes each round (iter_kcore lesson); the Spark builder
+# runs the equivalent checkpointed loop.
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 8
+
+
+def _pca_cov_sql(dialect: str) -> str:
+    """(a, b, cell) — q6-quantized centered covariance cells."""
+    return f"""
+SELECT la.dim AS a, lb.dim AS b,
+  {synth.q6(
+      "sum(la.val * lb.val) / (SELECT count(*) + 0e0 FROM embeddings)"
+      " - ma.m * mb.m"
+  )} AS cell
+FROM ({_long_cast(dialect)}) la
+JOIN ({_long_cast(dialect)}) lb ON la.vec_id = lb.vec_id
+JOIN (SELECT dim, avg(val) AS m FROM ({_long_cast(dialect)}) l0 GROUP BY dim) ma
+  ON la.dim = ma.dim
+JOIN (SELECT dim, avg(val) AS m FROM ({_long_cast(dialect)}) l1 GROUP BY dim) mb
+  ON lb.dim = mb.dim
+GROUP BY la.dim, lb.dim, ma.m, mb.m
+"""
+
+
+def _pca_v0_sql(dialect: str) -> str:
+    comp = synth.flit(1.0 / 8.0)  # 1/sqrt(64), exact binary fraction
+    return f"SELECT dim, {comp} AS l FROM {synth.series_sql(_DIM, 'dim', dialect)} s"
+
+
+def _pca_round_sql(cov: str, v: str) -> str:
+    """One power-iteration round: matvec → normalize → re-quantize."""
+    return f"""
+SELECT mv.dim, {synth.q6("mv.r / nrm.s")} AS l
+FROM (
+  SELECT c.a AS dim, sum(c.cell * v.l) AS r
+  FROM ({cov}) c JOIN ({v}) v ON c.b = v.dim GROUP BY c.a
+) mv
+CROSS JOIN (
+  SELECT sqrt(sum(r * r)) AS s FROM (
+    SELECT sum(c.cell * v.l) AS r
+    FROM ({cov}) c JOIN ({v}) v ON c.b = v.dim GROUP BY c.a
+  ) m2
+) nrm
+"""
+
+
+def _pca_sql(dialect: str) -> str:
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    chain = [f"cov AS{mat} ({_pca_cov_sql(dialect)})",
+             f"v0 AS{mat} ({_pca_v0_sql(dialect)})"]
+    for r in range(1, _PCA_ROUNDS + 1):
+        chain.append(
+            f"v{r} AS{mat} ({_pca_round_sql('SELECT a, b, cell FROM cov', f'SELECT dim, l FROM v{r-1}')})"
+        )
+    last = f"v{_PCA_ROUNDS}"
+    lam = (
+        "SELECT sum(c.cell * va.l * vb.l) AS lam "
+        f"FROM cov c JOIN {last} va ON c.a = va.dim "
+        f"JOIN {last} vb ON c.b = vb.dim"
+    )
+    return f"""
+WITH {",".join(chain)},
+ray AS{mat} ({lam})
+SELECT v.dim, v.l AS loading, {synth.q6("ray.lam")} AS eigenvalue
+FROM {last} v CROSS JOIN ray
+ORDER BY v.dim
+"""
+
+
+@register(
+    "ml_pca_power",
+    oracle=_pca_sql("duckdb"),
+    doc="Top principal component of the embedding covariance via 8 power-"
+    "iteration rounds: q6-quantized covariance cells (identical matrix "
+    "both engines), matvec join + re-quantized normalization per round, "
+    "Rayleigh-quotient eigenvalue. Deterministic start fixes the sign "
+    "(REF-ANALOG statml / NS embedding pipeline).",
+    tags=("statml", "ns", "similarity", "iterative"),
+)
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    cov = spark.sql(_pca_cov_sql("spark")).localCheckpoint(eager=True)
+    cov.createOrReplaceTempView("pca_cov")
+    v = spark.sql(_pca_v0_sql("spark")).localCheckpoint(eager=True)
+    for _ in range(_PCA_ROUNDS):
+        v.createOrReplaceTempView("pca_v")
+        v = spark.sql(
+            _pca_round_sql("SELECT a, b, cell FROM pca_cov", "SELECT dim, l FROM pca_v")
+        ).localCheckpoint(eager=True)
+    v.createOrReplaceTempView("pca_v")
+    return spark.sql(f"""
+WITH ray AS (
+  SELECT sum(c.cell * va.l * vb.l) AS lam
+  FROM pca_cov c JOIN pca_v va ON c.a = va.dim JOIN pca_v vb ON c.b = vb.dim
+)
+SELECT v.dim, v.l AS loading, {synth.q6("ray.lam")} AS eigenvalue
+FROM pca_v v CROSS JOIN ray
+ORDER BY v.dim
+""")

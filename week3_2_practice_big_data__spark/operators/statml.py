@@ -721,3 +721,59 @@ ORDER BY o_orderstatus
 def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "orders")
     return spark.sql(_t_test_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_chi2_independence — chi-square test of independence for event_type ×
+# weekday (is the event mix stable across the week?): observed counts are
+# exact integers, expected counts row·col/N are single IEEE expressions
+# over them, and the statistic sums (o−e)²/e over the bounded contingency
+# table (≤ types×7 cells — a scalar reduction, never data-sized). The
+# categorical sibling of agg_t_test; completes the hypothesis-test pair.
+# ---------------------------------------------------------------------------
+
+
+def _chi2_sql(dialect: str) -> str:
+    dow = (
+        "CAST(date_part('dow', ts) AS INT)"
+        if dialect == "duckdb"
+        else "CAST(dayofweek(ts) AS INT) - 1"  # align: Sunday = 0
+    )
+    return f"""
+WITH obs AS (
+  SELECT event_type, {dow} AS dow, count(*) AS o
+  FROM events GROUP BY event_type, {dow}
+),
+rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY event_type),
+ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY dow),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT obs.o, rt.r * ct.c / (tot.n + 0e0) AS e
+  FROM obs JOIN rt ON obs.event_type = rt.event_type
+  JOIN ct ON obs.dow = ct.dow CROSS JOIN tot
+),
+dims AS (
+  SELECT count(DISTINCT event_type) AS nr, count(DISTINCT dow) AS nc FROM obs
+)
+SELECT
+  {synth.q6("sum((cells.o - cells.e) * (cells.o - cells.e) / cells.e)")}
+    AS chi2,
+  CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+  CAST(dims.nr * dims.nc AS BIGINT) AS n_cells
+FROM cells CROSS JOIN dims
+GROUP BY dims.nr, dims.nc
+"""
+
+
+@register(
+    "agg_chi2_independence",
+    oracle=_chi2_sql("duckdb"),
+    doc="Chi-square independence test (event_type × weekday): exact "
+    "observed counts, expected = row·col/N, statistic summed over the "
+    "bounded contingency table — the categorical hypothesis test beside "
+    "agg_t_test (REF-ANALOG statml).",
+    tags=("agg", "stats"),
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_chi2_sql("spark"))
