@@ -115,6 +115,7 @@ _CHANGED_THIS_ROUND = [
     "ts_downsample_lttb",
     "agg_chi2_independence",
     "ml_pca_power",
+    "agg_bootstrap_poisson",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

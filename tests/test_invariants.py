@@ -321,3 +321,15 @@ def test_pca_power_is_unit_norm_and_spectrally_bounded(spark):
     X = np.stack([np.array(e, dtype=np.float64) for e in emb["embedding"]])
     w = np.linalg.eigvalsh(np.cov(X.T, bias=True))
     assert w.mean() <= lam <= w[-1] * 1.001, (lam, w.mean(), w[-1])
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    """The replicate-mean CI must bracket the full-sample mean and be
+    reasonably tight (Poisson(1) weights perturb, not replace, the mass)."""
+    rows = REGISTRY["agg_bootstrap_poisson"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_replicates"] == 16
+    assert r["ci_lo"] <= r["mean_full"] <= r["ci_hi"]
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 0 < width < 0.2 * r["mean_full"]

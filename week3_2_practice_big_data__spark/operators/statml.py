@@ -777,3 +777,83 @@ GROUP BY dims.nr, dims.nc
 def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "events")
     return spark.sql(_chi2_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_bootstrap_poisson — Poisson bootstrap confidence interval for the
+# mean order value: the SCALE form of the bootstrap (each row draws an
+# independent Poisson(1) weight per replicate instead of being resampled
+# with replacement — map-side, single pass, no data movement; the classic
+# large-data formulation). Weights come from the deterministic LCG via the
+# inverse Poisson(1) CDF (a CASE ladder over driver-computed cumulative
+# constants), so every replicate is reproducible and bit-identical
+# cross-engine. Replicate means use exact decimal sums; the CI is the
+# 2nd/15th order statistic of the 16 replicate means (~87.5% interval).
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 16
+
+
+def _poisson_inv(u_expr: str) -> str:
+    """Inverse Poisson(1) CDF as a CASE ladder (driver-exact constants)."""
+    import math
+
+    c = 0.0
+    arms = []
+    for k in range(9):
+        c += math.exp(-1) / math.factorial(k)
+        arms.append(f"WHEN {u_expr} < {synth.flit(c)} THEN {k}")
+    return "CASE " + " ".join(arms) + " ELSE 9 END"
+
+
+def _bootstrap_sql(dialect: str) -> str:
+    del dialect  # shared text (series seam injected by caller)
+    d = "CAST(o_totalprice AS DECIMAL(18,2))"
+    u = synth.lcg_u("o_orderkey * 31 + rep.r", seed=99, draw=0)
+    w = _poisson_inv(f"({u})")
+    return f"""
+WITH weighted AS (
+  SELECT rep.r, {w} AS w, {d} AS x
+  FROM orders CROSS JOIN __SERIES__ rep
+),
+means AS (
+  SELECT r, CAST(sum(w * x) AS DOUBLE) / sum(w) AS m
+  FROM weighted GROUP BY r HAVING sum(w) > 0
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, r) AS rk,
+    count(*) OVER () AS nr
+  FROM means
+),
+full_mean AS (
+  SELECT CAST(sum({d}) AS DOUBLE) / count(*) AS fm FROM orders
+)
+SELECT
+  CAST(ranked.nr AS BIGINT) AS n_replicates,
+  {synth.q6("full_mean.fm")} AS mean_full,
+  {synth.q6("min(CASE WHEN rk = 2 THEN m END)")} AS ci_lo,
+  {synth.q6("min(CASE WHEN rk = nr - 1 THEN m END)")} AS ci_hi
+FROM ranked CROSS JOIN full_mean
+GROUP BY ranked.nr, full_mean.fm
+"""
+
+
+def _bootstrap_for(dialect: str) -> str:
+    return _bootstrap_sql(dialect).replace(
+        "__SERIES__", synth.series_sql(_BOOT_R, "r", dialect)
+    )
+
+
+@register(
+    "agg_bootstrap_poisson",
+    oracle=_bootstrap_for("duckdb"),
+    doc="Poisson bootstrap CI for the mean order value: per-(row, "
+    "replicate) Poisson(1) weights from the deterministic LCG inverse-CDF "
+    "ladder — the map-side single-pass bootstrap that scales (no "
+    "resampling data movement); 16 replicate means (exact decimal sums), "
+    "CI = 2nd/15th order statistics (REF-ANALOG statml).",
+    tags=("agg", "stats", "sampling"),
+)
+def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_bootstrap_for("spark"))
