@@ -116,6 +116,7 @@ _CHANGED_THIS_ROUND = [
     "agg_chi2_independence",
     "ml_pca_power",
     "agg_bootstrap_poisson",
+    "agg_anova_oneway",
     "ns_sim_ann_ivf",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path

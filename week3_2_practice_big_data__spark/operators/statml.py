@@ -857,3 +857,59 @@ def _bootstrap_for(dialect: str) -> str:
 def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "orders")
     return spark.sql(_bootstrap_for("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_anova_oneway — one-way ANOVA F-test: does mean order value differ
+# across order priorities? Between/within sums of squares from EXACT
+# decimal group moments (n, Σx, Σx² per priority — one grouped
+# aggregation), then F = (SSB/(k−1)) / (SSW/(N−k)) as a single IEEE
+# expression over identical doubles. Output carries only SCALE-INVARIANT
+# statistics (F and η² — both O(1)); the raw mean squares sit at ~1e10
+# where the q6 quantum is below group-sum reorder noise and cannot
+# stabilize them. Completes the hypothesis-test trio (t-test: two groups;
+# chi-square: categorical; ANOVA: k groups).
+# ---------------------------------------------------------------------------
+
+
+def _anova_sql(dialect: str) -> str:
+    del dialect  # shared text
+    d = "CAST(o_totalprice AS DECIMAL(18,2))"
+    return f"""
+WITH g AS (
+  SELECT o_orderpriority,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum({d}) AS DOUBLE) AS sx,
+    CAST(sum({d} * {d}) AS DOUBLE) AS sxx
+  FROM orders GROUP BY o_orderpriority
+),
+tot AS (
+  SELECT sum(n) AS nn, sum(sx) AS tsx, sum(sxx) AS tsxx, count(*) AS k
+  FROM g
+),
+ss AS (
+  SELECT tot.k, tot.nn,
+    sum(g.sx * g.sx / g.n) - tot.tsx * tot.tsx / tot.nn AS ssb,
+    tot.tsxx - sum(g.sx * g.sx / g.n) AS ssw
+  FROM g CROSS JOIN tot
+  GROUP BY tot.k, tot.nn, tot.tsx, tot.tsxx
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+  {synth.q6("ssb / (ssb + ssw)")} AS eta_sq,
+  {synth.q6("(ssb / (k - 1e0)) / (ssw / (nn - k))")} AS f_stat
+FROM ss
+"""
+
+
+@register(
+    "agg_anova_oneway",
+    oracle=_anova_sql("duckdb"),
+    doc="One-way ANOVA F-test (order value across priorities) from exact "
+    "decimal group moments: scale-invariant F statistic and eta-squared "
+    "in one grouped aggregation + one scalar combine — the "
+    "k-group member of the hypothesis-test trio (REF-ANALOG statml).",
+    tags=("agg", "stats"),
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_anova_sql("spark"))
