@@ -125,6 +125,9 @@ _CHANGED_THIS_ROUND = [
     # errors + row-count/schema drift on them):
     "sink_binary_export_tiled",
     "stream_tumbling_file_rate",
+    "stream_sink_parquet",
+    "stream_rate_source",
+    "ns_mm_image_phash",
     "src_csv_malformed",
     "src_binary_files",
 ]

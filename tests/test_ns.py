@@ -198,3 +198,15 @@ def test_csv_malformed_quarantine(spark):
     assert r["n_clean"] == 980
     assert r["n_rows"] == r["n_clean"] + r["n_quarantined"]
     assert r["clean_total_price"] > 0
+
+
+def test_image_phash_detects_visual_near_dups(spark):
+    """Posters from the same generative config with adjacent blob params
+    produce SOME visually-close pairs; Hamming bounds and ordering hold."""
+    rows = REGISTRY["ns_mm_image_phash"].builder(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["ba"] < r["bb"]
+        assert 0 <= r["hamming"] <= 10
+    # determinism: same pixels, same fingerprints
+    again = REGISTRY["ns_mm_image_phash"].builder(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

@@ -110,3 +110,22 @@ def test_trigger_availablenow_drains_backlog(spark):
     """AvailableNow must terminate on its own having seen every event."""
     rows = REGISTRY["stream_trigger_availablenow"].builder(spark, SF_SMALL).collect()
     assert sum(r["n"] for r in rows) == 1000  # full events table drained
+
+
+def test_parquet_sink_matches_watermarked_memory_sink(spark):
+    """The file sink must land exactly the windows the append-mode memory
+    sink emits (same watermark finalization semantics, different sink)."""
+    fs = REGISTRY["stream_sink_parquet"].builder(spark, SF_SMALL).collect()
+    mem = REGISTRY["stream_watermark_late"].builder(spark, SF_SMALL).collect()
+    assert {(r["win_start"], r["event_type"], r["n"]) for r in fs} == {
+        (r["win_start"], r["event_type"], r["n"]) for r in mem
+    }
+
+
+def test_rate_source_generates_dense_sequence(spark):
+    rows = REGISTRY["stream_rate_source"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_rows"] >= 1
+    assert r["max_value"] == r["n_rows"] - 1  # dense 0..N-1
+    assert abs(r["n_even"] - r["n_rows"] / 2) <= 1

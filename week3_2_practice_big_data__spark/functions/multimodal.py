@@ -408,3 +408,77 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("file_name", "length", "dims.width", "dims.height")
         .orderBy("file_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# ns_mm_image_phash — perceptual image dedup: average-hash (aHash) per
+# poster — decode, grayscale, 8×8 block means, bit = mean-above-global-mean
+# → a 64-bit fingerprint; pairs at Hamming distance ≤ 10 are visual
+# near-dups. The image-side sibling of ns_dedup_simhash: same
+# fingerprint → band → confirm shape, but the fingerprint comes from pixel
+# content (Arrow-batched mapInPandas decode; blob-keyed, embarrassingly
+# parallel). Pair join is exact on the BIGINT hash band bytes — no pixel
+# ever shuffles.
+# ---------------------------------------------------------------------------
+
+_PHASH_HAMMING = 10
+
+
+@register(
+    "ns_mm_image_phash",
+    oracle=None,  # pixel pipeline → rows-only; pytest pins dup structure
+    doc="Perceptual average-hash (8×8 aHash) per rendered poster via "
+    "mapInPandas decode + block means; near-dup pairs at Hamming ≤ 10 "
+    "via popcount(xor) on the BIGINT fingerprints — image-content dedup "
+    "beside the text/embedding families (NS multimodal).",
+    tags=("ns", "multimodal", "dedup"),
+)
+def ns_mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    posters = _posters(spark, sf_dir)
+
+    def phash(batches):
+        import numpy as np
+
+        from ..plans.png import decode_png_rgb
+
+        for pdf in batches:
+            out = {"blob_id": [], "phash": []}
+            for blob_id, png in zip(pdf["blob_id"], pdf["png"]):
+                pixels, w, h = decode_png_rgb(bytes(png))
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                gray = img.astype(np.float64).mean(axis=2)
+                ri = (np.arange(8) * h) // 8
+                ci = (np.arange(8) * w) // 8
+                rl = np.append(ri[1:], h)
+                cl = np.append(ci[1:], w)
+                blocks = np.array(
+                    [
+                        [gray[ri[i]:rl[i], ci[j]:cl[j]].mean() for j in range(8)]
+                        for i in range(8)
+                    ]
+                )
+                bits = (blocks > blocks.mean()).astype(np.uint64).reshape(-1)
+                hv = 0
+                for b in bits:
+                    hv = (hv << 1) | int(b)
+                # store as signed 64-bit for the BIGINT column
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                out["blob_id"].append(int(blob_id))
+                out["phash"].append(hv)
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    hashed = posters.select("blob_id", "png").mapInPandas(
+        phash, "blob_id int, phash bigint"
+    ).localCheckpoint(eager=True)
+    hashed.createOrReplaceTempView("mm_phash")
+    return spark.sql(f"""
+SELECT a.blob_id AS ba, b.blob_id AS bb,
+  bit_count(a.phash ^ b.phash) AS hamming
+FROM mm_phash a JOIN mm_phash b ON a.blob_id < b.blob_id
+WHERE bit_count(a.phash ^ b.phash) <= {_PHASH_HAMMING}
+ORDER BY hamming, ba, bb
+""")

@@ -475,3 +475,108 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, src, ev.schema, transform, "w32bd_sstatic").orderBy(
         "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_sink_parquet — the production SINK form: writeStream to a parquet
+# directory with a checkpointLocation (exactly-once file sink semantics —
+# restart-safe via the checkpoint's write-ahead commit log), then the sink
+# directory is read back as a normal batch relation. Complements
+# stream_foreachbatch (imperative sink) and the memory-sink keys
+# (test-scale): this is the path a pipeline actually lands data with.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sink_parquet",
+    oracle=None,  # file-sink mechanics → rows-only; pytest pins totals
+    doc="writeStream → parquet file sink with checkpointLocation "
+    "(exactly-once commit-log semantics), append mode over a watermarked "
+    "tumbling agg; sink read back as batch. The production landing path "
+    "beside the memory/foreachBatch sinks (NS).",
+    tags=("streaming", "sink"),
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "psink", dup_first=0)
+    base = os.path.join(
+        _REPO_TMP, f"psink_out_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    sink, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    for q in spark.streams.active:
+        if q.name == "w32bd_psink":
+            q.stop()
+    query = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withWatermark("ts", _WATERMARK)
+        .groupBy(F.window("ts", "600 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName("w32bd_psink")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.read.parquet(sink).orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# stream_rate_source — the built-in `rate` source (timestamp, value rows
+# generated at rowsPerSecond): the standing load-generator source type for
+# streaming smoke tests and backpressure work. Bounded here by stopping
+# after the first non-empty micro-batches and aggregating value parity —
+# deterministic row CONTENT (value is a dense sequence) even though run
+# length is wall-clock-bounded, so the check pins structure, not counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_rate_source",
+    oracle=None,  # wall-clock-driven source → rows-only; pytest pins shape
+    doc="Built-in rate source (rowsPerSecond=500) drained for a bounded "
+    "interval into a memory sink: value column is the dense 0..N-1 "
+    "sequence, aggregated to (n_rows, n_even, max_value) — the load-"
+    "generator source type, structure-checked (NS).",
+    tags=("streaming", "source"),
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    del sf_dir  # generator source; scale-independent by design
+    import time
+
+    for q in spark.streams.active:
+        if q.name == "w32bd_rate":
+            q.stop()
+    query = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select("value")
+        .writeStream.format("memory")
+        .queryName("w32bd_rate")
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        if spark.table("w32bd_rate").count() >= 500:
+            break
+        time.sleep(0.25)
+    query.stop()
+    return spark.table("w32bd_rate").select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") % 2 == 0).cast("int")).alias("n_even"),
+        F.max("value").alias("max_value"),
+    )
