@@ -333,3 +333,40 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     assert r["ci_lo"] <= r["mean_full"] <= r["ci_hi"]
     width = r["ci_hi"] - r["ci_lo"]
     assert 0 < width < 0.2 * r["mean_full"]
+
+
+def test_empty_input_parity_representatives(spark):
+    """Degenerate-input gate: a cross-family sample of oracle keys must
+    agree with DuckDB on ALL-EMPTY input tables (same schemas, zero rows)
+    — guards the division/log/inference edges an empty partition or
+    source feed hits at scale. (Full-sweep result: 189/192; the cube/
+    rollup/grouping-sets trio diverges by documented engine semantics —
+    DuckDB emits the grand-total grouping row on an empty relation.)"""
+    import os
+
+    import duckdb
+
+    from week3_2_practice_big_data__spark.io import TABLES
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "sf_empty")
+    if not os.path.exists(os.path.join(out, "region.parquet")):
+        os.makedirs(out, exist_ok=True)
+        con0 = duckdb.connect()
+        for t in TABLES:
+            con0.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') LIMIT 0) "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    from .oracle import compare, duck_run
+
+    keys = [
+        "agg_groupby_multi", "agg_histogram", "ns_domain_mix",
+        "ns_dedup_embed_cosine", "ns_sim_ann_lsh", "ns_semdedup",
+        "iter_pagerank_tokens", "join_dpp_partitioned",
+        "src_partition_prune_static", "sink_partitioned_write",
+        "agg_bitmap_distinct", "ns_text_perplexity", "ml_naive_bayes",
+        "win_cusum_changepoint", "ts_resample_fill", "agg_bootstrap_poisson",
+    ]
+    for key in keys:
+        q = REGISTRY[key]
+        compare(q.builder(spark, out), duck_run(q.oracle, out), f"{key}:empty")

@@ -129,9 +129,11 @@ def _bits_sql(rel: str = "embeddings") -> str:
     text, so both engines derive the identical gate from the corpus size.
     log2 is exact in both libms at powers of two, so the ceil boundary
     cannot disagree cross-engine."""
+    # greatest(count, 1) guards the empty relation: DuckDB raises on
+    # log2(0) where Spark returns NULL; either way b must stay defined.
     return (
         "SELECT least(16, greatest(8, "
-        "CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INT))) AS b "
+        "CAST(ceil(log2(CAST(greatest(count(*), 1) AS DOUBLE))) AS INT))) AS b "
         f"FROM {rel}"
     )
 

@@ -222,7 +222,8 @@ bm_count AS (
 exact_count AS (
   SELECT count(DISTINCT user_id) AS n_exact FROM events
 )
-SELECT n_bitmap, n_exact, (n_bitmap = n_exact) AS agree
+SELECT coalesce(n_bitmap, 0) AS n_bitmap, n_exact,
+  (coalesce(n_bitmap, 0) = n_exact) AS agree
 FROM bm_count CROSS JOIN exact_count
 """
 

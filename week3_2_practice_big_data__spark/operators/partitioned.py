@@ -47,6 +47,18 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     return build_once(_warehouse(sf_dir), build)
 
 
+def _read_orders_part(spark: SparkSession, sf_dir: str, path: str):
+    """Explicit read schema: an EMPTY partitioned write leaves no data
+    files, and a schemaless parquet read would fail inference — the empty
+    source must flow through as an empty relation, not an error."""
+    sch = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .schema
+    )
+    return spark.read.schema(sch).parquet(path)
+
+
 _DPP_ORACLE = f"""
 SELECT o_orderpriority, count(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -71,7 +83,7 @@ ORDER BY o_orderpriority
 )
 def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _partitioned_orders(spark, sf_dir)
-    spark.read.parquet(path).createOrReplaceTempView("orders_part")
+    _read_orders_part(spark, sf_dir, path).createOrReplaceTempView("orders_part")
     years = spark.range(1995, 2002).select(
         F.col("id").cast("int").alias("y")
     )
@@ -109,7 +121,7 @@ ORDER BY o_orderpriority
 )
 def src_partition_prune_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _partitioned_orders(spark, sf_dir)
-    spark.read.parquet(path).createOrReplaceTempView("orders_part")
+    _read_orders_part(spark, sf_dir, path).createOrReplaceTempView("orders_part")
     return spark.sql("""
 SELECT o_orderpriority, count(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -78,7 +78,11 @@ nodes AS (
   UNION
   SELECT dst AS token FROM edges
 ),
-nn AS (SELECT count(*) AS n FROM nodes),
+nn AS (
+  -- greatest(·,1): an empty vocabulary must yield an empty result, not a
+  -- constant-folded divide-by-zero under ANSI mode
+  SELECT greatest(count(*), 1) AS n FROM nodes
+),
 outdeg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
 pr0 AS (
   SELECT token, 1e0 / nn.n AS pr FROM nodes CROSS JOIN nn
@@ -149,7 +153,10 @@ def _cached_graph(spark: SparkSession, sf_dir: str):
         outdeg = (
             edges.groupBy("src").agg(F.sum("w").alias("deg")).coalesce(1).persist()
         )
-        n = nodes.count()  # materializes the caches; n is an exact BIGINT
+        # materializes the caches; n is an exact BIGINT. max(·, 1) mirrors
+        # the oracle's greatest(count(*), 1): an empty vocabulary yields an
+        # empty result, not a constant-folded divide-by-zero literal.
+        n = max(nodes.count(), 1)
         _CACHED[key] = (edges, nodes, outdeg, n)
     return _CACHED[key]
 

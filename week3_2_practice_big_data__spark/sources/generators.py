@@ -230,7 +230,9 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: an empty write leaves no files and schemaless read
+    # would fail inference; empty in -> empty out
+    back = spark.read.schema(li.schema).parquet(out)
     return (
         back.groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
