@@ -118,6 +118,10 @@ _CHANGED_THIS_ROUND = [
     "agg_bootstrap_poisson",
     "agg_anova_oneway",
     "ns_sim_ann_ivf",
+    # degenerate-input guards (NULL on zero-variance / rank-floor): output
+    # is unchanged on real data, but the text changed → re-window
+    "agg_corr_moments",
+    "agg_sketch_kll_quantile",
     # scratch builds are now race-safe (build-to-tmp + atomic rename);
     # same results, changed build path
     "join_dpp_partitioned",

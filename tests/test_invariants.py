@@ -335,26 +335,31 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     assert 0 < width < 0.2 * r["mean_full"]
 
 
-def test_empty_input_parity_representatives(spark):
+import pytest
+
+
+@pytest.mark.parametrize("limit,tag", [(0, "sf_empty"), (1, "sf_one")])
+def test_degenerate_input_parity_representatives(spark, limit, tag):
     """Degenerate-input gate: a cross-family sample of oracle keys must
-    agree with DuckDB on ALL-EMPTY input tables (same schemas, zero rows)
-    — guards the division/log/inference edges an empty partition or
-    source feed hits at scale. (Full-sweep result: 189/192; the cube/
-    rollup/grouping-sets trio diverges by documented engine semantics —
-    DuckDB emits the grand-total grouping row on an empty relation.)"""
+    agree with DuckDB on ALL-EMPTY and SINGLE-ROW input tables — guards
+    the division/log/inference edges an empty or tiny partition hits at
+    scale (zero variance, k=1 groups, rank granularity, log2(0)).
+    (Full-sweep result: 189/192 on both; the cube/rollup/grouping-sets
+    trio diverges by documented engine semantics — DuckDB emits the
+    grand-total grouping row on an empty relation.)"""
     import os
 
     import duckdb
 
     from week3_2_practice_big_data__spark.io import TABLES
 
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "sf_empty")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", tag)
     if not os.path.exists(os.path.join(out, "region.parquet")):
         os.makedirs(out, exist_ok=True)
         con0 = duckdb.connect()
         for t in TABLES:
             con0.execute(
-                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') LIMIT 0) "
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') LIMIT {limit}) "
                 f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
             )
     from .oracle import compare, duck_run
@@ -366,7 +371,9 @@ def test_empty_input_parity_representatives(spark):
         "src_partition_prune_static", "sink_partitioned_write",
         "agg_bitmap_distinct", "ns_text_perplexity", "ml_naive_bayes",
         "win_cusum_changepoint", "ts_resample_fill", "agg_bootstrap_poisson",
+        "agg_skew_kurt", "ml_linreg_closed", "agg_anova_oneway",
+        "agg_corr_moments", "ml_pca_power", "agg_sketch_kll_quantile",
     ]
     for key in keys:
         q = REGISTRY[key]
-        compare(q.builder(spark, out), duck_run(q.oracle, out), f"{key}:empty")
+        compare(q.builder(spark, out), duck_run(q.oracle, out), f"{key}:{tag}")

@@ -721,9 +721,12 @@ def _pca_v0_sql(dialect: str) -> str:
 
 
 def _pca_round_sql(cov: str, v: str) -> str:
-    """One power-iteration round: matvec → normalize → re-quantize."""
+    """One power-iteration round: matvec → normalize → re-quantize. A zero
+    matvec (degenerate zero covariance, e.g. a single vector) keeps the
+    zero vector instead of dividing by a zero norm."""
     return f"""
-SELECT mv.dim, {synth.q6("mv.r / nrm.s")} AS l
+SELECT mv.dim,
+  CASE WHEN nrm.s = 0e0 THEN 0e0 ELSE {synth.q6("mv.r / nrm.s")} END AS l
 FROM (
   SELECT c.a AS dim, sum(c.cell * v.l) AS r
   FROM ({cov}) c JOIN ({v}) v ON c.b = v.dim GROUP BY c.a

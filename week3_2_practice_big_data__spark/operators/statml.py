@@ -179,10 +179,15 @@ WITH m AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,
-  {synth.q6(slope)} AS slope,
-  {synth.q6(intercept)} AS intercept,
-  {synth.q6(r2)} AS r2,
-  {synth.q6(f"({intercept}) + ({slope}) * {_PRED_X}")} AS yhat_at_25
+  CASE WHEN n * sxx - sx * sx = 0e0 OR n * syy - sy * sy = 0e0
+       THEN CAST(NULL AS DOUBLE) ELSE {synth.q6(slope)} END AS slope,
+  CASE WHEN n * sxx - sx * sx = 0e0 OR n * syy - sy * sy = 0e0
+       THEN CAST(NULL AS DOUBLE) ELSE {synth.q6(intercept)} END AS intercept,
+  CASE WHEN n * sxx - sx * sx = 0e0 OR n * syy - sy * sy = 0e0
+       THEN CAST(NULL AS DOUBLE) ELSE {synth.q6(r2)} END AS r2,
+  CASE WHEN n * sxx - sx * sx = 0e0 OR n * syy - sy * sy = 0e0
+       THEN CAST(NULL AS DOUBLE)
+       ELSE {synth.q6(f"({intercept}) + ({slope}) * {_PRED_X}")} END AS yhat_at_25
 FROM m ORDER BY l_returnflag
 """
 
@@ -218,8 +223,10 @@ def _skew_kurt_sql(dialect: str) -> str:
 WITH m AS ({mom})
 SELECT l_returnflag,
   {synth.q6(mean)} AS mean_qty,
-  {synth.q6(f"{m3} / pow({m2}, 1.5e0)")} AS skewness,
-  {synth.q6(f"{m4} / ({m2} * {m2}) - 3e0")} AS excess_kurtosis
+  CASE WHEN {m2} = 0e0 THEN CAST(NULL AS DOUBLE)
+       ELSE {synth.q6(f"{m3} / pow({m2}, 1.5e0)")} END AS skewness,
+  CASE WHEN {m2} = 0e0 THEN CAST(NULL AS DOUBLE)
+       ELSE {synth.q6(f"{m4} / ({m2} * {m2}) - 3e0")} END AS excess_kurtosis
 FROM m ORDER BY l_returnflag
 """
 
@@ -895,8 +902,11 @@ ss AS (
   GROUP BY tot.k, tot.nn, tot.tsx, tot.tsxx
 )
 SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
-  {synth.q6("ssb / (ssb + ssw)")} AS eta_sq,
-  {synth.q6("(ssb / (k - 1e0)) / (ssw / (nn - k))")} AS f_stat
+  CASE WHEN k < 2 OR nn <= k OR ssb + ssw = 0e0 OR ssw = 0e0
+       THEN CAST(NULL AS DOUBLE)
+       ELSE {synth.q6("ssb / (ssb + ssw)")} END AS eta_sq,
+  CASE WHEN k < 2 OR nn <= k OR ssw = 0e0 THEN CAST(NULL AS DOUBLE)
+       ELSE {synth.q6("(ssb / (k - 1e0)) / (ssw / (nn - k))")} END AS f_stat
 FROM ss
 """
 
