@@ -135,3 +135,68 @@ def test_blob_params_bounds_any_seed(seed, nb):
         assert 0.1 <= r < 0.26
         assert 0.08 <= w < 0.22
         assert 0.12 <= cx < 0.88 and 0.12 <= cy < 0.88
+
+
+@given(
+    plane=st.integers(min_value=0, max_value=63),
+    dim=st.integers(min_value=0, max_value=63),
+)
+@settings(max_examples=80, deadline=None)
+def test_plane_components_match_engine_lcg(plane, dim):
+    """The driver-computed hyperplane literals must equal what the engine's
+    LCG text evaluates to (the literal-emission shortcut is only sound if
+    the Python twin is bit-exact)."""
+    import duckdb
+
+    from week3_2_practice_big_data__spark import synth
+    from week3_2_practice_big_data__spark.functions.similarity import (
+        _plane_components,
+    )
+
+    expr = synth.lcg_u(f"CAST({plane * 64 + dim} AS BIGINT)", seed=1234, draw=0)
+    engine = duckdb.sql(f"SELECT ({expr}) - 0.5").fetchone()[0]
+    assert _plane_components()[plane][dim] == engine
+
+
+@given(
+    cell=st.integers(min_value=0, max_value=7),
+    dim=st.integers(min_value=0, max_value=63),
+)
+@settings(max_examples=60, deadline=None)
+def test_centroid_components_match_engine_lcg(cell, dim):
+    """Same literal-emission soundness for the IVF centroid table."""
+    import duckdb
+
+    from week3_2_practice_big_data__spark import synth
+    from week3_2_practice_big_data__spark.functions.similarity import (
+        _IVF_SEED,
+        _centroid_components,
+    )
+
+    expr = synth.uniform(f"CAST({cell * 64 + dim} AS BIGINT)", _IVF_SEED, 0, -1.0, 1.0)
+    engine = duckdb.sql(f"SELECT {expr}").fetchone()[0]
+    assert _centroid_components()[cell][dim] == engine
+
+
+@given(u=st.floats(min_value=0.0, max_value=1.0, exclude_max=True))
+@settings(max_examples=120, deadline=None)
+def test_poisson_inverse_cdf_ladder_is_correct(u):
+    """The bootstrap's CASE-ladder inverse CDF must return the true
+    Poisson(1) quantile for every uniform draw."""
+    import math
+
+    import duckdb
+
+    from week3_2_practice_big_data__spark.operators.statml import _poisson_inv
+
+    k_engine = duckdb.sql(
+        f"SELECT {_poisson_inv(str(float(u)))}"
+    ).fetchone()[0]
+    c = 0.0
+    k_true = 9
+    for k in range(9):
+        c += math.exp(-1) / math.factorial(k)
+        if u < c:
+            k_true = k
+            break
+    assert k_engine == k_true
