@@ -132,6 +132,7 @@ _CHANGED_THIS_ROUND = [
     "stream_sink_parquet",
     "stream_rate_source",
     "ns_mm_image_phash",
+    "ns_mm_scene_cut",
     "src_csv_malformed",
     "src_binary_files",
 ]

@@ -210,3 +210,18 @@ def test_image_phash_detects_visual_near_dups(spark):
     # determinism: same pixels, same fingerprints
     again = REGISTRY["ns_mm_image_phash"].builder(spark, SF_SMALL).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_scene_cut_profile_matches_brightness_ramp(spark):
+    """The synthetic container is a uniform brightness ramp: every
+    consecutive-frame delta is positive, the profile is near-constant per
+    blob, and an adaptive mean+2sigma threshold flags no cuts."""
+    rows = REGISTRY["ns_mm_scene_cut"].builder(spark, SF_SMALL).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["blob_id"], []).append(r)
+    assert per, "no blobs"
+    for blob, rs in per.items():
+        assert [r["frame_idx"] for r in rs] == list(range(1, 6)), blob
+        assert all(r["mean_abs_diff"] > 0 for r in rs), blob
+        assert not any(r["is_cut"] for r in rs), blob  # ramp has no cuts

@@ -482,3 +482,69 @@ FROM mm_phash a JOIN mm_phash b ON a.blob_id < b.blob_id
 WHERE bit_count(a.phash ^ b.phash) <= {_PHASH_HAMMING}
 ORDER BY hamming, ba, bb
 """)
+
+
+# ---------------------------------------------------------------------------
+# ns_mm_scene_cut — shot-boundary detection over the video container: mean
+# absolute pixel difference between consecutive frames, a cut flagged where
+# the difference exceeds the clip's own mean + 2σ (adaptive threshold —
+# the standard histogram/pixel-delta shot detector). The brightness-ramped
+# synthetic frames give a known structure (uniform ramp, no true cuts) so
+# pytest pins both the diff profile and the no-cut outcome; real footage
+# swaps the container codec, the Spark shape is unchanged: container
+# decode + consecutive-frame delta inside one mapInPandas, frame bytes
+# never leave the executor.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_mm_scene_cut",
+    oracle=None,  # pixel pipeline → rows-only; pytest pins diff structure
+    doc="Shot-boundary detection: per-blob video container decoded in "
+    "mapInPandas, mean-abs pixel delta between consecutive frames, cut "
+    "flag at clip-adaptive mean+2σ threshold — the video segmentation "
+    "step of a multimodal training pipeline (NS multimodal).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    posters = _posters(spark, sf_dir)
+
+    def cuts(batches):
+        import struct
+
+        import numpy as np
+
+        from ..plans.png import decode_png_rgb
+
+        for pdf in batches:
+            out = {"blob_id": [], "frame_idx": [], "mean_abs_diff": [], "is_cut": []}
+            for blob_id, png in zip(pdf["blob_id"], pdf["png"]):
+                video = _pack_video(bytes(png))
+                frames, pos = [], 0
+                while pos < len(video):
+                    (ln,) = struct.unpack(">I", video[pos : pos + 4])
+                    px, w, h = decode_png_rgb(video[pos + 4 : pos + 4 + ln])
+                    frames.append(np.frombuffer(px, dtype=np.uint8).astype(np.float64))
+                    pos += 4 + ln
+                diffs = [
+                    float(np.abs(frames[i] - frames[i - 1]).mean())
+                    for i in range(1, len(frames))
+                ]
+                mu = sum(diffs) / len(diffs)
+                sd = (sum((d - mu) ** 2 for d in diffs) / len(diffs)) ** 0.5
+                for i, d in enumerate(diffs, start=1):
+                    out["blob_id"].append(int(blob_id))
+                    out["frame_idx"].append(i)
+                    out["mean_abs_diff"].append(round(d, 6))
+                    out["is_cut"].append(bool(d > mu + 2 * sd))
+            yield pd.DataFrame(out)
+
+    return (
+        posters.select("blob_id", "png")
+        .mapInPandas(
+            cuts,
+            "blob_id int, frame_idx int, mean_abs_diff double, is_cut boolean",
+        )
+        .orderBy("blob_id", "frame_idx")
+    )
