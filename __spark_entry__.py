@@ -34,7 +34,7 @@ FLAGSHIP = "agg_groupby_multi"
 # ROUND-4 ORDERING NOTE (do this when rotating after r3): fold
 # CORRECTNESS_r03's green keys into _R03_VERIFIED below, empty and then
 # repopulate _CHANGED_THIS_ROUND with round-4 work, and keep the remaining
-# never-verified oracle keys (≈42 after r3 — the statml/timeseries/
+# never-verified oracle keys (≈48 after r3 — the statml/timeseries/
 # iterative/fn tail of _PENDING_PRIORITY; all were pre-flighted green at
 # sf0.01 against DuckDB this round, so the rotation is de-risked) at the
 # front of the pending block, followed by the rows-only pending keys. Any
