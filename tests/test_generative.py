@@ -225,9 +225,10 @@ def test_poster_pixel_golden(spark):
     rows = REGISTRY["sink_binary_export"].builder(spark, SF_SMALL).collect()
     px, w, h = decode_png_rgb(bytes(rows[0]["png"]))
     assert (w, h) == (96, 96)
+    # r4 golden: caption glyph layer + origin-lower scanline flip.
     assert (
         hashlib.sha256(px).hexdigest()
-        == "724686a3847fe0d84133b88910bc489484d0a486f56c5723204625aee4b30c95"
+        == "cbef5cd4fd71d8e063e96bb85bda0342239b3f43256669c8910d5eb1a89a6d7d"
     )
 
 
@@ -269,3 +270,107 @@ def test_poster_shadow_param_point_matches_oracle(spark):
     sdf = spark.sql(_shadow_composite_sql("spark", **pt))
     ddf = duck_run(_shadow_composite_sql("duckdb", **pt), SF_SMALL)
     compare(sdf, ddf, key="gen_poster_shadow:param")
+
+
+def test_bg_colormap_matches_lut_reference(spark):
+    """gen_poster_bg_colormap reproduces matplotlib's colormap pipeline:
+    independent Python recomputation (t → 256-LUT index → anchor
+    interpolation → alpha-0.2 over white → q6) must equal the engine's
+    values EXACTLY, and the t=0 / t=0.5 / t=1 coolwarm rows must land on
+    the published Moreland/matplotlib table endpoints."""
+    import math
+
+    from week3_2_practice_big_data__spark.plans.generative import (
+        _BG_ALPHA,
+        _CMAP_COOLWARM,
+        _CMAP_WISTIA,
+        _GRAD_ROWS,
+        _LUT_N,
+    )
+
+    def expected(anchors, i):
+        t = i / (_GRAD_ROWS - 1)
+        j = min(int(t * _LUT_N), _LUT_N - 1)
+        x = j / (_LUT_N - 1)
+        nseg = len(anchors) - 1
+        k = min(int(x * nseg), nseg - 1)
+        frac = x * nseg - k
+        out = []
+        for ch in range(3):
+            c = anchors[k][ch] + (anchors[k + 1][ch] - anchors[k][ch]) * frac
+            v = (1.0 - _BG_ALPHA) + _BG_ALPHA * c
+            out.append(math.floor(v * 1e6 + 0.5) / 1e6)
+        return tuple(out)
+
+    rows = {
+        (r["theme"], r["i"]): (r["bg_r"], r["bg_g"], r["bg_b"])
+        for r in REGISTRY["gen_poster_bg_colormap"].builder(spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 3 * _GRAD_ROWS
+    for theme, anchors in (
+        ("cool", _CMAP_COOLWARM),
+        ("warm", _CMAP_WISTIA),
+        ("neutral", _CMAP_WISTIA),
+    ):
+        for i in (0, 1, _GRAD_ROWS // 2, _GRAD_ROWS - 2, _GRAD_ROWS - 1):
+            assert rows[(theme, i)] == expected(anchors, i), (theme, i)
+
+    # Anchor endpoints pin the literal tables to the public values:
+    # coolwarm t=0 is Moreland's cool pole, t=1 the warm pole, the
+    # mid-LUT row sits on the near-white diverging center; Wistia's
+    # endpoints are '#e4ff7a' and '#fc7b03'.
+    a = _BG_ALPHA
+
+    def blend(c):
+        return tuple(math.floor(((1 - a) + a * v) * 1e6 + 0.5) / 1e6 for v in c)
+
+    assert rows[("cool", 0)] == blend((0.2298057, 0.298717966, 0.753683153))
+    assert rows[("cool", _GRAD_ROWS - 1)] == blend(
+        (0.705673158, 0.01555616, 0.150232812)
+    )
+    assert rows[("warm", 0)] == blend((228 / 255, 1.0, 122 / 255))
+    assert rows[("warm", _GRAD_ROWS - 1)] == blend((252 / 255, 123 / 255, 3 / 255))
+
+
+def test_caption_glyph_pixels(spark):
+    """The seed caption (app.py:152) is stamped into the export: an
+    independent Python re-layout of 'Seed: 42' in the 5×7 font must light
+    exactly the matplotlib-gray pixels in the decoded PNG, at the BOTTOM
+    of the image (origin-lower flip), horizontally centered."""
+    import hashlib
+
+    import numpy as np
+
+    from week3_2_practice_big_data__spark.plans.generative import (
+        _FONT_5X7,
+        _GLYPH_H,
+        _GLYPH_PITCH,
+        CANVAS,
+        SEED,
+    )
+    from week3_2_practice_big_data__spark.plans.png import decode_png_rgb
+
+    rows = REGISTRY["sink_binary_export"].builder(spark, SF_SMALL).collect()
+    px, w, h = decode_png_rgb(bytes(rows[0]["png"]))
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+
+    caption = f"Seed: {SEED}"
+    width = len(caption) * _GLYPH_PITCH - 1
+    col0 = round((CANVAS - width) / 2)
+    row_base = round(0.03 * (CANVAS - 1))
+    expected = set()
+    for p, ch in enumerate(caption):
+        for gr, bits in enumerate(_FONT_5X7[ch]):
+            for gc, bit in enumerate(bits):
+                if bit == "1":
+                    canvas_row = row_base + (_GLYPH_H - 1 - gr)
+                    expected.add((h - 1 - canvas_row, col0 + p * _GLYPH_PITCH + gc))
+    gray = {
+        (int(r), int(c))
+        for r, c in np.argwhere(
+            (img[:, :, 0] == 128) & (img[:, :, 1] == 128) & (img[:, :, 2] == 128)
+        )
+    }
+    assert expected == gray
+    # caption sits in the bottom eighth of the image, centered
+    assert min(r for r, _ in expected) > h * 7 // 8

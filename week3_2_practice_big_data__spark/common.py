@@ -77,8 +77,14 @@ def build_once(out: str, build, stamp: str = "") -> str:
     build(tmp)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(stamp)
-    # A stale or stamp-mismatched `out` blocks the rename: clear it and
-    # retry once; if a concurrent winner lands in between, keep theirs.
+    # A stale or stamp-mismatched `out` blocks the rename: move it ASIDE
+    # atomically and retry once. rmtree-in-place would race a concurrent
+    # winner whose rename lands between the done() check and the delete —
+    # readers could watch a freshly built directory vanish file by file.
+    # A rename swaps the whole directory in one step: readers see either
+    # the old complete dir (their open fds stay valid) or the new one,
+    # and if the moved-aside dir was a winner's, the rename below restores
+    # identical content under `out` (same stamp → same build).
     for _ in range(2):
         try:
             os.rename(tmp, out)
@@ -87,7 +93,14 @@ def build_once(out: str, build, stamp: str = "") -> str:
             if done():
                 shutil.rmtree(tmp, ignore_errors=True)
                 return out
-            shutil.rmtree(out, ignore_errors=True)
+            trash = tempfile.mkdtemp(
+                prefix=f"{os.path.basename(out)}.trash.", dir=parent
+            )
+            try:
+                os.rename(out, os.path.join(trash, "stale"))
+            except OSError:
+                pass
+            shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 

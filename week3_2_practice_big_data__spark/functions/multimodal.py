@@ -380,10 +380,13 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(tmp, f"blob_{row['blob_id']:02d}.png"), "wb") as f:
                 f.write(bytes(row["png"]))
 
-    # Stamp records the blob count: a scratch exported by an older renderer
-    # configuration (different blob count) must be rebuilt, not silently
+    # Stamp records the blob count AND the renderer revision: a scratch
+    # exported by an older renderer configuration (different blob count, or
+    # the pre-r4 mirrored scanline order) must be rebuilt, not silently
     # globbed (stale files would leak into the result).
-    out = build_once(scratch_dir(sf_dir, "png_files"), build, stamp=f"blobs={len(rows)}")
+    out = build_once(
+        scratch_dir(sf_dir, "png_files"), build, stamp=f"blobs={len(rows)},flip=r4"
+    )
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(out)
 

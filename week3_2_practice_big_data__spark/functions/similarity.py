@@ -270,10 +270,15 @@ def _emb_norm_ref(dialect: str) -> str:
 # dedup the way a production pipeline does: group identical embeddings to
 # one representative (exact dedup, a hash aggregate), run the banded-LSH
 # gate + cosine rerank on REPRESENTATIVES only, then expand confirmed
-# group pairs back to member pairs — an output-bound join. The emitted
-# pair set is IDENTICAL to the vector-level plan: members share their
-# rep's signature, so a member pair collides iff its rep pair collides,
-# and identical bytes give identical cosines.
+# group pairs back to member pairs — an output-bound join. At a FIXED
+# band width b the emitted pair set is IDENTICAL to the vector-level
+# plan: members share their rep's signature, so a member pair collides
+# iff its rep pair collides, and identical bytes give identical cosines.
+# Note b itself is scale-derived as ceil(log2(n_reps)) — on a
+# duplicate-heavy corpus that is narrower than ceil(log2(n_vectors)), so
+# the gate admits a (different, generally wider) candidate set than the
+# vector-level plan would have; the oracle is rep-level too, so
+# cross-engine parity is unaffected.
 # ---------------------------------------------------------------------------
 
 _COS_T = "0.4e0"
@@ -698,20 +703,40 @@ _PCA_ROUNDS = 8
 
 
 def _pca_cov_sql(dialect: str) -> str:
-    """(a, b, cell) — q6-quantized centered covariance cells."""
+    """(a, b, cell) — q6-quantized centered covariance cells.
+
+    EXACT-INTEGER discipline (ADVICE r3: unordered sum(double) before q6
+    is summation-order noise at the quantization boundary): values are
+    quantized to BIGINT micro-units at the scan, the cross-product sum
+    accumulates as DECIMAL(38,0) (n·1e12 per cell overflows int64 past
+    ~9e6 rows), and the per-dim mean sums stay BIGINT. The centered cell
+    is then ONE IEEE expression over those exact integers, so both
+    engines quantize the identical double regardless of aggregation
+    order/partitioning.
+    """
+    cell = synth.q6(
+        "CAST(s.s12 AS DOUBLE) / s.n / 1e12"
+        " - (CAST(ma.s1 AS DOUBLE) / s.n / 1e6)"
+        " * (CAST(mb.s1 AS DOUBLE) / s.n / 1e6)"
+    )
+    long6 = (
+        f"SELECT vec_id, dim, CAST(floor(val * 1e6 + 0.5e0) AS BIGINT) AS v6 "
+        f"FROM ({_long_cast(dialect)}) lc"
+    )
     return f"""
-SELECT la.dim AS a, lb.dim AS b,
-  {synth.q6(
-      "sum(la.val * lb.val) / (SELECT count(*) + 0e0 FROM embeddings)"
-      " - ma.m * mb.m"
-  )} AS cell
-FROM ({_long_cast(dialect)}) la
-JOIN ({_long_cast(dialect)}) lb ON la.vec_id = lb.vec_id
-JOIN (SELECT dim, avg(val) AS m FROM ({_long_cast(dialect)}) l0 GROUP BY dim) ma
-  ON la.dim = ma.dim
-JOIN (SELECT dim, avg(val) AS m FROM ({_long_cast(dialect)}) l1 GROUP BY dim) mb
-  ON lb.dim = mb.dim
-GROUP BY la.dim, lb.dim, ma.m, mb.m
+SELECT s.a, s.b, {cell} AS cell
+FROM (
+  SELECT la.dim AS a, lb.dim AS b,
+    sum(CAST(la.v6 * lb.v6 AS DECIMAL(38,0))) AS s12,
+    (SELECT count(*) + 0e0 FROM embeddings) AS n
+  FROM ({long6}) la
+  JOIN ({long6}) lb ON la.vec_id = lb.vec_id
+  GROUP BY la.dim, lb.dim
+) s
+JOIN (SELECT dim, CAST(sum(v6) AS BIGINT) AS s1 FROM ({long6}) l0 GROUP BY dim) ma
+  ON s.a = ma.dim
+JOIN (SELECT dim, CAST(sum(v6) AS BIGINT) AS s1 FROM ({long6}) l1 GROUP BY dim) mb
+  ON s.b = mb.dim
 """
 
 
@@ -723,21 +748,47 @@ def _pca_v0_sql(dialect: str) -> str:
 def _pca_round_sql(cov: str, v: str) -> str:
     """One power-iteration round: matvec → normalize → re-quantize. A zero
     matvec (degenerate zero covariance, e.g. a single vector) keeps the
-    zero vector instead of dividing by a zero norm."""
+    zero vector instead of dividing by a zero norm.
+
+    The matvec accumulates exact integers: cell and l are both q6 doubles,
+    so their 1e6-scaled integer forms are recovered losslessly and
+    sum(c6·l6) is an exact BIGINT (64 terms × ≤1e12 each); the norm sums
+    r6² as DECIMAL(38,0). r/‖r‖ = r6/s12 since the 1e12 scale cancels —
+    both engines divide the identical doubles, so the re-quantized vector
+    is bit-identical regardless of partial-aggregation order.
+    """
+    mv = f"""
+  SELECT c.a AS dim,
+    CAST(sum(CAST(floor(c.cell * 1e6 + 0.5e0) AS BIGINT)
+             * CAST(floor(v.l * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS r6
+  FROM ({cov}) c JOIN ({v}) v ON c.b = v.dim GROUP BY c.a
+"""
     return f"""
 SELECT mv.dim,
-  CASE WHEN nrm.s = 0e0 THEN 0e0 ELSE {synth.q6("mv.r / nrm.s")} END AS l
-FROM (
-  SELECT c.a AS dim, sum(c.cell * v.l) AS r
-  FROM ({cov}) c JOIN ({v}) v ON c.b = v.dim GROUP BY c.a
-) mv
+  CASE WHEN nrm.s12 = 0e0 THEN 0e0
+       ELSE {synth.q6("CAST(mv.r6 AS DOUBLE) / nrm.s12")} END AS l
+FROM ({mv}) mv
 CROSS JOIN (
-  SELECT sqrt(sum(r * r)) AS s FROM (
-    SELECT sum(c.cell * v.l) AS r
-    FROM ({cov}) c JOIN ({v}) v ON c.b = v.dim GROUP BY c.a
-  ) m2
+  SELECT sqrt(CAST(sum(CAST(r6 AS DECIMAL(38,0)) * r6) AS DOUBLE)) AS s12
+  FROM ({mv}) m2
 ) nrm
 """
+
+
+def _ray_sql(cov_ref: str, v_ref: str) -> str:
+    """Rayleigh quotient vᵀCv with the same exact-integer discipline: all
+    three factors are q6 doubles, so the 1e6-scaled integer triple product
+    is exact in DECIMAL(38,0) (≤1e18 per term × 64² terms) and the single
+    final division is order-independent cross-engine."""
+    return (
+        "SELECT CAST(sum("
+        "CAST(CAST(floor(c.cell * 1e6 + 0.5e0) AS BIGINT) AS DECIMAL(38,0))"
+        " * CAST(floor(va.l * 1e6 + 0.5e0) AS BIGINT)"
+        " * CAST(floor(vb.l * 1e6 + 0.5e0) AS BIGINT)"
+        ") AS DOUBLE) / 1e18 AS lam "
+        f"FROM {cov_ref} c JOIN {v_ref} va ON c.a = va.dim "
+        f"JOIN {v_ref} vb ON c.b = vb.dim"
+    )
 
 
 def _pca_sql(dialect: str) -> str:
@@ -749,11 +800,7 @@ def _pca_sql(dialect: str) -> str:
             f"v{r} AS{mat} ({_pca_round_sql('SELECT a, b, cell FROM cov', f'SELECT dim, l FROM v{r-1}')})"
         )
     last = f"v{_PCA_ROUNDS}"
-    lam = (
-        "SELECT sum(c.cell * va.l * vb.l) AS lam "
-        f"FROM cov c JOIN {last} va ON c.a = va.dim "
-        f"JOIN {last} vb ON c.b = vb.dim"
-    )
+    lam = _ray_sql("cov", last)
     return f"""
 WITH {",".join(chain)},
 ray AS{mat} ({lam})
@@ -785,10 +832,7 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     v.createOrReplaceTempView("pca_v")
     return spark.sql(f"""
-WITH ray AS (
-  SELECT sum(c.cell * va.l * vb.l) AS lam
-  FROM pca_cov c JOIN pca_v va ON c.a = va.dim JOIN pca_v vb ON c.b = vb.dim
-)
+WITH ray AS ({_ray_sql("pca_cov", "pca_v")})
 SELECT v.dim, v.l AS loading, {synth.q6("ray.lam")} AS eigenvalue
 FROM pca_v v CROSS JOIN ray
 ORDER BY v.dim

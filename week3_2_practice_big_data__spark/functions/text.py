@@ -66,7 +66,7 @@ def char_polyhash(dialect: str, s: str, mult: int = 31, init: int = 7) -> str:
     )
 
 
-def shingles_sql(dialect: str) -> str:
+def shingles_sql(dialect: str, where: str = "") -> str:
     """Distinct 3-token shingles per doc, built relationally with lead()."""
     return f"""
 SELECT DISTINCT doc_id,
@@ -75,7 +75,7 @@ FROM (
   SELECT doc_id, token,
     lead(token, 1) OVER w AS t2,
     lead(token, 2) OVER w AS t3
-  FROM ({tokens_sql(dialect)}) tok
+  FROM ({tokens_sql(dialect, where)}) tok
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ) s
 WHERE t2 IS NOT NULL AND t3 IS NOT NULL
@@ -234,11 +234,16 @@ def _bandsig(dialect: str) -> str:
     return "string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i)"
 
 
-def _minhash_sig_sql(dialect: str) -> str:
+# Restrict signature computation to exact-dup representatives (min doc_id
+# per distinct text) — the rep-collapse front half of the banded plans.
+_REP_WHERE = "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"
+
+
+def _minhash_sig_sql(dialect: str, where: str = "") -> str:
     """(doc_id, i, sig) — the k=16 MinHash signature components."""
     params = _values_table(dialect, _minhash_params(), "hp", "i, a, b")
     return f"""
-WITH sh AS ({shingles_sql(dialect)}),
+WITH sh AS ({shingles_sql(dialect, where)}),
 hashed AS (
   SELECT doc_id, {char_polyhash(dialect, "shingle")} AS h FROM sh
 )
@@ -251,22 +256,43 @@ GROUP BY doc_id, hp.i
 _MINHASH_SIG_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _cached_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cached_minhash_sig(
+    spark: SparkSession, sf_dir: str, where: str = ""
+) -> DataFrame:
     """Signature components materialized per (session, sf): the pair stage
     references sig THREE times (bands, verify sa/sb); eager localCheckpoint
     makes each reference a scan of the materialized relation (cache-manager
     matching is unreliable for plans with collect_list/lambda exprs)."""
     def build():
         _view(spark, sf_dir)
-        return spark.sql(_minhash_sig_sql("spark")).coalesce(4)
+        return spark.sql(_minhash_sig_sql("spark", where)).coalesce(4)
 
-    return checkpointed(_MINHASH_SIG_CACHE, (id(spark), sf_dir.rstrip("/")), build)
+    return checkpointed(
+        _MINHASH_SIG_CACHE, (id(spark), sf_dir.rstrip("/"), where), build
+    )
 
 
 def _minhash_sql(dialect: str, sig_ref: str | None = None) -> str:
+    """Rep-collapse MinHash pairs (the embedding-dedup lesson applied to
+    text, r4): byte-identical docs are collapsed to one representative
+    (min doc_id per distinct text) BEFORE shingling/banding — a duplicate-
+    heavy corpus (the normal web-scale case) otherwise makes every stage
+    from shingling to the verify join duplicate-factor-quadratic while no
+    band width can split bit-identical signatures. Banding + Jaccard
+    verify run on representatives only; confirmed rep pairs expand back to
+    member pairs (output-bound), and within-group member pairs are emitted
+    directly with est = 1.0 — exactly what the vector-level plan produced
+    for them (identical text → all 16 components agree). The banding here
+    is FIXED (4×4), so unlike the scale-derived-b embedding plan the
+    emitted pair set is IDENTICAL to the vector-level plan's, not merely
+    equivalent-up-to-gate."""
     band = MINHASH_BAND
+    sig = sig_ref or _minhash_sig_sql(dialect, _REP_WHERE)
     return f"""
-WITH sig AS ({sig_ref or _minhash_sig_sql(dialect)}),
+WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents
+),
+sig AS ({sig}),
 bands AS (
   SELECT doc_id, {band} AS band, {_bandsig(dialect)} AS bandsig
   FROM sig GROUP BY doc_id, {band}
@@ -283,9 +309,22 @@ verify AS (
   JOIN sig sa ON sa.doc_id = c.ai
   JOIN sig sb ON sb.doc_id = c.bi AND sb.i = sa.i
   GROUP BY c.ai, c.bi
+),
+rep_pairs AS (
+  SELECT ai, bi, est FROM verify WHERE est >= 0.25e0
+),
+expanded AS (
+  SELECT least(ga.doc_id, gb.doc_id) AS ai,
+    greatest(ga.doc_id, gb.doc_id) AS bi, rp.est
+  FROM rep_pairs rp
+  JOIN g ga ON ga.rep = rp.ai
+  JOIN g gb ON gb.rep = rp.bi
+  UNION ALL
+  SELECT a.doc_id AS ai, b.doc_id AS bi, 1e0 AS est
+  FROM g a JOIN g b ON a.rep = b.rep AND a.doc_id < b.doc_id
 )
 SELECT ai, bi, {synth.q6("est")} AS est_jaccard
-FROM verify WHERE est >= 0.25e0
+FROM expanded
 ORDER BY est_jaccard DESC, ai, bi
 """
 
@@ -293,15 +332,17 @@ ORDER BY est_jaccard DESC, ai, bi
 @register(
     "ns_dedup_minhash",
     oracle=_minhash_sql("duckdb"),
-    doc="MinHash (k=16) + LSH banding (4×4) + VERIFY: candidate pairs from "
-    "the band-signature equality join are confirmed by estimated Jaccard = "
-    "fraction of agreeing signature components (>= 0.25) — candidates stay "
-    "bucketed, the verify join touches only candidates; the complete 100 TB "
-    "near-dup pattern (NS).",
+    doc="MinHash (k=16) + LSH banding (4×4) + VERIFY over exact-dup "
+    "REPRESENTATIVES (rep-collapse, r4): byte-identical docs share one "
+    "signature computation, banding and the Jaccard verify join stay "
+    "duplicate-factor-free, confirmed rep pairs expand back to member "
+    "pairs (output-bound); the complete 100 TB near-dup pattern (NS).",
     tags=("ns", "dedup", "bench"),
 )
 def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _cached_minhash_sig(spark, sf_dir).createOrReplaceTempView("minhash_sig")
+    _cached_minhash_sig(spark, sf_dir, _REP_WHERE).createOrReplaceTempView(
+        "minhash_sig"
+    )
     return spark.sql(
         _minhash_sql("spark", "SELECT doc_id, i, sig FROM minhash_sig")
     )
@@ -524,7 +565,9 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation round references the edge list, and Catalyst inlines CTEs —
     without the cache the whole minhash pipeline would re-run per round."""
     def build():
-        _cached_minhash_sig(spark, sf_dir).createOrReplaceTempView("minhash_sig")
+        _cached_minhash_sig(spark, sf_dir, _REP_WHERE).createOrReplaceTempView(
+            "minhash_sig"
+        )
         return spark.sql(
             _minhash_sql("spark", "SELECT doc_id, i, sig FROM minhash_sig")
         ).coalesce(2)

@@ -596,15 +596,19 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accuracy report. Training is two bounded-key aggregations ((lang, token)
 # and lang); scoring joins the token stream to the (broadcast-sized)
 # likelihood table — corpus scanned once, shuffled on (doc, lang) then
-# lang. Scores are q6-quantized BEFORE the argmax row_number with a lang
-# tie-break, so the prediction is the deterministic cross-engine contract.
+# lang. EXACT-INTEGER discipline (same rationale as win_cusum_changepoint):
+# per-token log-likelihoods and the log prior are q6-quantized to BIGINT
+# micro-units BEFORE summation, so the per-document score is an exact
+# integer sum — immune to float summation-order noise that an unordered
+# sum(double) would inject at the argmax boundary cross-engine — and the
+# argmax row_number with a lang tie-break is fully deterministic.
 # ---------------------------------------------------------------------------
 
 
 def _naive_bayes_sql(dialect: str) -> str:
     from ..functions.text import tokens_sql
 
-    score = synth.q6("pr.lp + s.ll")
+    score = "pr.lp6 + s.ll6"
     return f"""
 WITH tok AS ({tokens_sql(dialect)}),
 labeled AS (
@@ -619,19 +623,22 @@ ltot AS (
 ),
 vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok),
 prior AS (
-  SELECT lang, ln(count(*) / (SELECT count(*) + 0e0 FROM documents)) AS lp
+  SELECT lang,
+    CAST(floor(ln(count(*) / (SELECT count(*) + 0e0 FROM documents))
+               * 1e6 + 0.5e0) AS BIGINT) AS lp6
   FROM documents GROUP BY lang
 ),
 ll AS (
   SELECT lt.lang, tk.token,
-    ln((coalesce(c.c, 0) + 1e0) / (lt.tl + vb.v + 0e0)) AS l
+    CAST(floor(ln((coalesce(c.c, 0) + 1e0) / (lt.tl + vb.v + 0e0))
+               * 1e6 + 0.5e0) AS BIGINT) AS l6
   FROM (SELECT DISTINCT token FROM tok) tk
   CROSS JOIN ltot lt
   CROSS JOIN vocab vb
   LEFT JOIN cnt c ON c.lang = lt.lang AND c.token = tk.token
 ),
 scored AS (
-  SELECT t.doc_id, l.lang, sum(l.l) AS ll
+  SELECT t.doc_id, l.lang, CAST(sum(l.l6) AS BIGINT) AS ll6
   FROM tok t JOIN ll l ON t.token = l.token
   GROUP BY t.doc_id, l.lang
 ),

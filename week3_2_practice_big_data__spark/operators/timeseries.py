@@ -318,8 +318,12 @@ def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S_i·n = n·prefix_i − i·total is computed in exact integer arithmetic;
 # the final division and the cross-multiplied 3σ comparison are single
 # IEEE expressions over identical integers — bit-identical cross-engine.
-# Headroom: |sn6| ≤ n²·max|v|·1e6 and n·sxx12 ≤ n·v²·1e12·n — fine to
-# ~1e4 events/user; beyond that switch the two products to DECIMAL(38,0).
+# Headroom: sum(v6·v6) is accumulated as DECIMAL(38,0) — a BIGINT sum
+# would overflow at ~1.2e3 events/user with |v|≈560 (v6² ≈ 3e17), raising
+# ARITHMETIC_OVERFLOW under Spark ANSI while DuckDB silently promotes to
+# HUGEINT. The remaining BIGINT product |sn6| = |n·p6 − i·sx6| ≤
+# n²·max|v|·1e6 stays inside int64 to ~1e5 events/user at these
+# magnitudes; widen it to DECIMAL(38,0) too if per-user cardinality grows.
 # ---------------------------------------------------------------------------
 
 _CUSUM_H = "3e0"
@@ -350,7 +354,7 @@ w AS (
   SELECT user_id, event_id, us,
     count(*) OVER ({full}) AS n,
     sum(v6) OVER ({full}) AS sx6,
-    sum(v6 * v6) OVER ({full}) AS sxx12,
+    sum(CAST(v6 * v6 AS DECIMAL(38,0))) OVER ({full}) AS sxx12,
     sum(v6) OVER ({run}) AS p6,
     row_number() OVER (
       {full} ORDER BY us, event_id

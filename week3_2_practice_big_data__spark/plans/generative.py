@@ -430,6 +430,153 @@ def _theme_bg_exprs(theme: str | None, canvas: int) -> tuple[str, str, str]:
     return out[0], out[1], out[2]
 
 
+# ---------------------------------------------------------------------------
+# gen_poster_bg_colormap — the colormap the reference ACTUALLY uses for the
+# background gradient (app.py:133): imshow(cmap="coolwarm" if theme=="cool"
+# else "Wistia", alpha=0.2) over the white figure, fed linspace(0,1,600)
+# (app.py:132). `coolwarm` is Moreland's smooth diverging map ("Diverging
+# Color Maps for Scientific Visualization", 2009) as the 33-point float
+# table matplotlib ships; `Wistia` is a 5-hex-anchor linear map (Wistia
+# colorblind palette). Both are DATA (literal anchor tables), interpolated
+# exactly the way matplotlib renders them: a 256-entry LUT sampled at
+# j/255 by piecewise-linear interpolation of the evenly spaced anchors,
+# indexed with j = min(floor(t·256), 255). Same literal-table discipline
+# as the IVF centroids (similarity.py:_centroid_values) — the anchors ride
+# in the query text, the per-row work is a 2-anchor join + one fused
+# arithmetic expression, no shuffle beyond the broadcast-sized anchor dim.
+# ---------------------------------------------------------------------------
+
+# matplotlib _cm.py `_coolwarm_data`, 33 evenly spaced anchors (BSD data).
+_CMAP_COOLWARM = [
+    (0.2298057, 0.298717966, 0.753683153),
+    (0.26623388, 0.353094838, 0.801466763),
+    (0.30386891, 0.406535296, 0.84495867),
+    (0.342804478, 0.458757618, 0.883725899),
+    (0.38301334, 0.50941904, 0.917387822),
+    (0.424369608, 0.558148092, 0.945619588),
+    (0.46666708, 0.604562568, 0.968154911),
+    (0.509635204, 0.648280772, 0.98478814),
+    (0.552953156, 0.688929332, 0.995375608),
+    (0.596262162, 0.726149107, 0.999836203),
+    (0.639176211, 0.759599947, 0.998151185),
+    (0.681291281, 0.788964712, 0.990363227),
+    (0.722193294, 0.813952739, 0.976574709),
+    (0.761464949, 0.834302879, 0.956945269),
+    (0.798691636, 0.849786142, 0.931688648),
+    (0.833466556, 0.860207984, 0.901068838),
+    (0.865395197, 0.86541021, 0.865395561),
+    (0.897787179, 0.848937047, 0.820880546),
+    (0.924127593, 0.827384882, 0.774508472),
+    (0.944468518, 0.800927443, 0.726736146),
+    (0.958852946, 0.769767752, 0.678007945),
+    (0.96732803, 0.734132809, 0.628751763),
+    (0.969954137, 0.694266682, 0.579375448),
+    (0.966811177, 0.650421156, 0.530263762),
+    (0.958003065, 0.602842431, 0.481775914),
+    (0.943660866, 0.551750968, 0.434243684),
+    (0.923944917, 0.49730856, 0.387970225),
+    (0.89904617, 0.439559467, 0.343229596),
+    (0.869186849, 0.378313092, 0.300267182),
+    (0.834620542, 0.312874446, 0.259301199),
+    (0.795631745, 0.24128379, 0.220525627),
+    (0.752534934, 0.157246067, 0.184190262),
+    (0.705673158, 0.01555616, 0.150232812),
+]
+
+# Wistia's 5 hex anchors ('#e4ff7a', '#ffe81a', '#ffbd00', '#ffa000',
+# '#fc7b03') as exact /255 floats.
+_CMAP_WISTIA = [
+    (228 / 255, 255 / 255, 122 / 255),
+    (255 / 255, 232 / 255, 26 / 255),
+    (255 / 255, 189 / 255, 0 / 255),
+    (255 / 255, 160 / 255, 0 / 255),
+    (252 / 255, 123 / 255, 3 / 255),
+]
+
+_GRAD_ROWS = 600  # np.linspace(0, 1, 600), app.py:132
+_LUT_N = 256  # matplotlib default colormap LUT resolution
+
+
+def _cmap_anchor_values(dialect: str) -> str:
+    """(cmap, k, ar, ag, ab) literal anchor table, both dialects."""
+    rows = []
+    for cmap, anchors in (("coolwarm", _CMAP_COOLWARM), ("wistia", _CMAP_WISTIA)):
+        for k, (r, g, b) in enumerate(anchors):
+            rows.append(
+                f"('{cmap}', {k}, {synth.flit(r)}, {synth.flit(g)}, {synth.flit(b)})"
+            )
+    vals = ", ".join(rows)
+    if dialect == "spark":
+        return f"(SELECT * FROM VALUES {vals} AS ca(cmap, k, ar, ag, ab))"
+    return f"(SELECT * FROM (VALUES {vals}) AS ca(cmap, k, ar, ag, ab))"
+
+
+def _bg_colormap_sql(dialect: str) -> str:
+    """600-row × 3-theme colormap background: t = i/599, LUT index
+    j = min(floor(t·256), 255), LUT sample position x = j/255, segment
+    seg = min(floor(x·nseg), nseg−1), linear blend of anchors seg/seg+1,
+    then the alpha-0.2 composite over white. Pure IEEE arithmetic over
+    shared literals → bit-identical cross-engine, q6 at the boundary."""
+    themes = "(VALUES ('cool', 'coolwarm'), ('warm', 'wistia'), ('neutral', 'wistia'))"
+    if dialect == "spark":
+        themes = "VALUES ('cool', 'coolwarm'), ('warm', 'wistia'), ('neutral', 'wistia')"
+        themes_rel = f"(SELECT * FROM {themes} AS th(theme, cmap))"
+    else:
+        themes_rel = f"(SELECT * FROM {themes} AS th(theme, cmap))"
+    nseg = (
+        "(SELECT cmap, CAST(max(k) AS BIGINT) AS nseg "
+        f"FROM {_cmap_anchor_values(dialect)} mx GROUP BY cmap)"
+    )
+    t = f"(i / {synth.flit(_GRAD_ROWS - 1)})"
+    j = f"least(CAST(floor({t} * {synth.flit(_LUT_N)}) AS BIGINT), {_LUT_N - 1})"
+    x = f"(j / {synth.flit(_LUT_N - 1)})"
+    interp = {
+        ch: f"(a0.a{ch} + (a1.a{ch} - a0.a{ch}) * g.frac)" for ch in ("r", "g", "b")
+    }
+    alpha = synth.flit(_BG_ALPHA)
+    white = synth.flit(1.0 - _BG_ALPHA)
+    out = ",\n  ".join(
+        synth.q6(f"({white} + {alpha} * {interp[ch]})") + f" AS bg_{ch}"
+        for ch in ("r", "g", "b")
+    )
+    return f"""
+WITH grad AS (
+  SELECT th.theme, th.cmap, s.i, {j} AS j
+  FROM {themes_rel} th CROSS JOIN {synth.series_sql(_GRAD_ROWS, "i", dialect)} s
+),
+seg AS (
+  SELECT g.theme, g.cmap, g.i, g.j,
+    least(CAST(floor({x} * ns.nseg) AS BIGINT), ns.nseg - 1) AS k0,
+    ns.nseg AS nseg
+  FROM grad g JOIN {nseg} ns ON g.cmap = ns.cmap
+),
+pos AS (
+  SELECT theme, cmap, i, k0,
+    ({x} * nseg - k0) AS frac
+  FROM seg
+)
+SELECT g.theme, g.i,
+  {out}
+FROM pos g
+JOIN {_cmap_anchor_values(dialect)} a0 ON a0.cmap = g.cmap AND a0.k = g.k0
+JOIN {_cmap_anchor_values(dialect)} a1 ON a1.cmap = g.cmap AND a1.k = g.k0 + 1
+ORDER BY g.theme, g.i
+"""
+
+
+@register(
+    "gen_poster_bg_colormap",
+    oracle=_bg_colormap_sql("duckdb"),
+    doc="Colormap-faithful background gradient (app.py:132-133): the "
+    "coolwarm/Wistia colormaps as literal anchor tables, matplotlib-"
+    "style 256-LUT sampling + piecewise-linear interpolation, alpha-0.2 "
+    "composite over white — 600 gradient rows × 3 themes.",
+    tags=("generative", "source"),
+)
+def gen_poster_bg_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_bg_colormap_sql("spark"))
+
+
 def _fold_sql(
     dialect: str,
     ir: str,
@@ -572,6 +719,127 @@ def sink_display(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gen_poster_caption — the seed caption (app.py:152): ax.text(0.5, 0.03,
+# f"Seed: {seed}", fontsize=10, ha="center", color="gray") rasterized
+# RELATIONALLY: a public-domain 5×7 LED-matrix bitmap font as a literal
+# glyph table (same discipline as the colormap anchors / IVF centroids),
+# the caption string laid out driver-side into a (pos, ch) table, and one
+# LEFT JOIN stamping matched pixels matplotlib-'gray' (#808080) over the
+# composited canvas. Scale parameter s (each font pixel → s×s block)
+# mirrors fontsize-in-points under dpi scaling for the hires export.
+# ---------------------------------------------------------------------------
+
+# 5×7 font rows, MSB-left, row 0 = glyph TOP. Classic LED-matrix shapes.
+_FONT_5X7 = {
+    "0": ("01110", "10001", "10011", "10101", "11001", "10001", "01110"),
+    "1": ("00100", "01100", "00100", "00100", "00100", "00100", "01110"),
+    "2": ("01110", "10001", "00001", "00010", "00100", "01000", "11111"),
+    "3": ("11111", "00010", "00100", "00010", "00001", "10001", "01110"),
+    "4": ("00010", "00110", "01010", "10010", "11111", "00010", "00010"),
+    "5": ("11111", "10000", "11110", "00001", "00001", "10001", "01110"),
+    "6": ("00110", "01000", "10000", "11110", "10001", "10001", "01110"),
+    "7": ("11111", "00001", "00010", "00100", "01000", "01000", "01000"),
+    "8": ("01110", "10001", "10001", "01110", "10001", "10001", "01110"),
+    "9": ("01110", "10001", "10001", "01111", "00001", "00010", "01100"),
+    "S": ("01111", "10000", "10000", "01110", "00001", "00001", "11110"),
+    "e": ("00000", "00000", "01110", "10001", "11111", "10000", "01110"),
+    "d": ("00001", "00001", "01101", "10011", "10001", "10011", "01101"),
+    ":": ("00000", "00100", "00000", "00000", "00100", "00000", "00000"),
+    " ": ("00000",) * 7,
+}
+_CAPTION_GRAY = 128.0 / 255.0  # matplotlib named color "gray"
+_GLYPH_W, _GLYPH_H, _GLYPH_PITCH = 5, 7, 6
+
+
+def _glyph_values(dialect: str, chars: str) -> str:
+    """(ch, gr, gc) lit-pixel table for the characters used."""
+    rows = []
+    for ch in sorted(set(chars)):
+        for gr, bits in enumerate(_FONT_5X7[ch]):
+            for gc, bit in enumerate(bits):
+                if bit == "1":
+                    rows.append(f"({ord(ch)}, {gr}, {gc})")
+    vals = ", ".join(rows)
+    if dialect == "spark":
+        return f"(SELECT * FROM VALUES {vals} AS gl(ch, gr, gc))"
+    return f"(SELECT * FROM (VALUES {vals}) AS gl(ch, gr, gc))"
+
+
+def _caption_layout_values(dialect: str, caption: str) -> str:
+    """(p, ch) character-position table for the caption string."""
+    vals = ", ".join(f"({p}, {ord(ch)})" for p, ch in enumerate(caption))
+    if dialect == "spark":
+        return f"(SELECT * FROM VALUES {vals} AS cp(p, ch))"
+    return f"(SELECT * FROM (VALUES {vals}) AS cp(p, ch))"
+
+
+def _caption_overlay_sql(
+    dialect: str, seed: int = SEED, canvas: int = CANVAS, scale: int = 1
+) -> str:
+    """(row, col) lit caption pixels in canvas coordinates. Layout mirrors
+    app.py:152: baseline at y=0.03 (origin lower → glyph rows grow upward
+    from row_base), horizontally centered at x=0.5."""
+    caption = f"Seed: {seed}"
+    width = (len(caption) * _GLYPH_PITCH - 1) * scale
+    canvas_px = canvas * scale
+    col0 = round((canvas_px - width) / 2)
+    row_base = round(0.03 * (canvas_px - 1))
+    block = synth.series_sql(scale * scale, "blk", dialect)
+    return f"""
+SELECT DISTINCT
+  {row_base} + ({_GLYPH_H - 1} - g.gr) * {scale}
+    + CAST(floor(b.blk / {scale}) AS BIGINT) AS row,
+  {col0} + (cp.p * {_GLYPH_PITCH} + g.gc) * {scale} + b.blk % {scale} AS col
+FROM {_caption_layout_values(dialect, caption)} cp
+JOIN {_glyph_values(dialect, caption)} g ON g.ch = cp.ch
+CROSS JOIN {block} b
+"""
+
+
+def _captioned_sql(
+    dialect: str,
+    base_sql: str,
+    seed: int = SEED,
+    canvas: int = CANVAS,
+    scale: int = 1,
+    order_by: bool = True,
+) -> str:
+    """Stamp the caption over any (row, col, r, g, b) canvas relation."""
+    gray = synth.q6(synth.flit(_CAPTION_GRAY))
+    tail = "\nORDER BY b.row, b.col" if order_by else ""
+    return f"""
+WITH cap_base AS ({base_sql}),
+cap_px AS ({_caption_overlay_sql(dialect, seed, canvas, scale)})
+SELECT b.row, b.col,
+  CASE WHEN c.row IS NOT NULL THEN {gray} ELSE b.r END AS r,
+  CASE WHEN c.row IS NOT NULL THEN {gray} ELSE b.g END AS g,
+  CASE WHEN c.row IS NOT NULL THEN {gray} ELSE b.b END AS b
+FROM cap_base b
+LEFT JOIN cap_px c ON b.row = c.row AND b.col = c.col{tail}
+"""
+
+
+def _caption_composite_sql(dialect: str, order_by: bool = True) -> str:
+    return _captioned_sql(
+        dialect,
+        f"SELECT row, col, r, g, b FROM ({_composite_sql(dialect, order_by=False)}) cc",
+        order_by=order_by,
+    )
+
+
+@register(
+    "gen_poster_caption",
+    oracle=_caption_composite_sql("duckdb"),
+    doc="Seed-caption glyph layer (app.py:152): 'Seed: 42' rasterized from "
+    "a literal 5×7 bitmap-font table, centered at (0.5, 0.03), stamped "
+    "matplotlib-gray over the full default composite.",
+    tags=("generative", "sink"),
+)
+def gen_poster_caption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_caption_composite_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # udf_geom_contains — the same containment decided by an Arrow-vectorized
 # pandas UDF (matplotlib contains_points analog, app.py:44), cross-checked
 # against the relational ray-casting oracle per blob.
@@ -581,7 +849,10 @@ def sink_display(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pip_counts_sql(dialect: str) -> str:
     return (
         _scene_ctes(dialect)
-        + "\nSELECT blob_id, sum(CASE WHEN inside THEN 1 ELSE 0 END) AS n_inside,"
+        + "\nSELECT blob_id,"
+        # CAST: DuckDB's sum(int) yields HUGEINT (surfaces as float64 over
+        # Arrow) while Spark yields BIGINT — cast so the value hashes agree.
+        " CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,"
         " count(*) AS n_candidates FROM mask GROUP BY blob_id ORDER BY blob_id"
     )
 
@@ -666,7 +937,8 @@ def _render_group(pdf: pd.DataFrame) -> pd.DataFrame:
     h = int(rows.max() - r0 + 1)
     w = int(cols.max() - c0 + 1)
     img = np.ones((h, w, 3), dtype=np.float64)
-    rr = (rows - r0).astype(int)
+    # origin-lower → scanline flip, bbox-local (see _assemble_png_pdf)
+    rr = (h - 1 - (rows - r0)).astype(int)
     cc = (cols - c0).astype(int)
     a = pdf["alpha"].to_numpy()
     for ch, col in enumerate(("pr", "pg", "pb")):
@@ -715,7 +987,13 @@ def udf_grouped_map_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assemble_png_pdf(pdf: pd.DataFrame, seed: int, nb: int) -> pd.DataFrame:
     """Canvas rows (row, col, r, g, b) → one (seed, n_blobs, width, height,
-    png) row — the shared export assembly for both binary sinks."""
+    png) row — the shared export assembly for both binary sinks.
+
+    Canvas row 0 is y = 0 (the reference renders origin='lower',
+    app.py:133) while PNG scanlines run top-down, so the assembly writes
+    row r at scanline h−1−r — the exported image matches the reference
+    figure's orientation (r4 fix; previously the export was a vertical
+    mirror, invisible until the caption text layer made it legible)."""
     import numpy as np
 
     pdf = pdf.sort_values(["row", "col"])
@@ -723,7 +1001,9 @@ def _assemble_png_pdf(pdf: pd.DataFrame, seed: int, nb: int) -> pd.DataFrame:
     w = int(pdf["col"].max()) + 1
     img = np.ones((h, w, 3), dtype=np.float64)
     for ch_i, ch in enumerate(("r", "g", "b")):
-        img[pdf["row"].to_numpy(), pdf["col"].to_numpy(), ch_i] = pdf[ch].to_numpy()
+        img[h - 1 - pdf["row"].to_numpy(), pdf["col"].to_numpy(), ch_i] = (
+            pdf[ch].to_numpy()
+        )
     png = encode_png_rgb((np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes(), w, h)
     return pd.DataFrame(
         {"seed": [seed], "n_blobs": [nb], "width": [w], "height": [h], "png": [png]}
@@ -741,7 +1021,10 @@ def sink_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-    canvas = spark.sql(_composite_sql("spark"))
+    # r4: the export now carries the reference's seed-caption text layer
+    # (app.py:152) — stamped before encoding, same relation as
+    # gen_poster_caption.
+    canvas = spark.sql(_caption_composite_sql("spark"))
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         return _assemble_png_pdf(pdf, SEED, NB)
@@ -855,8 +1138,15 @@ def sink_binary_export_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     _cached_canvas(spark).createOrReplaceTempView("poster_canvas")
+    # Caption stamped AFTER the upsample at scale 3 (fontsize is in points:
+    # at 3× dpi the glyphs get 3× the pixels, not a blurry upsample of the
+    # low-res stamp — matching savefig's vector-text rasterization).
     hires = spark.sql(
-        _resample_sql("spark", "SELECT row, col, r, g, b FROM poster_canvas")
+        _captioned_sql(
+            "spark",
+            _resample_sql("spark", "SELECT row, col, r, g, b FROM poster_canvas"),
+            scale=3,
+        )
     )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -893,7 +1183,11 @@ def _assemble_tile_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     tc = int(pdf["tile_col"].iloc[0])
     r0, c0 = tr * _TILE, tc * _TILE
     img = np.ones((_TILE, _TILE, 3), dtype=np.float64)
-    rows = pdf["row"].to_numpy() - r0
+    # Same origin-lower → scanline flip as _assemble_png_pdf, tile-local:
+    # canvas row r lands on tile scanline (r0 + _TILE − 1 − r), and the
+    # published row0 is the tile's position in the FLIPPED full image so a
+    # consumer stitches tiles positionally without knowing the convention.
+    rows = r0 + _TILE - 1 - pdf["row"].to_numpy()
     cols = pdf["col"].to_numpy() - c0
     for ch_i, ch in enumerate(("r", "g", "b")):
         img[rows, cols, ch_i] = pdf[ch].to_numpy()
@@ -904,7 +1198,7 @@ def _assemble_tile_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "tile_row": [tr],
             "tile_col": [tc],
-            "row0": [r0],
+            "row0": [CANVAS - r0 - _TILE],
             "col0": [c0],
             "width": [_TILE],
             "height": [_TILE],
@@ -926,7 +1220,7 @@ def sink_binary_export_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-    canvas = spark.sql(_composite_sql("spark", order_by=False))
+    canvas = spark.sql(_caption_composite_sql("spark", order_by=False))
     tiled = canvas.withColumn(
         "tile_row", (F.col("row") / _TILE).cast("int")
     ).withColumn("tile_col", (F.col("col") / _TILE).cast("int"))
