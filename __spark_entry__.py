@@ -127,6 +127,8 @@ _CHANGED_THIS_ROUND = [
     # NEW r4: seed-caption 5×7 glyph layer over the composite
     # (VERDICT r3 item 7)
     "gen_poster_caption",
+    # NEW r4: 7:10 figure-aspect composite (VERDICT r3 item 9)
+    "gen_poster_aspect",
     # r4: rep-collapse (exact-dup representatives before shingling/banding,
     # VERDICT r3 item 5) — pair set proven identical to the vector-level
     # plan at the fixed 4×4 banding; cluster consumes the same pair SQL

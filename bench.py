@@ -2,8 +2,9 @@
 """Headline-query benchmark (BASELINE.md protocol).
 
 Runs the headline SURVEY §2 keys at $SPARK_GRAFT_SF_DIR (default sf0.1) on a
-warm local[$SPARK_GRAFT_CPUS] session, median of 3 runs per query, full plan
-execution via the no-op sink (no driver collect skew). Prints ONE JSON line.
+warm local[$SPARK_GRAFT_CPUS] session, median AND min of 5 interleaved runs
+per query, full plan execution via the no-op sink (no driver collect skew).
+Prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -35,6 +36,9 @@ HEADLINE = [
     "gen_poster_full",
     "gen_poster_shadow",
     "proj_resample_bilinear",
+    # round-4 additions: caption-stamped composite, 7:10 aspect composite
+    "gen_poster_caption",
+    "gen_poster_aspect",
     # scale patterns
     "join_bucketed_colocated",
     "join_q3_shipping_priority",
@@ -64,42 +68,49 @@ HEADLINE = [
 ]
 
 
-# Standing per-query baseline: round-2 medians (BENCH_r02.json, sf0.1,
+# Standing per-query baseline: round-3 medians (BENCH_r03.json, sf0.1,
 # local[32]). Each round's output includes vs_prev ratios and flags any
 # query that regressed >2× its standing median (VERDICT r1 §Next-round 10).
-PREV_ROUND = "r02"
+PREV_ROUND = "r03"
 PREV_MEDIANS = {
+    # agg_groupby_multi / join_inner_equi carry r02 values: the recorded
+    # BENCH_r03 artifact truncated its head, so their r03 medians are
+    # unrecoverable; every other entry is the r03 median at sf0.1.
     "agg_groupby_multi": 1.3452,
     "join_inner_equi": 0.9931,
-    "join_range_theta": 0.5738,
-    "sort_orderby": 0.8382,
-    "win_conv1d_frame": 0.7337,
-    "filt_point_in_polygon": 1.445,
-    "filt_pip_scanline": 1.0555,
-    "win_conv2d_separable": 2.0581,
-    "sort_composite_order": 2.577,
-    "gen_poster_full": 3.5595,
-    "gen_poster_shadow": 3.7945,
-    "proj_resample_bilinear": 0.4551,
-    "join_bucketed_colocated": 0.6127,
-    "join_q3_shipping_priority": 1.1721,
-    "join_q5_region_volume": 1.9892,
-    "join_q7_volume_shipping": 1.6555,
-    "ns_ann_knn_join": 1.4552,
-    "qry_recursive_cte": 1.8985,
-    "ns_dedup_exact": 0.3408,
-    "ns_dedup_minhash": 0.8211,
-    "ns_dedup_ngram_jaccard": 1.4251,
-    "ns_dedup_simhash": 0.6989,
-    "ns_dedup_embed_cosine": 3.6726,
-    "ns_dedup_cluster": 1.4391,
-    "ns_sim_topk": 0.3698,
-    "ns_sim_ann_lsh": 0.2798,
-    "ns_text_tfidf": 0.7236,
-    "iter_pagerank_tokens": 2.6203,
-    "stream_tumbling_agg": 0.4838,
-    "stream_session_window": 0.8393,
+    "join_range_theta": 0.348,
+    "sort_orderby": 0.5408,
+    "win_conv1d_frame": 0.5778,
+    "filt_point_in_polygon": 1.2614,
+    "filt_pip_scanline": 0.8059,
+    "win_conv2d_separable": 1.592,
+    "sort_composite_order": 1.72,
+    "gen_poster_full": 2.63,
+    "gen_poster_shadow": 1.5547,
+    "proj_resample_bilinear": 0.3911,
+    "join_bucketed_colocated": 0.5497,
+    "join_q3_shipping_priority": 0.67,
+    "join_q5_region_volume": 1.0388,
+    "join_q7_volume_shipping": 0.704,
+    "ns_ann_knn_join": 0.8229,
+    "qry_recursive_cte": 1.1805,
+    "ns_dedup_exact": 0.2542,
+    "ns_dedup_minhash": 0.5585,
+    "ns_dedup_ngram_jaccard": 1.2705,
+    "ns_dedup_simhash": 0.6638,
+    "ns_dedup_embed_cosine": 1.9505,
+    "ns_dedup_cluster": 1.066,
+    "ns_sim_topk": 0.2053,
+    "ns_sim_ann_lsh": 0.192,
+    "ns_text_tfidf": 0.7146,
+    "ns_semdedup": 2.7748,
+    "ns_text_perplexity": 0.528,
+    "ns_dedup_substring": 2.729,
+    "iter_pagerank_tokens": 1.4076,
+    "stream_tumbling_agg": 0.4366,
+    "stream_session_window": 0.7522,
 }
+
 
 # Keys whose ratio vs the standing median reflects deliberate FUNCTIONAL
 # GROWTH, not a plan regression — carried in the output so a >1.3× entry
@@ -126,16 +137,23 @@ def main() -> None:
     # Warm the JVM/codegen/file-listing paths once before timing.
     for key in keys:
         run_once(spark, key)
-    # Three PASS-INTERLEAVED timed runs (not 3 back-to-back per key): the
+    # Five PASS-INTERLEAVED timed runs (not 5 back-to-back per key): the
     # host VM's throughput drifts over minutes, and interleaving spreads
     # that drift evenly across keys instead of loading it onto whichever
     # keys run last.
     samples = {key: [] for key in keys}
-    for _ in range(3):
+    for _ in range(5):
         for key in keys:
             samples[key].append(run_once(spark, key))
     per_query = {
         key: round(statistics.median(vals), 4) for key, vals in samples.items()
+    }
+    # Noise floor (VERDICT r3 item 10): the per-key MINIMUM is the best
+    # observed wall — on a noisy shared VM the median of sub-second keys
+    # moves ±30% run to run while the min is far more stable, so
+    # regressions at the 0.1 s scale are judged against BOTH.
+    per_query_min = {
+        key: round(min(vals), 4) for key, vals in samples.items()
     }
     total = round(sum(per_query.values()), 4)
     try:
@@ -154,8 +172,9 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "n": 3,  # BASELINE.md protocol: median of 3 timed runs
+                "n": 5,  # r4: 5 interleaved timed passes (median + min reported)
                 "queries": per_query,
+                "queries_min": per_query_min,
                 "sf": sf,
                 "prev_round": PREV_ROUND,
                 "vs_prev": vs_prev,

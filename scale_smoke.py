@@ -1,10 +1,16 @@
 #!/usr/bin/env python
-"""10× scale smoke (SURVEY §9 evidence): derive a ~sf1 lineitem/orders by
-unioning the sf0.1 tables 10× with shifted keys (repo .tmp scratch; the
-driver's read-only testdata is never touched), symlink the unscaled tables
-beside them, and run headline relational keys at both scales. The point is
-the RATIO: a plan that survives 10× with ~linear wall growth has no hidden
-quadratic or skew pathology. Prints one JSON line.
+"""N× scale smoke (SURVEY §9 evidence): derive a scaled lineitem/orders/
+documents/embeddings by unioning the sf0.1 tables N× with shifted keys
+(repo .tmp scratch; the driver's read-only testdata is never touched),
+symlink the unscaled tables beside them, and run headline relational keys
+at both scales. The point is the RATIO: a plan that survives N× with
+~linear wall growth has no hidden quadratic or skew pathology. Prints one
+JSON line.
+
+N comes from $SPARK_GRAFT_SCALE_FACTOR (default 10). The r4 campaign runs
+the ladder 10× AND 100× (100× of sf0.1 ≈ 60 M lineitem rows, ~sf10): a
+healthy plan shows ≤ ~2× wall growth per 10× step on this 32-thread box
+once fixed overhead amortizes.
 """
 
 from __future__ import annotations
@@ -23,7 +29,9 @@ from week3_2_practice_big_data__spark import REGISTRY, get_spark, load_table
 from week3_2_practice_big_data__spark.io import TABLES
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FACTOR = 10
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+# timed runs per (key, scale); the 100× ladder uses 2 to fit one session
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 KEYS = [
     "agg_groupby_multi",
     "join_inner_equi",
@@ -51,7 +59,7 @@ KEYS = [
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     ".tmp",
-    f"scale10_{os.path.basename(BASE_SF.rstrip('/'))}",
+    f"scale{FACTOR}_{os.path.basename(BASE_SF.rstrip('/'))}",
 )
 
 
@@ -125,8 +133,8 @@ def main() -> None:
     for key in KEYS:
         for sf_dir in (BASE_SF, scaled):  # warm both paths
             run_once(spark, key, sf_dir)
-        base = statistics.median(run_once(spark, key, BASE_SF) for _ in range(3))
-        big = statistics.median(run_once(spark, key, scaled) for _ in range(3))
+        base = statistics.median(run_once(spark, key, BASE_SF) for _ in range(RUNS))
+        big = statistics.median(run_once(spark, key, scaled) for _ in range(RUNS))
         report[key] = {
             "base_s": round(base, 3),
             "x10_s": round(big, 3),
@@ -135,7 +143,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale10_ratio",
+                "metric": f"scale{FACTOR}_ratio",
                 "factor": FACTOR,
                 "base_sf_dir": BASE_SF,
                 "queries": report,

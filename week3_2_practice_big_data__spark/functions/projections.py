@@ -68,6 +68,12 @@ norm AS (
     (light - min(light) OVER (PARTITION BY blob_id))
       / (max(light) OVER (PARTITION BY blob_id)
          - min(light) OVER (PARTITION BY blob_id) + 1e-9) AS light_n
+      -- +1e-9: the reference divides exactly (app.py:76) and never hits a
+      -- degenerate span at its sampling density, but a single-row group
+      -- (the .tmp/sf_one degenerate sweep) makes max==min → 0/0 = NaN and
+      -- an ANSI divide-by-zero risk. The guard is IDENTICAL TEXT in both
+      -- dialects, so it is oracle-sound — do not "fix" it back to the
+      -- exact division without re-running the degenerate gate.
   FROM dist
 ),
 shade AS (

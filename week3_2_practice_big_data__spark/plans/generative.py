@@ -44,13 +44,20 @@ _LX, _LY = "-0.6e0", "0.8e0"  # light_dir (app.py:52)
 
 
 def _scene_prefix_ctes(
-    dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS
+    dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS,
+    canvas_h: int | None = None,
 ) -> str:
     """Shared CTE prelude through `pairs`: blobs, boundary, closed edges,
     padded bbox, centroid, grid, bbox-pruned candidate (blob,pixel) pairs.
-    Both containment strategies (join and scanline) compose on top."""
+    Both containment strategies (join and scanline) compose on top.
+
+    `canvas_h` mirrors the reference's non-square figure (figsize 7x10,
+    app.py:121): width stays `canvas`, height becomes `canvas_h`, and both
+    axes keep their own unit-interval linspace exactly as imshow stretches
+    extent=[0,1,0,1] over a 7:10 figure."""
+    h = canvas_h or canvas
     x = synth.linspace("g.col", "0e0", "1e0", canvas)
-    y = synth.linspace("g.row", "0e0", "1e0", canvas)
+    y = synth.linspace("g.row", "0e0", "1e0", h)
     return f"""
 WITH blobs AS ({synth.blobs_sql(seed, nb, dialect)}),
 boundary AS ({synth.boundary_sql(seed, nb, dialect, NSAMP)}),
@@ -83,7 +90,7 @@ centroid AS (
 ),
 grid AS (
   SELECT r.row, c.col
-  FROM {synth.series_sql(canvas, "row", dialect)} r
+  FROM {synth.series_sql(h, "row", dialect)} r
   CROSS JOIN {synth.series_sql(canvas, "col", dialect)} c
 ),
 pairs AS (
@@ -93,9 +100,12 @@ pairs AS (
 )"""
 
 
-def _scene_ctes(dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS) -> str:
+def _scene_ctes(
+    dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS,
+    canvas_h: int | None = None,
+) -> str:
     """Containment via pixel×edge join + crossing parity on the prefix."""
-    return f"""{_scene_prefix_ctes(dialect, seed, nb, canvas)},
+    return f"""{_scene_prefix_ctes(dialect, seed, nb, canvas, canvas_h)},
 crossings AS (
   SELECT p.blob_id, p.row, p.col, p.x, p.y,
     sum(CASE WHEN (e.y1 > p.y) != (e.y2 > p.y)
@@ -113,7 +123,8 @@ mask AS (
 
 
 def _scene_scanline_ctes(
-    dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS
+    dialect: str, seed: int = SEED, nb: int = NB, canvas: int = CANVAS,
+    canvas_h: int | None = None,
 ) -> str:
     """Scanline variant of the containment scene: same even-odd semantics,
     O(edges·rows + pixels) instead of O(pixels·edges).
@@ -126,11 +137,11 @@ def _scene_scanline_ctes(
     comparisons to the join variant → identical masks, proven in pytest and
     by both variants' DuckDB oracles.
     """
-    yr = synth.linspace("r.row", "0e0", "1e0", canvas)
-    return f"""{_scene_prefix_ctes(dialect, seed, nb, canvas)},
+    yr = synth.linspace("r.row", "0e0", "1e0", canvas_h or canvas)
+    return f"""{_scene_prefix_ctes(dialect, seed, nb, canvas, canvas_h)},
 rowy AS (
   SELECT b.blob_id, r.row, {yr} AS y, b.by0, b.by1
-  FROM bbox b JOIN {synth.series_sql(canvas, "row", dialect)} r
+  FROM bbox b JOIN {synth.series_sql(canvas_h or canvas, "row", dialect)} r
     ON {yr} >= b.by0 AND {yr} <= b.by1
 ),
 scan_cross AS (
@@ -642,16 +653,22 @@ def _composite_sql(
     theme: str | None = None,
     scanline: bool = False,
     order_by: bool = True,
+    canvas_h: int | None = None,
 ) -> str:
     """Full poster composite, parameterized over the reference's UI surface
     (app.py:107-113): seed, n_blobs, light direction, background theme —
-    plus canvas resolution and containment strategy (join vs scanline)."""
+    plus canvas resolution (width `canvas`, optional distinct height
+    `canvas_h` for the 7:10 figsize, app.py:121) and containment strategy
+    (join vs scanline)."""
     scene_fn = _scene_scanline_ctes if scanline else _scene_ctes
     shaded = _shaded_sql(
-        dialect, scene=scene_fn(dialect, seed=seed, nb=nb, canvas=canvas),
+        dialect,
+        scene=scene_fn(
+            dialect, seed=seed, nb=nb, canvas=canvas, canvas_h=canvas_h
+        ),
         lx=lx, ly=ly,
     )
-    ir, ig, ib = _theme_bg_exprs(theme, canvas)
+    ir, ig, ib = _theme_bg_exprs(theme, canvas_h or canvas)
     fold = _fold_sql(dialect, ir, ig, ib)
     tail = " ORDER BY row, col" if order_by else ""
     # Canvas completion: pixels outside every blob bbox never enter
@@ -692,6 +709,32 @@ all_layers AS (
 )
 def sort_composite_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_composite_sql("spark"))
+
+
+# The reference figure is NOT square: figsize=(7, 10) (app.py:121) with
+# extent=[0,1,0,1] stretches the unit square over a 7:10 canvas. This key
+# renders the composite at the true aspect (70×100 px) — width and height
+# each carry their own pixel grid, all geometry stays in unit coordinates
+# exactly as imshow does it.
+_ASPECT_W, _ASPECT_H = 70, 100
+
+
+def _aspect_sql(dialect: str) -> str:
+    return _composite_sql(
+        dialect, canvas=_ASPECT_W, canvas_h=_ASPECT_H, theme="cool"
+    )
+
+
+@register(
+    "gen_poster_aspect",
+    oracle=_aspect_sql("duckdb"),
+    doc="Full composite at the reference's 7:10 figure aspect (figsize "
+    "7×10, app.py:121): 70×100 canvas, cool theme — width/height each "
+    "with their own unit-interval linspace.",
+    tags=("generative", "sort"),
+)
+def gen_poster_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_aspect_sql("spark"))
 
 
 # ---------------------------------------------------------------------------
