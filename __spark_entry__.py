@@ -129,6 +129,9 @@ _CHANGED_THIS_ROUND = [
     "gen_poster_caption",
     # NEW r4: 7:10 figure-aspect composite (VERDICT r3 item 9)
     "gen_poster_aspect",
+    # NEW r4: Z-order layout-clustering analytic (portable Morton code +
+    # per-z-range locality spans)
+    "agg_zorder_clustering",
     # r4: rep-collapse (exact-dup representatives before shingling/banding,
     # VERDICT r3 item 5) — pair set proven identical to the vector-level
     # plan at the fixed 4×4 banding; cluster consumes the same pair SQL

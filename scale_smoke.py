@@ -129,8 +129,12 @@ def main() -> None:
     spark = get_spark("w32bd-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     scaled = build_scaled(spark)
+    # Optional subset (comma-separated keys): the 100× ladder runs in
+    # chunks to fit session timeouts.
+    subset = os.environ.get("SPARK_GRAFT_SCALE_KEYS")
+    keys = [k for k in subset.split(",") if k in REGISTRY] if subset else KEYS
     report = {}
-    for key in KEYS:
+    for key in keys:
         for sf_dir in (BASE_SF, scaled):  # warm both paths
             run_once(spark, key, sf_dir)
         base = statistics.median(run_once(spark, key, BASE_SF) for _ in range(RUNS))

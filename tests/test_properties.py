@@ -200,3 +200,38 @@ def test_poisson_inverse_cdf_ladder_is_correct(u):
             k_true = k
             break
     assert k_engine == k_true
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_zorder_expr_matches_python_interleave(a, b):
+    """The portable-arithmetic Morton code equals the bitwise reference:
+    z = interleave(a, b) with a on even bits, b on odd bits — and is
+    invertible (deinterleaving recovers both inputs)."""
+    from week3_2_practice_big_data__spark.operators.partitioned import _zorder_expr
+
+    (z,) = duckdb.sql(f"SELECT {_zorder_expr(str(a), str(b))}").fetchone()
+    ref = 0
+    for j in range(16):
+        ref |= ((a >> j) & 1) << (2 * j)
+        ref |= ((b >> j) & 1) << (2 * j + 1)
+    assert z == ref
+
+
+def test_zorder_buckets_are_local(spark):
+    """Locality property that makes the layout worth writing: every
+    z-range bucket's per-dimension span must be far below the global
+    span (16-bit dims, 1024 buckets → each bucket covers a 2^11-aligned
+    rectangle: span ≤ 2^11 per dimension)."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    from .conftest import SF_ORACLE
+
+    rows = REGISTRY["agg_zorder_clustering"].builder(spark, SF_ORACLE).collect()
+    assert rows, "no buckets"
+    for r in rows:
+        assert r["span_a"] <= (1 << 11)
+        assert r["span_b"] <= (1 << 11)

@@ -130,3 +130,86 @@ WHERE o_year = 1996
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """)
+
+
+# ---------------------------------------------------------------------------
+# agg_zorder_clustering — Z-order (Morton) space-filling-curve clustering,
+# the data-LAYOUT half of multi-dimensional file skipping at 100 TB: rows
+# sorted by the bit-interleaved key of two filter dimensions land so that
+# any contiguous z-range (≈ one file after a repartitionByRange write)
+# covers a small rectangle of BOTH dimensions, letting min/max file stats
+# prune scans on either column. Public technique (Morton 1966; the layout
+# strategy behind Delta/Iceberg OPTIMIZE ZORDER). Implemented as pure
+# integer arithmetic (bit j = floor(x/2^j) % 2 — no engine bit operators,
+# identical text both dialects): z = Σ_j bit_j(a)·4^j + 2·bit_j(b)·4^j,
+# then per-z-range-bucket min/max spans of each dimension PROVE the
+# locality the layout buys — the judgeable analytic, not just a write.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16  # 16 bits per dimension → 32-bit z-value
+_Z_BUCKETS_SHIFT = 22  # bucket = z >> 22 → ≤ 1024 z-range buckets
+
+
+def _zorder_expr(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """Bit-interleaved Morton code of two non-negative BIGINTs (low
+    `bits` bits each) in portable arithmetic."""
+    terms = []
+    for j in range(bits):
+        pj = 1 << j
+        p2j = 1 << (2 * j)
+        terms.append(f"(floor(({a}) / {pj}) % 2) * {p2j}")
+        terms.append(f"(floor(({b}) / {pj}) % 2) * {2 * p2j}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _zorder_sql(dialect: str) -> str:
+    del dialect  # identical text both engines
+    z = _zorder_expr("a", "b")
+    bucket_div = 1 << _Z_BUCKETS_SHIFT
+    dom = 1 << _Z_BITS
+    # Range-normalize each dimension onto the full 16-bit domain before
+    # interleaving (what production z-order writers do): raw keys only
+    # span a low prefix of the domain at small scale factors, which would
+    # collapse every row into z-bucket 0 and prove nothing. One IEEE
+    # multiply/divide/floor over exact integers — identical both engines.
+    return f"""
+WITH mx AS (
+  SELECT max(l_partkey) + 1e0 AS ma, max(l_suppkey) + 1e0 AS mb
+  FROM lineitem
+),
+dims AS (
+  SELECT CAST(floor(l_partkey * {dom}e0 / mx.ma) AS BIGINT) AS a,
+    CAST(floor(l_suppkey * {dom}e0 / mx.mb) AS BIGINT) AS b
+  FROM lineitem CROSS JOIN mx
+),
+zvals AS (
+  SELECT a, b, {z} AS z FROM dims
+),
+buckets AS (
+  SELECT CAST(floor(z / {bucket_div}) AS BIGINT) AS bucket,
+    count(*) AS n_rows,
+    min(a) AS min_a, max(a) AS max_a,
+    min(b) AS min_b, max(b) AS max_b
+  FROM zvals GROUP BY 1
+)
+SELECT bucket, n_rows, min_a, max_a, min_b, max_b,
+  CAST(max_a - min_a AS BIGINT) AS span_a,
+  CAST(max_b - min_b AS BIGINT) AS span_b
+FROM buckets
+ORDER BY bucket
+"""
+
+
+@register(
+    "agg_zorder_clustering",
+    oracle=_zorder_sql("duckdb"),
+    doc="Z-order (Morton) clustering analytic: bit-interleave the low 16 "
+    "bits of (l_partkey, l_suppkey) in portable integer arithmetic, "
+    "bucket rows by z-range, and report per-bucket min/max spans of both "
+    "dimensions — the locality proof behind multi-dimensional file "
+    "skipping (Delta/Iceberg OPTIMIZE ZORDER pattern) (REF-ANALOG scale).",
+    tags=("agg", "scale", "source"),
+)
+def agg_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_zorder_sql("spark"))
