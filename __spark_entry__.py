@@ -132,6 +132,9 @@ _CHANGED_THIS_ROUND = [
     # NEW r4: Z-order layout-clustering analytic (portable Morton code +
     # per-z-range locality spans)
     "agg_zorder_clustering",
+    # r4: span join key is now a 62-bit integer hash (8-byte shuffle keys
+    # instead of ~50-byte strings; result verified identical)
+    "ns_dedup_substring",
     # r4: rep-collapse (exact-dup representatives before shingling/banding,
     # VERDICT r3 item 5) — pair set proven identical to the vector-level
     # plan at the fixed 4×4 banding; cluster consumes the same pair SQL

@@ -329,3 +329,33 @@ def test_rep_dedup_plans_have_no_cartesian(spark):
         df = REGISTRY[key].builder(spark, SF_SMALL)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, key
+
+
+def test_caption_overlay_joins_broadcast(spark):
+    """The caption stamp joins a ~200-row glyph-pixel relation to the full
+    canvas: every join in the captioned composite must be broadcast-shaped
+    (no SortMergeJoin — a shuffle of the canvas on (row, col) to meet 200
+    rows would be the wrong plan at any resolution), and never cartesian."""
+    from .conftest import SF_SMALL
+
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    df = REGISTRY["gen_poster_caption"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_plan_is_aggregate_shaped(spark):
+    """Z-order clustering is two bounded aggregations over one lineitem
+    scan (global max, per-bucket min/max): no join of data against data,
+    no cartesian — the Morton code itself is map-side arithmetic."""
+    from .conftest import SF_SMALL
+
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    df = REGISTRY["agg_zorder_clustering"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

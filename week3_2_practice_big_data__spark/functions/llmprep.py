@@ -27,7 +27,7 @@ from .. import synth
 from ..common import ordered_string_agg
 from ..io import load_table
 from ..registry import register
-from .text import tokens_sql
+from .text import char_polyhash, tokens_sql
 from .similarity import _dot_fold
 
 
@@ -699,15 +699,35 @@ _SPAN_K = 8  # tokens per span
 _SPAN_DF_CAP = 50  # spans in more docs than this are boilerplate → pruned
 
 
+def _span_key_expr() -> str:
+    """62-bit integer span key from the 8 per-token hashes (th, l1..l7):
+    two independent 31-bit Horner combines (multipliers 31 / 37, moduli
+    2^31−1) packed as h1·2^31 + h2. The r3 plan audit flagged the span
+    STRING (8 tokens, ~50 bytes) shuffling as the inverted-index join key
+    — at 100 TB that is most of the shuffle volume; the integer key is 8
+    bytes and costs only integer ops on already-computed token hashes (no
+    string concat, no second character scan). Collisions at 62 bits are
+    negligible to ~2^31 distinct spans; the oracle shares the text, so
+    the correctness gate is unaffected either way."""
+    cols = ["th"] + [f"l{i}" for i in range(1, _SPAN_K)]
+    h1, h2 = "7", "11"
+    for c in cols:
+        h1 = f"(({h1} * 31 + {c}) % 2147483647)"
+        h2 = f"(({h2} * 37 + {c}) % 2147483647)"
+    return f"({h1} * 2147483648 + {h2})"
+
+
 def _substring_sql(dialect: str) -> str:
     over = "OVER (PARTITION BY doc_id ORDER BY pos)"
-    leads = ", ".join(f"lead(token, {i}) {over} AS l{i}" for i in range(1, _SPAN_K))
-    span = " || ' ' || ".join(["token"] + [f"l{i}" for i in range(1, _SPAN_K)])
+    leads = ", ".join(f"lead(th, {i}) {over} AS l{i}" for i in range(1, _SPAN_K))
     return f"""
 WITH tok AS ({tokens_sql(dialect)}),
+toh AS (
+  SELECT doc_id, pos, {char_polyhash(dialect, "token")} AS th FROM tok
+),
 spans AS (
-  SELECT doc_id, {span} AS span
-  FROM (SELECT doc_id, pos, token, {leads} FROM tok) x
+  SELECT doc_id, {_span_key_expr()} AS span
+  FROM (SELECT doc_id, pos, th, {leads} FROM toh) x
   WHERE l{_SPAN_K - 1} IS NOT NULL
 ),
 sd AS (SELECT DISTINCT doc_id, span FROM spans),
@@ -730,7 +750,8 @@ ORDER BY n_shared_spans DESC, da, db
     doc="Exact-substring span dedup (public method, arXiv:2107.06499): doc "
     "pairs sharing an exact 8-token run, via an inverted span index with "
     "df ≤ 50 cap — catches verbatim passage copies that set-overlap "
-    "measures dilute; one window pass + span-keyed equi-join (NS).",
+    "measures dilute; one window pass + equi-join on a 62-bit integer "
+    "span key (r4: 8-byte shuffle keys instead of ~50-byte strings) (NS).",
     tags=("ns", "dedup", "text"),
 )
 def ns_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
