@@ -135,6 +135,10 @@ _CHANGED_THIS_ROUND = [
     # r4: span join key is now a 62-bit integer hash (8-byte shuffle keys
     # instead of ~50-byte strings; result verified identical)
     "ns_dedup_substring",
+    # NEW r4: temperature-scaled domain mixing (p ∝ share^τ) and
+    # Kneser-Ney bigram smoothing
+    "ns_domain_temperature",
+    "ns_kn_bigram",
     # r4: rep-collapse (exact-dup representatives before shingling/banding,
     # VERDICT r3 item 5) — pair set proven identical to the vector-level
     # plan at the fixed 4×4 banding; cluster consumes the same pair SQL

@@ -197,6 +197,144 @@ def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ns_domain_temperature — temperature-scaled mixture sampling weights, the
+# standard LLM data-mixing computation (p_i ∝ share_i^τ; τ<1 upsamples
+# low-resource domains — the multilingual/multi-domain sampling rule used
+# since XLM-R, arXiv:1911.02116): for each temperature in a literal ladder,
+# the per-source sampling probability and the up/down-sampling factor vs
+# the natural share. power() is transcendental, so each share^τ is
+# q6-quantized to integer micro-units BEFORE the normalizing sum (exact
+# BIGINT, order-free) and the probability is one final IEEE division —
+# the same discipline as every other transcendental in the engine.
+# ---------------------------------------------------------------------------
+
+
+def _domain_temperature_sql(dialect: str) -> str:
+    taus = "(VALUES (0.3e0), (0.7e0), (1.0e0))"
+    tau_rel = f"(SELECT * FROM {taus} AS tt(tau))"
+    share = "(per_src.n_tokens / (tot.t + 0e0))"
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+per_src AS (
+  SELECT d.source, count(*) AS n_docs,
+    CAST(sum(coalesce(dl.n_tok, 0)) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+  GROUP BY d.source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per_src),
+scaled AS (
+  SELECT tt.tau, per_src.source, per_src.n_tokens,
+    {synth.q6(share)} AS token_share,
+    CAST(floor(power({share}, tt.tau) * 1e6 + 0.5e0) AS BIGINT) AS s6
+  FROM per_src CROSS JOIN tot CROSS JOIN {tau_rel} tt
+  WHERE per_src.n_tokens > 0
+),
+norm AS (
+  SELECT tau, CAST(sum(s6) AS BIGINT) AS tot6 FROM scaled GROUP BY tau
+)
+SELECT s.tau, s.source, s.n_tokens, s.token_share,
+  {synth.q6("(s.s6 + 0e0) / n.tot6")} AS p_sample,
+  CASE WHEN s.token_share = 0e0 THEN 0e0
+       ELSE {synth.q6("((s.s6 + 0e0) / n.tot6) / s.token_share")}
+  END AS upsample_factor
+FROM scaled s JOIN norm n ON s.tau = n.tau
+ORDER BY s.tau, s.source
+"""
+
+
+@register(
+    "ns_domain_temperature",
+    oracle=_domain_temperature_sql("duckdb"),
+    doc="Temperature-scaled domain sampling (p_i ∝ share_i^τ, τ ∈ {0.3, "
+    "0.7, 1.0} — the XLM-R multi-domain mixing rule): per-(τ, source) "
+    "sampling probability and upsample factor; share^τ quantized to "
+    "exact integer micro-units before the order-free normalizing sum "
+    "(NS).",
+    tags=("ns", "sampling", "text"),
+)
+def ns_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_domain_temperature_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_kn_bigram — interpolated Kneser-Ney bigram probabilities (Kneser &
+# Ney 1995; the Chen & Goodman 1998 estimate of the discount,
+# D = n1/(n1+2·n2)), the classic n-gram LM smoothing a corpus-statistics
+# pipeline feeds: P(w|v) = max(c(v,w)−D, 0)/c(v) + λ(v)·P_cont(w), with
+# λ(v) = D·N1+(v·)/c(v) and P_cont(w) = N1+(·w)/B. Every ingredient is an
+# exact integer count (bigram counts, count-of-counts, continuation
+# fan-ins, distinct-bigram total); the probability is ONE final IEEE
+# expression over those integers → q6 — fully order-free cross-engine.
+# Three bounded-key aggregations over one token-stream window pass.
+# ---------------------------------------------------------------------------
+
+_KN_TOP = 50
+
+
+def _kn_bigram_sql(dialect: str) -> str:
+    p = (
+        "(CASE WHEN bc.c - dd.d > 0e0 THEN (bc.c - dd.d) / uc.cv ELSE 0e0 END"
+        " + (dd.d * fo.fanout / uc.cv) * (fi.fanin / (bt.b + 0e0)))"
+    )
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+bg AS (
+  SELECT doc_id, token AS v, lead(token, 1) OVER w AS w
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bc AS (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg
+  WHERE w IS NOT NULL GROUP BY v, w
+),
+uc AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM bc GROUP BY v),
+coc AS (
+  SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM bc
+),
+dd AS (
+  -- n1 = n2 = 0 (every bigram count ≥ 3) is possible on a degenerate
+  -- corpus: discount 0 (no singletons → nothing to discount), not 0/0.
+  SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0e0
+              ELSE n1 / (n1 + 2e0 * n2) END AS d
+  FROM coc
+),
+fo AS (SELECT v, CAST(count(*) AS BIGINT) AS fanout FROM bc GROUP BY v),
+fi AS (SELECT w, CAST(count(*) AS BIGINT) AS fanin FROM bc GROUP BY w),
+bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
+ranked AS (
+  SELECT bc.v, bc.w, bc.c, {synth.q6(p)} AS p_kn,
+    row_number() OVER (ORDER BY bc.c DESC, bc.v, bc.w) AS rk
+  FROM bc
+  JOIN uc ON bc.v = uc.v
+  JOIN fo ON bc.v = fo.v
+  JOIN fi ON bc.w = fi.w
+  CROSS JOIN dd CROSS JOIN bt
+)
+SELECT v, w, c, p_kn FROM ranked WHERE rk <= {_KN_TOP}
+ORDER BY c DESC, v, w
+"""
+
+
+@register(
+    "ns_kn_bigram",
+    oracle=_kn_bigram_sql("duckdb"),
+    doc="Interpolated Kneser-Ney bigram LM estimate (Kneser & Ney 1995, "
+    "Chen-Goodman discount n1/(n1+2n2)): absolute-discounted bigram "
+    "probability backed off to continuation unigrams, top-50 bigrams — "
+    "all ingredients exact integer counts, one IEEE expression → q6 "
+    "(NS).",
+    tags=("ns", "text", "statml"),
+)
+def ns_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_kn_bigram_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # ns_decontaminate_ngram — n-gram benchmark decontamination (the standard
 # eval-overlap pass): every 97th document plays the held-out eval set; a
 # corpus document is contaminated in proportion to the distinct 5-grams it
