@@ -879,7 +879,13 @@ def _caption_composite_sql(dialect: str, order_by: bool = True) -> str:
     tags=("generative", "sink"),
 )
 def gen_poster_caption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_caption_composite_sql("spark"))
+    # Stamp over the session-cached default canvas (same relation the
+    # bilinear resample and hires export reuse) — the caption layer is a
+    # broadcast join over it, not a reason to recomposite.
+    _cached_canvas(spark).createOrReplaceTempView("poster_canvas")
+    return spark.sql(
+        _captioned_sql("spark", "SELECT row, col, r, g, b FROM poster_canvas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1065,9 +1071,12 @@ def sink_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     # r4: the export now carries the reference's seed-caption text layer
-    # (app.py:152) — stamped before encoding, same relation as
-    # gen_poster_caption.
-    canvas = spark.sql(_caption_composite_sql("spark"))
+    # (app.py:152) — stamped over the session-cached canvas, same relation
+    # as gen_poster_caption.
+    _cached_canvas(spark).createOrReplaceTempView("poster_canvas")
+    canvas = spark.sql(
+        _captioned_sql("spark", "SELECT row, col, r, g, b FROM poster_canvas")
+    )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         return _assemble_png_pdf(pdf, SEED, NB)
@@ -1263,7 +1272,13 @@ def sink_binary_export_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
-    canvas = spark.sql(_caption_composite_sql("spark", order_by=False))
+    _cached_canvas(spark).createOrReplaceTempView("poster_canvas")
+    canvas = spark.sql(
+        _captioned_sql(
+            "spark", "SELECT row, col, r, g, b FROM poster_canvas",
+            order_by=False,
+        )
+    )
     tiled = canvas.withColumn(
         "tile_row", (F.col("row") / _TILE).cast("int")
     ).withColumn("tile_col", (F.col("col") / _TILE).cast("int"))
