@@ -377,3 +377,116 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
     for key in keys:
         q = REGISTRY[key]
         compare(q.builder(spark, out), duck_run(q.oracle, out), f"{key}:{tag}")
+
+
+def test_adversarial_input_parity(spark):
+    """Adversarial-VALUES gate (r4, the dirty-data sibling of the
+    empty/single-row sweep): documents with empty text, lone/double/edge
+    spaces (empty tokens through split), CJK+emoji+accents, a 5000-char
+    single token, quotes/backslashes, byte-identical duplicates;
+    embeddings with an all-zero vector, exact duplicates, ±huge and
+    denormal float32 components; events with 0 / negative / ±1e300 /
+    Infinity / NaN values and tied timestamps. Every sampled oracle key
+    must still agree with DuckDB bit-for-bit — these are the value edges
+    a 100 TB web corpus actually contains."""
+    import os
+
+    import duckdb
+
+    from week3_2_practice_big_data__spark.io import TABLES
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "sf_weird"
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        os.makedirs(out, exist_ok=True)
+        con0 = duckdb.connect()
+        docs = [
+            (0, "", "en", "src0"),
+            (1, " ", "en", "src0"),
+            (2, "a", "en", "src1"),
+            (3, "hello  world", "en", "src1"),
+            (4, " leading and trailing ", "en", "src1"),
+            (5, "日本語 テスト 🦄 café naïve słowa", "xx", "src2"),
+            (6, "x" * 5000, "en", "src2"),
+            (7, "dup dup dup dup dup dup dup dup dup dup", "en", "src2"),
+            (8, "it's a \"quoted\" back\\slash token", "en", "src3"),
+            (9, "copy me twice and again exactly verbatim", "en", "src3"),
+            (10, "copy me twice and again exactly verbatim", "en", "src3"),
+            (11, "normal sentence with seven plain ascii tokens", "en", "src3"),
+        ]
+        con0.execute(
+            "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+        )
+        for i, t, lang, src in docs:
+            con0.execute("INSERT INTO d VALUES (?, ?, ?, ?, ?)", [i, t, lang, src, len(t)])
+        con0.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+
+        con0.execute(
+            "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+        )
+        base = "2024-01-01 00:00:00"
+        vals = [0.0, -1.5, 1e300, -1e300, 1e-300, float("inf"), float("nan"), 2.0, 2.0, -0.0]
+        for i, v in enumerate(vals):
+            # two rows share ts (tie-order edge), the rest step by minutes
+            mins = 5 if i in (7, 8) else i
+            con0.execute(
+                f"INSERT INTO e VALUES (?, TIMESTAMP '{base}' + INTERVAL ({mins}) MINUTE, ?, ?, ?, ?)",
+                [i, i % 3, "click" if i % 2 else "view", v, "{}"],
+            )
+        con0.execute(f"COPY e TO '{out}/events.parquet' (FORMAT PARQUET)")
+
+        con0.execute(
+            "CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
+        )
+        def vec(fill):
+            return [float(fill)] * 64
+        embs = [
+            (0, vec(0.0), 0),                      # zero vector (zero norm)
+            (1, [0.1] * 64, 1),
+            (2, [0.1] * 64, 1),                    # exact duplicate of 1
+            (3, [1e30] * 64, 2),                   # huge but finite float32
+            (4, [1e-40] * 64, 2),                  # float32 denormal
+            (5, [(-1.0) ** j * 0.5 for j in range(64)], 3),
+            (6, [-0.0] * 64, 0),                   # negative zero
+        ]
+        for i, v, lab in embs:
+            con0.execute("INSERT INTO emb VALUES (?, ?, ?)", [i, v, lab])
+        con0.execute(f"COPY emb TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+
+        # remaining tables: tiny normal slices keep every key runnable
+        for t in TABLES:
+            if t in ("documents", "events", "embeddings"):
+                continue
+            con0.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') LIMIT 20) "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        with open(stamp, "w") as f:
+            f.write("v1")
+
+    from .oracle import compare, duck_run
+
+    keys = [
+        # text family over the dirty corpus
+        "ns_text_tokens", "ns_text_stats", "ns_text_clean", "ns_text_langid",
+        "ns_text_quality", "ns_text_fingerprint", "ns_text_tfidf",
+        "ns_text_pmi", "ns_text_perplexity", "ns_kn_bigram",
+        "ns_domain_mix", "ns_domain_temperature",
+        # dedup family (byte-dup pair present)
+        "ns_dedup_exact", "ns_dedup_minhash", "ns_dedup_cluster",
+        "ns_dedup_simhash", "ns_dedup_ngram_jaccard", "ns_dedup_substring",
+        "ns_dedup_paragraph", "ns_pii_scrub", "ns_repetition_filter",
+        # embeddings (zero norm / duplicates / extremes)
+        "ns_sim_topk", "ns_dedup_embed_cosine", "ns_semdedup",
+        "ns_sim_ann_lsh", "ns_sim_ann_ivf", "ns_embed_quantize",
+        "ml_pca_power",
+        # events with inf/nan/huge values + tied timestamps
+        "win_cusum_changepoint", "ts_resample_fill", "agg_entropy",
+        "win_moving_zscore", "agg_ohlc_bars", "win_islands_ranges",
+    ]
+    for key in keys:
+        q = REGISTRY[key]
+        compare(q.builder(spark, out), duck_run(q.oracle, out), f"{key}:weird")

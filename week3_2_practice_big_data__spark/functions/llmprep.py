@@ -410,7 +410,7 @@ def _knn_join_sql(dialect: str, emb_ref: str | None = None) -> str:
     # embedding, nrm) relation (similarity.py), so scoring is ONE dot fold
     # per pair instead of three — same doubles, same q6 output.
     dot = _dot_fold(dialect, "c.embedding", "q.qemb")
-    cos = synth.q6(f"{dot} / (c.nrm * q.qnrm)")
+    cos = synth.q6(f"{dot} / nullif(c.nrm * q.qnrm, 0e0)")
     from .similarity import _emb_norm_sql
 
     emb = emb_ref or _emb_norm_sql(dialect)
@@ -604,9 +604,14 @@ def _quantize_sql(dialect: str) -> str:
     amax = _fold(dialect, f"abs({x})", "0e0", "greatest(acc, v)")
     # q(x) = clamp(floor(x/scale + 0.5)) — floor(+0.5), not round(): the two
     # engines' round() disagree at decimal midpoints (synth.q6 rationale).
+    # nullif+coalesce: an ALL-ZERO vector has scale 0 — its quantized form
+    # is all zeros by definition, not a DIVIDE_BY_ZERO (Spark ANSI raises
+    # on double 0/0 where DuckDB yields NaN; r4 adversarial gate). The
+    # coalesce sits INSIDE the clamp because least/greatest NULL handling
+    # differs cross-engine.
     qv = (
         f"greatest(-{_QLEVELS}e0, least({_QLEVELS}e0, "
-        f"floor({x} / s.scale + 0.5e0)))"
+        f"floor(coalesce({x} / nullif(s.scale, 0e0), 0e0) + 0.5e0)))"
     )
     sq_err = _fold(
         dialect, f"({x} - ({qv}) * s.scale) * ({x} - ({qv}) * s.scale)",

@@ -79,7 +79,7 @@ def _topk_sql(dialect: str) -> str:
     nb = _dot_fold(dialect, "q.embedding", "q.embedding")
     return f"""
 SELECT c.vec_id, c.label,
-  {synth.q6(f"{dot} / (sqrt({na}) * sqrt({nb}))")} AS cosine
+  {synth.q6(f"{dot} / nullif(sqrt({na}) * sqrt({nb}), 0e0)")} AS cosine
 FROM embeddings c
 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) q
 WHERE c.vec_id != {_QUERY_ID}
@@ -319,7 +319,7 @@ cand AS (
     AND a.vec_id < b.vec_id
 ),
 scored AS (
-  SELECT c.ga, c.gb, {dot} / (ea.nrm * eb.nrm) AS cos
+  SELECT c.ga, c.gb, {dot} / nullif(ea.nrm * eb.nrm, 0e0) AS cos
   FROM cand c
   JOIN emb ea ON c.ga = ea.vec_id
   JOIN emb eb ON c.gb = eb.vec_id
@@ -329,7 +329,7 @@ gpairs AS (
   FROM scored WHERE cos >= {_COS_T}
 ),
 self_cos AS (
-  SELECT vec_id AS g, {synth.q6(f"{selfdot} / (nrm * nrm)")} AS cosine
+  SELECT vec_id AS g, {synth.q6(f"{selfdot} / nullif(nrm * nrm, 0e0)")} AS cosine
   FROM emb
 )
 SELECT ai, bi, cosine FROM (
@@ -439,7 +439,7 @@ cand AS (
   WHERE b.vec_id != {_QUERY_ID}
 )
 SELECT cv.vec_id, cv.label,
-  {synth.q6(f"{dot} / (cv.nrm * qv.nrm)")} AS cosine
+  {synth.q6(f"{dot} / nullif(cv.nrm * qv.nrm, 0e0)")} AS cosine
 FROM cand c
 JOIN emb cv ON c.vec_id = cv.vec_id
 CROSS JOIN (SELECT embedding, nrm FROM emb WHERE vec_id = {_QUERY_ID}) qv
@@ -558,7 +558,7 @@ probe AS (
   SELECT cell FROM assign WHERE vec_id = {_QUERY_ID} AND rn <= {_IVF_PROBE}
 )
 SELECT cl.vec_id, cl.cell,
-  {synth.q6(f"{dot} / (sqrt({na}) * sqrt({nb}))")} AS cosine
+  {synth.q6(f"{dot} / nullif(sqrt({na}) * sqrt({nb}), 0e0)")} AS cosine
 FROM cells cl
 JOIN probe p ON cl.cell = p.cell
 JOIN embeddings cv ON cl.vec_id = cv.vec_id
@@ -638,7 +638,7 @@ dom AS (
   FROM pairs p
   JOIN emb ea ON p.ra = ea.vec_id
   JOIN emb eb ON p.rb = eb.vec_id
-  WHERE {dot} / (ea.nrm * eb.nrm) >= {_COS_T}
+  WHERE {dot} / nullif(ea.nrm * eb.nrm, 0e0) >= {_COS_T}
 )
 SELECT cl.vec_id, cl.cell,
   (gm.gid = cl.vec_id AND dom.rb IS NULL) AS keep
@@ -719,8 +719,14 @@ def _pca_cov_sql(dialect: str) -> str:
         " - (CAST(ma.s1 AS DOUBLE) / s.n / 1e6)"
         " * (CAST(mb.s1 AS DOUBLE) / s.n / 1e6)"
     )
+    # Saturate embedding components to ±100 before micro-unit
+    # quantization (synth.sat): corrupt vectors (±1e30 floats) otherwise
+    # overflow the BIGINT cast in BOTH engines, and every magnitude bound
+    # in the integer chain below (v6² ≤ 1e16·n in DECIMAL, cell6·l6 ≤
+    # 1e16, r6² ≤ 4e35) is derived from this input domain.
+    sat_v = synth.sat("val", 100.0)
     long6 = (
-        f"SELECT vec_id, dim, CAST(floor(val * 1e6 + 0.5e0) AS BIGINT) AS v6 "
+        f"SELECT vec_id, dim, CAST(floor({sat_v} * 1e6 + 0.5e0) AS BIGINT) AS v6 "
         f"FROM ({_long_cast(dialect)}) lc"
     )
     return f"""

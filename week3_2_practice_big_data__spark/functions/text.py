@@ -51,12 +51,19 @@ FROM (
 
 
 def char_polyhash(dialect: str, s: str, mult: int = 31, init: int = 7) -> str:
-    """Polynomial code-point hash — identical BIGINT arithmetic both engines."""
+    """Polynomial code-point hash — identical BIGINT arithmetic both engines.
+
+    EMPTY-STRING guard (r4 adversarial gate): Spark's `sequence(1, 0)` is
+    the DESCENDING sequence [1, 0] while DuckDB's `generate_series(1, 0)`
+    is empty, so an empty string (a real token under doubled spaces, and a
+    real document in any web corpus) hashed two ascii('')=0 chars on the
+    Spark side only. The CASE pins hash('') = init in both dialects."""
     if dialect == "spark":
         return (
+            f"(CASE WHEN length({s}) = 0 THEN CAST({init} AS BIGINT) ELSE "
             f"aggregate(transform(sequence(1, length({s})), "
             f"i -> CAST(ascii(substring({s}, i, 1)) AS BIGINT)), "
-            f"CAST({init} AS BIGINT), (acc, c) -> (acc * {mult} + c) % {_P})"
+            f"CAST({init} AS BIGINT), (acc, c) -> (acc * {mult} + c) % {_P}) END)"
         )
     return (
         f"list_reduce(list_prepend(CAST({init} AS BIGINT), "
@@ -729,10 +736,16 @@ SELECT doc_id,
   length(text) AS n_chars,
   {ntok} AS n_tokens,
   {synth.q6(f"(length(text) - {ntok} + 1) / ({ntok} + 0e0)")} AS avg_token_len,
-  {synth.q6(f"{nonalnum} / (length(text) + 0e0)")} AS punct_ratio,
+  -- greatest(·, 1): an EMPTY document (length 0 — present in any real web
+  -- corpus) must score ratio 0, not raise DIVIDE_BY_ZERO under Spark ANSI
+  -- (DuckDB would quietly yield NaN — a cross-engine divergence either
+  -- way; found by the r4 adversarial-input gate). ntok needs no guard:
+  -- split('') is [''] so it is always ≥ 1.
+  {synth.q6(f"{nonalnum} / (greatest(length(text), 1) + 0e0)")} AS punct_ratio,
   {synth.q6(f"{stop} / ({ntok} + 0e0)")} AS stopword_ratio,
   {synth.q6(
-      f"least(greatest(0.5e0 + 0.002e0 * {ntok} - 2e0 * ({nonalnum} / (length(text) + 0e0)) "
+      f"least(greatest(0.5e0 + 0.002e0 * {ntok} "
+      f"- 2e0 * ({nonalnum} / (greatest(length(text), 1) + 0e0)) "
       f"- 0.5e0 * ({stop} / ({ntok} + 0e0)), 0e0), 1e0)"
   )} AS quality
 FROM documents ORDER BY doc_id

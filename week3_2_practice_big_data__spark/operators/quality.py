@@ -148,6 +148,11 @@ _Z_THRESH = "2e0"
 
 def _zscore_sql(dialect: str) -> str:
     us = _us(dialect)
+    # saturating front gate for dirty values (see synth.sat): the frame
+    # sum of 10 squared milli-unit values must fit int64 under Spark ANSI
+    # — 10·(b·10³)² ≤ 9.2×10¹⁸ ⇒ b ≤ 9.6×10⁵; 9×10⁵ leaves margin while
+    # covering every legitimate magnitude (observed max 560)
+    sat_v = synth.sat("value", 9e5)
     w = (
         "PARTITION BY user_id ORDER BY us, event_id "
         f"ROWS BETWEEN {_Z_FRAME} PRECEDING AND CURRENT ROW"
@@ -155,18 +160,18 @@ def _zscore_sql(dialect: str) -> str:
     # Integer-exact frame sums: value scaled to MILLI-units (BIGINT), so
     # the window sums carry no float-order drift; the BIGINT→DOUBLE casts
     # below are IEEE round-to-nearest — deterministic on both engines.
-    # Milli (not micro): the squared sum must fit BIGINT under Spark's
-    # ANSI overflow check — 10·(v·10³)² stays exact for |value| < ~3×10⁶,
-    # while micro-units overflow at |value| ≈ 960 (observed max is 560 and
-    # rising with scale; DuckDB would silently promote to HUGEINT and the
-    # engines would diverge).
+    # Milli (not micro): the squared FRAME SUM must fit BIGINT under
+    # Spark's ANSI overflow check — micro-units overflow at |value| ≈ 960
+    # (observed max is 560 and rising with scale; DuckDB would silently
+    # promote to HUGEINT and the engines would diverge). The synth.sat
+    # gate above pins the worst case to the safe domain.
     mean = "CAST(s1 AS DOUBLE) / n"
     var = "(n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (n * n)"
     z = f"(CAST(v3 AS DOUBLE) - ({mean})) / sqrt(({var}) + 1e0)"
     return f"""
 WITH ev AS (
   SELECT event_id, user_id, {us} AS us,
-    CAST(floor(value * 1e3) AS BIGINT) AS v3
+    CAST(floor({sat_v} * 1e3) AS BIGINT) AS v3
   FROM events
 ),
 framed AS (

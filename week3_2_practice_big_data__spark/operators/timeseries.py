@@ -331,6 +331,13 @@ _CUSUM_H = "3e0"
 
 def _cusum_sql(dialect: str) -> str:
     epoch = _us(dialect)
+    # Saturate dirty values (±1e300/Inf/NaN) into the exact-integer domain
+    # |v| ≤ 1e6 before micro-unit quantization: a saturated glitch still
+    # drives the CUSUM past its 3σ boundary, while an unguarded cast is an
+    # ANSI overflow on Spark and a cast error on DuckDB (r4 adversarial
+    # gate). Worst-case |v| = 1e6 keeps n·prefix sums in int64 to ~3e3
+    # events/user; at typical magnitudes (|v| ≈ 560) headroom stays ~1e5.
+    sat_v = synth.sat("value", 1e6)
     full = "PARTITION BY user_id"
     run = (
         "PARTITION BY user_id ORDER BY us, event_id "
@@ -347,14 +354,14 @@ def _cusum_sql(dialect: str) -> str:
     return f"""
 WITH ev AS (
   SELECT user_id, event_id, {epoch} AS us,
-    CAST(floor(value * 1e6 + 0.5e0) AS BIGINT) AS v6
+    CAST(floor({sat_v} * 1e6 + 0.5e0) AS BIGINT) AS v6
   FROM events
 ),
 w AS (
   SELECT user_id, event_id, us,
     count(*) OVER ({full}) AS n,
     sum(v6) OVER ({full}) AS sx6,
-    sum(CAST(v6 * v6 AS DECIMAL(38,0))) OVER ({full}) AS sxx12,
+    sum(CAST(v6 AS DECIMAL(38,0)) * v6) OVER ({full}) AS sxx12,
     sum(v6) OVER ({run}) AS p6,
     row_number() OVER (
       {full} ORDER BY us, event_id

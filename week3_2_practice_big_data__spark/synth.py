@@ -44,9 +44,40 @@ def q6(expr: str, nd: int = 6) -> str:
     (std::round(x·10^d)/10^d) disagree near decimal midpoints; this formula is
     pure IEEE multiply/add/floor/divide, so identical double in → identical
     double out on BOTH engines, which is what the value-hash gate needs.
+
+    MAGNITUDE GUARD (r4 adversarial gate): Spark's floor(DOUBLE) returns
+    BIGINT — it SATURATES at 2^63−1 for |x·10^nd| beyond int64 and maps
+    NaN to 0 — while DuckDB's floor stays DOUBLE (and its BIGINT cast of
+    NaN raises). Dirty real-world values (±1e300, ±Inf, NaN in an events
+    stream) therefore diverged inside the quantizer itself. Values with
+    |x| ≥ 1e9 pass through UNQUANTIZED: micro-unit rounding is meaningless
+    there anyway (doubles are >100 ulp apart past 2^53/10^6 ≈ 9e9), and
+    the CASE's `abs(x) < bound` comparison is false for NaN in both
+    engines, so NaN/±Inf also pass through identically.
     """
     scale = flit(10**nd)
-    return f"(floor(({expr}) * {scale} + 0.5e0) / {scale})"
+    bound = flit(10 ** (15 - nd))
+    return (
+        f"(CASE WHEN abs({expr}) < {bound} "
+        f"THEN floor(({expr}) * {scale} + 0.5e0) / {scale} "
+        f"ELSE ({expr}) END)"
+    )
+
+
+def sat(expr: str, bound: float) -> str:
+    """Saturating clamp to [−bound, bound] with NaN→0, shared text both
+    dialects — the front gate for exact-integer (micro/milli-unit) plans
+    whose BIGINT casts would otherwise overflow on dirty real-world
+    values (±1e300, ±Inf, NaN in an event stream; r4 adversarial gate).
+    Explicit CASE order: the two range tests are false for NaN in both
+    engines, so NaN falls through to its own branch — never relying on
+    engine-specific least/greatest NaN ordering."""
+    b = flit(bound)
+    return (
+        f"(CASE WHEN ({expr}) > {b} THEN {b} "
+        f"WHEN ({expr}) < -{b} THEN -{b} "
+        f"WHEN isnan({expr}) THEN 0e0 ELSE ({expr}) END)"
+    )
 
 
 def lcg_u(key_expr: str, seed: int, draw: int = 0) -> str:
