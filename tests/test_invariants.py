@@ -486,6 +486,7 @@ def test_adversarial_input_parity(spark):
         # events with inf/nan/huge values + tied timestamps
         "win_cusum_changepoint", "ts_resample_fill", "agg_entropy",
         "win_moving_zscore", "agg_ohlc_bars", "win_islands_ranges",
+        "agg_conditional", "win_rolling_corr",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -712,8 +712,15 @@ def agg_sketch_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min) part of the deterministic contract. Same text both dialects.
 # ---------------------------------------------------------------------------
 
+# synth.sat front gate (r4 adversarial sweep): ±1e300/Inf/NaN values
+# overflow the BIGINT key cast. The +1e11 offset makes the composite key
+# NON-NEGATIVE for the whole saturated domain (|v| ≤ 1e9 → v·100 ∈
+# ±1e11), so the `% 10^7` id extraction is exact for negative values too
+# (a negative dividend's remainder carries the sign in both engines —
+# the id came out negated); (2e11)·10^7 + id stays inside int64.
 _VKEY = (
-    "(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) * 10000000 + event_id)"
+    f"((CAST(floor({synth.sat('value', 1e9)} * 100e0 + 0.5e0) AS BIGINT)"
+    " + 100000000000) * 10000000 + event_id)"
 )
 
 _COND_SHARED = f"""

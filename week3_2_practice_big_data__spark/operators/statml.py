@@ -341,8 +341,11 @@ def _rolling_corr_sql(dialect: str) -> str:
     )
     return f"""
 WITH ev AS (
+  -- synth.sat front gate (r4 adversarial sweep): the frame sum of ~20
+  -- squared milli-unit values must fit int64 under Spark ANSI —
+  -- 20·(b·10³)² ≤ 9.2×10¹⁸ ⇒ b ≤ 6.8×10⁵; 6×10⁵ leaves margin.
   SELECT event_id, user_id, {us} AS us,
-    CAST(floor(value * 1e3) AS BIGINT) AS x
+    CAST(floor({synth.sat("value", 6e5)} * 1e3) AS BIGINT) AS x
   FROM events
 ),
 paired AS (
