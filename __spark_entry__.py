@@ -33,13 +33,13 @@ FLAGSHIP = "agg_groupby_multi"
 #
 # ROUND-5 ORDERING NOTE (when rotating after r4): fold CORRECTNESS_r04's
 # green keys into _R04_VERIFIED below, repopulate _CHANGED_THIS_ROUND with
-# round-5 work, and lead the pending block with whatever oracle keys the
-# r4 window could not fit (changed+pending was ~52 for a 50-key window),
-# followed by the 24 never-verified ROWS-ONLY keys — r4's window fills
-# with oracle keys, so the rows-only driver rows (err/row-count/schema
-# signal on sink_binary_export, udf_grouped_map_render, ns_multimodal_*,
-# stream_watermark_late, stream_dedup_state, …) are r5's main job; they
-# fit comfortably in one window with room for proven-key re-verification.
+# round-5 work, and lead the pending block with the 19 oracle keys the r4
+# window could not fit (the asof/window/iterative/streaming-join/fn tail
+# of _PENDING_PRIORITY — all sf0.01-sweep-green this round), followed by
+# the 24 never-verified ROWS-ONLY keys (sink_binary_export,
+# udf_grouped_map_render, ns_multimodal_*, stream_watermark_late,
+# stream_dedup_state, …). 19 + 24 = 43: one window with room for
+# proven-key re-verification.
 _R01_VERIFIED = frozenset({
     "agg_groupby_multi", "agg_extent", "agg_centroid_mean",
     "agg_sum_normalize", "agg_count_distinct", "agg_rollup_cube",
@@ -139,6 +139,24 @@ _CHANGED_THIS_ROUND = [
     # Kneser-Ney bigram smoothing
     "ns_domain_temperature",
     "ns_kn_bigram",
+    # r4 adversarial-values hardening (see SURVEY §9): keys whose result
+    # formulas changed structurally re-enter the window. (The q6/sat
+    # guards also changed EVERY oracle's text globally — that change is
+    # value-identical on in-domain data and is carried by this round's
+    # full 198-key sf0.01 sweep + 534-test suite, both green; the window
+    # can't hold 198 keys.)
+    "agg_conditional",      # composite argmax key: sat gate + sign offset
+    "win_rolling_corr",     # sat gate, frame-width-derived bound
+    "win_moving_zscore",    # sat gate
+    "ns_text_quality",      # empty-text divisor floor
+    "ns_text_fingerprint",  # empty-string polyhash branch
+    "ns_embed_quantize",    # zero-scale nullif+coalesce
+    "ns_sim_topk",          # zero-norm nullif
+    "ns_dedup_embed_cosine",
+    "ns_semdedup",
+    "ns_sim_ann_lsh",
+    "ns_sim_ann_ivf",
+    "ns_ann_knn_join",
     # r4: rep-collapse (exact-dup representatives before shingling/banding,
     # VERDICT r3 item 5) — pair set proven identical to the vector-level
     # plan at the fixed 4×4 banding; cluster consumes the same pair SQL
