@@ -53,6 +53,10 @@ KEYS = [
     # rep-level dominance: within-cell pairwise is Σ|rep-cell|², so the
     # 10× duplicated corpus costs the same as the base.
     "ns_semdedup",
+    # r4: integer span keys; the df ≤ 50 cap prunes spans that heavy
+    # duplication pushes past the threshold, so the inverted index
+    # SHRINKS under duplicate pressure rather than exploding.
+    "ns_dedup_substring",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
