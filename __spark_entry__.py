@@ -157,6 +157,9 @@ _CHANGED_THIS_ROUND = [
     "ns_sim_ann_lsh",
     "ns_sim_ann_ivf",
     "ns_ann_knn_join",
+    # r4 late audit: rep-collapse applied to SimHash too (12.2× → 0.77×
+    # at 10× duplication; pair set proven identical)
+    "ns_dedup_simhash",
     # r4: rep-collapse (exact-dup representatives before shingling/banding,
     # VERDICT r3 item 5) — pair set proven identical to the vector-level
     # plan at the fixed 4×4 banding; cluster consumes the same pair SQL

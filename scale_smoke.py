@@ -57,6 +57,8 @@ KEYS = [
     # duplication pushes past the threshold, so the inverted index
     # SHRINKS under duplicate pressure rather than exploding.
     "ns_dedup_substring",
+    # r4: rep-collapsed (was 12.2× at 10× dup vector-level; now ~1×)
+    "ns_dedup_simhash",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

@@ -385,7 +385,7 @@ def _xor(dialect: str, a: str, b: str) -> str:
     return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
 
 
-def _simhash_fp_sql(dialect: str) -> str:
+def _simhash_fp_sql(dialect: str, where: str = "") -> str:
     """(doc_id, simhash BIGINT) — 48-bit SimHash fingerprints over SHINGLE
     features. Shingles, not tokens: on a shared-vocabulary corpus token
     fingerprints are so correlated that near-everything collides (the r1
@@ -393,7 +393,7 @@ def _simhash_fp_sql(dialect: str) -> str:
     standard, discriminative feature basis for document SimHash."""
     pow2 = "CAST(floor(pow(2e0, CAST(j AS DOUBLE)) + 0.5e0) AS BIGINT)"
     return f"""
-WITH sh AS ({shingles_sql(dialect)}),
+WITH sh AS ({shingles_sql(dialect, where)}),
 hashed AS (
   SELECT doc_id, {char_polyhash(dialect, "shingle")} AS h FROM sh
 ),
@@ -410,13 +410,24 @@ FROM bits GROUP BY doc_id
 
 
 def _simhash_pairs_sql(dialect: str, fp_ref: str) -> str:
-    """Banded candidate generation + Hamming confirmation over a fingerprint
-    relation `fp_ref` — shared text both engines; only the fp binding
-    differs (Spark persists fp once, DuckDB materializes the CTE)."""
+    """Banded candidate generation + Hamming confirmation over a
+    REPRESENTATIVE-level fingerprint relation `fp_ref` (rep-collapse, r4:
+    byte-identical docs share one fingerprint, so at 10× duplication the
+    vector-level banded join measured 12.2× wall — the same quadratic
+    dup-group pathology the MinHash/embedding plans had). Confirmed rep
+    pairs expand back to member pairs (output-bound); within-group member
+    pairs emit hamming 0 directly — exactly what the vector-level plan
+    produced for them (identical text → identical fingerprint). Fixed
+    banding, so the emitted pair set is IDENTICAL to the vector-level
+    plan's. Shared text both engines; only the fp binding differs (Spark
+    persists fp once, DuckDB materializes the CTE)."""
     byte = "(CAST(floor(simhash / pow(256e0, CAST(band AS DOUBLE))) AS BIGINT) % 256)"
     ham = f"bit_count({_xor(dialect, 'fa.simhash', 'fb.simhash')})"
     return f"""
-WITH fp AS ({fp_ref}),
+WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents
+),
+fp AS ({fp_ref}),
 bands AS (
   SELECT doc_id, band, {byte} AS byte
   FROM fp CROSS JOIN {synth.series_sql(_SIM_BANDS, "band", dialect)}
@@ -425,12 +436,25 @@ cand AS (
   SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+),
+rep_pairs AS (
+  SELECT c.ai, c.bi, CAST({ham} AS BIGINT) AS hamming
+  FROM cand c
+  JOIN fp fa ON c.ai = fa.doc_id
+  JOIN fp fb ON c.bi = fb.doc_id
+  WHERE {ham} <= {_HAMMING_R}
+),
+expanded AS (
+  SELECT least(ga.doc_id, gb.doc_id) AS ai,
+    greatest(ga.doc_id, gb.doc_id) AS bi, rp.hamming
+  FROM rep_pairs rp
+  JOIN g ga ON ga.rep = rp.ai
+  JOIN g gb ON gb.rep = rp.bi
+  UNION ALL
+  SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(0 AS BIGINT) AS hamming
+  FROM g a JOIN g b ON a.rep = b.rep AND a.doc_id < b.doc_id
 )
-SELECT c.ai, c.bi, CAST({ham} AS BIGINT) AS hamming
-FROM cand c
-JOIN fp fa ON c.ai = fa.doc_id
-JOIN fp fb ON c.bi = fb.doc_id
-WHERE {ham} <= {_HAMMING_R}
+SELECT ai, bi, hamming FROM expanded
 ORDER BY hamming, ai, bi
 """
 
@@ -438,7 +462,9 @@ ORDER BY hamming, ai, bi
 _SIMHASH_FP_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _cached_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cached_simhash_fp(
+    spark: SparkSession, sf_dir: str, where: str = ""
+) -> DataFrame:
     """Fingerprints persisted per (session, sf): the pair stage references fp
     FOUR times (bands a/b, rerank fa/fb) and Catalyst inlines CTEs, so the
     naive one-SQL form re-tokenizes the corpus 4× — the cache turns every
@@ -446,25 +472,27 @@ def _cached_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge cache)."""
     def build():
         _view(spark, sf_dir)
-        return spark.sql(_simhash_fp_sql("spark")).coalesce(4)
+        return spark.sql(_simhash_fp_sql("spark", where)).coalesce(4)
 
-    return checkpointed(_SIMHASH_FP_CACHE, (id(spark), sf_dir.rstrip("/")), build)
+    return checkpointed(
+        _SIMHASH_FP_CACHE, (id(spark), sf_dir.rstrip("/"), where), build
+    )
 
 
 @register(
     "ns_dedup_simhash",
-    oracle=_simhash_pairs_sql("duckdb", _simhash_fp_sql("duckdb")),
-    doc="SimHash near-dup pairs: 48-bit sign-of-weighted-bit-sum fingerprint "
-    "over 3-gram shingles, banded into 6 bytes; candidates share a (band, "
-    "byte) bucket, then popcount(xor(fp_a, fp_b)) <= 5 confirms — exact "
-    "recall at this radius (6 bands cannot all absorb 5 bit errors). "
-    "Candidate generation is an equi-join on (band, byte) — bounded "
-    "buckets, no all-pairs stage anywhere; fingerprints are computed once "
-    "and persisted (NS).",
+    oracle=_simhash_pairs_sql("duckdb", _simhash_fp_sql("duckdb", _REP_WHERE)),
+    doc="SimHash near-dup pairs over exact-dup REPRESENTATIVES "
+    "(rep-collapse, r4): 48-bit sign-of-weighted-bit-sum fingerprint over "
+    "3-gram shingles, banded into 6 bytes; rep candidates share a (band, "
+    "byte) bucket, popcount(xor) <= 5 confirms — exact recall at this "
+    "radius — then confirmed rep pairs expand to member pairs "
+    "(output-bound). Equi-join candidates, no all-pairs stage anywhere; "
+    "fingerprints computed once and persisted (NS).",
     tags=("ns", "dedup", "scale"),
 )
 def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = _cached_simhash_fp(spark, sf_dir)
+    fp = _cached_simhash_fp(spark, sf_dir, _REP_WHERE)
     fp.createOrReplaceTempView("simhash_fp")
     return spark.sql(
         _simhash_pairs_sql("spark", "SELECT doc_id, simhash FROM simhash_fp")
