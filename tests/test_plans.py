@@ -359,3 +359,10 @@ def test_zorder_plan_is_aggregate_shaped(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    # column pruning must reach the scan: 2 of lineitem's 16 columns
+    import re
+
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*>)", plan)
+    assert schemas and all(
+        s == "struct<l_partkey:bigint,l_suppkey:bigint>" for s in schemas
+    ), schemas
