@@ -306,16 +306,23 @@ fo AS (SELECT v, CAST(count(*) AS BIGINT) AS fanout FROM bc GROUP BY v),
 fi AS (SELECT w, CAST(count(*) AS BIGINT) AS fanin FROM bc GROUP BY w),
 bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
 ranked AS (
-  SELECT bc.v, bc.w, bc.c, {synth.q6(p)} AS p_kn,
-    row_number() OVER (ORDER BY bc.c DESC, bc.v, bc.w) AS rk
+  SELECT bc.v, bc.w, bc.c, {synth.q6(p)} AS p_kn
   FROM bc
   JOIN uc ON bc.v = uc.v
   JOIN fo ON bc.v = fo.v
   JOIN fi ON bc.w = fi.w
   CROSS JOIN dd CROSS JOIN bt
 )
-SELECT v, w, c, p_kn FROM ranked WHERE rk <= {_KN_TOP}
+-- top-{_KN_TOP} via ORDER BY + LIMIT, not a global row_number() window:
+-- Spark plans this as TakeOrderedAndProject (per-partition heaps + a
+-- driver-side merge of {_KN_TOP}-row tops) instead of single-partition
+-- sorting ALL distinct bigrams — the difference between O(n) scan and a
+-- one-executor sort at web-corpus bigram cardinality (r4 ADVICE). The
+-- (c DESC, v, w) full ordering keeps the tie-break deterministic, so the
+-- selected set is identical to the row_number() formulation.
+SELECT v, w, c, p_kn FROM ranked
 ORDER BY c DESC, v, w
+LIMIT {_KN_TOP}
 """
 
 

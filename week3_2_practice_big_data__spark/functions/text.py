@@ -288,11 +288,16 @@ def _minhash_sql(dialect: str, sig_ref: str | None = None) -> str:
     band width can split bit-identical signatures. Banding + Jaccard
     verify run on representatives only; confirmed rep pairs expand back to
     member pairs (output-bound), and within-group member pairs are emitted
-    directly with est = 1.0 — exactly what the vector-level plan produced
-    for them (identical text → all 16 components agree). The banding here
-    is FIXED (4×4), so unlike the scale-derived-b embedding plan the
-    emitted pair set is IDENTICAL to the vector-level plan's, not merely
-    equivalent-up-to-gate."""
+    directly with est = 1.0 — what the vector-level plan produced for them
+    whenever the text yields shingles (identical text → all 16 components
+    agree). The banding here is FIXED (4×4), so unlike the scale-derived-b
+    embedding plan the emitted pair set is IDENTICAL to the vector-level
+    plan's EXCEPT for exact-dup groups with no signature: byte-identical
+    docs of < 3 tokens (no shingles → never banded vector-level) and
+    NULL-text docs (grouped together by PARTITION BY text) now DO pair
+    within their group at est = 1.0 — a deliberate recall gain for
+    degenerate texts, not an equivalence. Cross-engine parity is
+    unaffected (the oracle shares this text)."""
     band = MINHASH_BAND
     sig = sig_ref or _minhash_sig_sql(dialect, _REP_WHERE)
     return f"""
@@ -416,11 +421,16 @@ def _simhash_pairs_sql(dialect: str, fp_ref: str) -> str:
     vector-level banded join measured 12.2× wall — the same quadratic
     dup-group pathology the MinHash/embedding plans had). Confirmed rep
     pairs expand back to member pairs (output-bound); within-group member
-    pairs emit hamming 0 directly — exactly what the vector-level plan
-    produced for them (identical text → identical fingerprint). Fixed
-    banding, so the emitted pair set is IDENTICAL to the vector-level
-    plan's. Shared text both engines; only the fp binding differs (Spark
-    persists fp once, DuckDB materializes the CTE)."""
+    pairs emit hamming 0 directly — what the vector-level plan produced
+    for them whenever the text yields shingles (identical text →
+    identical fingerprint). Fixed banding, so the emitted pair set is
+    IDENTICAL to the vector-level plan's EXCEPT for exact-dup groups with
+    no fingerprint: byte-identical docs of < 3 tokens and NULL-text docs
+    (grouped by PARTITION BY text) now DO pair within their group at
+    hamming 0 — a deliberate recall gain for degenerate texts (same
+    caveat as the MinHash plan). Shared text both engines; only the fp
+    binding differs (Spark persists fp once, DuckDB materializes the
+    CTE)."""
     byte = "(CAST(floor(simhash / pow(256e0, CAST(band AS DOUBLE))) AS BIGINT) % 256)"
     ham = f"bit_count({_xor(dialect, 'fa.simhash', 'fb.simhash')})"
     return f"""

@@ -69,14 +69,16 @@ def sat(expr: str, bound: float) -> str:
     dialects — the front gate for exact-integer (micro/milli-unit) plans
     whose BIGINT casts would otherwise overflow on dirty real-world
     values (±1e300, ±Inf, NaN in an event stream; r4 adversarial gate).
-    Explicit CASE order: the two range tests are false for NaN in both
-    engines, so NaN falls through to its own branch — never relying on
-    engine-specific least/greatest NaN ordering."""
+    Explicit CASE order: isnan() MUST be the first branch — both Spark
+    and DuckDB order NaN GREATER than every value in comparisons (non-IEEE
+    total order), so a leading `x > bound` test would silently saturate
+    NaN to +bound instead of 0 (r4 ADVICE). With isnan first, NaN→0 in
+    both engines by the shared branch, not by any NaN-ordering accident."""
     b = flit(bound)
     return (
-        f"(CASE WHEN ({expr}) > {b} THEN {b} "
-        f"WHEN ({expr}) < -{b} THEN -{b} "
-        f"WHEN isnan({expr}) THEN 0e0 ELSE ({expr}) END)"
+        f"(CASE WHEN isnan({expr}) THEN 0e0 "
+        f"WHEN ({expr}) > {b} THEN {b} "
+        f"WHEN ({expr}) < -{b} THEN -{b} ELSE ({expr}) END)"
     )
 
 
