@@ -26,20 +26,25 @@ from week3_2_practice_big_data__spark.session import ensure_session_confs  # noq
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "agg_groupby_multi"
 
-# Keys already hash-verified by the driver (CORRECTNESS_r01/r02/r03, all
+# Keys already hash-verified by the driver (CORRECTNESS_r01–r04, all
 # green). The driver checks a bounded prefix (~50 keys) of `queries()`, so
 # keys NOT yet driver-verified are emitted first; these proven keys go to
 # the back.
 #
-# ROUND-5 ORDERING NOTE (when rotating after r4): fold CORRECTNESS_r04's
-# green keys into _R04_VERIFIED below, repopulate _CHANGED_THIS_ROUND with
-# round-5 work, and lead the pending block with the 19 oracle keys the r4
-# window could not fit (the asof/window/iterative/streaming-join/fn tail
-# of _PENDING_PRIORITY — all sf0.01-sweep-green this round), followed by
-# the 24 never-verified ROWS-ONLY keys (sink_binary_export,
-# udf_grouped_map_render, ns_multimodal_*, stream_watermark_late,
-# stream_dedup_state, …). 19 + 24 = 43: one window with room for
-# proven-key re-verification.
+# ROUND-5 ORDERING (this round): the 44 never-driver-verified keys are
+# the whole point of this window — 20 pending oracle keys lead, then the
+# pending rows-only keys — so for r5 the PENDING blocks come BEFORE the
+# changed-this-round blocks (r1–r4 ordered changed-first; every pending
+# key was judge-rerun green at sf0.01 in r4, so the re-verification of
+# this round's changed keys is the lower-signal tail and may fall past
+# the ~50-key window — those keys are all replayed bit-exact by
+# tests/test_oracle_parity.py anyway).
+#
+# ROUND-6 ORDERING NOTE (when rotating after r5): fold CORRECTNESS_r05's
+# green keys into _R05_VERIFIED below, repopulate _CHANGED_THIS_ROUND
+# with round-6 work, and — assuming r5 clears the backlog — flip the
+# ordering back to changed-first (restore the r1–r4 block order in
+# _ordered_keys) since every key will then have at least one driver row.
 _R01_VERIFIED = frozenset({
     "agg_groupby_multi", "agg_extent", "agg_centroid_mean",
     "agg_sum_normalize", "agg_count_distinct", "agg_rollup_cube",
@@ -103,105 +108,71 @@ _R03_VERIFIED = frozenset({
     "udtf_explode_gen", "win_conv2d_separable", "win_cusum_changepoint",
 })
 
-_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED
+# CORRECTNESS_r04.json: 50/50 green (rows + schema + hash).
+_R04_VERIFIED = frozenset({
+    "agg_bitmap_distinct", "agg_conditional", "agg_entropy",
+    "agg_gini_revenue", "agg_mad_robust", "agg_market_basket",
+    "agg_ohlc_bars", "agg_skew_kurt", "agg_zorder_clustering",
+    "dq_constraint_check", "gen_poster_aspect", "gen_poster_bg_colormap",
+    "gen_poster_caption", "join_spatial_grid", "merge_scd2",
+    "ml_linreg_closed", "ml_naive_bayes", "ml_pca_power",
+    "ns_ann_knn_join", "ns_bpe_pair_stats", "ns_decontaminate_ngram",
+    "ns_dedup_cluster", "ns_dedup_embed_cosine", "ns_dedup_incremental",
+    "ns_dedup_minhash", "ns_dedup_paragraph", "ns_dedup_simhash",
+    "ns_dedup_substring", "ns_domain_temperature", "ns_embed_quantize",
+    "ns_kn_bigram", "ns_repetition_filter", "ns_semdedup",
+    "ns_sim_ann_ivf", "ns_sim_ann_lsh", "ns_sim_topk",
+    "ns_text_fingerprint", "ns_text_pmi", "ns_text_quality",
+    "sink_partitioned_write", "src_csv_roundtrip", "src_json_roundtrip",
+    "src_partition_prune_static", "src_table_stats", "udf_geom_contains",
+    "win_cusum_changepoint", "win_interpolate_gaps", "win_islands_ranges",
+    "win_moving_zscore", "win_rolling_corr",
+})
+
+_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
 
 
-# Keys whose implementation CHANGED in round 4 (new or rewritten): their
-# prior verification status is stale, so they lead the window.
+# Keys whose implementation CHANGED in round 5 (new or rewritten): their
+# prior verification status is stale, so they re-enter the window —
+# AFTER the never-verified pending blocks this round (see the ROUND-5
+# ORDERING note above), highest behavior-change risk first.
 _CHANGED_THIS_ROUND = [
-    # r3's one red row: oracle sum(CASE…) now CAST to BIGINT (DuckDB
-    # HUGEINT→float64 hash artifact, VERDICT r3 item 2)
-    "udf_geom_contains",
-    # ADVICE r3: sum(v6·v6) window accumulates as DECIMAL(38,0) — same
-    # values at test scale, overflow-proof at 100 TB event cardinality
-    "win_cusum_changepoint",
-    # ADVICE r3: per-token log-likelihoods + prior q6-quantized to BIGINT
-    # micro-units BEFORE summation — argmax now summation-order-proof
-    "ml_naive_bayes",
-    # ADVICE r3: covariance cells / matvec / Rayleigh quotient rebuilt on
-    # exact-integer accumulation (DECIMAL(38,0) cross sums)
-    "ml_pca_power",
-    # NEW r4: coolwarm/Wistia literal-anchor colormap background
-    # (VERDICT r3 item 4)
-    "gen_poster_bg_colormap",
-    # NEW r4: seed-caption 5×7 glyph layer over the composite
-    # (VERDICT r3 item 7)
-    "gen_poster_caption",
-    # NEW r4: 7:10 figure-aspect composite (VERDICT r3 item 9)
-    "gen_poster_aspect",
-    # NEW r4: Z-order layout-clustering analytic (portable Morton code +
-    # per-z-range locality spans)
-    "agg_zorder_clustering",
-    # r4: span join key is now a 62-bit integer hash (8-byte shuffle keys
-    # instead of ~50-byte strings; result verified identical)
+    # r5: rep-collapse for ns_dedup_substring (VERDICT r4 item 2) —
+    # span indexing at exact-dup-representative level, member expansion
+    # after; fixes the duplication-inflated span-df recall loss at the
+    # df ≤ 50 cap.
     "ns_dedup_substring",
-    # NEW r4: temperature-scaled domain mixing (p ∝ share^τ) and
-    # Kneser-Ney bigram smoothing
-    "ns_domain_temperature",
+    # r5 ADVICE: sat()'s isnan() test is now the FIRST CASE branch
+    # (NaN→0 as documented; previously NaN saturated to +bound because
+    # both engines order NaN greater than any value). Value-identical on
+    # NaN-free driver data; these five keys carry sat() in their SQL:
+    "agg_conditional",
+    "win_rolling_corr",
+    "win_moving_zscore",
+    "win_cusum_changepoint",
+    "ml_pca_power",
+    # r5 ADVICE: top-50 via ORDER BY + LIMIT (TakeOrderedAndProject)
+    # instead of a global row_number window — identical selected set.
     "ns_kn_bigram",
-    # r4 adversarial-values hardening (see SURVEY §9): keys whose result
-    # formulas changed structurally re-enter the window. (The q6/sat
-    # guards also changed EVERY oracle's text globally — that change is
-    # value-identical on in-domain data and is carried by this round's
-    # full 198-key sf0.01 sweep + 534-test suite, both green; the window
-    # can't hold 198 keys.)
-    "agg_conditional",      # composite argmax key: sat gate + sign offset
-    "win_rolling_corr",     # sat gate, frame-width-derived bound
-    "win_moving_zscore",    # sat gate
-    "ns_text_quality",      # empty-text divisor floor
-    "ns_text_fingerprint",  # empty-string polyhash branch
-    "ns_embed_quantize",    # zero-scale nullif+coalesce
-    "ns_sim_topk",          # zero-norm nullif
-    "ns_dedup_embed_cosine",
-    "ns_semdedup",
-    "ns_sim_ann_lsh",
-    "ns_sim_ann_ivf",
-    "ns_ann_knn_join",
-    # r4 late audit: rep-collapse applied to SimHash too (12.2× → 0.77×
-    # at 10× duplication; pair set proven identical)
-    "ns_dedup_simhash",
-    # r4: rep-collapse (exact-dup representatives before shingling/banding,
-    # VERDICT r3 item 5) — pair set proven identical to the vector-level
-    # plan at the fixed 4×4 banding; cluster consumes the same pair SQL
-    "ns_dedup_minhash",
-    "ns_dedup_cluster",
-    # rows-only keys changed in r4 (origin-lower scanline flip + caption
-    # in the PNG exports; scratch stamp revision) — driver catches
-    # err/row-count/schema on them, full pixel checks are pytest-pinned:
-    "sink_binary_export",
-    "sink_binary_export_hires",
-    "sink_binary_export_tiled",
-    "udf_grouped_map_render",
-    "src_binary_files",
 ]
 
-
-# Never-driver-verified oracle keys, priority-ordered for the r4 window
-# (≈46 slots after the changed keys): the §2-adjacent source/sink and
-# llmprep families first, then statml/timeseries/iterative, streaming
-# joins, and the scalar-function tail last (lowest driver risk — pure
-# row-wise expressions with no shuffle). Keys not listed here sort after
-# the listed ones in registration order.
+# Never-driver-verified keys, priority-ordered for the r5 window (the 44
+# keys no CORRECTNESS row has ever covered): the asof/window/iterative/
+# streaming-join oracle families first, the pure scalar-function tail
+# last among oracles (lowest driver risk — row-wise expressions with no
+# shuffle), then the rows-only block (sinks, multimodal, streaming
+# state). Keys not listed here sort after the listed ones in
+# registration order.
 _PENDING_PRIORITY = [
-    # sources/sinks
-    "sink_partitioned_write", "src_csv_roundtrip", "src_json_roundtrip",
-    "src_table_stats", "src_partition_prune_static",
-    # llmprep NS tail
-    "ns_repetition_filter", "ns_text_pmi", "ns_decontaminate_ngram",
-    "ns_dedup_incremental", "ns_dedup_paragraph", "ns_embed_quantize",
-    "ns_ann_knn_join", "ns_bpe_pair_stats",
-    # statml / analytics / timeseries
-    "agg_skew_kurt", "ml_linreg_closed", "agg_market_basket",
-    "win_rolling_corr", "agg_gini_revenue", "agg_ohlc_bars",
-    "agg_mad_robust", "agg_entropy", "dq_constraint_check", "merge_scd2",
-    "win_moving_zscore", "win_interpolate_gaps", "agg_bitmap_distinct",
-    "win_islands_ranges", "join_spatial_grid", "join_asof_forward",
-    "join_asof_nearest", "win_ewma_smooth", "win_distinct_rolling",
+    # joins / windows
+    "join_asof_forward", "join_asof_nearest",
+    "win_ewma_smooth", "win_distinct_rolling",
     # iterative
     "iter_pagerank_tokens", "iter_connected_components", "iter_kmeans_points",
     "iter_gd_logreg", "iter_kcore",
-    # streaming joins
+    # streaming joins (+ the r5 oracle-ized watermark keys, if oracled)
     "stream_stream_join", "stream_static_join",
+    "stream_watermark_late", "stream_dedup_state",
     # scalar-function tail
     "fn_array_ops", "fn_regex_extract", "fn_null_semantics", "fn_map_ops",
     "fn_string_similarity", "fn_variant_json", "fn_url_parse",
@@ -210,12 +181,14 @@ _PENDING_PRIORITY = [
 
 
 def _ordered_keys() -> list[str]:
-    """Registry keys ordered for the driver's bounded correctness window:
-    changed-this-round keys with an oracle first (stale verification AND
-    strong signal), then driver-unverified oracle keys (§2 contract keys
-    leading, per _PENDING_PRIORITY), then changed rows-only keys (error/
-    row-count signal only), then unverified rows-only keys, then proven
-    keys (registration order within unlisted groups)."""
+    """Registry keys ordered for the driver's bounded correctness window.
+
+    ROUND-5 ORDER (see the ordering note at the top): never-verified
+    oracle keys first (per _PENDING_PRIORITY), then never-verified
+    rows-only keys — together the 44-key backlog this window exists to
+    clear — then this round's changed keys (oracle before rows-only)
+    for re-verification, then proven keys (registration order within
+    unlisted groups)."""
     changed = [k for k in _CHANGED_THIS_ROUND if k in REGISTRY]
     changed_set = set(changed)
     changed_oracle = [k for k in changed if REGISTRY[k].oracle is not None]
@@ -229,16 +202,19 @@ def _ordered_keys() -> list[str]:
         ),
         key=lambda k: prio.get(k, len(prio)),
     )
-    pending_rows_only = [
-        k for k in rest
-        if k not in _VERIFIED and REGISTRY[k].oracle is None
-    ]
+    pending_rows_only = sorted(
+        (
+            k for k in rest
+            if k not in _VERIFIED and REGISTRY[k].oracle is None
+        ),
+        key=lambda k: prio.get(k, len(prio)),
+    )
     proven = [k for k in rest if k in _VERIFIED]
     return (
-        changed_oracle
-        + pending_oracle
-        + changed_rows_only
+        pending_oracle
         + pending_rows_only
+        + changed_oracle
+        + changed_rows_only
         + proven
     )
 
