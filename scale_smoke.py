@@ -53,9 +53,9 @@ KEYS = [
     # rep-level dominance: within-cell pairwise is Σ|rep-cell|², so the
     # 10× duplicated corpus costs the same as the base.
     "ns_semdedup",
-    # r4: integer span keys; the df ≤ 50 cap prunes spans that heavy
-    # duplication pushes past the threshold, so the inverted index
-    # SHRINKS under duplicate pressure rather than exploding.
+    # r5: rep-collapsed (was 2.3× at 10× dup, with duplication-inflated
+    # span df silently pruning real pairs past the df ≤ 50 cap; spans now
+    # index distinct TEXTS, member expansion is output-bound).
     "ns_dedup_substring",
     # r4: rep-collapsed (was 12.2× at 10× dup vector-level; now ~1×)
     "ns_dedup_simhash",

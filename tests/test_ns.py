@@ -225,3 +225,74 @@ def test_scene_cut_profile_matches_brightness_ramp(spark):
         assert [r["frame_idx"] for r in rs] == list(range(1, 6)), blob
         assert all(r["mean_abs_diff"] > 0 for r in rs), blob
         assert not any(r["is_cut"] for r in rs), blob  # ramp has no cuts
+
+
+def test_substring_rep_collapse_survives_df_cap_under_duplication(spark):
+    """VERDICT r4 item 2: under corpus duplication a span genuinely shared
+    by 6 DISTINCT texts used to cross the df ≤ 50 cap once each text
+    carried 10 copies (6 × 10 = 60 doc_ids > 50), silently pruning real
+    near-dup pairs. With rep-collapse the df counts distinct TEXTS (6),
+    so the pairs survive arbitrary duplication. Also pins oracle parity
+    and the within-group count = the rep's total distinct span count."""
+    import itertools
+    import os
+
+    import duckdb
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_dupcap",
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        os.makedirs(out, exist_ok=True)
+        shared = " ".join(f"s{i}" for i in range(8))  # one exact 8-token run
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, n_chars BIGINT)"
+        )
+        rows = []
+        # 6 distinct texts sharing the span, 10 byte-identical copies each
+        for t in range(6):
+            text = f"{shared} unique{t}a unique{t}b unique{t}c"
+            for c in range(10):
+                rows.append((t * 100 + c, text))
+        # plus unrelated filler texts (no shared span)
+        for t in range(6, 12):
+            rows.append((t * 100, f"filler{t}a filler{t}b filler{t}c " * 4))
+        for doc_id, text in rows:
+            con.execute(
+                "INSERT INTO d VALUES (?, ?, 'en', 'src', ?)",
+                [doc_id, text, len(text)],
+            )
+        con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+        # duck_run registers every table: tiny normal slices for the rest
+        from week3_2_practice_big_data__spark.io import TABLES
+
+        for t in TABLES:
+            if t == "documents":
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') "
+                f"LIMIT 20) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        with open(stamp, "w") as f:
+            f.write("v1")
+
+    from .oracle import compare, duck_run
+
+    q = REGISTRY["ns_dedup_substring"]
+    sdf = q.builder(spark, out)
+    compare(sdf, duck_run(q.oracle, out), "ns_dedup_substring:dupcap")
+    pairs = {(r["da"], r["db"]): r["n_shared_spans"] for r in sdf.collect()}
+    reps = [t * 100 for t in range(6)]
+    # every cross-text rep pair survives the cap (df = 6 texts, not 60 docs)
+    for ra, rb in itertools.combinations(reps, 2):
+        assert (ra, rb) in pairs, f"cross-text pair {(ra, rb)} pruned"
+        assert pairs[(ra, rb)] == 1  # exactly the one shared span
+    # within-group pairs: all C(10,2) copies pair, sharing ALL 4+3 spans?
+    # text = 8 shared + 3 unique tokens -> 11 tokens -> 4 distinct spans
+    assert pairs[(0, 1)] == 4
+    assert sum(1 for (a, b) in pairs if a // 100 == b // 100 == 0) == 45

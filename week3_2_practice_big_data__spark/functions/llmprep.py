@@ -27,7 +27,7 @@ from .. import synth
 from ..common import ordered_string_agg
 from ..io import load_table
 from ..registry import register
-from .text import char_polyhash, tokens_sql
+from .text import _REP_WHERE, char_polyhash, tokens_sql
 from .similarity import _dot_fold
 
 
@@ -839,10 +839,25 @@ def ns_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _SPAN_K consecutive tokens. Where shingle-Jaccard measures set overlap,
 # this catches verbatim copied passages regardless of the rest of the
 # document. Candidate generation is the inverted span index — an equi-join
-# on the span string — with the same df-cap discipline as
+# on the span key — with the same df-cap discipline as
 # ns_dedup_ngram_jaccard so no boilerplate span can become a quadratic hot
 # key. Span explosion is one window pass over the token stream (7 leads),
 # linear in corpus tokens.
+#
+# REP-COLLAPSE (r5, VERDICT r4 item 2 — the MinHash/SimHash/embedding
+# lesson applied here too): spans are indexed over exact-dup
+# REPRESENTATIVES only (min doc_id per distinct text, _REP_WHERE).
+# Without it, corpus duplication inflates a span's document frequency —
+# a span genuinely shared by ~6 distinct texts crossed the df ≤ 50 cap
+# once the corpus carried ~10 copies of each, silently pruning REAL
+# near-dup pairs (recall loss the shared-text oracle could never see) —
+# and every stage from the window pass to the span self-join grew with
+# the duplication factor. Now df counts DISTINCT TEXTS, confirmed rep
+# pairs expand back to member pairs (output-bound), and within-group
+# member pairs (byte-identical docs) emit n_shared_spans = the rep's
+# total distinct span count — they share every span verbatim; reps whose
+# text yields no span (< _SPAN_K tokens, NULL text) emit nothing, as
+# before.
 # ---------------------------------------------------------------------------
 
 _SPAN_K = 8  # tokens per span
@@ -871,7 +886,10 @@ def _substring_sql(dialect: str) -> str:
     over = "OVER (PARTITION BY doc_id ORDER BY pos)"
     leads = ", ".join(f"lead(th, {i}) {over} AS l{i}" for i in range(1, _SPAN_K))
     return f"""
-WITH tok AS ({tokens_sql(dialect)}),
+WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents
+),
+tok AS ({tokens_sql(dialect, _REP_WHERE)}),
 toh AS (
   SELECT doc_id, pos, {char_polyhash(dialect, "token")} AS th FROM tok
 ),
@@ -884,12 +902,31 @@ sd AS (SELECT DISTINCT doc_id, span FROM spans),
 df AS (
   SELECT span FROM sd GROUP BY span
   HAVING count(*) BETWEEN 2 AND {_SPAN_DF_CAP}
+),
+rep_pairs AS (
+  SELECT a.doc_id AS ra, b.doc_id AS rb, count(*) AS n_shared_spans
+  FROM sd a
+  JOIN df ON a.span = df.span
+  JOIN sd b ON b.span = a.span AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+within AS (
+  SELECT doc_id AS rep, count(*) AS n_spans FROM sd GROUP BY doc_id
+),
+expanded AS (
+  SELECT least(ga.doc_id, gb.doc_id) AS da,
+    greatest(ga.doc_id, gb.doc_id) AS db, rp.n_shared_spans
+  FROM rep_pairs rp
+  JOIN g ga ON ga.rep = rp.ra
+  JOIN g gb ON gb.rep = rp.rb
+  UNION ALL
+  SELECT a.doc_id AS da, b.doc_id AS db, w.n_spans AS n_shared_spans
+  FROM g a
+  JOIN g b ON a.rep = b.rep AND a.doc_id < b.doc_id
+  JOIN within w ON w.rep = a.rep
 )
-SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared_spans
-FROM sd a
-JOIN df ON a.span = df.span
-JOIN sd b ON b.span = a.span AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
+SELECT da, db, n_shared_spans
+FROM expanded
 ORDER BY n_shared_spans DESC, da, db
 """
 
@@ -898,10 +935,12 @@ ORDER BY n_shared_spans DESC, da, db
     "ns_dedup_substring",
     oracle=_substring_sql("duckdb"),
     doc="Exact-substring span dedup (public method, arXiv:2107.06499): doc "
-    "pairs sharing an exact 8-token run, via an inverted span index with "
-    "df ≤ 50 cap — catches verbatim passage copies that set-overlap "
-    "measures dilute; one window pass + equi-join on a 62-bit integer "
-    "span key (r4: 8-byte shuffle keys instead of ~50-byte strings) (NS).",
+    "pairs sharing an exact 8-token run, via an inverted span index over "
+    "exact-dup REPRESENTATIVES (rep-collapse, r5) with df ≤ 50 cap on "
+    "distinct TEXTS — catches verbatim passage copies that set-overlap "
+    "measures dilute, and corpus duplication can no longer push a real "
+    "span past the df cap; one window pass + equi-join on a 62-bit "
+    "integer span key, member expansion output-bound (NS).",
     tags=("ns", "dedup", "text"),
 )
 def ns_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
