@@ -29,6 +29,7 @@ from ..registry import register
 _REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 _CHUNKS = 4
 _WATERMARK = "10 minutes"
+_WATERMARK_US = 600_000_000  # the same 10 minutes, in microseconds
 
 
 def _chunked_source(spark: SparkSession, sf_dir: str, tag: str, dup_first: int = 0) -> str:
@@ -89,12 +90,44 @@ def _run_stream(spark: SparkSession, src_dir: str, schema, transform, name: str)
     return spark.table(name)
 
 
+# Batch-equivalence oracle under LOCKSTEP IN-ORDER ARRIVAL (r5, the
+# stream_stream_join trick applied to watermark finalization): the chunked
+# source replays events in (ts, event_id) order, so the event-time
+# watermark — max event time seen minus the 10-minute delay, tracked by
+# Spark in MILLISECONDS — advances monotonically and never drops a live
+# row (dup_first=0: nothing arrives late). Append mode then emits exactly
+# the windows finalized by the FINAL watermark: window_end <= wm. That
+# emitted set is a pure batch expression: the tumbling counts restricted
+# to windows whose end has been passed by floor_ms(max(ts) - 10 min) —
+# which upgrades this key from rows-only to fully hash-checked. The
+# ms-floor matters only when max(ts) lands within 1 ms above
+# window_end + delay; the oracle reproduces Spark's truncation exactly.
+_WM_LATE_ORACLE = f"""
+WITH wm AS (
+  SELECT CAST(floor((max(epoch_us(ts)) - {_WATERMARK_US}) / 1000e0) AS BIGINT)
+    AS wm_ms
+  FROM events
+),
+agg AS (
+  SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS win_start,
+    event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start, event_type, n
+FROM agg CROSS JOIN wm
+WHERE (win_start + 600) * 1000 <= wm.wm_ms
+ORDER BY win_start, event_type
+"""
+
+
 @register(
     "stream_watermark_late",
-    oracle=None,  # pure streaming semantics → rows-only; pytest checks
+    oracle=_WM_LATE_ORACLE,
     doc="readStream tumbling agg under withWatermark('ts','10 minutes'), "
     "append mode: only watermark-finalized windows are emitted; late rows "
-    "beyond the watermark are dropped (NS).",
+    "beyond the watermark are dropped. Complete batch-equivalence oracle "
+    "under lockstep in-order arrival (r5): emitted set = tumbling counts "
+    "for windows with end <= ms-floored final watermark (NS).",
     tags=("streaming", "stateful"),
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,11 +151,28 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Batch-equivalence oracle under lockstep arrival (r5): the four main
+# chunks carry every event exactly once in ts order; the appended
+# duplicate chunk replays the FIRST 100 rows last, i.e. as LATE
+# duplicates. Each replayed row is removed on one of two paths — if its
+# ts is still at-or-above the watermark its key state is provably live
+# (state evicts only below the watermark), so dropDuplicates filters it;
+# if its ts has fallen below the watermark it is dropped as late input
+# before dedup state is even consulted. Either way the append output is
+# every source event exactly once — the plain batch projection, fully
+# hash-checkable.
+_DEDUP_STATE_ORACLE = """
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+"""
+
+
 @register(
     "stream_dedup_state",
-    oracle=None,  # stateful streaming dedup → rows-only; pytest checks
+    oracle=_DEDUP_STATE_ORACLE,
     doc="readStream dropDuplicates('event_id') under a watermark: replayed "
-    "duplicate chunk is filtered by state (NS).",
+    "duplicate chunk is filtered by state (or dropped as late once the "
+    "watermark passes it). Complete batch-equivalence oracle under "
+    "lockstep arrival (r5): every event exactly once (NS).",
     tags=("streaming", "stateful"),
 )
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
