@@ -406,3 +406,30 @@ def test_dedup_expansion_joins_survive_no_broadcast(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_islands_blocked_no_global_window_over_events(spark):
+    """The hierarchical gaps-and-islands plan must keep every
+    events-sized window PARTITIONED (by id block): the only
+    unpartitioned windows allowed are the chain lag/sum over the
+    materialized edge-flush summary (~n/4096 rows). The edges pass
+    itself must window by block only."""
+    import re
+
+    from week3_2_practice_big_data__spark.operators.advanced import (
+        _islands_edges_sql,
+    )
+
+    df = REGISTRY["win_islands_blocked"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # final plan: both summary windows read the checkpointed RDD, and no
+    # row_number (events-sized) window remains
+    assert "row_number" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed edges summary
+
+    edges_plan = spark.sql(_islands_edges_sql())._jdf.queryExecution()
+    ep = edges_plan.executedPlan().toString()
+    for line in ep.splitlines():
+        if "Window [" in line:
+            # windowspecdefinition(b, event_id ...) — partition key first
+            assert re.search(r"windowspecdefinition\(b#\d+L", line), line

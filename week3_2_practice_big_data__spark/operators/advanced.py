@@ -283,6 +283,117 @@ def win_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# win_islands_blocked — the SCALE path for gaps-and-islands (r5): the
+# classic id-minus-row_number trick above needs ONE GLOBAL row numbering,
+# which Spark executes as a single-partition window — the only remaining
+# events-sized global sort in the registry. This variant decomposes it
+# hierarchically: ids partition into fixed id-range blocks of _ISL_B;
+# islands are computed per block (partitioned window, shuffles on b);
+# only islands FLUSH with a block edge (≤ 2 per block, the per-block
+# summary) can merge across blocks — a run crosses a boundary iff it
+# ends at b·B+B−1 and its continuation starts at (b+1)·B — so the one
+# remaining unpartitioned window (lag + running sum for chain ids) runs
+# over a relation ~n/B the size of the input. Interior islands pass
+# through untouched. Same output as win_islands_ranges; the oracle IS
+# the global-window SQL, so the decomposition is value-proven, and a
+# plan test pins the events-sized window to PARTITION BY b.
+# ---------------------------------------------------------------------------
+
+# id-range block width; summary relation is ~2n/B rows. NOT a power of
+# two: 4095 ≡ 0 (mod 13) means id 4095 is always masked out, so with
+# B = 4096 no run could ever cross a block boundary and the chain-merge
+# path would be dead code on this data — 4100 places boundaries inside
+# live runs (e.g. 4096..4107 spans the first boundary at sf0.01), so the
+# oracle comparison genuinely exercises cross-block merging.
+_ISL_B = 4100
+
+
+def _islands_edges_sql() -> str:
+    """Per-block islands with edge-flush flags — the ONE events-sized
+    pass (partitioned window + group-by), materialized once because
+    both the chain merge and the interior pass consume it."""
+    # The block id is the BLOCK START (event_id - event_id % B): pure
+    # BIGINT arithmetic in both engines — `/` would promote to DOUBLE
+    # (DuckDB always, Spark always) and round ids past 2^53.
+    b = f"(event_id - event_id % {_ISL_B})"
+    return f"""
+WITH present AS (
+  SELECT event_id, {b} AS b FROM events WHERE event_id % 13 <> 0
+),
+loc AS (
+  SELECT b, event_id,
+    event_id - row_number() OVER (PARTITION BY b ORDER BY event_id) AS g
+  FROM present
+),
+li AS (
+  SELECT b, min(event_id) AS s, max(event_id) AS e
+  FROM loc GROUP BY b, g
+)
+SELECT b, s, e,
+  (s % {_ISL_B} = 0) AS lflush,
+  (e % {_ISL_B} = {_ISL_B - 1}) AS rflush
+FROM li
+"""
+
+
+def _islands_blocked_sql(edges_ref: str) -> str:
+    return f"""
+WITH edges AS ({edges_ref}),
+chain AS (
+  SELECT s, e,
+    CASE WHEN lag(e) OVER (ORDER BY s) = s - 1 THEN 0 ELSE 1 END AS nc
+  FROM edges WHERE lflush OR rflush
+),
+comp AS (
+  SELECT s, e,
+    sum(nc) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cid
+  FROM chain
+),
+merged AS (
+  SELECT min(s) AS range_start, max(e) AS range_end FROM comp GROUP BY cid
+),
+interior AS (
+  SELECT s AS range_start, e AS range_end
+  FROM edges WHERE NOT lflush AND NOT rflush
+),
+islands AS (
+  SELECT * FROM merged UNION ALL SELECT * FROM interior
+)
+SELECT range_start, range_end,
+  CAST(range_end - range_start + 1 AS BIGINT) AS range_len
+FROM islands
+ORDER BY range_start
+"""
+
+
+_ISL_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+@register(
+    "win_islands_blocked",
+    oracle=_islands_sql("duckdb"),
+    doc="Gaps-and-islands, hierarchical scale path: per-id-block islands "
+    "(partitioned window) + cross-block chain merge over the ~n/4096 "
+    "edge-flush summary — removes the registry's last events-sized "
+    "single-partition window; value-proven against the global-window "
+    "oracle (REF-ANALOG).",
+    tags=("window", "quality", "scale"),
+)
+def win_islands_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+
+    def build():
+        return spark.sql(_islands_edges_sql()).coalesce(8)
+
+    checkpointed(
+        _ISL_EDGE_CACHE, (id(spark), sf_dir.rstrip("/")), build
+    ).createOrReplaceTempView("isl_edges")
+    return spark.sql(
+        _islands_blocked_sql("SELECT b, s, e, lflush, rflush FROM isl_edges")
+    )
+
+
+# ---------------------------------------------------------------------------
 # iter_kcore — k-core decomposition of the token co-occurrence graph:
 # repeatedly remove nodes of degree < k until a fixed point; survivors are
 # the graph's cohesive core (the vocabulary-pruning step before graph-based
