@@ -167,8 +167,8 @@ _PENDING_PRIORITY = [
     # joins / windows
     "join_asof_forward", "join_asof_nearest",
     "win_ewma_smooth", "win_distinct_rolling",
-    # NEW r5: hierarchical gaps-and-islands (scale path, never verified)
-    "win_islands_blocked",
+    # NEW r5: hierarchical global-window scale paths (never verified)
+    "win_islands_blocked", "win_ntile_blocked",
     # iterative
     "iter_pagerank_tokens", "iter_connected_components", "iter_kmeans_points",
     "iter_gd_logreg", "iter_kcore",

@@ -433,3 +433,18 @@ def test_islands_blocked_no_global_window_over_events(spark):
         if "Window [" in line:
             # windowspecdefinition(b, event_id ...) — partition key first
             assert re.search(r"windowspecdefinition\(b#\d+L", line), line
+
+
+def test_ntile_blocked_no_global_window_over_orders(spark):
+    """The hierarchical ntile plan must keep the orders-sized window
+    PARTITIONED (by price bucket); the only unpartitioned windows are
+    the cumulative-offset/total over the ~50-row bucket summary, and no
+    ntile()/global row_number survives."""
+    import re
+
+    df = REGISTRY["win_ntile_blocked"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line and "row_number" in line:
+            assert re.search(r"windowspecdefinition\(pb#\d+L", line), line

@@ -203,6 +203,75 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# win_ntile_blocked — the SCALE path for global ranking (r5, the same
+# hierarchical decomposition as win_islands_blocked): F.ntile over an
+# unpartitioned Window is a single-partition sort of the whole relation.
+# Here the total order (o_totalprice DESC, o_orderkey) decomposes by a
+# coarse value bucket: per-bucket row_number (partitioned window), bucket
+# counts roll into cumulative offsets with one window over the ~50-row
+# bucket summary (the price RANGE fixes the bucket count, independent of
+# row count), global rank = offset + in-bucket rank, and NTILE's
+# exact group sizes come from the closed form (first n%4 tiles hold
+# n DIV 4 + 1 rows, the rest n DIV 4). The oracle is REAL NTILE(4), so
+# the decomposition is value-proven, tie-break and all. The same ntile(3)
+# decomposition applies to the corpus-tier keys (ns_text_perplexity /
+# ns_text_quality) at web scale.
+# ---------------------------------------------------------------------------
+
+_NTILE_BUCKET_W = 10000  # o_totalprice ∈ [~900, 560k] → ≤ ~60 buckets
+
+
+def _ntile_blocked_sql() -> str:
+    # Spark-only text (the oracle is _NTILE_ORACLE itself); DIV keeps
+    # every rank computation in exact BIGINT arithmetic.
+    return f"""
+WITH pb AS (
+  SELECT o_orderkey, o_totalprice,
+    CAST(floor(o_totalprice / {_NTILE_BUCKET_W}e0) AS BIGINT) AS pb
+  FROM orders
+),
+bc AS (SELECT pb, count(*) AS c FROM pb GROUP BY pb),
+off AS (
+  SELECT pb, c,
+    sum(c) OVER (ORDER BY pb DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      AS off0,
+    sum(c) OVER () AS n
+  FROM bc
+),
+rk AS (
+  SELECT p.o_orderkey,
+    o.off0 + row_number() OVER (
+      PARTITION BY p.pb ORDER BY p.o_totalprice DESC, p.o_orderkey
+    ) AS r,
+    o.n
+  FROM pb p JOIN off o ON p.pb = o.pb
+)
+SELECT o_orderkey,
+  CAST(CASE WHEN r <= m * d1 THEN (r - 1) DIV d1 + 1
+            ELSE m + (r - m * d1 - 1) DIV (d1 - 1) + 1 END AS INT)
+    AS quartile
+FROM (SELECT o_orderkey, r, n % 4 AS m, n DIV 4 + 1 AS d1 FROM rk) t
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "win_ntile_blocked",
+    oracle=_NTILE_ORACLE,
+    doc="ntile(4) by hierarchical decomposition: per-price-bucket ranks "
+    "(partitioned window) + cumulative offsets over the ~50-row bucket "
+    "summary + NTILE's closed-form group sizes — global ranking without "
+    "a single-partition sort; value-proven against real NTILE "
+    "(REF-ANALOG, scale path).",
+    tags=("window", "scale"),
+)
+def win_ntile_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ntile_blocked_sql())
+
+
+# ---------------------------------------------------------------------------
 # win_range_frame — event-time RANGE frame: per-user trailing 10-minute
 # count/sum at every event. REF-ANALOG of the reference's neighborhood
 # aggregation (the blur kernel aggregates a value-range neighborhood,
