@@ -44,6 +44,10 @@ KEYS = [
     # scale evidence instead of the 1.0× an unscaled table reported.
     "stream_tumbling_agg",
     "stream_session_window",
+    # r5: hierarchical global-window scale paths (vs the single-partition
+    # originals: islands 0.93× vs 10.5×, ntile 9.8× vs 89× at 100×)
+    "win_islands_blocked",
+    "win_ntile_blocked",
     # NS family over the 10x-duplicated corpus: each text appears 10x, so
     # the dedup keys must FIND ~45 extra pairs per duplicate group — this
     # measures the candidate-bounded plans under real duplicate pressure,
