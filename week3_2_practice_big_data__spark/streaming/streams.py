@@ -204,17 +204,50 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # folds the sink to (final count, n_updates) per window — n_updates > 1 for
 # chunk-straddling windows is the pytest-pinned evidence that the agg state
 # really advanced batch by batch rather than in one gulp.
+#
+# Batch-equivalence oracle (r5): with maxFilesPerTrigger=1 each chunk
+# file IS one micro-batch (every chunk is a single coalesce(1) part
+# file), and the chunk assignment is a deterministic function of the
+# (ts, event_id) rank — chunk = floor((rn−1) / ceil(n/_CHUNKS)). A
+# group's cumulative count changes exactly in the batches that carry
+# ≥ 1 of its rows, so final n = count(*) and n_updates =
+# count(DISTINCT chunk) per (window, event_type): the whole update-mode
+# progression is a batch expression, upgrading the key from rows-only
+# to hash-checked.
 # ---------------------------------------------------------------------------
+
+_TFR_ORACLE = f"""
+WITH ordered AS (
+  SELECT event_type, epoch_us(ts) AS us,
+    row_number() OVER (ORDER BY ts, event_id) AS rn,
+    count(*) OVER () AS n
+  FROM events
+),
+chunked AS (
+  SELECT event_type,
+    CAST(floor(us / 86400e6) AS BIGINT) * 86400 AS win_start,
+    CAST(floor((rn - 1) / ceil(n / {float(_CHUNKS)})) AS BIGINT) AS chunk
+  FROM ordered
+)
+SELECT win_start, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT chunk) AS BIGINT) AS n_updates
+FROM chunked
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
 
 
 @register(
     "stream_tumbling_file_rate",
-    oracle=None,  # micro-batch progression semantics → rows-only; pytest
+    oracle=_TFR_ORACLE,
     doc="Tumbling 1-day window agg over a file-rate source "
     "(maxFilesPerTrigger=1, update mode): final per-window counts match "
     "the batch form while n_updates records how many micro-batches "
     "touched each window — the production-shaped incremental ingest path "
-    "beside the deterministic in-memory variants (NS).",
+    "beside the deterministic in-memory variants. Complete batch oracle "
+    "(r5): the chunking is a deterministic function of (ts, event_id) "
+    "rank, so n_updates = distinct chunks per (window, type) (NS).",
     tags=("streaming", "source"),
 )
 def stream_tumbling_file_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
