@@ -22,6 +22,7 @@ import shutil
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import synth
 from ..common import build_once
 from ..io import load_table
 from ..registry import register
@@ -295,11 +296,35 @@ def stream_tumbling_file_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Exact-integer state (r5, the engine's standard micro-unit discipline
+# applied to streaming state): the state carries the value sum as BIGINT
+# MICRO-units — each row contributes floor(sat(value)·10⁶ + 0.5) with the
+# same NaN→0 / ±1e6 saturation gate as the batch plans (synth.sat) — so
+# the running total is order-free and batch-boundary-free, and the whole
+# stateful computation reduces to a batch GROUP BY: the key is
+# hash-checked against DuckDB instead of rows-only. (The previous float
+# state accumulated in pandas-sum order, which no SQL oracle could
+# reproduce bit-for-bit.) Worst case |micro| = 1e12 × 10⁴ rows/user
+# stays far inside int64.
+_CUSTOM_STATE_ORACLE = f"""
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(coalesce(
+    sum(CAST(floor({synth.sat("value", 1e6)} * 1000000e0 + 0.5e0)
+        AS BIGINT)), 0) AS DOUBLE) / 1000000e0 AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 @register(
     "stream_custom_state",
-    oracle=None,  # custom streaming state → rows-only; pytest checks totals
-    doc="applyInPandasWithState: per-user running (count, sum) updated "
-    "across micro-batches with explicit GroupState (NS custom stateful).",
+    oracle=_CUSTOM_STATE_ORACLE,
+    doc="applyInPandasWithState: per-user running (count, micro-unit sum) "
+    "updated across micro-batches with explicit GroupState; exact-BIGINT "
+    "state makes the final fold order-free, so the key carries a full "
+    "batch GROUP BY oracle (NS custom stateful).",
     tags=("streaming", "stateful", "udf"),
 )
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,21 +338,34 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _chunked_source(spark, sf_dir, "state", dup_first=0)
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            v = pdf["value"].to_numpy(dtype="float64")
+            # mirror synth.sat + micro-unit floor EXACTLY (NaN→0, clamp
+            # ±1e6, floor(v·10⁶ + 0.5)); NULLs arrive as NaN → 0, the
+            # same zero contribution the SQL sum's NULL-skip yields
+            v = np.where(np.isnan(v), 0.0, np.clip(v, -1e6, 1e6))
+            # int64 BEFORE summing: a float64 batch-sum of 1e12-scale
+            # micro values would round past 2^53
+            total_micro += int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
+        state.update((n, total_micro))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 6)]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [total_micro / 1e6],
+            }
         )
 
     def transform(s):
         return s.groupBy("user_id").applyInPandasWithState(
             update,
             outputStructType="user_id bigint, n_events bigint, sum_value double",
-            stateStructType="n bigint, total double",
+            stateStructType="n bigint, total bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
