@@ -23,6 +23,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import synth
 from ..io import load_table
 from ..registry import register
 from ..session import ensure_package_on_workers
@@ -147,13 +148,24 @@ if _HAS_TWS:  # pragma: no cover - runtime lacks protobuf in this container
     )(stream_transform_with_state)
 
 
+# Complete-mode output after termination is the final snapshot — a plain
+# batch GROUP BY (r5). The sum carries the engine's q6 discipline on
+# both sides so float-accumulation order can't break the hash.
+_ANOW_ORACLE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  {synth.q6("sum(value)")} AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 @register(
     "stream_trigger_availablenow",
-    oracle=None,  # trigger/runtime behavior → rows-only; pytest checks totals
+    oracle=_ANOW_ORACLE,
     doc="Trigger.AvailableNow: drain the whole backlog in bounded micro-"
     "batches (maxFilesPerTrigger still respected) then terminate — the "
     "scheduled-incremental-batch production pattern. Emits per-event-type "
-    "counts finalized at termination (NS).",
+    "counts + q6 sums finalized at termination, hash-checked against the "
+    "batch GROUP BY (NS).",
     tags=("streaming", "trigger"),
 )
 def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +181,10 @@ def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(synth.q6("sum(value)")).alias("sum_value"),
+        )
         .writeStream.format("memory")
         .queryName("w32bd_anow")
         .outputMode("complete")

@@ -408,12 +408,45 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Batch-equivalence oracle (r5): each micro-batch is exactly one chunk
+# file, and chunk membership is the deterministic (ts, event_id)-rank
+# partition — but the ORDER the file source picks chunks in depends on
+# file modification times, so raw _batch_id is not oracle-stable.
+# Re-keying each batch by its CONTENT (rank of its min event_id) makes
+# the (batch → size, first_event) table a pure batch expression while
+# still proving per-batch lineage landed in the sink.
+_FEB_ORACLE = f"""
+WITH ordered AS (
+  SELECT event_id,
+    row_number() OVER (ORDER BY ts, event_id) AS rn,
+    count(*) OVER () AS n
+  FROM events
+),
+chunked AS (
+  SELECT CAST(floor((rn - 1) / ceil(n / {float(_CHUNKS)})) AS BIGINT)
+    AS chunk, event_id
+  FROM ordered
+),
+agg AS (
+  SELECT chunk, min(event_id) AS first_event,
+    CAST(count(*) AS BIGINT) AS n
+  FROM chunked GROUP BY chunk
+)
+SELECT CAST(row_number() OVER (ORDER BY first_event) AS BIGINT)
+  AS batch_idx, first_event, n
+FROM agg
+ORDER BY batch_idx
+"""
+
+
 @register(
     "stream_foreachbatch",
-    oracle=None,  # sink side effects → rows-only; pytest checks totals
+    oracle=_FEB_ORACLE,
     doc="foreachBatch sink: micro-batches appended to parquet with batch-id "
-    "lineage, read back as one table (NS; swap parquet for Delta/JDBC and "
-    "nothing else changes).",
+    "lineage, read back as one table and hash-checked content-keyed "
+    "(batch → size + first event id) against the deterministic chunk "
+    "partition (NS; swap parquet for Delta/JDBC and nothing else "
+    "changes).",
     tags=("streaming", "sink"),
 )
 def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,11 +478,22 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.processAllAvailable()
     query.stop()
+    from pyspark.sql.window import Window
+
     return (
         spark.read.parquet(sink)
         .groupBy("_batch_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("_batch_id")
+        .agg(
+            F.min("event_id").alias("first_event"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # content-keyed batch index (see _FEB_ORACLE): the _CHUNKS-row
+        # relation makes this global window summary-sized
+        .withColumn(
+            "batch_idx", F.row_number().over(Window.orderBy("first_event"))
+        )
+        .select(F.col("batch_idx").cast("long"), "first_event", "n")
+        .orderBy("batch_idx")
     )
 
 
@@ -610,11 +654,16 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sink_parquet",
-    oracle=None,  # file-sink mechanics → rows-only; pytest pins totals
+    # Same plan as stream_watermark_late behind a parquet sink instead of
+    # the memory sink, so the SAME lockstep finalized-window oracle
+    # applies (r5): the sink contents are exactly the windows the final
+    # watermark passed.
+    oracle=_WM_LATE_ORACLE,
     doc="writeStream → parquet file sink with checkpointLocation "
     "(exactly-once commit-log semantics), append mode over a watermarked "
-    "tumbling agg; sink read back as batch. The production landing path "
-    "beside the memory/foreachBatch sinks (NS).",
+    "tumbling agg; sink read back as batch and hash-checked against the "
+    "finalized-window batch oracle. The production landing path beside "
+    "the memory/foreachBatch sinks (NS).",
     tags=("streaming", "sink"),
 )
 def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
