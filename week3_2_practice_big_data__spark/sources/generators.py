@@ -144,11 +144,42 @@ def numpy_blob_params(seed: int, n_blobs: int) -> list[dict]:
     return out
 
 
+def _numpy_literal_oracle() -> str:
+    """Literal-snapshot oracle (r5): the NumPy RNG stream itself is not
+    SQL-expressible, but its output IS deterministic — so the oracle is
+    a VALUES table computed by the SAME local replay the pytest
+    bit-parity check uses, with repr-exact float literals (shortest
+    round-trip strings parse back to the identical double in DuckDB).
+    The driver then hash-checks the EXECUTOR-side replay (mapInPandas,
+    worker numpy, Arrow transfer, schema) against the driver-process
+    replay — the cross-process half the pytest could not see."""
+    cols = (
+        "blob_id", "r", "wobble", "cx", "cy", "depth",
+        "col_r", "col_g", "col_b", "noise_sum",
+    )
+    rows = ", ".join(
+        "(" + ", ".join(
+            # synth.flit, not bare repr: DuckDB types a bare decimal
+            # literal DECIMAL and the cast back to DOUBLE drifts 1 ulp
+            str(p["blob_id"]) if c == "blob_id" else synth.flit(p[c])
+            for c in cols
+        ) + ")"
+        for p in numpy_blob_params(_SEED, _NB)
+    )
+    return (
+        f"SELECT CAST(blob_id AS BIGINT) AS blob_id, r, wobble, cx, cy, "
+        f"depth, col_r, col_g, col_b, noise_sum "
+        f"FROM (VALUES {rows}) AS t({', '.join(cols)}) ORDER BY blob_id"
+    )
+
+
 @register(
     "src_range_gen_numpy",
-    oracle=None,  # sequential NumPy RNG stream — not SQL-expressible
+    oracle=_numpy_literal_oracle(),
     doc="Reference-parity seeded generator: replays random/np.random draw "
-    "order of app.py:117-119,136-146 bit-exactly via mapInPandas.",
+    "order of app.py:117-119,136-146 bit-exactly via mapInPandas; "
+    "hash-checked against a repr-exact literal snapshot of the same "
+    "replay (executor vs driver process).",
     tags=("source", "generative", "udf"),
 )
 def src_range_gen_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
