@@ -144,15 +144,41 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CSV_BAD_EVERY = 50  # every 50th row is written corrupt
 
+# Batch oracle (r5): cross-engine CSV *parsing* semantics still differ
+# (DuckDB skips malformed rows, Spark rescues them), but the feed and
+# its corruption pattern are DETERMINISTIC functions of the orders
+# table — row i of the first 1000 orders by o_orderkey is corrupt iff
+# i % 50 = 7 — so the quarantine counts and the clean-row aggregate are
+# plain SQL over orders, no CSV reading needed on the oracle side. The
+# DECIMAL(18,2) sum mirrors the Spark side's exact-decimal accumulation.
+_CSV_MALFORMED_ORACLE = f"""
+WITH feed AS (
+  SELECT o_totalprice,
+    row_number() OVER (ORDER BY o_orderkey) - 1 AS i
+  FROM orders ORDER BY o_orderkey LIMIT 1000
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(CASE WHEN i % {_CSV_BAD_EVERY} = 7 THEN 1 ELSE 0 END),
+    0) AS BIGINT) AS n_quarantined,
+  CAST(coalesce(sum(CASE WHEN i % {_CSV_BAD_EVERY} <> 7 THEN 1 ELSE 0 END),
+    0) AS BIGINT) AS n_clean,
+  round(CAST(sum(CASE WHEN i % {_CSV_BAD_EVERY} <> 7
+    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+    AS clean_total_price
+FROM feed
+"""
+
 
 @register(
     "src_csv_malformed",
-    oracle=None,  # engine-specific malformed-row semantics → rows-only
+    oracle=_CSV_MALFORMED_ORACLE,
     doc="PERMISSIVE CSV ingestion with _corrupt_record rescue: a landing "
     "file with deterministic corrupt rows (wrong arity / bad numerics) is "
     "read without failing; output counts clean vs quarantined rows and "
-    "aggregates only the clean ones — the dirty-feed landing pattern "
-    "(REF-ANALOG; sibling of src_csv_roundtrip's clean path).",
+    "aggregates only the clean ones, hash-checked against the "
+    "deterministic corruption pattern over orders — the dirty-feed "
+    "landing pattern (REF-ANALOG; sibling of src_csv_roundtrip's clean "
+    "path).",
     tags=("source", "quality"),
 )
 def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
