@@ -487,6 +487,15 @@ def test_adversarial_input_parity(spark):
         "win_cusum_changepoint", "ts_resample_fill", "agg_entropy",
         "win_moving_zscore", "agg_ohlc_bars", "win_islands_ranges",
         "agg_conditional", "win_rolling_corr",
+        # r5 upgrades: streaming batch-equivalence oracles (tied ts +
+        # NaN/Inf values flow through watermark/state/chunk paths),
+        # hierarchical global-window decompositions, deterministic
+        # CSV-quarantine counts
+        "stream_watermark_late", "stream_dedup_state",
+        "stream_tumbling_file_rate", "stream_custom_state",
+        "stream_foreachbatch", "stream_trigger_availablenow",
+        "stream_sink_parquet", "src_csv_malformed",
+        "win_islands_blocked", "win_ntile_blocked",
     ]
     for key in keys:
         q = REGISTRY[key]
