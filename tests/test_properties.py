@@ -235,3 +235,63 @@ def test_zorder_buckets_are_local(spark):
     for r in rows:
         assert r["span_a"] <= (1 << 11)
         assert r["span_b"] <= (1 << 11)
+
+
+def test_ntile_closed_form_matches_spec():
+    """win_ntile_blocked's closed form — first n%4 tiles hold n DIV 4 + 1
+    rows, the rest n DIV 4 — must equal NTILE(4) semantics for every
+    relation size, including the n < 4 degenerate tail."""
+    for n in range(0, 401):
+        k, m = n // 4, n % 4
+        d1 = k + 1
+        # reference: NTILE assigns tile i (1-based) size k+1 for i<=m else k
+        sizes = [k + 1] * m + [k] * (4 - m)
+        expect = [i + 1 for i, s in enumerate(sizes) for _ in range(s)]
+        got = [
+            (r - 1) // d1 + 1
+            if r <= m * d1
+            else m + (r - m * d1 - 1) // (d1 - 1) + 1
+            for r in range(1, n + 1)
+        ]
+        assert got == expect, n
+
+
+def test_islands_blocked_chain_merge_multiblock():
+    """The %13 mask caps runs at 12 ids, so with the production block
+    width runs never span MORE than one boundary — the chain merge's
+    generality (runs through FULLY-present middle blocks) is otherwise
+    unreachable. Shrink the block width to 5 in pure DuckDB and compare
+    the blocked SQL against the global-window islands SQL on corpora
+    with long multi-block runs, plus randomized present-sets."""
+    import random
+
+    import duckdb
+
+    from week3_2_practice_big_data__spark.operators import advanced as adv
+
+    def blocked_sql(B):
+        return adv._islands_blocked_sql(adv._islands_edges_sql(block=B))
+
+    global_sql = adv._islands_sql("duckdb")
+
+    def run(ids, B):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?::BIGINT[]) AS event_id",
+            [list(ids)],
+        )
+        got = con.execute(blocked_sql(B)).fetchall()
+        want = con.execute(global_sql).fetchall()
+        assert got == want, (B, sorted(set(ids))[:20])
+
+    # a 12-id run spanning three width-5 blocks (middle block 15..19
+    # fully present): ids 14..25, none divisible by 13
+    run(range(14, 26), 5)
+    # two adjacent runs separated by the masked id 26 (= 2*13)
+    run(range(14, 40), 5)
+    # randomized: ids 0..199, B in {5, 7, 16}
+    rng = random.Random(7)
+    for B in (5, 7, 16):
+        for _ in range(10):
+            ids = [i for i in range(200) if rng.random() < 0.7]
+            run(ids, B)

@@ -308,14 +308,16 @@ def win_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ISL_B = 4100
 
 
-def _islands_edges_sql() -> str:
+def _islands_edges_sql(block: int = _ISL_B) -> str:
     """Per-block islands with edge-flush flags — the ONE events-sized
     pass (partitioned window + group-by), materialized once because
-    both the chain merge and the interior pass consume it."""
+    both the chain merge and the interior pass consume it. `block` is
+    overridable so tests can shrink it to force multi-block chains
+    (unreachable at width 4100 under the %13 mask)."""
     # The block id is the BLOCK START (event_id - event_id % B): pure
     # BIGINT arithmetic in both engines — `/` would promote to DOUBLE
     # (DuckDB always, Spark always) and round ids past 2^53.
-    b = f"(event_id - event_id % {_ISL_B})"
+    b = f"(event_id - event_id % {block})"
     return f"""
 WITH present AS (
   SELECT event_id, {b} AS b FROM events WHERE event_id % 13 <> 0
@@ -330,8 +332,8 @@ li AS (
   FROM loc GROUP BY b, g
 )
 SELECT b, s, e,
-  (s % {_ISL_B} = 0) AS lflush,
-  (e % {_ISL_B} = {_ISL_B - 1}) AS rflush
+  (s % {block} = 0) AS lflush,
+  (e % {block} = {block - 1}) AS rflush
 FROM li
 """
 
