@@ -882,14 +882,25 @@ def _span_key_expr() -> str:
     return f"({h1} * 2147483648 + {h2})"
 
 
-def _substring_sql(dialect: str) -> str:
+_SUBSTR_G_SQL = (
+    "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep "
+    "FROM documents"
+)
+
+
+def _substring_sd_sql(dialect: str) -> str:
+    """(doc_id, span) DISTINCT rep-level span index — the one
+    corpus-sized window pass. Referenced THREE times downstream (df,
+    both sides of the inverted-index self-join) plus the within-group
+    span counts, so the Spark builder materializes it once
+    (localCheckpoint); Spark's CTE inlining would otherwise re-run the
+    tokens→hash→7-lead window chain per reference (measured: 15
+    parquet scans / 8 windows at sf0.1). DuckDB materializes CTEs, so
+    the shared oracle text is single-pass either way."""
     over = "OVER (PARTITION BY doc_id ORDER BY pos)"
     leads = ", ".join(f"lead(th, {i}) {over} AS l{i}" for i in range(1, _SPAN_K))
     return f"""
-WITH g AS (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents
-),
-tok AS ({tokens_sql(dialect, _REP_WHERE)}),
+WITH tok AS ({tokens_sql(dialect, _REP_WHERE)}),
 toh AS (
   SELECT doc_id, pos, {char_polyhash(dialect, "token")} AS th FROM tok
 ),
@@ -897,8 +908,17 @@ spans AS (
   SELECT doc_id, {_span_key_expr()} AS span
   FROM (SELECT doc_id, pos, th, {leads} FROM toh) x
   WHERE l{_SPAN_K - 1} IS NOT NULL
-),
-sd AS (SELECT DISTINCT doc_id, span FROM spans),
+)
+SELECT DISTINCT doc_id, span FROM spans
+"""
+
+
+def _substring_sql(
+    dialect: str, sd_ref: str | None = None, g_ref: str | None = None
+) -> str:
+    return f"""
+WITH g AS ({g_ref or _SUBSTR_G_SQL}),
+sd AS ({sd_ref or _substring_sd_sql(dialect)}),
 df AS (
   SELECT span FROM sd GROUP BY span
   HAVING count(*) BETWEEN 2 AND {_SPAN_DF_CAP}
@@ -931,6 +951,10 @@ ORDER BY n_shared_spans DESC, da, db
 """
 
 
+_SUBSTR_SD_CACHE: dict[tuple, DataFrame] = {}
+_SUBSTR_G_CACHE: dict[tuple, DataFrame] = {}
+
+
 @register(
     "ns_dedup_substring",
     oracle=_substring_sql("duckdb"),
@@ -939,13 +963,31 @@ ORDER BY n_shared_spans DESC, da, db
     "exact-dup REPRESENTATIVES (rep-collapse, r5) with df ≤ 50 cap on "
     "distinct TEXTS — catches verbatim passage copies that set-overlap "
     "measures dilute, and corpus duplication can no longer push a real "
-    "span past the df cap; one window pass + equi-join on a 62-bit "
-    "integer span key, member expansion output-bound (NS).",
+    "span past the df cap; ONE materialized window pass (localCheckpoint, "
+    "three downstream consumers) + equi-join on a 62-bit integer span "
+    "key, member expansion output-bound (NS).",
     tags=("ns", "dedup", "text"),
 )
 def ns_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed
+
     _view(spark, sf_dir, "documents")
-    return spark.sql(_substring_sql("spark"))
+    key = (id(spark), sf_dir.rstrip("/"))
+    checkpointed(
+        _SUBSTR_SD_CACHE, key,
+        lambda: spark.sql(_substring_sd_sql("spark")).coalesce(8),
+    ).createOrReplaceTempView("substr_sd")
+    checkpointed(
+        _SUBSTR_G_CACHE, key,
+        lambda: spark.sql(_SUBSTR_G_SQL).coalesce(8),
+    ).createOrReplaceTempView("substr_g")
+    return spark.sql(
+        _substring_sql(
+            "spark",
+            sd_ref="SELECT doc_id, span FROM substr_sd",
+            g_ref="SELECT doc_id, rep FROM substr_g",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
