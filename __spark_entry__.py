@@ -152,8 +152,16 @@ _CHANGED_THIS_ROUND = [
     "win_cusum_changepoint",
     "ml_pca_power",
     # r5 ADVICE: top-50 via ORDER BY + LIMIT (TakeOrderedAndProject)
-    # instead of a global row_number window — identical selected set.
+    # instead of a global row_number window — identical selected set;
+    # plus the bigram-count relation is now materialized once (was 6
+    # inlined re-derivations).
     "ns_kn_bigram",
+    # r5 plan audit: CTE-inlining explosions fixed by materializing the
+    # multiply-referenced corpus relation once (localCheckpoint) —
+    # 12→0 and 10→5 parquet scans respectively; triangle SQL also
+    # restructured (explode memberships + window total, single tri ref).
+    "graph_triangle_count",
+    "ml_naive_bayes",
 ]
 
 # Never-driver-verified keys, priority-ordered for the r5 window (the 44

@@ -271,24 +271,34 @@ def ns_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KN_TOP = 50
+_KN_BC_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _kn_bigram_sql(dialect: str) -> str:
-    p = (
-        "(CASE WHEN bc.c - dd.d > 0e0 THEN (bc.c - dd.d) / uc.cv ELSE 0e0 END"
-        " + (dd.d * fo.fanout / uc.cv) * (fi.fanin / (bt.b + 0e0)))"
-    )
+def _kn_bc_sql(dialect: str) -> str:
+    """(v, w, c) exact bigram counts — the one corpus-sized pass.
+    Referenced SIX times downstream (unigram/continuation/fanout/fanin/
+    count-of-counts/total + the final estimate), so the Spark builder
+    materializes it once; Spark CTE inlining re-ran the tokens scan +
+    lead window per reference (6 parquet scans / 6 windows measured)."""
     return f"""
 WITH tok AS ({tokens_sql(dialect)}),
 bg AS (
   SELECT doc_id, token AS v, lead(token, 1) OVER w AS w
   FROM tok
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-bc AS (
-  SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg
-  WHERE w IS NOT NULL GROUP BY v, w
-),
+)
+SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg
+WHERE w IS NOT NULL GROUP BY v, w
+"""
+
+
+def _kn_bigram_sql(dialect: str, bc_ref: str | None = None) -> str:
+    p = (
+        "(CASE WHEN bc.c - dd.d > 0e0 THEN (bc.c - dd.d) / uc.cv ELSE 0e0 END"
+        " + (dd.d * fo.fanout / uc.cv) * (fi.fanin / (bt.b + 0e0)))"
+    )
+    return f"""
+WITH bc AS ({bc_ref or _kn_bc_sql(dialect)}),
 uc AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM bc GROUP BY v),
 coc AS (
   SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -337,8 +347,17 @@ LIMIT {_KN_TOP}
     tags=("ns", "text", "statml"),
 )
 def ns_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed
+
     _view(spark, sf_dir, "documents")
-    return spark.sql(_kn_bigram_sql("spark"))
+    checkpointed(
+        _KN_BC_CACHE,
+        (id(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_kn_bc_sql("spark")).coalesce(8),
+    ).createOrReplaceTempView("kn_bc")
+    return spark.sql(
+        _kn_bigram_sql("spark", bc_ref="SELECT v, w, c FROM kn_bc")
+    )
 
 
 # ---------------------------------------------------------------------------
