@@ -162,6 +162,7 @@ _CHANGED_THIS_ROUND = [
     # restructured (explode memberships + window total, single tri ref).
     "graph_triangle_count",
     "ml_naive_bayes",
+    "ns_domain_temperature",  # same fix: per_src materialized, 8→0 scans
 ]
 
 # Never-driver-verified keys, priority-ordered for the r5 window (the 44

@@ -209,19 +209,30 @@ def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _domain_temperature_sql(dialect: str) -> str:
+def _domain_src_sql(dialect: str) -> str:
+    """(source, n_docs, n_tokens) — the corpus-sized tokenize+aggregate
+    pass behind the temperature mixing. Referenced (via tot/scaled/the
+    final join) three times downstream, so the Spark builder
+    materializes it once; Spark CTE inlining re-ran the tokenize per
+    reference (8 parquet scans measured)."""
+    return f"""
+WITH tok AS ({tokens_sql(dialect)}),
+dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id)
+SELECT d.source, count(*) AS n_docs,
+  CAST(sum(coalesce(dl.n_tok, 0)) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+GROUP BY d.source
+"""
+
+
+def _domain_temperature_sql(
+    dialect: str, per_src_ref: str | None = None
+) -> str:
     taus = "(VALUES (0.3e0), (0.7e0), (1.0e0))"
     tau_rel = f"(SELECT * FROM {taus} AS tt(tau))"
     share = "(per_src.n_tokens / (tot.t + 0e0))"
     return f"""
-WITH tok AS ({tokens_sql(dialect)}),
-dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
-per_src AS (
-  SELECT d.source, count(*) AS n_docs,
-    CAST(sum(coalesce(dl.n_tok, 0)) AS BIGINT) AS n_tokens
-  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
-  GROUP BY d.source
-),
+WITH per_src AS ({per_src_ref or _domain_src_sql(dialect)}),
 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per_src),
 scaled AS (
   SELECT tt.tau, per_src.source, per_src.n_tokens,
@@ -243,6 +254,9 @@ ORDER BY s.tau, s.source
 """
 
 
+_DOMAIN_SRC_CACHE: dict[tuple, DataFrame] = {}
+
+
 @register(
     "ns_domain_temperature",
     oracle=_domain_temperature_sql("duckdb"),
@@ -254,8 +268,20 @@ ORDER BY s.tau, s.source
     tags=("ns", "sampling", "text"),
 )
 def ns_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed
+
     _view(spark, sf_dir, "documents")
-    return spark.sql(_domain_temperature_sql("spark"))
+    checkpointed(
+        _DOMAIN_SRC_CACHE,
+        (id(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_domain_src_sql("spark")).coalesce(1),
+    ).createOrReplaceTempView("domain_src")
+    return spark.sql(
+        _domain_temperature_sql(
+            "spark",
+            per_src_ref="SELECT source, n_docs, n_tokens FROM domain_src",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
