@@ -164,6 +164,7 @@ _CHANGED_THIS_ROUND = [
     "ml_naive_bayes",
     "ns_domain_temperature",  # same fix: per_src materialized, 8→0 scans
     "win_funnel_conversion",  # same fix: stage relations chained, 6→3 scans
+    "ts_downsample_lttb",     # same fix: ev materialized, 9→1 windows
 ]
 
 # Never-driver-verified keys, priority-ordered for the r5 window (the 44

