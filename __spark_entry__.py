@@ -165,6 +165,17 @@ _CHANGED_THIS_ROUND = [
     "ns_domain_temperature",  # same fix: per_src materialized, 8→0 scans
     "win_funnel_conversion",  # same fix: stage relations chained, 6→3 scans
     "ts_downsample_lttb",     # same fix: ev materialized, 9→1 windows
+    # r5 shared materializations (functions.text): ONE corpus tokenize
+    # (cached_tokens_ref) and ONE doc→rep map (cached_rep_map_ref) per
+    # (session, sf) across the whole text family — plans verified
+    # value-identical on all fixtures, physical scans collapse to 0–2.
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_dedup_cluster",
+    "ns_text_tfidf",
+    "ns_text_langid",
+    "ns_text_pmi",
+    "ns_domain_mix",
 ]
 
 # Never-driver-verified keys, priority-ordered for the r5 window (the 44

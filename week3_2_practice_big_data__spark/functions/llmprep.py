@@ -106,13 +106,13 @@ def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PMI_MIN_COUNT = 3
 
 
-def _pmi_sql(dialect: str) -> str:
+def _pmi_sql(dialect: str, tok_ref: str | None = None) -> str:
     pmi = synth.q6(
         "ln((big.c2 / (bt.nb + 0e0)) / "
         "((ua.c1 / (tt.n + 0e0)) * (ub.c1 / (tt.n + 0e0))))"
     )
     return f"""
-WITH tok AS ({tokens_sql(dialect)}),
+WITH tok AS ({tok_ref or tokens_sql(dialect)}),
 uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
 tt AS (SELECT count(*) AS n FROM tok),
 big AS (
@@ -145,8 +145,9 @@ LIMIT 20
     tags=("ns", "text"),
 )
 def ns_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "documents")
-    return spark.sql(_pmi_sql("spark"))
+    from .text import cached_tokens_ref
+
+    return spark.sql(_pmi_sql("spark", cached_tokens_ref(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -157,20 +158,31 @@ def ns_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _domain_mix_sql(dialect: str) -> str:
-    share = "per_src.n_tokens / (tot.t + 0e0)"
-    # LEFT JOIN so a source whose documents all tokenize to zero tokens is
-    # still reported (n_tokens = 0) with a sentinel mix_weight of 0 instead
-    # of vanishing or dividing by zero.
+def _domain_src_sql(dialect: str) -> str:
+    """(source, n_docs, n_tokens) — the corpus-sized tokenize+aggregate
+    pass behind the temperature mixing. Referenced (via tot/scaled/the
+    final join) three times downstream, so the Spark builder
+    materializes it once; Spark CTE inlining re-ran the tokenize per
+    reference (8 parquet scans measured)."""
     return f"""
 WITH tok AS ({tokens_sql(dialect)}),
-dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
-per_src AS (
-  SELECT d.source, count(*) AS n_docs,
-    CAST(sum(coalesce(dl.n_tok, 0)) AS BIGINT) AS n_tokens
-  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
-  GROUP BY d.source
-),
+dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id)
+SELECT d.source, count(*) AS n_docs,
+  CAST(sum(coalesce(dl.n_tok, 0)) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+GROUP BY d.source
+"""
+
+
+def _domain_mix_sql(dialect: str, per_src_ref: str | None = None) -> str:
+    share = "per_src.n_tokens / (tot.t + 0e0)"
+    # per_src is the corpus tokenize+aggregate (LEFT JOIN inside so a
+    # source whose documents all tokenize to zero tokens is still
+    # reported with a sentinel mix_weight of 0); it is SHARED with
+    # ns_domain_temperature — the Spark builders materialize one
+    # _domain_src_sql pass for both keys.
+    return f"""
+WITH per_src AS ({per_src_ref or _domain_src_sql(dialect)}),
 tot AS (
   SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS s FROM per_src
 )
@@ -192,8 +204,20 @@ ORDER BY per_src.source
     tags=("ns", "text", "sampling"),
 )
 def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed
+
     _view(spark, sf_dir, "documents")
-    return spark.sql(_domain_mix_sql("spark"))
+    checkpointed(
+        _DOMAIN_SRC_CACHE,
+        (id(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_domain_src_sql("spark")).coalesce(1),
+    ).createOrReplaceTempView("domain_src")
+    return spark.sql(
+        _domain_mix_sql(
+            "spark",
+            per_src_ref="SELECT source, n_docs, n_tokens FROM domain_src",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -207,22 +231,6 @@ def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT, order-free) and the probability is one final IEEE division —
 # the same discipline as every other transcendental in the engine.
 # ---------------------------------------------------------------------------
-
-
-def _domain_src_sql(dialect: str) -> str:
-    """(source, n_docs, n_tokens) — the corpus-sized tokenize+aggregate
-    pass behind the temperature mixing. Referenced (via tot/scaled/the
-    final join) three times downstream, so the Spark builder
-    materializes it once; Spark CTE inlining re-ran the tokenize per
-    reference (8 parquet scans measured)."""
-    return f"""
-WITH tok AS ({tokens_sql(dialect)}),
-dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id)
-SELECT d.source, count(*) AS n_docs,
-  CAST(sum(coalesce(dl.n_tok, 0)) AS BIGINT) AS n_tokens
-FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
-GROUP BY d.source
-"""
 
 
 def _domain_temperature_sql(
@@ -927,10 +935,7 @@ def _span_key_expr() -> str:
     return f"({h1} * 2147483648 + {h2})"
 
 
-_SUBSTR_G_SQL = (
-    "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep "
-    "FROM documents"
-)
+from .text import _REP_MAP_SQL as _SUBSTR_G_SQL
 
 
 def _substring_sd_sql(dialect: str) -> str:
@@ -997,7 +1002,6 @@ ORDER BY n_shared_spans DESC, da, db
 
 
 _SUBSTR_SD_CACHE: dict[tuple, DataFrame] = {}
-_SUBSTR_G_CACHE: dict[tuple, DataFrame] = {}
 
 
 @register(
@@ -1022,15 +1026,14 @@ def ns_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SUBSTR_SD_CACHE, key,
         lambda: spark.sql(_substring_sd_sql("spark")).coalesce(8),
     ).createOrReplaceTempView("substr_sd")
-    checkpointed(
-        _SUBSTR_G_CACHE, key,
-        lambda: spark.sql(_SUBSTR_G_SQL).coalesce(8),
-    ).createOrReplaceTempView("substr_g")
+    # the doc→rep map is the SHARED materialization (functions.text)
+    from .text import cached_rep_map_ref
+
     return spark.sql(
         _substring_sql(
             "spark",
             sd_ref="SELECT doc_id, span FROM substr_sd",
-            g_ref="SELECT doc_id, rep FROM substr_g",
+            g_ref=cached_rep_map_ref(spark, sf_dir),
         )
     )
 

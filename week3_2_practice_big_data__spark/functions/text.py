@@ -34,6 +34,43 @@ def _view(spark: SparkSession, sf_dir: str, name: str = "documents") -> None:
     load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+_REP_MAP_SQL = (
+    "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep "
+    "FROM documents"
+)
+_TOK_MAT_CACHE: dict[tuple, "DataFrame"] = {}
+_REP_MAP_CACHE: dict[tuple, "DataFrame"] = {}
+
+
+def cached_tokens_ref(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus (doc_id, pos, token) stream ONCE per
+    (session, sf) and return a SQL ref to it — this is what makes the
+    module docstring's "every text key tokenizes the corpus exactly
+    once" literally true in the PHYSICAL plan: Spark's CTE inlining
+    otherwise re-runs the explode per reference (tfidf ×3, pmi ×3,
+    langid ×2, naive Bayes ×4 measured). DuckDB materializes CTEs, so
+    the shared oracle text was always single-pass."""
+    _view(spark, sf_dir)
+    checkpointed(
+        _TOK_MAT_CACHE, (id(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(tokens_sql("spark")).coalesce(8),
+    ).createOrReplaceTempView("tok_mat")
+    return "SELECT doc_id, pos, token FROM tok_mat"
+
+
+def cached_rep_map_ref(spark: SparkSession, sf_dir: str) -> str:
+    """doc_id → exact-dup representative map, materialized once per
+    (session, sf) and SHARED by the minhash/simhash/substring member
+    expansions (each referenced it 2–4 times → that many documents
+    scans + text-partition windows)."""
+    _view(spark, sf_dir)
+    checkpointed(
+        _REP_MAP_CACHE, (id(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_REP_MAP_SQL).coalesce(8),
+    ).createOrReplaceTempView("rep_map")
+    return "SELECT doc_id, rep FROM rep_map"
+
+
 def tokens_sql(dialect: str, where: str = "") -> str:
     """(doc_id, pos, token) long format — the only explode-dialect seam."""
     if dialect == "spark":
@@ -279,7 +316,9 @@ def _cached_minhash_sig(
     )
 
 
-def _minhash_sql(dialect: str, sig_ref: str | None = None) -> str:
+def _minhash_sql(
+    dialect: str, sig_ref: str | None = None, g_ref: str | None = None
+) -> str:
     """Rep-collapse MinHash pairs (the embedding-dedup lesson applied to
     text, r4): byte-identical docs are collapsed to one representative
     (min doc_id per distinct text) BEFORE shingling/banding — a duplicate-
@@ -301,9 +340,7 @@ def _minhash_sql(dialect: str, sig_ref: str | None = None) -> str:
     band = MINHASH_BAND
     sig = sig_ref or _minhash_sig_sql(dialect, _REP_WHERE)
     return f"""
-WITH g AS (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents
-),
+WITH g AS ({g_ref or _REP_MAP_SQL}),
 sig AS ({sig}),
 bands AS (
   SELECT doc_id, {band} AS band, {_bandsig(dialect)} AS bandsig
@@ -356,7 +393,11 @@ def ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash_sig"
     )
     return spark.sql(
-        _minhash_sql("spark", "SELECT doc_id, i, sig FROM minhash_sig")
+        _minhash_sql(
+            "spark",
+            "SELECT doc_id, i, sig FROM minhash_sig",
+            g_ref=cached_rep_map_ref(spark, sf_dir),
+        )
     )
 
 
@@ -414,7 +455,9 @@ FROM bits GROUP BY doc_id
 """
 
 
-def _simhash_pairs_sql(dialect: str, fp_ref: str) -> str:
+def _simhash_pairs_sql(
+    dialect: str, fp_ref: str, g_ref: str | None = None
+) -> str:
     """Banded candidate generation + Hamming confirmation over a
     REPRESENTATIVE-level fingerprint relation `fp_ref` (rep-collapse, r4:
     byte-identical docs share one fingerprint, so at 10× duplication the
@@ -434,9 +477,7 @@ def _simhash_pairs_sql(dialect: str, fp_ref: str) -> str:
     byte = "(CAST(floor(simhash / pow(256e0, CAST(band AS DOUBLE))) AS BIGINT) % 256)"
     ham = f"bit_count({_xor(dialect, 'fa.simhash', 'fb.simhash')})"
     return f"""
-WITH g AS (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents
-),
+WITH g AS ({g_ref or _REP_MAP_SQL}),
 fp AS ({fp_ref}),
 bands AS (
   SELECT doc_id, band, {byte} AS byte
@@ -505,7 +546,11 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _cached_simhash_fp(spark, sf_dir, _REP_WHERE)
     fp.createOrReplaceTempView("simhash_fp")
     return spark.sql(
-        _simhash_pairs_sql("spark", "SELECT doc_id, simhash FROM simhash_fp")
+        _simhash_pairs_sql(
+            "spark",
+            "SELECT doc_id, simhash FROM simhash_fp",
+            g_ref=cached_rep_map_ref(spark, sf_dir),
+        )
     )
 
 
@@ -614,7 +659,11 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "minhash_sig"
         )
         return spark.sql(
-            _minhash_sql("spark", "SELECT doc_id, i, sig FROM minhash_sig")
+            _minhash_sql(
+                "spark",
+                "SELECT doc_id, i, sig FROM minhash_sig",
+                g_ref=cached_rep_map_ref(spark, sf_dir),
+            )
         ).coalesce(2)
 
     return checkpointed(_MINHASH_PAIRS_CACHE, (id(spark), sf_dir.rstrip("/")), build)
@@ -669,9 +718,9 @@ def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _tfidf_sql(dialect: str) -> str:
+def _tfidf_sql(dialect: str, tok_ref: str | None = None) -> str:
     return f"""
-WITH tok AS ({tokens_sql(dialect)}),
+WITH tok AS ({tok_ref or tokens_sql(dialect)}),
 doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 tf AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
 df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
@@ -694,8 +743,7 @@ LIMIT 20
     tags=("ns", "text", "bench"),
 )
 def ns_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
-    return spark.sql(_tfidf_sql("spark"))
+    return spark.sql(_tfidf_sql("spark", cached_tokens_ref(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -705,9 +753,9 @@ def ns_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _langid_sql(dialect: str) -> str:
+def _langid_sql(dialect: str, tok_ref: str | None = None) -> str:
     return f"""
-WITH tok AS ({tokens_sql(dialect)}),
+WITH tok AS ({tok_ref or tokens_sql(dialect)}),
 freq AS (
   SELECT d.lang, t.token, count(*) AS cnt
   FROM tok t JOIN documents d ON t.doc_id = d.doc_id
@@ -747,8 +795,7 @@ ORDER BY d.doc_id
     tags=("ns", "text"),
 )
 def ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
-    return spark.sql(_langid_sql("spark"))
+    return spark.sql(_langid_sql("spark", cached_tokens_ref(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------

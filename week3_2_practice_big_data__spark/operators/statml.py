@@ -671,9 +671,6 @@ ORDER BY d.lang
 """
 
 
-_NB_TOK_CACHE: dict[tuple, DataFrame] = {}
-
-
 @register(
     "ml_naive_bayes",
     oracle=_naive_bayes_sql("duckdb"),
@@ -686,16 +683,13 @@ _NB_TOK_CACHE: dict[tuple, DataFrame] = {}
     tags=("statml", "ns", "text"),
 )
 def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokens_sql
+    # shared corpus token materialization (functions.text) — one
+    # tokenize per (session, sf) across the whole text family
+    from ..functions.text import cached_tokens_ref
 
     _view(spark, sf_dir, "documents")
-    checkpointed(
-        _NB_TOK_CACHE,
-        (id(spark), sf_dir.rstrip("/")),
-        lambda: spark.sql(tokens_sql("spark")).coalesce(8),
-    ).createOrReplaceTempView("nb_tok")
     return spark.sql(
-        _naive_bayes_sql("spark", tok_ref="SELECT doc_id, pos, token FROM nb_tok")
+        _naive_bayes_sql("spark", tok_ref=cached_tokens_ref(spark, sf_dir))
     )
 
 
