@@ -176,6 +176,10 @@ _CHANGED_THIS_ROUND = [
     "ns_text_langid",
     "ns_text_pmi",
     "ns_domain_mix",
+    # r5: jaccard rep-collapse (same df-cap recall bug class as
+    # substring — the cap now counts distinct TEXTS; member expansion
+    # output-bound, within-group pairs at jaccard 1.0)
+    "ns_dedup_ngram_jaccard",
 ]
 
 # Never-driver-verified keys, priority-ordered for the r5 window (the 44

@@ -296,3 +296,22 @@ def test_substring_rep_collapse_survives_df_cap_under_duplication(spark):
     # text = 8 shared + 3 unique tokens -> 11 tokens -> 4 distinct spans
     assert pairs[(0, 1)] == 4
     assert sum(1 for (a, b) in pairs if a // 100 == b // 100 == 0) == 45
+
+
+def test_jaccard_rep_collapse_survives_df_cap_under_duplication(spark):
+    """Same recall bug class as substring (r5): a shingle genuinely
+    shared by 6 distinct texts crossed the df ≤ 50 cap once each text
+    carried 10 copies. With rep-collapse the cap counts distinct texts,
+    so all 15 cross-text pairs survive; within-group byte-identical
+    pairs emit jaccard = 1.0."""
+    import itertools
+
+    # reuse the substring test's fixture (built on demand there)
+    test_substring_rep_collapse_survives_df_cap_under_duplication(spark)
+    out = ".tmp/sf_dupcap"
+    rows = REGISTRY["ns_dedup_ngram_jaccard"].builder(spark, out).collect()
+    pairs = {(r["ai"], r["bi"]): r["jaccard"] for r in rows}
+    reps = [t * 100 for t in range(6)]
+    for ra, rb in itertools.combinations(reps, 2):
+        assert (ra, rb) in pairs, f"cross-text pair {(ra, rb)} pruned"
+    assert pairs[(0, 1)] == 1.0  # byte-identical within-group pair

@@ -34,6 +34,10 @@ def _view(spark: SparkSession, sf_dir: str, name: str = "documents") -> None:
     load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# Restrict signature computation to exact-dup representatives (min doc_id
+# per distinct text) — the rep-collapse front half of the banded plans.
+_REP_WHERE = "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"
+
 _REP_MAP_SQL = (
     "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep "
     "FROM documents"
@@ -179,9 +183,15 @@ _SHINGLE_DF_CAP = 50
 
 
 def _capped_shingles_sql(dialect: str) -> str:
-    """(doc_id, shingle) — distinct shingles with the df-cap applied."""
+    """(doc_id, shingle) — distinct REP-level shingles with the df-cap
+    applied. REP-COLLAPSE (r5, the substring lesson): the cap counts
+    DISTINCT TEXTS, not doc copies — corpus duplication previously
+    inflated a shingle's df past the cap and silently pruned real
+    near-dup pairs (a shingle shared by 6 distinct texts vanished once
+    each carried 10 copies), the same recall bug fixed in
+    ns_dedup_substring this round."""
     return f"""
-WITH sh0 AS ({shingles_sql(dialect)}),
+WITH sh0 AS ({shingles_sql(dialect, _REP_WHERE)}),
 keep AS (
   SELECT shingle FROM sh0 GROUP BY shingle
   HAVING count(*) <= {_SHINGLE_DF_CAP}
@@ -194,8 +204,9 @@ _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cached_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Capped shingle index materialized per (session, sf): the Jaccard
-    stage references it three times (inverted-index self-join + sizes)."""
+    """Capped rep-shingle index materialized per (session, sf): the
+    Jaccard stage references it three times (inverted-index self-join +
+    sizes)."""
     def build():
         _view(spark, sf_dir)
         return spark.sql(_capped_shingles_sql("spark")).coalesce(4)
@@ -203,21 +214,46 @@ def _cached_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checkpointed(_SHINGLE_CACHE, (id(spark), sf_dir.rstrip("/")), build)
 
 
-def _jaccard_sql(dialect: str, sh_ref: str | None = None) -> str:
+def _jaccard_sql(
+    dialect: str, sh_ref: str | None = None, g_ref: str | None = None
+) -> str:
+    """Rep-level inverted-index Jaccard + member expansion: confirmed rep
+    pairs expand to member pairs (output-bound, jaccard carried over);
+    byte-identical within-group pairs emit jaccard = 1.0 — they share
+    every shingle verbatim — but only for groups whose rep kept at
+    least one capped shingle (shingle-less/fully-capped texts emit
+    nothing, as the vector-level plan did)."""
     return f"""
-WITH sh AS ({sh_ref or _capped_shingles_sql(dialect)}),
+WITH g AS ({g_ref or _REP_MAP_SQL}),
+sh AS ({sh_ref or _capped_shingles_sql(dialect)}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+rep_pairs AS (
+  SELECT i.ai, i.bi,
+    {synth.q6("i.shared / (sa.n + sb.n - i.shared + 0e0)")} AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.ai = sa.doc_id
+  JOIN sizes sb ON i.bi = sb.doc_id
+  WHERE i.shared / (sa.n + sb.n - i.shared + 0e0) >= {_JACCARD_T}
+),
+expanded AS (
+  SELECT least(ga.doc_id, gb.doc_id) AS ai,
+    greatest(ga.doc_id, gb.doc_id) AS bi, rp.jaccard
+  FROM rep_pairs rp
+  JOIN g ga ON ga.rep = rp.ai
+  JOIN g gb ON gb.rep = rp.bi
+  UNION ALL
+  SELECT a.doc_id AS ai, b.doc_id AS bi, 1e0 AS jaccard
+  FROM g a
+  JOIN g b ON a.rep = b.rep AND a.doc_id < b.doc_id
+  JOIN sizes sz ON sz.doc_id = a.rep
 )
-SELECT i.ai, i.bi,
-  {synth.q6("i.shared / (sa.n + sb.n - i.shared + 0e0)")} AS jaccard
-FROM inter i
-JOIN sizes sa ON i.ai = sa.doc_id
-JOIN sizes sb ON i.bi = sb.doc_id
-WHERE i.shared / (sa.n + sb.n - i.shared + 0e0) >= {_JACCARD_T}
+SELECT ai, bi, jaccard
+FROM expanded
 ORDER BY jaccard DESC, ai, bi
 """
 
@@ -226,15 +262,21 @@ ORDER BY jaccard DESC, ai, bi
     "ns_dedup_ngram_jaccard",
     oracle=_jaccard_sql("duckdb"),
     doc="Near-dup detection: 3-gram shingle Jaccard >= 0.2 via inverted "
-    "shingle index (no O(n²) cross join), with a document-frequency cap "
-    "(df <= 50) pruning stop-shingles so no posting list can become a "
-    "quadratic hot key at 100 TB (NS).",
+    "shingle index over exact-dup REPRESENTATIVES (rep-collapse, r5) "
+    "with the df <= 50 cap counting distinct TEXTS — no posting list "
+    "can become a quadratic hot key at 100 TB, and duplication can no "
+    "longer push a real shingle past the cap; member expansion "
+    "output-bound (NS).",
     tags=("ns", "dedup", "bench"),
 )
 def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cached_capped_shingles(spark, sf_dir).createOrReplaceTempView("capped_shingles")
     return spark.sql(
-        _jaccard_sql("spark", "SELECT doc_id, shingle FROM capped_shingles")
+        _jaccard_sql(
+            "spark",
+            "SELECT doc_id, shingle FROM capped_shingles",
+            g_ref=cached_rep_map_ref(spark, sf_dir),
+        )
     )
 
 
@@ -278,9 +320,6 @@ def _bandsig(dialect: str) -> str:
     return "string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i)"
 
 
-# Restrict signature computation to exact-dup representatives (min doc_id
-# per distinct text) — the rep-collapse front half of the banded plans.
-_REP_WHERE = "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"
 
 
 def _minhash_sig_sql(dialect: str, where: str = "") -> str:
