@@ -65,6 +65,13 @@ HEADLINE = [
     # event-time windows
     "stream_tumbling_agg",
     "stream_session_window",
+    # round-5 additions: hierarchical global-window scale paths and the
+    # oracle-ized streaming keys (no PREV baseline yet — first recorded
+    # medians seed the r6 standing baseline)
+    "win_islands_blocked",
+    "win_ntile_blocked",
+    "stream_watermark_late",
+    "stream_custom_state",
 ]
 
 
