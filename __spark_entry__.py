@@ -31,20 +31,13 @@ FLAGSHIP = "agg_groupby_multi"
 # keys NOT yet driver-verified are emitted first; these proven keys go to
 # the back.
 #
-# ROUND-5 ORDERING (this round): the 44 never-driver-verified keys are
-# the whole point of this window — 20 pending oracle keys lead, then the
-# pending rows-only keys — so for r5 the PENDING blocks come BEFORE the
-# changed-this-round blocks (r1–r4 ordered changed-first; every pending
-# key was judge-rerun green at sf0.01 in r4, so the re-verification of
-# this round's changed keys is the lower-signal tail and may fall past
-# the ~50-key window — those keys are all replayed bit-exact by
-# tests/test_oracle_parity.py anyway).
-#
-# ROUND-6 ORDERING NOTE (when rotating after r5): fold CORRECTNESS_r05's
-# green keys into _R05_VERIFIED below, repopulate _CHANGED_THIS_ROUND
-# with round-6 work, and — assuming r5 clears the backlog — flip the
-# ordering back to changed-first (restore the r1–r4 block order in
-# _ordered_keys) since every key will then have at least one driver row.
+# ROUND-6 ORDERING (this round): r5 cleared the never-verified backlog
+# (CORRECTNESS_r05: 35/35 oracle green + 14 rows-only clean), so the
+# ordering flips back to CHANGED-FIRST (the r1–r4 block order). The
+# window leads with the 16 r5-changed keys whose current code never got
+# a driver row (they fell past r5's 50-key window; judge-rerun MATCH at
+# sf0.01, but the driver artifact should say so — VERDICT r5 item 2),
+# then this round's changed keys, then any still-pending, then proven.
 _R01_VERIFIED = frozenset({
     "agg_groupby_multi", "agg_extent", "agg_centroid_mean",
     "agg_sum_normalize", "agg_count_distinct", "agg_rollup_cube",
@@ -129,14 +122,77 @@ _R04_VERIFIED = frozenset({
     "win_moving_zscore", "win_rolling_corr",
 })
 
-_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
+# CORRECTNESS_r05.json: 35/35 oracle keys green (rows + schema + hash) —
+# clearing the never-verified backlog — plus 14 rows-only keys ran clean
+# (counted as verified for ORDERING: they hold a clean driver row; the
+# one rows-only crash, ns_mm_feature_stub, re-enters via
+# _CHANGED_THIS_ROUND with its r6 scalar-output fix).
+_R05_VERIFIED = frozenset({
+    "agg_conditional", "agg_string_listagg", "fn_array_ops", "fn_map_ops",
+    "fn_null_semantics", "fn_regex_extract", "fn_string_similarity",
+    "fn_try_arith", "fn_url_parse", "fn_variant_json",
+    "iter_connected_components", "iter_gd_logreg", "iter_kcore",
+    "iter_kmeans_points", "iter_pagerank_tokens", "join_asof_forward",
+    "join_asof_nearest", "ns_dedup_substring", "src_csv_malformed",
+    "src_range_gen_numpy", "stream_custom_state", "stream_dedup_state",
+    "stream_foreachbatch", "stream_sink_parquet", "stream_static_join",
+    "stream_stream_join", "stream_trigger_availablenow",
+    "stream_tumbling_file_rate", "stream_watermark_late",
+    "win_distinct_rolling", "win_ewma_smooth", "win_islands_blocked",
+    "win_moving_zscore", "win_ntile_blocked", "win_rolling_corr",
+    # rows-only, driver-ran clean in r5
+    "gen_poster_full", "ns_mm_audio_window", "ns_mm_decode_meta",
+    "ns_mm_frame_sample", "ns_mm_image_phash", "ns_mm_resize",
+    "ns_mm_scene_cut", "ns_multimodal_cols", "sink_binary_export",
+    "sink_binary_export_hires", "sink_binary_export_tiled",
+    "src_binary_files", "stream_rate_source", "udf_grouped_map_render",
+})
+
+_VERIFIED = (
+    _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
+    | _R05_VERIFIED
+)
 
 
-# Keys whose implementation CHANGED in round 5 (new or rewritten): their
-# prior verification status is stale, so they re-enter the window —
-# AFTER the never-verified pending blocks this round (see the ROUND-5
-# ORDERING note above), highest behavior-change risk first.
+# Keys whose implementation changed in ROUND 6, or changed in round 5
+# AFTER the r5 window was consumed (the 16-key re-verification backlog —
+# VERDICT r5 item 2): they lead the window, highest behavior-change risk
+# first.
 _CHANGED_THIS_ROUND = [
+    # --- the 16 r5-changed keys with no driver row for their current
+    # code (judge-rerun MATCH at sf0.01; re-windowed here for the
+    # artifact). Order: dedup rewrites first (largest r5 diffs), then
+    # shared-tokenize consumers, then the CTE-materialization family.
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_dedup_cluster",
+    "ns_dedup_ngram_jaccard",
+    "ns_text_tfidf",
+    "ns_text_langid",
+    "ns_text_pmi",
+    "ns_domain_mix",
+    "ns_domain_temperature",
+    "ns_kn_bigram",
+    "graph_triangle_count",
+    "ml_naive_bayes",
+    "ml_pca_power",
+    "win_cusum_changepoint",
+    "win_funnel_conversion",
+    "ts_downsample_lttb",
+    # --- round-6 changes ---
+    # exact micro-unit sums replace q6-over-float-sum in the streaming
+    # aggregation oracles (ADVICE r5: order-free by construction)
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_trigger_availablenow",
+    # scalar-only output boundary (f0..f7 + sha256 digest) — fixes the
+    # r5 red row (driver harness can't hash array<double>)
+    "ns_mm_feature_stub",
+]
+
+# Round-5 changed list, kept for the record (all 20 were either
+# re-verified inside the r5 window or are re-windowed above).
+_R05_CHANGED = [
     # r5: rep-collapse for ns_dedup_substring (VERDICT r4 item 2) —
     # span indexing at exact-dup-representative level, member expansion
     # after; fixes the duplication-inflated span-df recall loss at the
@@ -182,41 +238,22 @@ _CHANGED_THIS_ROUND = [
     "ns_dedup_ngram_jaccard",
 ]
 
-# Never-driver-verified keys, priority-ordered for the r5 window (the 44
-# keys no CORRECTNESS row has ever covered): the asof/window/iterative/
-# streaming-join oracle families first, the pure scalar-function tail
-# last among oracles (lowest driver risk — row-wise expressions with no
-# shuffle), then the rows-only block (sinks, multimodal, streaming
-# state). Keys not listed here sort after the listed ones in
+# Never-driver-verified keys, priority-ordered. After r5 the backlog is
+# CLEAR — every registered key holds at least one clean driver row — so
+# this list only catches keys added in r6+ that aren't folded into
+# _CHANGED_THIS_ROUND. Keys not listed sort after the listed ones in
 # registration order.
-_PENDING_PRIORITY = [
-    # joins / windows
-    "join_asof_forward", "join_asof_nearest",
-    "win_ewma_smooth", "win_distinct_rolling",
-    # NEW r5: hierarchical global-window scale paths (never verified)
-    "win_islands_blocked", "win_ntile_blocked",
-    # iterative
-    "iter_pagerank_tokens", "iter_connected_components", "iter_kmeans_points",
-    "iter_gd_logreg", "iter_kcore",
-    # streaming joins (+ the r5 oracle-ized watermark keys, if oracled)
-    "stream_stream_join", "stream_static_join",
-    "stream_watermark_late", "stream_dedup_state",
-    # scalar-function tail
-    "fn_array_ops", "fn_regex_extract", "fn_null_semantics", "fn_map_ops",
-    "fn_string_similarity", "fn_variant_json", "fn_url_parse",
-    "agg_string_listagg", "fn_try_arith",
-]
+_PENDING_PRIORITY: list[str] = []
 
 
 def _ordered_keys() -> list[str]:
     """Registry keys ordered for the driver's bounded correctness window.
 
-    ROUND-5 ORDER (see the ordering note at the top): never-verified
-    oracle keys first (per _PENDING_PRIORITY), then never-verified
-    rows-only keys — together the 44-key backlog this window exists to
-    clear — then this round's changed keys (oracle before rows-only)
-    for re-verification, then proven keys (registration order within
-    unlisted groups)."""
+    ROUND-6 ORDER (changed-first, the r1–r4 block order): this round's
+    changed keys lead (oracle before rows-only) — including the 16
+    r5-changed keys re-windowed for a driver row on their current code —
+    then never-verified keys (new in r6+), then proven keys
+    (registration order within unlisted groups)."""
     changed = [k for k in _CHANGED_THIS_ROUND if k in REGISTRY]
     changed_set = set(changed)
     changed_oracle = [k for k in changed if REGISTRY[k].oracle is not None]
@@ -239,10 +276,10 @@ def _ordered_keys() -> list[str]:
     )
     proven = [k for k in rest if k in _VERIFIED]
     return (
-        pending_oracle
-        + pending_rows_only
-        + changed_oracle
+        changed_oracle
         + changed_rows_only
+        + pending_oracle
+        + pending_rows_only
         + proven
     )
 

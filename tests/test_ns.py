@@ -91,8 +91,13 @@ def test_langid_beats_majority_baseline(spark):
 def test_feature_stub_deterministic(spark):
     a = REGISTRY["ns_mm_feature_stub"].builder(spark, SF_SMALL).collect()
     b = REGISTRY["ns_mm_feature_stub"].builder(spark, SF_SMALL).collect()
-    assert [r["features"] for r in a] == [r["features"] for r in b]
-    assert all(len(r["features"]) == 8 for r in a)
+    cols = [f"f{i}" for i in range(8)] + ["features_digest"]
+    assert [[r[c] for c in cols] for r in a] == [[r[c] for c in cols] for r in b]
+    assert all(r["feat_dim"] == 8 for r in a)
+    # Driver-hashable contract (r5 red row): no array/map/list-typed output.
+    schema = REGISTRY["ns_mm_feature_stub"].builder(spark, SF_SMALL).schema
+    assert all(t.dataType.typeName() not in ("array", "map") for t in schema)
+    assert all(len(r["features_digest"]) == 64 for r in a)
 
 
 def test_mm_decode_meta_consistent(spark):
@@ -306,9 +311,17 @@ def test_jaccard_rep_collapse_survives_df_cap_under_duplication(spark):
     pairs emit jaccard = 1.0."""
     import itertools
 
-    # reuse the substring test's fixture (built on demand there)
+    import os
+
+    # reuse the substring test's fixture (built on demand there), at the
+    # same ABSOLUTE path — a relative ".tmp/..." breaks under non-root cwd
+    # and forks a second cache entry keyed by the differing sf_dir string.
     test_substring_rep_collapse_survives_df_cap_under_duplication(spark)
-    out = ".tmp/sf_dupcap"
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_dupcap",
+    )
     rows = REGISTRY["ns_dedup_ngram_jaccard"].builder(spark, out).collect()
     pairs = {(r["ai"], r["bi"]): r["jaccard"] for r in rows}
     reps = [t * 100 for t in range(6)]

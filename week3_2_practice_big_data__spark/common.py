@@ -114,6 +114,16 @@ def ordered_string_agg(dialect: str, expr: str, sep: str, order_by: str) -> str:
     return f"string_agg({expr}, {sep} ORDER BY {order_by})"
 
 
+def session_key(spark) -> str:
+    """Stable cache key for a live SparkSession: the applicationId.
+
+    `id(spark)` (the r1–r5 key) is unsafe across session restarts — CPython
+    reuses addresses, so a new session could hit a stale localCheckpoint
+    bound to a DEAD context. applicationId is unique per SparkContext and
+    never reused within a process."""
+    return spark.sparkContext.applicationId
+
+
 def checkpointed(cache: dict, key, build):
     """Materialize-once-per-key: eager localCheckpoint of build()'s result.
 
@@ -122,7 +132,8 @@ def checkpointed(cache: dict, key, build):
     containing collect_list (flagged nondeterministic) or higher-order
     lambdas (canonicalization fails), re-deriving the relation per
     reference — an RDD-backed checkpoint cannot miss. Callers key by
-    (id(spark), sf_dir) for sf-dependent relations, id(spark) otherwise.
+    (session_key(spark), sf_dir) for sf-dependent relations,
+    session_key(spark) otherwise.
     """
     if key not in cache:
         cache[key] = build().localCheckpoint(eager=True)

@@ -204,12 +204,12 @@ ORDER BY per_src.source
     tags=("ns", "text", "sampling"),
 )
 def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import checkpointed
+    from ..common import checkpointed, session_key
 
     _view(spark, sf_dir, "documents")
     checkpointed(
         _DOMAIN_SRC_CACHE,
-        (id(spark), sf_dir.rstrip("/")),
+        (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_domain_src_sql("spark")).coalesce(1),
     ).createOrReplaceTempView("domain_src")
     return spark.sql(
@@ -276,12 +276,12 @@ _DOMAIN_SRC_CACHE: dict[tuple, DataFrame] = {}
     tags=("ns", "sampling", "text"),
 )
 def ns_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import checkpointed
+    from ..common import checkpointed, session_key
 
     _view(spark, sf_dir, "documents")
     checkpointed(
         _DOMAIN_SRC_CACHE,
-        (id(spark), sf_dir.rstrip("/")),
+        (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_domain_src_sql("spark")).coalesce(1),
     ).createOrReplaceTempView("domain_src")
     return spark.sql(
@@ -381,12 +381,12 @@ LIMIT {_KN_TOP}
     tags=("ns", "text", "statml"),
 )
 def ns_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import checkpointed
+    from ..common import checkpointed, session_key
 
     _view(spark, sf_dir, "documents")
     checkpointed(
         _KN_BC_CACHE,
-        (id(spark), sf_dir.rstrip("/")),
+        (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_kn_bc_sql("spark")).coalesce(8),
     ).createOrReplaceTempView("kn_bc")
     return spark.sql(
@@ -1018,10 +1018,10 @@ _SUBSTR_SD_CACHE: dict[tuple, DataFrame] = {}
     tags=("ns", "dedup", "text"),
 )
 def ns_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import checkpointed
+    from ..common import checkpointed, session_key
 
     _view(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (session_key(spark), sf_dir.rstrip("/"))
     checkpointed(
         _SUBSTR_SD_CACHE, key,
         lambda: spark.sql(_substring_sd_sql("spark")).coalesce(8),

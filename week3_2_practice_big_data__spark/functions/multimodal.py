@@ -109,13 +109,19 @@ def real_decode(png: bytes):
     return decode_png_rgb(png)
 
 
+_FEAT_DIM = 8
+
+
 @register(
     "ns_mm_feature_stub",
     oracle=None,  # stubbed decode — rows-only
     doc="Feature extraction over binary media via mapInPandas: Arrow batches "
     "of (id, bytes) → fixed-dim float vectors. Decode step is a documented "
     "deterministic stub (no image libs in container); batch shape, schema "
-    "and partitioning are the real 100 TB plumbing (NS).",
+    "and partitioning are the real 100 TB plumbing (NS). The vector stays an "
+    "array<double> through the Arrow boundary; the registered OUTPUT projects "
+    "it to fixed scalar columns f0..f7 + a sha256 digest so every emitted "
+    "column is driver-hashable (r5 red row: pandas cannot factorize lists).",
     tags=("ns", "multimodal", "udf"),
 )
 def ns_mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +130,7 @@ def ns_mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches):
         for pdf in batches:
-            feats = pdf["png"].map(lambda b: _stub_feature(bytes(b)))
+            feats = pdf["png"].map(lambda b: _stub_feature(bytes(b), _FEAT_DIM))
             yield pd.DataFrame(
                 {
                     "blob_id": pdf["blob_id"],
@@ -133,9 +139,21 @@ def ns_mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    vectors = posters.select("blob_id", "png").mapInPandas(
+        extract, "blob_id bigint, n_bytes bigint, features array<double>"
+    )
+    # Scalar-only output boundary: unpack the fixed-dim vector and fold the
+    # whole array into one digest (values are already 6-dp rounded in the
+    # extractor, so CAST→STRING is stable across runs/partitions).
+    feat_str = F.transform(F.col("features"), lambda v: v.cast("string"))
     return (
-        posters.select("blob_id", "png")
-        .mapInPandas(extract, "blob_id bigint, n_bytes bigint, features array<double>")
+        vectors.select(
+            "blob_id",
+            "n_bytes",
+            F.size("features").alias("feat_dim"),
+            *[F.col("features")[i].alias(f"f{i}") for i in range(_FEAT_DIM)],
+            F.sha2(F.concat_ws(",", feat_str), 256).alias("features_digest"),
+        )
         .orderBy("blob_id")
     )
 

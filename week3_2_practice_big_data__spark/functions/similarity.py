@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..registry import register
-from ..common import checkpointed
+from ..common import checkpointed, session_key
 from .. import synth
 
 _DIM = 64
@@ -222,7 +222,7 @@ def _cached_band_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         _view(spark, sf_dir)
         return spark.sql(_band_sig_sql("spark")).coalesce(4)
 
-    return checkpointed(_BAND_SIG_CACHE, (id(spark), sf_dir.rstrip("/")), build)
+    return checkpointed(_BAND_SIG_CACHE, (session_key(spark), sf_dir.rstrip("/")), build)
 
 
 def _band_sig_ref(dialect: str) -> str:
@@ -251,7 +251,7 @@ def _cached_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _view(spark, sf_dir)
         return spark.sql(_emb_norm_sql("spark")).coalesce(4)
 
-    return checkpointed(_EMB_NORM_CACHE, (id(spark), sf_dir.rstrip("/")), build)
+    return checkpointed(_EMB_NORM_CACHE, (session_key(spark), sf_dir.rstrip("/")), build)
 
 
 def _emb_norm_ref(dialect: str) -> str:
@@ -369,7 +369,7 @@ def _rep_views(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the representative relations once per (session, sf):
     reps, rep band signatures, rep norms, and the member→rep map — every
     one is consumed at least twice by the pair plan."""
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (session_key(spark), sf_dir.rstrip("/"))
 
     def reps():
         _view(spark, sf_dir)
@@ -664,7 +664,7 @@ ORDER BY cl.vec_id
 def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     _rep_views(spark, sf_dir)
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (session_key(spark), sf_dir.rstrip("/"))
 
     def cells():
         return spark.sql(

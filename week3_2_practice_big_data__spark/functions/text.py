@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..registry import register
-from ..common import checkpointed
+from ..common import checkpointed, session_key
 from .. import synth
 
 _P = 2_147_483_647  # hash modulus (2^31-1)
@@ -56,7 +56,7 @@ def cached_tokens_ref(spark: SparkSession, sf_dir: str) -> str:
     the shared oracle text was always single-pass."""
     _view(spark, sf_dir)
     checkpointed(
-        _TOK_MAT_CACHE, (id(spark), sf_dir.rstrip("/")),
+        _TOK_MAT_CACHE, (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(tokens_sql("spark")).coalesce(8),
     ).createOrReplaceTempView("tok_mat")
     return "SELECT doc_id, pos, token FROM tok_mat"
@@ -69,7 +69,7 @@ def cached_rep_map_ref(spark: SparkSession, sf_dir: str) -> str:
     scans + text-partition windows)."""
     _view(spark, sf_dir)
     checkpointed(
-        _REP_MAP_CACHE, (id(spark), sf_dir.rstrip("/")),
+        _REP_MAP_CACHE, (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_REP_MAP_SQL).coalesce(8),
     ).createOrReplaceTempView("rep_map")
     return "SELECT doc_id, rep FROM rep_map"
@@ -211,7 +211,7 @@ def _cached_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _view(spark, sf_dir)
         return spark.sql(_capped_shingles_sql("spark")).coalesce(4)
 
-    return checkpointed(_SHINGLE_CACHE, (id(spark), sf_dir.rstrip("/")), build)
+    return checkpointed(_SHINGLE_CACHE, (session_key(spark), sf_dir.rstrip("/")), build)
 
 
 def _jaccard_sql(
@@ -351,7 +351,7 @@ def _cached_minhash_sig(
         return spark.sql(_minhash_sig_sql("spark", where)).coalesce(4)
 
     return checkpointed(
-        _MINHASH_SIG_CACHE, (id(spark), sf_dir.rstrip("/"), where), build
+        _MINHASH_SIG_CACHE, (session_key(spark), sf_dir.rstrip("/"), where), build
     )
 
 
@@ -565,7 +565,7 @@ def _cached_simhash_fp(
         return spark.sql(_simhash_fp_sql("spark", where)).coalesce(4)
 
     return checkpointed(
-        _SIMHASH_FP_CACHE, (id(spark), sf_dir.rstrip("/"), where), build
+        _SIMHASH_FP_CACHE, (session_key(spark), sf_dir.rstrip("/"), where), build
     )
 
 
@@ -705,7 +705,7 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).coalesce(2)
 
-    return checkpointed(_MINHASH_PAIRS_CACHE, (id(spark), sf_dir.rstrip("/")), build)
+    return checkpointed(_MINHASH_PAIRS_CACHE, (session_key(spark), sf_dir.rstrip("/")), build)
 
 
 @register(

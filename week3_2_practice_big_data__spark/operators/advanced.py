@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import synth
-from ..common import checkpointed
+from ..common import checkpointed, session_key
 from ..io import load_table
 from ..registry import register
 
@@ -120,7 +120,7 @@ def iter_gd_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem")
     checkpointed(
         _GD_DATA_CACHE,
-        (id(spark), sf_dir.rstrip("/")),
+        (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_GD_DATA_SQL),
     ).createOrReplaceTempView("gd_data")
     return spark.sql(
@@ -388,7 +388,7 @@ def win_islands_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(_islands_edges_sql()).coalesce(8)
 
     checkpointed(
-        _ISL_EDGE_CACHE, (id(spark), sf_dir.rstrip("/")), build
+        _ISL_EDGE_CACHE, (session_key(spark), sf_dir.rstrip("/")), build
     ).createOrReplaceTempView("isl_edges")
     return spark.sql(
         _islands_blocked_sql("SELECT b, s, e, lflush, rflush FROM isl_edges")
@@ -599,7 +599,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
     checkpointed(
         _TRI_EDGE_CACHE,
-        (id(spark), sf_dir.rstrip("/")),
+        (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_triangle_edges_sql("spark")).coalesce(8),
     ).createOrReplaceTempView("tri_edges")
     return spark.sql(

@@ -141,10 +141,10 @@ _FUNNEL_CACHE: dict[tuple, DataFrame] = {}
     tags=("window", "analytics"),
 )
 def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import checkpointed
+    from ..common import checkpointed, session_key
 
     _view(spark, sf_dir)
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (session_key(spark), sf_dir.rstrip("/"))
     refs = {}
     prev = None
     for name, stage in (("v", "view"), ("c", "click"), ("p", "purchase")):

@@ -488,12 +488,12 @@ _LTTB_EV_CACHE: dict[tuple, DataFrame] = {}
     tags=("timeseries", "window", "sampling"),
 )
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import checkpointed
+    from ..common import checkpointed, session_key
 
     _view(spark, sf_dir)
     checkpointed(
         _LTTB_EV_CACHE,
-        (id(spark), sf_dir.rstrip("/")),
+        (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_lttb_ev_sql("spark")).coalesce(8),
     ).createOrReplaceTempView("lttb_ev")
     return spark.sql(

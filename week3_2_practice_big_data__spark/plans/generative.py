@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..common import clip01 as _clip01
-from ..common import checkpointed
+from ..common import checkpointed, session_key
 from .. import synth
 from .png import encode_png_rgb, png_dimensions
 
@@ -1148,7 +1148,7 @@ def _cached_canvas(spark: SparkSession) -> DataFrame:
     def build():
         return spark.sql(_composite_sql("spark", order_by=False)).coalesce(4)
 
-    return checkpointed(_CANVAS_CACHE, id(spark), build)
+    return checkpointed(_CANVAS_CACHE, session_key(spark), build)
 
 
 @register(
@@ -1416,7 +1416,7 @@ def _cached_mask(spark: SparkSession) -> DataFrame:
             + "\nSELECT blob_id, row, col, x, y, inside, mask_f FROM mask"
         ).coalesce(4)
 
-    return checkpointed(_MASK_CACHE, id(spark), build)
+    return checkpointed(_MASK_CACHE, session_key(spark), build)
 
 
 @register(

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..common import session_key
 from ..io import load_table
 from ..registry import register
 from ..functions.text import tokens_sql
@@ -136,7 +137,7 @@ def _cached_graph(spark: SparkSession, sf_dir: str):
     import pyspark.sql.functions as F
 
     # keyed by session too: a cached DataFrame is dead once its session stops
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (session_key(spark), sf_dir.rstrip("/"))
     if key not in _CACHED:
         load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
         # The graph is VOCAB-sized (distinct tokens / bigrams), bounded by
@@ -295,7 +296,7 @@ def _cached_cc_graph(spark: SparkSession):
     """Symmetrized distinct edge list + node set, persisted per session."""
     import pyspark.sql.functions as F
 
-    key = id(spark)
+    key = session_key(spark)
     if key not in _CC_CACHE:
         edges = spark.sql(_cc_edges_sql("spark"))
         und = (

@@ -38,7 +38,7 @@ SELECT
   CAST(floor(epoch(ts) / {_WIN_S}) AS BIGINT) * {_WIN_S} AS win_start,
   event_type,
   COUNT(*) AS n,
-  {synth.q6("sum(value)")} AS sum_value
+  {synth.sum_micro("value")} AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY win_start, event_type
@@ -58,7 +58,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", f"{_WIN_S} seconds"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr(synth.q6("sum(value)")).alias("sum_value"),
+            F.expr(synth.sum_micro("value")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
@@ -78,7 +78,7 @@ WITH starts AS (
   UNION ALL
   SELECT CAST(floor(epoch(ts) / {_SLIDE_S}) AS BIGINT) * {_SLIDE_S} - {_SLIDE_S} AS win_start, value FROM events
 )
-SELECT win_start, COUNT(*) AS n, {synth.q6("sum(value)")} AS sum_value
+SELECT win_start, COUNT(*) AS n, {synth.sum_micro("value")} AS sum_value
 FROM starts
 GROUP BY win_start
 ORDER BY win_start
@@ -98,7 +98,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", f"{_WIN_S} seconds", f"{_SLIDE_S} seconds"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr(synth.q6("sum(value)")).alias("sum_value"),
+            F.expr(synth.sum_micro("value")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),

@@ -149,11 +149,15 @@ if _HAS_TWS:  # pragma: no cover - runtime lacks protobuf in this container
 
 
 # Complete-mode output after termination is the final snapshot — a plain
-# batch GROUP BY (r5). The sum carries the engine's q6 discipline on
-# both sides so float-accumulation order can't break the hash.
+# batch GROUP BY (r5). r6 (ADVICE): q6 over a float sum is NOT order-free —
+# Spark's parallel accumulation and DuckDB's sequential sum can straddle a
+# 1e-6 quantization boundary — so the sum is accumulated in exact BIGINT
+# micro-units with the sat gate (stream_custom_state's discipline): each
+# row contributes floor(sat(value)·10⁶ + 0.5), integer addition commutes,
+# one divide at the end. Identical BIGINT in → identical DOUBLE out.
 _ANOW_ORACLE = f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-  {synth.q6("sum(value)")} AS sum_value
+  {synth.sum_micro("value")} AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -164,8 +168,8 @@ FROM events GROUP BY event_type ORDER BY event_type
     doc="Trigger.AvailableNow: drain the whole backlog in bounded micro-"
     "batches (maxFilesPerTrigger still respected) then terminate — the "
     "scheduled-incremental-batch production pattern. Emits per-event-type "
-    "counts + q6 sums finalized at termination, hash-checked against the "
-    "batch GROUP BY (NS).",
+    "counts + exact micro-unit sums (order-free BIGINT accumulation) "
+    "finalized at termination, hash-checked against the batch GROUP BY (NS).",
     tags=("streaming", "trigger"),
 )
 def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,7 +187,7 @@ def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr(synth.q6("sum(value)")).alias("sum_value"),
+            F.expr(synth.sum_micro("value")).alias("sum_value"),
         )
         .writeStream.format("memory")
         .queryName("w32bd_anow")

@@ -82,6 +82,20 @@ def sat(expr: str, bound: float) -> str:
     )
 
 
+def sum_micro(expr: str, bound: float = 1e6) -> str:
+    """Order-free cross-engine float SUM (r6, ADVICE r5): q6 over a float
+    sum is data-dependent flaky — Spark's parallel accumulation and
+    DuckDB's sequential sum can straddle a 1e-6 quantization boundary.
+    Quantize PER TERM to saturating BIGINT micro-units instead
+    (floor(sat(x)·10⁶ + 0.5)), sum exactly in int64 (commutative), divide
+    once: identical BIGINT in → identical DOUBLE out, by construction.
+    Worst case |term| = bound·10⁶; keep n·bound·10⁶ inside 9.2e18."""
+    return (
+        f"(CAST(coalesce(sum(CAST(floor({sat(expr, bound)} * 1000000e0 "
+        "+ 0.5e0) AS BIGINT)), 0) AS DOUBLE) / 1000000e0)"
+    )
+
+
 def lcg_u(key_expr: str, seed: int, draw: int = 0) -> str:
     """Uniform [0,1) double: `draw`-th LCG output for integer key `key_expr`."""
     x = f"((({key_expr}) * 1000003 + {seed} * 7919 + {LCG_C}) % {M31})"
