@@ -185,6 +185,10 @@ _CHANGED_THIS_ROUND = [
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_trigger_availablenow",
+    # blocked-ntile decomposition replaces the corpus-sized global
+    # ntile(3) sort (VERDICT r5 item 3); oracles unchanged (real ntile)
+    "ns_text_perplexity",
+    "ns_sample_importance",
     # scalar-only output boundary (f0..f7 + sha256 digest) — fixes the
     # r5 red row (driver harness can't hash array<double>)
     "ns_mm_feature_stub",

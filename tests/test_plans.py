@@ -435,6 +435,26 @@ def test_islands_blocked_no_global_window_over_events(spark):
             assert re.search(r"windowspecdefinition\(b#\d+L", line), line
 
 
+def test_corpus_tier_keys_no_global_window_over_documents(spark):
+    """ns_text_perplexity / ns_sample_importance tier assignment must not
+    be a corpus-sized single-partition sort (VERDICT r5 item 3): no
+    ntile() anywhere, and every row_number window is PARTITIONED by the
+    coarse score bucket (pb). The only unpartitioned windows are the
+    cumulative-offset/total over the tiny bucket summary."""
+    import re
+
+    for key in ("ns_text_perplexity", "ns_sample_importance"):
+        df = REGISTRY[key].builder(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ntile" not in plan, key
+        for line in plan.splitlines():
+            if "Window [" in line and "row_number" in line:
+                assert re.search(r"windowspecdefinition\(pb#\d+L", line), (
+                    key,
+                    line,
+                )
+
+
 def test_ntile_blocked_no_global_window_over_orders(spark):
     """The hierarchical ntile plan must keep the orders-sized window
     PARTITIONED (by price bucket); the only unpartitioned windows are

@@ -796,7 +796,7 @@ def ns_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _perplexity_sql(dialect: str) -> str:
-    return f"""
+    base = f"""
 WITH tok AS ({tokens_sql(dialect)}),
 uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
 tot AS (
@@ -809,7 +809,11 @@ lp AS (
 doc AS (
   SELECT doc_id, count(*) AS n_tokens, {synth.q6("-avg(lp)")} AS nll
   FROM lp GROUP BY doc_id
-)
+)"""
+    if dialect == "duckdb":
+        # Oracle keeps REAL ntile(3): the Spark decomposition below is
+        # value-proven against it, tie-break and all.
+        return base + """
 SELECT doc_id, n_tokens, nll,
   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
     AS ppl_bucket
@@ -820,6 +824,51 @@ FROM (
 ) ranked
 ORDER BY doc_id
 """
+    # Spark: hierarchical ntile(3) (win_ntile_blocked's decomposition —
+    # VERDICT r5 item 3). A global `ntile(3) OVER (ORDER BY nll, doc_id)`
+    # is a single-partition sort of the whole corpus (measured 89× at
+    # 100×). nll is q6-quantized and bounded by ln(t+v) < ~30, so
+    # floor(nll·10) is a ≤ ~300-bucket coarse key that is MONOTONE in the
+    # sort order: per-bucket row_number (partitioned window) + cumulative
+    # offsets over the tiny bucket summary + NTILE's closed-form group
+    # sizes (first n%3 tiles hold n DIV 3 + 1 rows) reproduce the global
+    # tercile exactly, in pure BIGINT arithmetic.
+    return base + """,
+pb AS (
+  SELECT doc_id, n_tokens, nll,
+    CAST(floor(nll * 10e0) AS BIGINT) AS pb
+  FROM doc
+),
+bc AS (SELECT pb, count(*) AS c FROM pb GROUP BY pb),
+off AS (
+  SELECT pb, c,
+    sum(c) OVER (ORDER BY pb ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      AS off0,
+    sum(c) OVER () AS n
+  FROM bc
+),
+rk AS (
+  SELECT p.doc_id, p.n_tokens, p.nll,
+    o.off0 + row_number() OVER (
+      PARTITION BY p.pb ORDER BY p.nll, p.doc_id
+    ) AS r,
+    o.n
+  FROM pb p JOIN off o ON p.pb = o.pb
+)
+SELECT doc_id, n_tokens, nll,
+  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+    AS ppl_bucket
+FROM (
+  SELECT doc_id, n_tokens, nll,
+    CASE WHEN r <= m * d1 THEN (r - 1) DIV d1 + 1
+         ELSE m + (r - m * d1 - 1) DIV (d1 - 1) + 1 END AS nt
+  FROM (
+    SELECT doc_id, n_tokens, nll, r, n % 3 AS m, n DIV 3 + 1 AS d1 FROM rk
+  ) t
+) ranked
+ORDER BY doc_id
+"""
 
 
 @register(
@@ -827,8 +876,10 @@ ORDER BY doc_id
     oracle=_perplexity_sql("duckdb"),
     doc="CCNet-style LM quality scoring (public method, arXiv:1911.00359): "
     "per-doc mean NLL under a corpus-estimated add-1 unigram model, "
-    "head/middle/tail perplexity terciles (ntile over the q6-quantized "
-    "score, doc_id tie-break → deterministic cross-engine) (NS).",
+    "head/middle/tail perplexity terciles via the hierarchical blocked-"
+    "ntile decomposition (no corpus-sized global sort; value-proven "
+    "against the oracle's real ntile(3), doc_id tie-break → deterministic "
+    "cross-engine) (NS).",
     tags=("ns", "text", "quality"),
 )
 def ns_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,9 +892,11 @@ def ns_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranked into quality terciles (reusing ns_text_quality's score text), each
 # tier keeps a fixed fraction (100% / 50% / 10%) chosen by the same affine
 # doc_id hash as ns_split_train_val — deterministic, shard-independent,
-# engine-independent, and the keep decision needs no shuffle at all (the
-# tier assignment is the only windowed step; at scale it becomes a quantile
-# cut against precomputed score quantiles instead of a global ntile).
+# engine-independent, and the keep decision needs no shuffle at all. The
+# tier assignment is the only windowed step; r6 replaced its global
+# ntile(3) with the hierarchical blocked decomposition (per-quality-bucket
+# ranks + cumulative offsets + NTILE closed form), so no corpus-sized
+# single-partition sort remains.
 # ---------------------------------------------------------------------------
 
 _TIER_PCT = {1: 100, 2: 50, 3: 10}
@@ -857,13 +910,55 @@ def _importance_sql(dialect: str) -> str:
         f"ELSE {_TIER_PCT[3]} END"
     )
     bucket = "((doc_id * 2654435761 + 40503) % 2147483647) % 100"
-    return f"""
-WITH q AS (SELECT doc_id, quality FROM ({_quality_sql(dialect)}) qq),
+    head = f"WITH q AS (SELECT doc_id, quality FROM ({_quality_sql(dialect)}) qq)"
+    if dialect == "duckdb":
+        # Oracle keeps REAL ntile(3); the Spark decomposition is
+        # value-proven against it.
+        tiers = """,
 tiers AS (
   SELECT doc_id, quality,
     ntile(3) OVER (ORDER BY quality DESC, doc_id) AS tier
   FROM q
-)
+)"""
+    else:
+        # Spark: hierarchical ntile(3) (win_ntile_blocked's decomposition
+        # — VERDICT r5 item 3). quality is q6-quantized in [0,1], so
+        # floor(q·100) is a ≤ 101-bucket coarse key monotone in the DESC
+        # sort order;
+        # per-bucket ranks + cumulative offsets over the bucket summary +
+        # the NTILE closed form replace the corpus-sized global sort.
+        tiers = """,
+pb AS (
+  SELECT doc_id, quality,
+    CAST(floor(quality * 100e0) AS BIGINT) AS pb
+  FROM q
+),
+bc AS (SELECT pb, count(*) AS c FROM pb GROUP BY pb),
+off AS (
+  SELECT pb, c,
+    sum(c) OVER (ORDER BY pb DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      AS off0,
+    sum(c) OVER () AS n
+  FROM bc
+),
+rk AS (
+  SELECT p.doc_id, p.quality,
+    o.off0 + row_number() OVER (
+      PARTITION BY p.pb ORDER BY p.quality DESC, p.doc_id
+    ) AS r,
+    o.n
+  FROM pb p JOIN off o ON p.pb = o.pb
+),
+tiers AS (
+  SELECT doc_id, quality,
+    CAST(CASE WHEN r <= m * d1 THEN (r - 1) DIV d1 + 1
+              ELSE m + (r - m * d1 - 1) DIV (d1 - 1) + 1 END AS INT)
+      AS tier
+  FROM (SELECT doc_id, quality, r, n % 3 AS m, n DIV 3 + 1 AS d1 FROM rk) t
+)"""
+    return f"""
+{head}{tiers}
 SELECT doc_id, tier, {rate} AS keep_pct,
   ({bucket} < {rate}) AS keep
 FROM tiers
