@@ -303,6 +303,74 @@ def test_substring_rep_collapse_survives_df_cap_under_duplication(spark):
     assert sum(1 for (a, b) in pairs if a // 100 == b // 100 == 0) == 45
 
 
+def test_degenerate_dup_groups_emit_no_pairs_without_signature(spark):
+    """ADVICE r5 rep-collapse caveat, closed in r6: byte-identical docs
+    whose text yields NO shingles (< 3 tokens, or NULL) produced no
+    signature/fingerprint vector-level, so the rep-collapse within-group
+    emission must not pair them either. Groups WITH shingles still pair
+    fully (est 1.0 / hamming 0 / jaccard 1.0). Pinned in BOTH engines
+    (oracle parity on the same fixture)."""
+    import itertools
+    import os
+
+    import duckdb
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_degendup",
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        os.makedirs(out, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, n_chars BIGINT)"
+        )
+        rows = []
+        # group A: 10 byte-identical 1-token docs (no shingles possible)
+        rows += [(i, "solo") for i in range(10)]
+        # group B: 5 byte-identical 2-token docs (still < 3 tokens)
+        rows += [(100 + i, "two tokens") for i in range(5)]
+        # group C: 4 NULL-text docs (grouped together by the rep map)
+        rows += [(200 + i, None) for i in range(4)]
+        # group D: 5 byte-identical NORMAL docs — must pair fully
+        normal = " ".join(f"w{i}" for i in range(8))
+        rows += [(300 + i, normal) for i in range(5)]
+        for doc_id, text in rows:
+            con.execute(
+                "INSERT INTO d VALUES (?, ?, 'en', 'src', ?)",
+                [doc_id, text, len(text) if text else 0],
+            )
+        con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+        from week3_2_practice_big_data__spark.io import TABLES
+
+        for t in TABLES:
+            if t == "documents":
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') "
+                f"LIMIT 20) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        with open(stamp, "w") as f:
+            f.write("v1")
+
+    from .oracle import compare, duck_run
+
+    d_pairs = set(itertools.combinations(range(300, 305), 2))
+    for key, pair_cols in (
+        ("ns_dedup_minhash", ("ai", "bi")),
+        ("ns_dedup_simhash", ("ai", "bi")),
+        ("ns_dedup_ngram_jaccard", ("ai", "bi")),
+    ):
+        q = REGISTRY[key]
+        sdf = q.builder(spark, out)
+        compare(sdf, duck_run(q.oracle, out), f"{key}:degendup")
+        got = {(r[pair_cols[0]], r[pair_cols[1]]) for r in sdf.collect()}
+        assert got == d_pairs, (key, sorted(got - d_pairs)[:5])
+
+
 def test_jaccard_rep_collapse_survives_df_cap_under_duplication(spark):
     """Same recall bug class as substring (r5): a shingle genuinely
     shared by 6 distinct texts crossed the df ≤ 50 cap once each text

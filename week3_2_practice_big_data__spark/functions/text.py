@@ -367,15 +367,14 @@ def _minhash_sql(
     verify run on representatives only; confirmed rep pairs expand back to
     member pairs (output-bound), and within-group member pairs are emitted
     directly with est = 1.0 — what the vector-level plan produced for them
-    whenever the text yields shingles (identical text → all 16 components
-    agree). The banding here is FIXED (4×4), so unlike the scale-derived-b
-    embedding plan the emitted pair set is IDENTICAL to the vector-level
-    plan's EXCEPT for exact-dup groups with no signature: byte-identical
-    docs of < 3 tokens (no shingles → never banded vector-level) and
-    NULL-text docs (grouped together by PARTITION BY text) now DO pair
-    within their group at est = 1.0 — a deliberate recall gain for
-    degenerate texts, not an equivalence. Cross-engine parity is
-    unaffected (the oracle shares this text)."""
+    (identical text → all 16 components agree). The banding here is FIXED
+    (4×4), and the within-group emission is gated on the rep having
+    produced a signature (r6, closing ADVICE r5's caveat): exact-dup
+    groups of < 3-token or NULL texts yield no shingles, hence no
+    signature vector-level, hence no pairs here either — the emitted pair
+    set is now IDENTICAL to the vector-level plan's, pinned by the
+    degenerate-dup fixture test. Cross-engine parity is unaffected (the
+    oracle shares this text)."""
     band = MINHASH_BAND
     sig = sig_ref or _minhash_sig_sql(dialect, _REP_WHERE)
     return f"""
@@ -410,6 +409,7 @@ expanded AS (
   UNION ALL
   SELECT a.doc_id AS ai, b.doc_id AS bi, 1e0 AS est
   FROM g a JOIN g b ON a.rep = b.rep AND a.doc_id < b.doc_id
+  JOIN (SELECT DISTINCT doc_id FROM sig) sd ON sd.doc_id = a.rep
 )
 SELECT ai, bi, {synth.q6("est")} AS est_jaccard
 FROM expanded
@@ -504,15 +504,14 @@ def _simhash_pairs_sql(
     dup-group pathology the MinHash/embedding plans had). Confirmed rep
     pairs expand back to member pairs (output-bound); within-group member
     pairs emit hamming 0 directly — what the vector-level plan produced
-    for them whenever the text yields shingles (identical text →
-    identical fingerprint). Fixed banding, so the emitted pair set is
-    IDENTICAL to the vector-level plan's EXCEPT for exact-dup groups with
-    no fingerprint: byte-identical docs of < 3 tokens and NULL-text docs
-    (grouped by PARTITION BY text) now DO pair within their group at
-    hamming 0 — a deliberate recall gain for degenerate texts (same
-    caveat as the MinHash plan). Shared text both engines; only the fp
-    binding differs (Spark persists fp once, DuckDB materializes the
-    CTE)."""
+    for them (identical text → identical fingerprint). Fixed banding, and
+    the within-group emission is gated on the rep having a fingerprint
+    (r6, closing ADVICE r5's caveat): exact-dup groups of < 3-token or
+    NULL texts yield no shingles, hence no fingerprint vector-level,
+    hence no pairs here either — the emitted pair set is IDENTICAL to
+    the vector-level plan's, pinned by the degenerate-dup fixture test.
+    Shared text both engines; only the fp binding differs (Spark
+    persists fp once, DuckDB materializes the CTE)."""
     byte = "(CAST(floor(simhash / pow(256e0, CAST(band AS DOUBLE))) AS BIGINT) % 256)"
     ham = f"bit_count({_xor(dialect, 'fa.simhash', 'fb.simhash')})"
     return f"""
@@ -543,6 +542,7 @@ expanded AS (
   UNION ALL
   SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(0 AS BIGINT) AS hamming
   FROM g a JOIN g b ON a.rep = b.rep AND a.doc_id < b.doc_id
+  JOIN fp ON fp.doc_id = a.rep
 )
 SELECT ai, bi, hamming FROM expanded
 ORDER BY hamming, ai, bi
