@@ -192,6 +192,14 @@ _CHANGED_THIS_ROUND = [
     # scalar-only output boundary (f0..f7 + sha256 digest) — fixes the
     # r5 red row (driver harness can't hash array<double>)
     "ns_mm_feature_stub",
+    # rep-collapse for pixel dedup (sha256 rep before decode/hash) +
+    # the pipeline-extraction refactor for the mm scale ladder
+    "ns_mm_image_phash",
+    "ns_mm_decode_meta",
+    "ns_mm_resize",
+    "ns_mm_frame_sample",
+    "ns_mm_scene_cut",
+    "ns_mm_audio_window",
 ]
 
 # Round-5 changed list, kept for the record (all 20 were either

@@ -75,55 +75,59 @@ HEADLINE = [
 ]
 
 
-# Standing per-query baseline: round-4 medians (BENCH_r04.json, sf0.1,
-# local[32]). Each round's output includes vs_prev ratios and flags any
-# query that regressed >2× its standing median (VERDICT r1 §Next-round 10).
-#
-# The driver's BENCH_r04 artifact keeps only a 2000-char output tail, so
-# the first seven keys' r04 medians were lost; they are reconstructed as
-# (surviving r04 vs_prev ratio × r03 standing median) — consistent by
-# construction, ±0.005 ratio rounding. From r5 on, bench.py also writes
-# the COMPLETE output to BENCH_full_{round}.json in-repo, so no future
-# baseline depends on the driver's capture buffer.
-PREV_ROUND = "r04"
+# Standing per-query baseline: the round-6 QUIET-BOX rerun
+# (BENCH_full_r06quiet.json, sf0.1, local[32], 5 interleaved passes) —
+# VERDICT r5 item 7: r5's recorded bench drifted a uniform ~1.16× on a
+# noisy shared VM (the quiet rerun landed back at 0.86–1.15× of r04
+# across the board, confirming noise, and the suspected
+# gen_poster_caption creep vanished: 0.383 s vs its 0.300 s r04
+# median), so the baseline is rolled from a run whose median/min spread
+# is <15% on 33/39 keys rather than from the noisy in-round artifact.
+# EVERY entry below is a measured median from that run — the r04
+# era's seven reconstructed values are fully retired (ADVICE r5 item 4;
+# `baseline_src` in the output records the provenance).
+PREV_ROUND = "r06q"
+BASELINE_SRC = "BENCH_full_r06quiet.json (measured, quiet-box rerun before r6 changes)"
 PREV_MEDIANS = {
-    # reconstructed (ratio × r03 standing median; see note above)
-    "agg_groupby_multi": 0.9685,
-    "join_inner_equi": 0.7548,
-    "join_range_theta": 0.4315,
-    "sort_orderby": 0.5841,
-    "win_conv1d_frame": 0.8147,
-    "filt_point_in_polygon": 1.4128,
-    "filt_pip_scanline": 1.0557,
-    # exact r04 medians (surviving artifact tail)
-    "win_conv2d_separable": 1.5585,
-    "sort_composite_order": 1.7803,
-    "gen_poster_full": 2.4288,
-    "gen_poster_shadow": 1.6571,
-    "proj_resample_bilinear": 0.3503,
-    "gen_poster_caption": 0.3004,
-    "gen_poster_aspect": 1.6393,
-    "join_bucketed_colocated": 0.5717,
-    "join_q3_shipping_priority": 0.705,
-    "join_q5_region_volume": 1.0446,
-    "join_q7_volume_shipping": 0.7734,
-    "ns_ann_knn_join": 0.8653,
-    "qry_recursive_cte": 1.2686,
-    "ns_dedup_exact": 0.2682,
-    "ns_dedup_minhash": 0.6484,
-    "ns_dedup_ngram_jaccard": 1.4773,
-    "ns_dedup_simhash": 0.8418,
-    "ns_dedup_embed_cosine": 1.7944,
-    "ns_dedup_cluster": 1.1575,
-    "ns_sim_topk": 0.2782,
-    "ns_sim_ann_lsh": 0.2327,
-    "ns_text_tfidf": 0.6813,
-    "ns_semdedup": 2.5411,
-    "ns_text_perplexity": 0.5438,
-    "ns_dedup_substring": 2.4927,
-    "iter_pagerank_tokens": 1.6124,
-    "stream_tumbling_agg": 0.4121,
-    "stream_session_window": 0.7356,
+    "agg_groupby_multi": 1.0081,
+    "filt_pip_scanline": 1.0418,
+    "filt_point_in_polygon": 1.4628,
+    "gen_poster_aspect": 1.9201,
+    "gen_poster_caption": 0.3827,
+    "gen_poster_full": 2.833,
+    "gen_poster_shadow": 2.056,
+    "iter_pagerank_tokens": 2.0809,
+    "join_bucketed_colocated": 0.6983,
+    "join_inner_equi": 0.7653,
+    "join_q3_shipping_priority": 0.7549,
+    "join_q5_region_volume": 1.249,
+    "join_q7_volume_shipping": 0.8344,
+    "join_range_theta": 0.4246,
+    "ns_ann_knn_join": 0.9404,
+    "ns_dedup_cluster": 1.3989,
+    "ns_dedup_embed_cosine": 2.216,
+    "ns_dedup_exact": 0.3203,
+    "ns_dedup_minhash": 0.7777,
+    "ns_dedup_ngram_jaccard": 1.8289,
+    "ns_dedup_simhash": 1.0659,
+    "ns_dedup_substring": 0.8226,
+    "ns_semdedup": 3.0958,
+    "ns_sim_ann_lsh": 0.2865,
+    "ns_sim_topk": 0.3343,
+    "ns_text_perplexity": 1.031,
+    "ns_text_tfidf": 0.9222,
+    "proj_resample_bilinear": 0.4787,
+    "qry_recursive_cte": 1.5239,
+    "sort_composite_order": 2.0245,
+    "sort_orderby": 0.6304,
+    "stream_custom_state": 6.336,
+    "stream_session_window": 0.8378,
+    "stream_tumbling_agg": 0.5013,
+    "stream_watermark_late": 6.3863,
+    "win_conv1d_frame": 0.9153,
+    "win_conv2d_separable": 1.8064,
+    "win_islands_blocked": 0.3397,
+    "win_ntile_blocked": 0.9659,
 }
 
 
@@ -138,6 +142,10 @@ GROWTH_NOTES = {
     "over exact-dup representatives + member expansion): ~1.25x at sf0.1 "
     "buys the df-cap recall fix under duplication and drops the 10x-dup "
     "wall from 2.3x to ~1.1x",
+    "ns_text_perplexity": "r6 replaced the corpus-sized global ntile(3) "
+    "sort with the blocked hierarchical decomposition (VERDICT r5 item "
+    "3): ~1.4x at sf0.1 from extra exchange stages at tiny scale, vs "
+    "9.8x instead of 89x at 100x — the scale path is the point",
 }
 
 
@@ -194,6 +202,7 @@ def main() -> None:
         "queries_min": per_query_min,
         "sf": sf,
         "prev_round": PREV_ROUND,
+        "baseline_src": BASELINE_SRC,
         "vs_prev": vs_prev,
         "regressions": regressions,
         "growth_notes": {

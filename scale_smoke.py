@@ -155,9 +155,83 @@ def run_once(spark, key: str, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def mm_ladder(spark) -> dict:
+    """Multimodal N× ladder (VERDICT r5 item 6): the mm keys render a
+    fixed 6-poster set internally, so sf scaling never exercises them.
+    Here the rendered posters are replicated FACTOR× (byte-identical
+    copies, fresh blob_ids — the duplicate-heavy media-corpus shape) and
+    each mapInPandas pipeline is timed on base vs replicated input. The
+    render itself is checkpointed out of the timing. Audio scales its
+    track count instead (no poster input)."""
+    from week3_2_practice_big_data__spark.functions import multimodal as mm
+    from week3_2_practice_big_data__spark.functions.multimodal import _AUDIO_TRACKS
+    from week3_2_practice_big_data__spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    posters = mm._posters(spark, BASE_SF).localCheckpoint(eager=True)
+    rep = spark.range(FACTOR).withColumnRenamed("id", "replica")
+    scaled_posters = (
+        posters.crossJoin(rep)
+        .withColumn("blob_id", F.col("blob_id") + F.col("replica") * 1000)
+        .drop("replica")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    pipes = {
+        "mm_decode_meta": mm.decode_meta_pipeline,
+        "mm_feature": mm.feature_pipeline,
+        "mm_resize": mm.resize_pipeline,
+        "mm_frame_sample": mm.frame_sample_pipeline,
+        "mm_scene_cut": mm.scene_cut_pipeline,
+        "mm_image_phash": lambda p: mm.phash_pipeline(spark, p),
+        "mm_audio_window": None,  # track-count scaling, handled below
+    }
+
+    def timed(build) -> float:
+        build().write.format("noop").mode("overwrite").save()  # warm
+        return statistics.median(
+            _noop_time(build) for _ in range(RUNS)
+        )
+
+    def _noop_time(build) -> float:
+        start = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    report = {}
+    for name, pipe in pipes.items():
+        if name == "mm_audio_window":
+            base = timed(lambda: mm.audio_pipeline(spark, _AUDIO_TRACKS))
+            big = timed(lambda: mm.audio_pipeline(spark, _AUDIO_TRACKS * FACTOR))
+        else:
+            base = timed(lambda: pipe(posters))
+            big = timed(lambda: pipe(scaled_posters))
+        report[name] = {
+            "base_s": round(base, 3),
+            f"x{FACTOR}_s": round(big, 3),
+            "ratio": round(big / base, 2),
+        }
+    return report
+
+
 def main() -> None:
     spark = get_spark("w32bd-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    # MM-only mode: SPARK_GRAFT_SCALE_MM=1 runs the poster-replication
+    # ladder instead of the sf-table ladder.
+    if os.environ.get("SPARK_GRAFT_SCALE_MM"):
+        report = mm_ladder(spark)
+        print(
+            json.dumps(
+                {
+                    "metric": f"mm_scale{FACTOR}_ratio",
+                    "factor": FACTOR,
+                    "queries": report,
+                    "max_ratio": max(r["ratio"] for r in report.values()),
+                }
+            )
+        )
+        return
     scaled = build_scaled(spark)
     # Optional subset (comma-separated keys): the 100× ladder runs in
     # chunks to fit session timeouts.

@@ -217,6 +217,48 @@ def test_image_phash_detects_visual_near_dups(spark):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
+def test_image_phash_rep_collapse_expands_duplicates(spark):
+    """r6 rep-collapse for pixel dedup: byte-identical replicas collapse
+    to one fingerprint; within-group pairs emit hamming 0, cross-group
+    pairs carry the rep-level hamming to every member combination."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark.functions.multimodal import (
+        _posters,
+        phash_pipeline,
+    )
+
+    posters = _posters(spark, SF_SMALL).localCheckpoint(eager=True)
+    base = {
+        (r["ba"], r["bb"]): r["hamming"]
+        for r in phash_pipeline(spark, posters).collect()
+    }
+    blob_ids = [r["blob_id"] for r in posters.select("blob_id").collect()]
+    k = 3
+    rep = spark.range(k).withColumnRenamed("id", "replica")
+    dup = (
+        posters.crossJoin(rep)
+        .withColumn("blob_id", F.col("blob_id") + F.col("replica") * 1000)
+        .drop("replica")
+    )
+    got = {
+        (r["ba"], r["bb"]): r["hamming"]
+        for r in phash_pipeline(spark, dup).collect()
+    }
+    expected = {}
+    for b in blob_ids:  # within-group byte-identical pairs
+        for i, j in itertools.combinations(sorted(b + r * 1000 for r in range(k)), 2):
+            expected[(i, j)] = 0
+    for (a, b), h in base.items():  # cross-group expansion carries hamming
+        for ra in range(k):
+            for rb in range(k):
+                i, j = sorted((a + ra * 1000, b + rb * 1000))
+                expected[(i, j)] = h
+    assert got == expected
+
+
 def test_scene_cut_profile_matches_brightness_ramp(spark):
     """The synthetic container is a uniform brightness ramp: every
     consecutive-frame delta is positive, the profile is near-constant per

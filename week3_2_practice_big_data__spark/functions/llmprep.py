@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import synth
-from ..common import ordered_string_agg
+from ..common import checkpointed, ordered_string_agg, session_key
 from ..io import load_table
 from ..registry import register
 from .text import _REP_WHERE, char_polyhash, tokens_sql
@@ -795,9 +795,15 @@ def ns_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _perplexity_sql(dialect: str) -> str:
-    base = f"""
-WITH tok AS ({tokens_sql(dialect)}),
+def _perplexity_doc_sql(dialect: str, tok_ref: str | None = None) -> str:
+    """The (doc_id, n_tokens, nll) per-document score relation — factored
+    out (r6) so the Spark builder can MATERIALIZE it once: the blocked-
+    ntile tail references it from both the bucket-count and the rank CTE,
+    and Catalyst's CTE inlining would re-run the whole tokenize+join per
+    reference (the r5 audit's re-scan pathology)."""
+    tok = tok_ref or tokens_sql(dialect)
+    return f"""
+WITH tok AS ({tok}),
 uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
 tot AS (
   SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM uni
@@ -805,11 +811,15 @@ tot AS (
 lp AS (
   SELECT tk.doc_id, ln((u.c + 1e0) / (tot.t + tot.v + 0e0)) AS lp
   FROM tok tk JOIN uni u ON tk.token = u.token CROSS JOIN tot
-),
-doc AS (
-  SELECT doc_id, count(*) AS n_tokens, {synth.q6("-avg(lp)")} AS nll
-  FROM lp GROUP BY doc_id
-)"""
+)
+SELECT doc_id, count(*) AS n_tokens, {synth.q6("-avg(lp)")} AS nll
+FROM lp GROUP BY doc_id
+"""
+
+
+def _perplexity_sql(dialect: str, doc_ref: str | None = None) -> str:
+    base = f"""
+WITH doc AS ({doc_ref or _perplexity_doc_sql(dialect)})"""
     if dialect == "duckdb":
         # Oracle keeps REAL ntile(3): the Spark decomposition below is
         # value-proven against it, tie-break and all.
@@ -871,6 +881,9 @@ ORDER BY doc_id
 """
 
 
+_PPL_DOC_CACHE: dict[tuple, DataFrame] = {}
+
+
 @register(
     "ns_text_perplexity",
     oracle=_perplexity_sql("duckdb"),
@@ -883,8 +896,24 @@ ORDER BY doc_id
     tags=("ns", "text", "quality"),
 )
 def ns_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed, session_key
+    from .text import cached_tokens_ref
+
     _view(spark, sf_dir, "documents")
-    return spark.sql(_perplexity_sql("spark"))
+    # Materialize the per-doc score relation once (and tokenize via the
+    # session-shared token stream): the blocked-ntile tail consumes it
+    # twice, and CTE inlining would re-run the unigram join per reference.
+    doc = checkpointed(
+        _PPL_DOC_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(
+            _perplexity_doc_sql("spark", cached_tokens_ref(spark, sf_dir))
+        ).coalesce(8),
+    )
+    doc.createOrReplaceTempView("ppl_doc")
+    return spark.sql(
+        _perplexity_sql("spark", "SELECT doc_id, n_tokens, nll FROM ppl_doc")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -902,7 +931,7 @@ def ns_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TIER_PCT = {1: 100, 2: 50, 3: 10}
 
 
-def _importance_sql(dialect: str) -> str:
+def _importance_sql(dialect: str, q_ref: str | None = None) -> str:
     from .text import _quality_sql
 
     rate = (
@@ -910,7 +939,8 @@ def _importance_sql(dialect: str) -> str:
         f"ELSE {_TIER_PCT[3]} END"
     )
     bucket = "((doc_id * 2654435761 + 40503) % 2147483647) % 100"
-    head = f"WITH q AS (SELECT doc_id, quality FROM ({_quality_sql(dialect)}) qq)"
+    q_body = q_ref or f"SELECT doc_id, quality FROM ({_quality_sql(dialect)}) qq"
+    head = f"WITH q AS ({q_body})"
     if dialect == "duckdb":
         # Oracle keeps REAL ntile(3); the Spark decomposition is
         # value-proven against it.
@@ -966,18 +996,37 @@ ORDER BY doc_id
 """
 
 
+_IMP_Q_CACHE: dict[tuple, DataFrame] = {}
+
+
 @register(
     "ns_sample_importance",
     oracle=_importance_sql("duckdb"),
-    doc="Quality-weighted importance subsampling: quality terciles keep "
-    "100/50/10 percent via the deterministic affine doc_id hash (same as "
-    "ns_split_train_val) — reproducible across engines and shards, no "
-    "random() anywhere (NS).",
+    doc="Quality-weighted importance subsampling: quality terciles (via the "
+    "hierarchical blocked-ntile decomposition, r6 — no corpus-sized global "
+    "sort) keep 100/50/10 percent via the deterministic affine doc_id hash "
+    "(same as ns_split_train_val) — reproducible across engines and "
+    "shards, no random() anywhere (NS).",
     tags=("ns", "text", "sampling"),
 )
 def ns_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _quality_sql
+
     _view(spark, sf_dir, "documents")
-    return spark.sql(_importance_sql("spark"))
+    # Materialize the quality scores once: the blocked-ntile tail reads q
+    # from both the bucket-count and the rank CTE, and inlining would
+    # re-run the regex scoring scan per reference.
+    q = checkpointed(
+        _IMP_Q_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(
+            f"SELECT doc_id, quality FROM ({_quality_sql('spark')}) qq"
+        ).coalesce(8),
+    )
+    q.createOrReplaceTempView("imp_q")
+    return spark.sql(
+        _importance_sql("spark", "SELECT doc_id, quality FROM imp_q")
+    )
 
 
 # ---------------------------------------------------------------------------

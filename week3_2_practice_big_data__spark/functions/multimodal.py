@@ -47,16 +47,10 @@ def ns_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("blob_id")
 
 
-@register(
-    "ns_mm_decode_meta",
-    oracle=None,  # parses binary — rows-only; pytest asserts consistency
-    doc="Metadata decode from the binary column: IHDR width/height parsed "
-    "from PNG bytes by an Arrow-batched pandas UDF, cross-checked against "
-    "the stored metadata columns (NS).",
-    tags=("ns", "multimodal", "udf"),
-)
-def ns_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_package_on_workers(spark)
+def decode_meta_pipeline(posters: DataFrame) -> DataFrame:
+    """The ns_mm_decode_meta transform over any posters-shaped relation —
+    factored out (r6) so scale_smoke's replication ladder times the same
+    Arrow-batched UDF path the registered key runs."""
 
     @F.pandas_udf("w int, h int")
     def parsed_dims(png: pd.Series) -> pd.DataFrame:
@@ -65,7 +59,6 @@ def ns_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims = png.map(lambda b: png_dimensions(bytes(b)))
         return pd.DataFrame({"w": dims.map(lambda d: d[0]), "h": dims.map(lambda d: d[1])})
 
-    posters = _posters(spark, sf_dir)
     return (
         posters.withColumn("parsed", parsed_dims("png"))  # one parse per PNG
         .select(
@@ -81,6 +74,19 @@ def ns_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blob_id")
     )
+
+
+@register(
+    "ns_mm_decode_meta",
+    oracle=None,  # parses binary — rows-only; pytest asserts consistency
+    doc="Metadata decode from the binary column: IHDR width/height parsed "
+    "from PNG bytes by an Arrow-batched pandas UDF, cross-checked against "
+    "the stored metadata columns (NS).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return decode_meta_pipeline(_posters(spark, sf_dir))
 
 
 def _stub_feature(png: bytes, n: int = 8) -> list[float]:
@@ -112,21 +118,8 @@ def real_decode(png: bytes):
 _FEAT_DIM = 8
 
 
-@register(
-    "ns_mm_feature_stub",
-    oracle=None,  # stubbed decode — rows-only
-    doc="Feature extraction over binary media via mapInPandas: Arrow batches "
-    "of (id, bytes) → fixed-dim float vectors. Decode step is a documented "
-    "deterministic stub (no image libs in container); batch shape, schema "
-    "and partitioning are the real 100 TB plumbing (NS). The vector stays an "
-    "array<double> through the Arrow boundary; the registered OUTPUT projects "
-    "it to fixed scalar columns f0..f7 + a sha256 digest so every emitted "
-    "column is driver-hashable (r5 red row: pandas cannot factorize lists).",
-    tags=("ns", "multimodal", "udf"),
-)
-def ns_mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_package_on_workers(spark)
-    posters = _posters(spark, sf_dir)
+def feature_pipeline(posters: DataFrame) -> DataFrame:
+    """The ns_mm_feature_stub transform over any posters-shaped relation."""
 
     def extract(batches):
         for pdf in batches:
@@ -158,6 +151,23 @@ def ns_mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ns_mm_feature_stub",
+    oracle=None,  # stubbed decode — rows-only
+    doc="Feature extraction over binary media via mapInPandas: Arrow batches "
+    "of (id, bytes) → fixed-dim float vectors. Decode step is a documented "
+    "deterministic stub (no image libs in container); batch shape, schema "
+    "and partitioning are the real 100 TB plumbing (NS). The vector stays an "
+    "array<double> through the Arrow boundary; the registered OUTPUT projects "
+    "it to fixed scalar columns f0..f7 + a sha256 digest so every emitted "
+    "column is driver-hashable (r5 red row: pandas cannot factorize lists).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return feature_pipeline(_posters(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # ns_mm_resize — REAL image resize over the binary column: decode (pure-
 # stdlib PNG subset decoder, plans/png.py) → nearest-neighbor downscale to
@@ -169,17 +179,8 @@ def ns_mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _THUMB = 32
 
 
-@register(
-    "ns_mm_resize",
-    oracle=None,  # binary output → rows-only; pytest checks decoded dims
-    doc="Image resize over BinaryType media: real pixel decode (pure-stdlib "
-    "PNG subset), NumPy nearest-neighbor downscale to 32×32, re-encode — "
-    "mapInPandas, Arrow batches, bytes never leave the executor (NS).",
-    tags=("ns", "multimodal", "udf"),
-)
-def ns_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_package_on_workers(spark)
-    posters = _posters(spark, sf_dir)
+def resize_pipeline(posters: DataFrame) -> DataFrame:
+    """The ns_mm_resize transform over any posters-shaped relation."""
 
     def resize(batches):
         import numpy as np
@@ -207,6 +208,19 @@ def ns_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(resize, "blob_id bigint, src_w int, src_h int, thumb binary")
         .orderBy("blob_id")
     )
+
+
+@register(
+    "ns_mm_resize",
+    oracle=None,  # binary output → rows-only; pytest checks decoded dims
+    doc="Image resize over BinaryType media: real pixel decode (pure-stdlib "
+    "PNG subset), NumPy nearest-neighbor downscale to 32×32, re-encode — "
+    "mapInPandas, Arrow batches, bytes never leave the executor (NS).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return resize_pipeline(_posters(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -243,18 +257,8 @@ def _pack_video(png: bytes) -> bytes:
     return b"".join(frames)
 
 
-@register(
-    "ns_mm_frame_sample",
-    oracle=None,  # binary frames → rows-only; pytest checks count/dims
-    doc="Video frame sampling: per-blob 6-frame container (length-prefixed "
-    "real-pixel PNG frames) parsed in mapInPandas, every 2nd frame emitted "
-    "as its own row with (frame_idx, width, height, frame) — the container-"
-    "decode → frame-select plumbing for video columns at scale (NS).",
-    tags=("ns", "multimodal", "udf"),
-)
-def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_package_on_workers(spark)
-    posters = _posters(spark, sf_dir)
+def frame_sample_pipeline(posters: DataFrame) -> DataFrame:
+    """The ns_mm_frame_sample transform over any posters-shaped relation."""
 
     def sample(batches):
         import struct
@@ -290,6 +294,20 @@ def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ns_mm_frame_sample",
+    oracle=None,  # binary frames → rows-only; pytest checks count/dims
+    doc="Video frame sampling: per-blob 6-frame container (length-prefixed "
+    "real-pixel PNG frames) parsed in mapInPandas, every 2nd frame emitted "
+    "as its own row with (frame_idx, width, height, frame) — the container-"
+    "decode → frame-select plumbing for video columns at scale (NS).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return frame_sample_pipeline(_posters(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # ns_mm_audio_window — audio columns: waveforms live as opaque PCM BINARY
 # next to typed metadata; DSP runs windowed over decoded samples inside
@@ -318,20 +336,10 @@ def synth_pcm(track_id: int) -> bytes:
     return out.tobytes()
 
 
-@register(
-    "ns_mm_audio_window",
-    oracle=None,  # binary waveform path → rows-only; pytest pins RMS values
-    doc="Audio-column windowing: per-track int16 PCM BINARY column, framed "
-    "into 1024-sample windows inside mapInPandas, per-frame RMS energy "
-    "emitted as rows — the decode→window→reduce plumbing for audio at "
-    "scale; synthesis is deterministic LCG noise (no codecs in the "
-    "container), the Spark path is real (NS).",
-    tags=("ns", "multimodal", "udf"),
-)
-def ns_mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    del sf_dir  # waveform is engine-synthesized; no table input
-    ensure_package_on_workers(spark)
-    tracks = spark.range(_AUDIO_TRACKS).withColumnRenamed("id", "track_id")
+def audio_pipeline(spark: SparkSession, n_tracks: int = _AUDIO_TRACKS) -> DataFrame:
+    """The ns_mm_audio_window transform, track count parameterized so the
+    scale ladder can run it at N× tracks."""
+    tracks = spark.range(n_tracks).withColumnRenamed("id", "track_id")
 
     def gen(batches):
         from . import multimodal as mm
@@ -364,6 +372,22 @@ def ns_mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(frame_rms, "track_id bigint, frame_idx int, n_samples int, rms double")
         .orderBy("track_id", "frame_idx")
     )
+
+
+@register(
+    "ns_mm_audio_window",
+    oracle=None,  # binary waveform path → rows-only; pytest pins RMS values
+    doc="Audio-column windowing: per-track int16 PCM BINARY column, framed "
+    "into 1024-sample windows inside mapInPandas, per-frame RMS energy "
+    "emitted as rows — the decode→window→reduce plumbing for audio at "
+    "scale; synthesis is deterministic LCG noise (no codecs in the "
+    "container), the Spark path is real (NS).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    del sf_dir  # waveform is engine-synthesized; no table input
+    ensure_package_on_workers(spark)
+    return audio_pipeline(spark)
 
 
 # ---------------------------------------------------------------------------
@@ -445,18 +469,18 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_HAMMING = 10
 
 
-@register(
-    "ns_mm_image_phash",
-    oracle=None,  # pixel pipeline → rows-only; pytest pins dup structure
-    doc="Perceptual average-hash (8×8 aHash) per rendered poster via "
-    "mapInPandas decode + block means; near-dup pairs at Hamming ≤ 10 "
-    "via popcount(xor) on the BIGINT fingerprints — image-content dedup "
-    "beside the text/embedding families (NS multimodal).",
-    tags=("ns", "multimodal", "dedup"),
-)
-def ns_mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_package_on_workers(spark)
-    posters = _posters(spark, sf_dir)
+def phash_pipeline(spark: SparkSession, posters: DataFrame) -> DataFrame:
+    """The ns_mm_image_phash transform over any posters-shaped relation.
+
+    REP-COLLAPSE (r6, the text-dedup lesson applied to pixels): byte-
+    identical images collapse to one representative (min blob_id per
+    sha256(png)) BEFORE decoding/hashing — a duplicate-heavy media corpus
+    otherwise decodes every copy and makes the pair join duplicate-factor-
+    quadratic. Fingerprints are computed for reps only; confirmed rep
+    pairs expand back to member pairs (output-bound) and within-group
+    byte-identical pairs emit hamming 0 directly (identical bytes →
+    identical fingerprint always exists — no signature gate needed,
+    unlike the <3-token text case)."""
 
     def phash(batches):
         import numpy as np
@@ -492,17 +516,65 @@ def ns_mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             yield pd.DataFrame(out)
 
-    hashed = posters.select("blob_id", "png").mapInPandas(
+    # Materialize once: the relation is consumed twice (rep map + rep
+    # bytes) and posters is typically an applyInPandas render plan that
+    # must not re-execute per reference.
+    keyed = posters.select(
+        "blob_id", "png", F.sha2(F.col("png"), 256).alias("digest")
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    g = keyed.select(
+        "blob_id",
+        F.min("blob_id").over(Window.partitionBy("digest")).alias("rep"),
+    ).localCheckpoint(eager=True)
+    rep_posters = keyed.join(
+        g.filter(F.col("blob_id") == F.col("rep")).select("blob_id"),
+        "blob_id",
+    )
+    hashed = rep_posters.select("blob_id", "png").mapInPandas(
         phash, "blob_id int, phash bigint"
     ).localCheckpoint(eager=True)
     hashed.createOrReplaceTempView("mm_phash")
+    g.createOrReplaceTempView("mm_phash_g")
     return spark.sql(f"""
-SELECT a.blob_id AS ba, b.blob_id AS bb,
-  bit_count(a.phash ^ b.phash) AS hamming
-FROM mm_phash a JOIN mm_phash b ON a.blob_id < b.blob_id
-WHERE bit_count(a.phash ^ b.phash) <= {_PHASH_HAMMING}
+WITH rep_pairs AS (
+  SELECT a.blob_id AS ba, b.blob_id AS bb,
+    bit_count(a.phash ^ b.phash) AS hamming
+  FROM mm_phash a JOIN mm_phash b ON a.blob_id < b.blob_id
+  WHERE bit_count(a.phash ^ b.phash) <= {_PHASH_HAMMING}
+),
+expanded AS (
+  SELECT least(ga.blob_id, gb.blob_id) AS ba,
+    greatest(ga.blob_id, gb.blob_id) AS bb, rp.hamming
+  FROM rep_pairs rp
+  JOIN mm_phash_g ga ON ga.rep = rp.ba
+  JOIN mm_phash_g gb ON gb.rep = rp.bb
+  UNION ALL
+  SELECT a.blob_id AS ba, b.blob_id AS bb, CAST(0 AS BIGINT) AS hamming
+  FROM mm_phash_g a JOIN mm_phash_g b
+    ON a.rep = b.rep AND a.blob_id < b.blob_id
+)
+SELECT CAST(ba AS INT) AS ba, CAST(bb AS INT) AS bb, hamming
+FROM expanded
 ORDER BY hamming, ba, bb
 """)
+
+
+@register(
+    "ns_mm_image_phash",
+    oracle=None,  # pixel pipeline → rows-only; pytest pins dup structure
+    doc="Perceptual average-hash (8×8 aHash) per rendered poster via "
+    "mapInPandas decode + block means over byte-identical-dup "
+    "REPRESENTATIVES (rep-collapse, r6); near-dup rep pairs at Hamming "
+    "≤ 10 via popcount(xor) on the BIGINT fingerprints, expanded back to "
+    "member pairs output-bound — image-content dedup beside the "
+    "text/embedding families (NS multimodal).",
+    tags=("ns", "multimodal", "dedup"),
+)
+def ns_mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return phash_pipeline(spark, _posters(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -518,18 +590,8 @@ ORDER BY hamming, ba, bb
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ns_mm_scene_cut",
-    oracle=None,  # pixel pipeline → rows-only; pytest pins diff structure
-    doc="Shot-boundary detection: per-blob video container decoded in "
-    "mapInPandas, mean-abs pixel delta between consecutive frames, cut "
-    "flag at clip-adaptive mean+2σ threshold — the video segmentation "
-    "step of a multimodal training pipeline (NS multimodal).",
-    tags=("ns", "multimodal", "udf"),
-)
-def ns_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_package_on_workers(spark)
-    posters = _posters(spark, sf_dir)
+def scene_cut_pipeline(posters: DataFrame) -> DataFrame:
+    """The ns_mm_scene_cut transform over any posters-shaped relation."""
 
     def cuts(batches):
         import struct
@@ -569,3 +631,17 @@ def ns_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blob_id", "frame_idx")
     )
+
+
+@register(
+    "ns_mm_scene_cut",
+    oracle=None,  # pixel pipeline → rows-only; pytest pins diff structure
+    doc="Shot-boundary detection: per-blob video container decoded in "
+    "mapInPandas, mean-abs pixel delta between consecutive frames, cut "
+    "flag at clip-adaptive mean+2σ threshold — the video segmentation "
+    "step of a multimodal training pipeline (NS multimodal).",
+    tags=("ns", "multimodal", "udf"),
+)
+def ns_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return scene_cut_pipeline(_posters(spark, sf_dir))
