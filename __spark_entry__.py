@@ -189,6 +189,9 @@ _CHANGED_THIS_ROUND = [
     # ntile(3) sort (VERDICT r5 item 3); oracles unchanged (real ntile)
     "ns_text_perplexity",
     "ns_sample_importance",
+    # NEW r6: Kafka-shaped unbounded source (socket broker, no EOF),
+    # same topology + full oracle as stream_watermark_late
+    "stream_unbounded_socket",
     # scalar-only output boundary (f0..f7 + sha256 digest) — fixes the
     # r5 red row (driver harness can't hash array<double>)
     "ns_mm_feature_stub",

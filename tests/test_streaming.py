@@ -129,3 +129,18 @@ def test_rate_source_generates_dense_sequence(spark):
     assert r["n_rows"] >= 1
     assert r["max_value"] == r["n_rows"] - 1  # dense 0..N-1
     assert abs(r["n_even"] - r["n_rows"] / 2) <= 1
+
+
+def test_socket_source_matches_file_chunk_watermark_path(spark):
+    """Lockstep proof for the Kafka-shaped unbounded source (r6): the
+    socket-fed watermarked topology must finalize exactly the windows the
+    file-chunk path emits — the source type changes, the watermark
+    semantics must not. Run twice to cover the broker-restart path."""
+    sock = REGISTRY["stream_unbounded_socket"].builder(spark, SF_SMALL).collect()
+    files = REGISTRY["stream_watermark_late"].builder(spark, SF_SMALL).collect()
+    assert {(r["win_start"], r["event_type"], r["n"]) for r in sock} == {
+        (r["win_start"], r["event_type"], r["n"]) for r in files
+    }
+    assert len(sock) > 0
+    again = REGISTRY["stream_unbounded_socket"].builder(spark, SF_SMALL).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in sock}
