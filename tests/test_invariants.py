@@ -496,6 +496,9 @@ def test_adversarial_input_parity(spark):
         "stream_foreachbatch", "stream_trigger_availablenow",
         "stream_sink_parquet", "src_csv_malformed",
         "win_islands_blocked", "win_ntile_blocked",
+        # r6: blocked-ntile tier decomposition + the socket-fed unbounded
+        # source (ties/NaN/Inf flow through the line protocol + watermark)
+        "ns_sample_importance", "stream_unbounded_socket",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -848,7 +848,11 @@ def stream_unbounded_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("port", port)
         .load()
     )
-    parsed = lines.select(F.split("value", ",").alias("p")).select(
+    # split limit 2: the timestamp field is comma-free by construction, so
+    # an event_type CONTAINING commas survives intact (newlines would
+    # still need a real record framing — that's Kafka's record boundary,
+    # which the line protocol approximates).
+    parsed = lines.select(F.split("value", ",", 2).alias("p")).select(
         F.timestamp_micros(F.col("p")[0].cast("bigint")).alias("ts"),
         F.col("p")[1].alias("event_type"),
     )
