@@ -72,6 +72,11 @@ HEADLINE = [
     "win_ntile_blocked",
     "stream_watermark_late",
     "stream_custom_state",
+    # round-6 addition: the corpus-tier key now on the blocked
+    # decomposition (first recorded median seeds the r7 baseline).
+    # stream_unbounded_socket is deliberately NOT benched: its wall is
+    # dominated by the driver-thread broker feeding the TCP socket.
+    "ns_sample_importance",
 ]
 
 

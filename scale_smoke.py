@@ -48,6 +48,10 @@ KEYS = [
     # originals: islands 0.93× vs 10.5×, ntile 9.8× vs 89× at 100×)
     "win_islands_blocked",
     "win_ntile_blocked",
+    # r6: the corpus-tier keys moved onto the blocked decomposition —
+    # their ladder ratios are the evidence the global-sort cliff is gone
+    "ns_text_perplexity",
+    "ns_sample_importance",
     # NS family over the 10x-duplicated corpus: each text appears 10x, so
     # the dedup keys must FIND ~45 extra pairs per duplicate group — this
     # measures the candidate-bounded plans under real duplicate pressure,
@@ -245,7 +249,7 @@ def main() -> None:
         big = statistics.median(run_once(spark, key, scaled) for _ in range(RUNS))
         report[key] = {
             "base_s": round(base, 3),
-            "x10_s": round(big, 3),
+            f"x{FACTOR}_s": round(big, 3),
             "ratio": round(big / base, 2),
         }
     print(
