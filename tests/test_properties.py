@@ -295,3 +295,61 @@ def test_islands_blocked_chain_merge_multiblock():
         for _ in range(10):
             ids = [i for i in range(200) if rng.random() < 0.7]
             run(ids, B)
+
+
+def test_blocked_tercile_matches_real_ntile_random(spark):
+    """r6: the blocked-ntile(3) decomposition used by ns_text_perplexity /
+    ns_sample_importance (coarse floor-bucket + per-bucket row_number +
+    cumulative offsets + closed-form tile sizes) must equal real
+    NTILE(3) OVER (ORDER BY s, id) on ARBITRARY score multisets — random
+    values, exact ties, negatives, bucket-boundary values — not just the
+    fixed corpus the oracle checks."""
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for n in (1, 2, 3, 7, 100, 500):
+        vals = [round(rng.uniform(-5.0, 5.0), 6) for _ in range(n)]
+        # inject exact ties and boundary-exact values
+        if n >= 7:
+            vals[1] = vals[0]
+            vals[2] = vals[0]
+            vals[3] = 0.3  # exactly on a 0.1-wide bucket edge
+            vals[4] = 0.3
+            vals[5] = -0.3
+        cases.append(list(enumerate(vals)))
+    for rows in cases:
+        df = spark.createDataFrame(rows, "id long, s double")
+        df.createOrReplaceTempView("tercile_in")
+        blocked = spark.sql("""
+WITH pb AS (
+  SELECT id, s, CAST(floor(s * 10e0) AS BIGINT) AS pb FROM tercile_in
+),
+bc AS (SELECT pb, count(*) AS c FROM pb GROUP BY pb),
+off AS (
+  SELECT pb, c,
+    sum(c) OVER (ORDER BY pb ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      AS off0,
+    sum(c) OVER () AS n
+  FROM bc
+),
+rk AS (
+  SELECT p.id,
+    o.off0 + row_number() OVER (
+      PARTITION BY p.pb ORDER BY p.s, p.id
+    ) AS r,
+    o.n
+  FROM pb p JOIN off o ON p.pb = o.pb
+)
+SELECT id,
+  CASE WHEN r <= m * d1 THEN (r - 1) DIV d1 + 1
+       ELSE m + (r - m * d1 - 1) DIV (d1 - 1) + 1 END AS nt
+FROM (SELECT id, r, n % 3 AS m, n DIV 3 + 1 AS d1 FROM rk) t
+""").collect()
+        real = spark.sql(
+            "SELECT id, ntile(3) OVER (ORDER BY s, id) AS nt FROM tercile_in"
+        ).collect()
+        assert {r["id"]: r["nt"] for r in blocked} == {
+            r["id"]: r["nt"] for r in real
+        }, len(rows)
