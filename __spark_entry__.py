@@ -195,6 +195,13 @@ _CHANGED_THIS_ROUND = [
     # scalar-only output boundary (f0..f7 + sha256 digest) — fixes the
     # r5 red row (driver harness can't hash array<double>)
     "ns_mm_feature_stub",
+    # caption layer upgraded to REAL DejaVu Sans outlines (pure-stdlib
+    # TTF rasterizer, anti-aliased alpha blend) — closes VERDICT r5
+    # missing-item 2; pixel golden regenerated
+    "gen_poster_caption",
+    "sink_binary_export",
+    "sink_binary_export_hires",
+    "sink_binary_export_tiled",
     # rep-collapse for pixel dedup (sha256 rep before decode/hash) +
     # the pipeline-extraction refactor for the mm scale ladder
     "ns_mm_image_phash",

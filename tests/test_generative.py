@@ -217,18 +217,28 @@ def test_poster_pixel_golden(spark):
     formula TEXT with the Spark plans, so a semantic change to the shared
     text drifts both engines together and parity cannot catch it — this
     constant pins the actual rendered pixels. Hash is over DECODED pixels
-    (zlib-compressed bytes may vary across zlib builds; pixels cannot)."""
+    (zlib-compressed bytes may vary across zlib builds; pixels cannot).
+    The constant assumes the DejaVu caption layer (r6) — skip on hosts
+    without the font file rather than fail on the LED fallback."""
     import hashlib
 
+    import pytest
+
+    from week3_2_practice_big_data__spark.plans import ttf
     from week3_2_practice_big_data__spark.plans.png import decode_png_rgb
+
+    if not ttf.dejavu_available():
+        pytest.skip("DejaVu font file absent; golden pins the DejaVu caption")
 
     rows = REGISTRY["sink_binary_export"].builder(spark, SF_SMALL).collect()
     px, w, h = decode_png_rgb(bytes(rows[0]["png"]))
     assert (w, h) == (96, 96)
-    # r4 golden: caption glyph layer + origin-lower scanline flip.
+    # r6 golden: caption rasterized from REAL DejaVu Sans outlines with
+    # anti-aliased alpha blending (was: r4 5×7 LED-matrix hard stamp).
+    # Regenerate deliberately whenever the render changes.
     assert (
         hashlib.sha256(px).hexdigest()
-        == "cbef5cd4fd71d8e063e96bb85bda0342239b3f43256669c8910d5eb1a89a6d7d"
+        == "055288640e7c0846f67fdf9c94ca77077a81c5ff9d0d6621fbd2b702b1208435"
     )
 
 
@@ -333,44 +343,83 @@ def test_bg_colormap_matches_lut_reference(spark):
 
 
 def test_caption_glyph_pixels(spark):
-    """The seed caption (app.py:152) is stamped into the export: an
-    independent Python re-layout of 'Seed: 42' in the 5×7 font must light
-    exactly the matplotlib-gray pixels in the decoded PNG, at the BOTTOM
-    of the image (origin-lower flip), horizontally centered."""
-    import hashlib
+    """The seed caption (app.py:152) is stamped into the export. r6: the
+    caption is rasterized from REAL DejaVu Sans outlines and
+    alpha-blended; this test re-blends every caption pixel INDEPENDENTLY
+    in NumPy (base canvas + rasterizer alpha table + the q6/clip/byte
+    pipeline) and requires exact byte equality with the decoded PNG —
+    plus the layout invariants: bottom eighth of the image, horizontally
+    centered."""
+    import math
 
     import numpy as np
 
     from week3_2_practice_big_data__spark.plans.generative import (
-        _FONT_5X7,
-        _GLYPH_H,
-        _GLYPH_PITCH,
+        _CAPTION_GRAY,
+        _cached_canvas,
+        _dejavu_caption_pixels,
         CANVAS,
         SEED,
     )
     from week3_2_practice_big_data__spark.plans.png import decode_png_rgb
 
+    cap = _dejavu_caption_pixels(f"Seed: {SEED}", CANVAS, 1)
+    if cap is None:
+        import pytest
+
+        pytest.skip("DejaVu font file absent; LED fallback in use")
+
     rows = REGISTRY["sink_binary_export"].builder(spark, SF_SMALL).collect()
     px, w, h = decode_png_rgb(bytes(rows[0]["png"]))
     img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
 
-    caption = f"Seed: {SEED}"
-    width = len(caption) * _GLYPH_PITCH - 1
-    col0 = round((CANVAS - width) / 2)
-    row_base = round(0.03 * (CANVAS - 1))
-    expected = set()
-    for p, ch in enumerate(caption):
-        for gr, bits in enumerate(_FONT_5X7[ch]):
-            for gc, bit in enumerate(bits):
-                if bit == "1":
-                    canvas_row = row_base + (_GLYPH_H - 1 - gr)
-                    expected.add((h - 1 - canvas_row, col0 + p * _GLYPH_PITCH + gc))
-    gray = {
-        (int(r), int(c))
-        for r, c in np.argwhere(
-            (img[:, :, 0] == 128) & (img[:, :, 1] == 128) & (img[:, :, 2] == 128)
-        )
+    base = {
+        (r["row"], r["col"]): (r["r"], r["g"], r["b"])
+        for r in _cached_canvas(spark).collect()
     }
-    assert expected == gray
-    # caption sits in the bottom eighth of the image, centered
-    assert min(r for r, _ in expected) > h * 7 // 8
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    n_aa = 0
+    for row, col, a in cap:
+        got = img[h - 1 - row, col]
+        want = tuple(
+            int(min(max(q6(_CAPTION_GRAY * a + v * (1.0 - a)), 0.0), 1.0) * 255)
+            for v in base[(row, col)]
+        )
+        assert tuple(int(v) for v in got) == want, (row, col, a)
+        if 0.0 < a < 1.0:
+            n_aa += 1
+    assert n_aa > 20  # genuinely anti-aliased, not a binary stamp
+    # caption sits in the bottom eighth, centered within the advance sum
+    assert max(row for row, _, _ in cap) < h // 8  # canvas rows grow UP
+    cols = [c for _, c, _ in cap]
+    center = (min(cols) + max(cols)) / 2
+    assert abs(center - (w - 1) / 2) <= 2.5
+
+
+def test_ttf_rasterizer_glyph_sanity():
+    """plans/ttf.py parses the host DejaVu file correctly: every caption
+    char resolves to a non-empty outline (space excepted), coverage
+    alphas are 1/16-granular in (0,1], advances are positive and
+    proportional (':' narrower than 'S'), and the cache is
+    deterministic across calls."""
+    import pytest
+
+    from week3_2_practice_big_data__spark.plans import ttf
+
+    if not ttf.dejavu_available():
+        pytest.skip("DejaVu font file absent")
+    for ch in "Sed:42":
+        cov, adv, asc, height = ttf.glyph_coverage(ch, 10)
+        assert cov and adv > 0 and asc > 0 and height > 0, ch
+        for _gr, _gc, a in cov:
+            assert 0.0 < a <= 1.0
+            assert abs(a * 16 - round(a * 16)) < 1e-9  # 4×4 supersampled
+    _, adv_colon, _, _ = ttf.glyph_coverage(":", 10)
+    _, adv_s, _, _ = ttf.glyph_coverage("S", 10)
+    assert adv_colon < adv_s  # proportional, not monospaced-bitmap
+    cov_sp, adv_sp, _, h_sp = ttf.glyph_coverage(" ", 10)
+    assert cov_sp == () and adv_sp > 0 and h_sp == 0
+    assert ttf.glyph_coverage("S", 10) == ttf.glyph_coverage("S", 10)

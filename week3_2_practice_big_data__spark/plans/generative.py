@@ -816,15 +816,64 @@ def _caption_layout_values(dialect: str, caption: str) -> str:
     return f"(SELECT * FROM (VALUES {vals}) AS cp(p, ch))"
 
 
+_CAPTION_EM_PX = 10  # fontsize 10 → 10 px/em at scale 1 (cap height ≈ 7 px,
+#                      the same footprint the r4 LED-matrix layer used)
+
+
+def _dejavu_caption_pixels(
+    caption: str, canvas_px: int, scale: int
+) -> list[tuple[int, int, float]] | None:
+    """(row, col, alpha) coverage pixels for the caption rasterized from
+    the REAL DejaVu Sans outlines (r6, closing VERDICT r5 missing-item 2:
+    matplotlib's default font, the file the host ships at
+    /usr/share/fonts/truetype/dejavu/DejaVuSans.ttf). Layout mirrors
+    ax.text(0.5, 0.03, ..., ha='center', va='baseline'): the BASELINE
+    sits at y=0.03 (origin lower → ascenders grow upward, descenders dip
+    below), horizontal centering over the summed advance widths
+    (proportional spacing, not the LED font's fixed pitch). Returns None
+    when the font file is absent (portable fallback: the 5×7 bitmap)."""
+    from . import ttf
+
+    if not ttf.dejavu_available():
+        return None
+    px_size = _CAPTION_EM_PX * scale
+    glyphs, x = [], 0
+    for ch in caption:
+        cov, adv, asc, _h = ttf.glyph_coverage(ch, px_size)
+        glyphs.append((x, cov, asc))
+        x += adv
+    col0 = round((canvas_px - x) / 2)
+    row_base = round(0.03 * (canvas_px - 1))  # the text BASELINE row
+    acc: dict[tuple[int, int], float] = {}
+    for x0, cov, asc in glyphs:
+        for gr, gc, a in cov:
+            py = asc - 1 - gr  # pixels above (+) / below (−) the baseline
+            r, c = row_base + py, col0 + x0 + gc
+            if 0 <= r < canvas_px and 0 <= c < canvas_px:
+                acc[(r, c)] = max(acc.get((r, c), 0.0), a)
+    return [(r, c, round(a, 6)) for (r, c), a in sorted(acc.items())]
+
+
 def _caption_overlay_sql(
     dialect: str, seed: int = SEED, canvas: int = CANVAS, scale: int = 1
 ) -> str:
-    """(row, col) lit caption pixels in canvas coordinates. Layout mirrors
-    app.py:152: baseline at y=0.03 (origin lower → glyph rows grow upward
-    from row_base), horizontally centered at x=0.5."""
+    """(row, col, a) caption pixels + coverage alpha in canvas
+    coordinates. DejaVu outline coverage when the font file exists
+    (driver-side rasterization → literal VALUES, same discipline as the
+    colormap anchors); 5×7 LED-matrix fallback (binary alpha) otherwise.
+    Layout mirrors app.py:152 either way: baseline at y=0.03, centered
+    at x=0.5."""
     caption = f"Seed: {seed}"
-    width = (len(caption) * _GLYPH_PITCH - 1) * scale
     canvas_px = canvas * scale
+    dejavu = _dejavu_caption_pixels(caption, canvas_px, scale)
+    if dejavu is not None:
+        vals = ", ".join(
+            f"({r}, {c}, {synth.flit(a)})" for r, c, a in dejavu
+        )
+        if dialect == "spark":
+            return f"SELECT * FROM VALUES {vals} AS cap(row, col, a)"
+        return f"SELECT * FROM (VALUES {vals}) AS cap(row, col, a)"
+    width = (len(caption) * _GLYPH_PITCH - 1) * scale
     col0 = round((canvas_px - width) / 2)
     row_base = round(0.03 * (canvas_px - 1))
     block = synth.series_sql(scale * scale, "blk", dialect)
@@ -832,7 +881,8 @@ def _caption_overlay_sql(
 SELECT DISTINCT
   {row_base} + ({_GLYPH_H - 1} - g.gr) * {scale}
     + CAST(floor(b.blk / {scale}) AS BIGINT) AS row,
-  {col0} + (cp.p * {_GLYPH_PITCH} + g.gc) * {scale} + b.blk % {scale} AS col
+  {col0} + (cp.p * {_GLYPH_PITCH} + g.gc) * {scale} + b.blk % {scale} AS col,
+  1e0 AS a
 FROM {_caption_layout_values(dialect, caption)} cp
 JOIN {_glyph_values(dialect, caption)} g ON g.ch = cp.ch
 CROSS JOIN {block} b
@@ -847,16 +897,29 @@ def _captioned_sql(
     scale: int = 1,
     order_by: bool = True,
 ) -> str:
-    """Stamp the caption over any (row, col, r, g, b) canvas relation."""
-    gray = synth.q6(synth.flit(_CAPTION_GRAY))
+    """Stamp the caption over any (row, col, r, g, b) canvas relation.
+
+    r6: anti-aliased alpha blend (matplotlib text rendering composites
+    coverage-weighted gray over the background) — `out = gray·a +
+    base·(1−a)` with the q6 wrap; the LED fallback's a = 1 reduces this
+    to the old hard stamp exactly."""
+    gray = synth.flit(_CAPTION_GRAY)
     tail = "\nORDER BY b.row, b.col" if order_by else ""
+
+    def blend(ch: str) -> str:
+        return (
+            f"CASE WHEN c.row IS NOT NULL THEN "
+            f"{synth.q6(f'{gray} * c.a + b.{ch} * (1e0 - c.a)')} "
+            f"ELSE b.{ch} END"
+        )
+
     return f"""
 WITH cap_base AS ({base_sql}),
 cap_px AS ({_caption_overlay_sql(dialect, seed, canvas, scale)})
 SELECT b.row, b.col,
-  CASE WHEN c.row IS NOT NULL THEN {gray} ELSE b.r END AS r,
-  CASE WHEN c.row IS NOT NULL THEN {gray} ELSE b.g END AS g,
-  CASE WHEN c.row IS NOT NULL THEN {gray} ELSE b.b END AS b
+  {blend('r')} AS r,
+  {blend('g')} AS g,
+  {blend('b')} AS b
 FROM cap_base b
 LEFT JOIN cap_px c ON b.row = c.row AND b.col = c.col{tail}
 """
