@@ -423,3 +423,26 @@ def test_ttf_rasterizer_glyph_sanity():
     cov_sp, adv_sp, _, h_sp = ttf.glyph_coverage(" ", 10)
     assert cov_sp == () and adv_sp > 0 and h_sp == 0
     assert ttf.glyph_coverage("S", 10) == ttf.glyph_coverage("S", 10)
+
+
+def test_ttf_composite_glyphs_rasterize():
+    """The composite-glyph path (numberOfContours < 0: component refs
+    with XY offsets — how DejaVu builds accented letters) must produce
+    sane coverage too: 'é' and 'Ö' are composites in DejaVu and should
+    raster taller than their base letters' x-height alone (the accent
+    adds rows above)."""
+    import pytest
+
+    from week3_2_practice_big_data__spark.plans import ttf
+
+    if not ttf.dejavu_available():
+        pytest.skip("DejaVu font file absent")
+    cov_e, _, _, _ = ttf.glyph_coverage("e", 12)
+    cov_ea, _, _, _ = ttf.glyph_coverage("é", 12)
+    # gr measures DOWN from the ascender line: the accent's ink starts
+    # strictly higher (smaller min gr) than the bare 'e' x-height ink
+    assert cov_ea and min(gr for gr, _, _ in cov_ea) < min(
+        gr for gr, _, _ in cov_e
+    )
+    cov_o, _, _, h_o = ttf.glyph_coverage("Ö", 12)
+    assert cov_o and h_o > 0
