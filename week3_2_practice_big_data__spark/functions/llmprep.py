@@ -1446,3 +1446,95 @@ ORDER BY rec_id
 def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     del sf_dir  # literal sample relation; scale-independent by design
     return spark.sql(_pii_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_dedup_url — URL-canonicalization dedup, the front door of every web
+# corpus refresh (CommonCrawl-style): before any content hashing, collapse
+# fetches of the SAME resource that differ only in URL spelling — host
+# case, default port, trailing slash, fragment, tracking parameters, query
+# parameter order, http/https. URLs are synthesized deterministically from
+# doc_id (the driver tables carry none): four messy spellings per resource
+# group. Canonicalization is a pure map-side projection (regex split into
+# host/path/query, lower-cased host, port/fragment dropped, utm_* params
+# stripped, surviving params sorted); the dedup is then a hash groupBy on
+# the canonical string — the exact-dedup shuffle shape, key-bounded by the
+# number of distinct resources, never by fetch count.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_url_sql(dialect: str) -> str:
+    if dialect == "spark":
+        fmt = "format_string"
+        qkeep = (
+            "array_join(array_sort(filter(split(q, '&'), "
+            "x -> substring(x, 1, 4) <> 'utm_')), '&')"
+        )
+    else:
+        fmt = "printf"
+        qkeep = (
+            "array_to_string(list_sort(list_filter(string_split(q, '&'), "
+            "x -> substring(x, 1, 4) <> 'utm_')), '&')"
+        )
+    host = "lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))"
+    path = (
+        "regexp_replace("
+        "regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '')"
+    )
+    return f"""
+WITH fetches AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS res,
+    CASE doc_id % 4
+      WHEN 0 THEN {fmt}(
+        'https://DOCS.SITE%d.COM/page/%d?utm_source=feed&id=%d',
+        (doc_id - doc_id % 4) % 7, doc_id - doc_id % 4, doc_id - doc_id % 4)
+      WHEN 1 THEN {fmt}(
+        'https://docs.site%d.com:443/page/%d/?id=%d',
+        (doc_id - doc_id % 4) % 7, doc_id - doc_id % 4, doc_id - doc_id % 4)
+      WHEN 2 THEN {fmt}(
+        'http://docs.site%d.com/page/%d?id=%d#section-2',
+        (doc_id - doc_id % 4) % 7, doc_id - doc_id % 4, doc_id - doc_id % 4)
+      ELSE {fmt}(
+        'https://docs.site%d.com/page/%d?id=%d&utm_campaign=refresh&utm_medium=rss',
+        (doc_id - doc_id % 4) % 7, doc_id - doc_id % 4, doc_id - doc_id % 4)
+    END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+    'https://' || {host} || {path} ||
+    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url
+  FROM (
+    SELECT doc_id, url, {qkeep} AS q2
+    FROM (
+      SELECT doc_id, url, regexp_extract(url, '[?]([^#]*)', 1) AS q
+      FROM fetches
+    ) q0
+  ) q1
+)
+SELECT canon_url,
+  count(*) AS n_fetches,
+  count(DISTINCT url) AS n_raw_spellings,
+  min(doc_id) AS keeper_doc
+FROM canon
+GROUP BY canon_url
+ORDER BY canon_url
+"""
+
+
+@register(
+    "ns_dedup_url",
+    oracle=_dedup_url_sql("duckdb"),
+    doc="URL-canonicalization dedup: map-side canonicalization (lower-case "
+    "host, default-port/fragment/trailing-slash removal, utm_* stripping, "
+    "query-param sort, scheme normalization) over deterministically "
+    "synthesized messy URL spellings, then a hash groupBy on the canonical "
+    "string with min-doc_id keeper election — the exact-dedup shuffle "
+    "shape, key-bounded by distinct resources (NS; sibling of "
+    "ns_dedup_exact for the URL axis; fn_url_parse covers the parse "
+    "surface).",
+    tags=("ns", "text", "dedup"),
+)
+def ns_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_dedup_url_sql("spark"))
