@@ -1538,3 +1538,69 @@ ORDER BY canon_url
 def ns_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
     return spark.sql(_dedup_url_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_chunk_overlap — fixed-size token chunking with stride overlap: split
+# every document into windows of CHUNK tokens advancing STRIDE tokens
+# (overlap = CHUNK - STRIDE), the standard pretraining / RAG context
+# chunker. Emission stops at the first window that reaches the document's
+# end (HuggingFace-tokenizers stride semantics), so short documents yield
+# exactly one chunk and nothing is emitted twice-fully-covered. The whole
+# plan is a map-side explode — per-doc token arrays never cross a shuffle
+# boundary, output is chunk-linear, and the only exchange is the
+# presentation ORDER BY. Chunk text is fingerprinted (polynomial char
+# hash) rather than re-emitted, keeping the checked output narrow.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 24
+_STRIDE = 16
+
+
+def _chunk_overlap_sql(dialect: str) -> str:
+    c, s = _CHUNK, _STRIDE
+    keep = f"x -> x = 0 OR x < n - {c - s}"
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        n = "size(toks)"
+        starts = f"explode(filter(sequence(0, n - 1, {s}), {keep}))"
+        chunk = "array_join(slice(toks, st + 1, m), ' ')"
+    else:
+        toks = "string_split(text, ' ')"
+        n = "len(toks)"
+        starts = f"unnest(list_filter(generate_series(0, n - 1, {s}), {keep}))"
+        chunk = "array_to_string(toks[st + 1 : st + m], ' ')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, toks, {n} AS n
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) t0
+),
+st AS (
+  SELECT doc_id, toks, n, {starts} AS st FROM tok
+),
+chunks AS (
+  SELECT doc_id, st, m, {chunk} AS chunk_text
+  FROM (SELECT doc_id, toks, n, st, least({c}, n - st) AS m FROM st) c0
+)
+SELECT doc_id, st AS chunk_start, m AS n_chunk_tokens,
+  {char_polyhash(dialect, "chunk_text")} AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_start
+"""
+
+
+@register(
+    "ns_chunk_overlap",
+    oracle=_chunk_overlap_sql("duckdb"),
+    doc="Stride-overlap token chunking (CHUNK=24, STRIDE=16): every "
+    "document explodes map-side into fixed-size context windows, emission "
+    "stopping at the first window that reaches the document end (HF-"
+    "tokenizers stride semantics); chunks are fingerprinted with the "
+    "shared polynomial char hash so the checked output stays narrow. "
+    "Output-linear, shuffle-free except the presentation sort (NS; the "
+    "packing complement of ns_pack_sequences).",
+    tags=("ns", "text", "chunking"),
+)
+def ns_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_chunk_overlap_sql("spark"))
