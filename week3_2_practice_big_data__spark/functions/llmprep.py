@@ -1604,3 +1604,96 @@ ORDER BY doc_id, chunk_start
 def ns_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
     return spark.sql(_chunk_overlap_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_decontaminate_bloom — Bloom-prefiltered exact decontamination. The
+# broadcast-the-eval-grams plan (ns_decontaminate_ngram) dies when the
+# benchmark suite outgrows executor memory; the production fix is a Bloom
+# filter: fold the eval gram set into an m-bit bitmask (m=65536, k=2
+# xxhash64 probes → 8 KB — broadcastable at ANY eval-set size), probe every
+# corpus gram against the mask map-side, and run the exact gram equi-join
+# only on the surviving candidates. Bloom filters have NO false negatives,
+# so the exact rerank makes the output identical to the unfiltered join —
+# which is exactly what the DuckDB oracle computes, with no bloom at all:
+# the sketch is pure plan acceleration, invisible in the result. The mask
+# build is a 1024-row bit_or aggregation; both mask joins broadcast.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536  # bits
+_BLOOM_NG_CACHE: dict = {}
+
+
+def _decon_bloom_sql(dialect: str, ng_ref: str | None = None) -> str:
+    m = _BLOOM_M
+    ratio = synth.q6("CAST(h.n_shared_grams AS DOUBLE) / t.n_doc_grams")
+    if dialect == "spark":
+        p1 = f"pmod(xxhash64(gram), {m})"
+        p2 = f"pmod(xxhash64(gram, 'b2'), {m})"
+        bloom = f"""
+pos AS (
+  SELECT {p1} AS p FROM eval_g
+  UNION ALL
+  SELECT {p2} AS p FROM eval_g
+),
+mask AS (
+  SELECT CAST(p DIV 64 AS INT) AS w,
+    bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) AS bits
+  FROM pos GROUP BY CAST(p DIV 64 AS INT)
+),
+probe AS (
+  SELECT doc_id, gram, {p1} AS p1, {p2} AS p2 FROM corpus
+),
+cand AS (
+  SELECT pr.doc_id, pr.gram
+  FROM probe pr
+  JOIN mask m1 ON CAST(pr.p1 DIV 64 AS INT) = m1.w
+  JOIN mask m2 ON CAST(pr.p2 DIV 64 AS INT) = m2.w
+  WHERE (m1.bits & shiftleft(CAST(1 AS BIGINT), CAST(pr.p1 % 64 AS INT))) <> 0
+    AND (m2.bits & shiftleft(CAST(1 AS BIGINT), CAST(pr.p2 % 64 AS INT))) <> 0
+),"""
+    else:
+        # The oracle runs the exact join with NO bloom: the sketch must be
+        # invisible in the result, and this asymmetry is the proof.
+        bloom = "\ncand AS (SELECT doc_id, gram FROM corpus),"
+    return f"""
+WITH ng AS ({ng_ref or _ngram_sql(dialect)}),
+eval_g AS (SELECT DISTINCT gram FROM ng WHERE doc_id % {_EVAL_MOD} = 0),
+corpus AS (SELECT doc_id, gram FROM ng WHERE doc_id % {_EVAL_MOD} <> 0),{bloom}
+hits AS (
+  SELECT c.doc_id, count(*) AS n_shared_grams
+  FROM cand c JOIN eval_g e ON c.gram = e.gram
+  GROUP BY c.doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_doc_grams FROM corpus GROUP BY doc_id)
+SELECT h.doc_id, h.n_shared_grams, t.n_doc_grams, {ratio} AS contamination
+FROM hits h JOIN tot t ON h.doc_id = t.doc_id
+ORDER BY h.n_shared_grams DESC, h.doc_id
+LIMIT 50
+"""
+
+
+@register(
+    "ns_decontaminate_bloom",
+    oracle=_decon_bloom_sql("duckdb"),
+    doc="Bloom-prefiltered exact decontamination: the eval 5-gram set "
+    "folds into an 8 KB bitmask (1024-row bit_or aggregation, k=2 "
+    "xxhash64 probes) that broadcasts at ANY eval-suite size; corpus "
+    "grams probe it map-side and only survivors reach the exact gram "
+    "equi-join. No false negatives + exact rerank ⇒ bit-identical to the "
+    "unfiltered join, which is what the oracle computes WITHOUT any bloom "
+    "— the sketch is plan-only. Top-50 contaminated docs with gram "
+    "counts and q6 contamination ratio (NS; scale path of "
+    "ns_decontaminate_ngram).",
+    tags=("ns", "text", "decontamination", "sketch"),
+)
+def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    checkpointed(
+        _BLOOM_NG_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_ngram_sql("spark")).coalesce(8),
+    ).createOrReplaceTempView("bloom_ng")
+    return spark.sql(
+        _decon_bloom_sql("spark", ng_ref="SELECT doc_id, gram FROM bloom_ng")
+    )
