@@ -746,3 +746,104 @@ FROM events GROUP BY event_type ORDER BY event_type
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_COND_SHARED)
+
+
+# ---------------------------------------------------------------------------
+# agg_sketch_cms_heavy — Count-Min-accelerated exact heavy hitters. The
+# naive heavy-hitter query groupBys the full bigram universe (shuffle keyed
+# on every distinct bigram — unbounded at 100 TB); the sketch plan folds
+# the occurrence stream into a fixed 3×1024 counter matrix (bounded
+# shuffle: ≤3072 cells regardless of data size), reads candidate bigrams
+# off the sketch (CMS NEVER underestimates ⇒ candidates ⊇ true heavy
+# hitters), and re-counts ONLY the candidates exactly. The overestimate
+# side of CMS is real at this width (~900 distinct bigrams over 1024
+# columns collide), so the rerank genuinely kills false candidates; the
+# output is bit-identical to the sketch-free oracle.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024  # counter columns per hash row
+_CMS_D = 3  # hash rows (seeds)
+_CMS_BG_CACHE: dict = {}
+
+
+def _bigram_stream_sql(dialect: str) -> str:
+    """Bigram OCCURRENCE stream (one row per adjacent token pair)."""
+    from ..functions.text import tokens_sql
+
+    return f"""
+SELECT doc_id, token || ' ' || nxt AS bigram
+FROM (
+  SELECT doc_id, token,
+    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM ({tokens_sql(dialect)}) tok
+) b WHERE nxt IS NOT NULL
+"""
+
+
+def _cms_heavy_sql(dialect: str, bg_ref: str | None = None) -> str:
+    if dialect == "spark":
+        div = "t.total DIV 1000"
+        cms = f"""
+seeds AS (SELECT explode(sequence(0, {_CMS_D - 1})) AS s),
+cells AS (
+  SELECT s, pmod(xxhash64(bigram, s), {_CMS_W}) AS col, count(*) AS cnt
+  FROM bg CROSS JOIN seeds GROUP BY s, pmod(xxhash64(bigram, s), {_CMS_W})
+),
+est AS (
+  SELECT g.bigram, min(c.cnt) AS cms_est
+  FROM (SELECT DISTINCT bigram FROM bg) g
+  CROSS JOIN seeds s
+  JOIN cells c ON c.s = s.s AND c.col = pmod(xxhash64(g.bigram, s.s), {_CMS_W})
+  GROUP BY g.bigram
+),
+cand AS (SELECT e.bigram FROM est e CROSS JOIN thresh t WHERE e.cms_est >= t.t),
+counted AS (
+  SELECT b.bigram, count(*) AS n_occurrences
+  FROM bg b JOIN cand c ON b.bigram = c.bigram
+  GROUP BY b.bigram
+)"""
+    else:
+        div = "t.total // 1000"
+        # The oracle counts every bigram exactly, with NO sketch: the CMS
+        # prefilter must be invisible in the result.
+        cms = """
+counted AS (
+  SELECT bigram, count(*) AS n_occurrences FROM bg GROUP BY bigram
+)"""
+    return f"""
+WITH bg AS ({bg_ref or _bigram_stream_sql(dialect)}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bg),
+thresh AS (SELECT greatest({div}, 2) AS t FROM tot t),{cms}
+SELECT c.bigram, CAST(c.n_occurrences AS BIGINT) AS n_occurrences, t.t AS threshold
+FROM counted c CROSS JOIN thresh t
+WHERE c.n_occurrences >= t.t
+ORDER BY n_occurrences DESC, c.bigram
+"""
+
+
+@register(
+    "agg_sketch_cms_heavy",
+    oracle=_cms_heavy_sql("duckdb"),
+    doc="Count-Min heavy hitters with exact rerank: the bigram occurrence "
+    "stream folds into a 3×1024 counter matrix (bounded-key shuffle, "
+    "8 KB broadcastable), candidates read off the sketch (no "
+    "underestimates ⇒ superset), and only candidates are re-counted "
+    "exactly — output bit-identical to the sketch-free oracle, threshold "
+    "= max(total DIV 1000, 2) occurrences (sketch family with "
+    "hll_merge / kll_quantile; REF-ANALOG of the reference's density "
+    "histogram, app.py:72).",
+    tags=("agg", "scale", "sketch"),
+)
+def agg_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed, session_key
+    from ..functions.llmprep import _view
+
+    _view(spark, sf_dir, "documents")
+    checkpointed(
+        _CMS_BG_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_bigram_stream_sql("spark")).coalesce(8),
+    ).createOrReplaceTempView("cms_bg")
+    return spark.sql(
+        _cms_heavy_sql("spark", bg_ref="SELECT doc_id, bigram FROM cms_bg")
+    )
