@@ -192,6 +192,13 @@ _CHANGED_THIS_ROUND = [
     # NEW r6: Kafka-shaped unbounded source (socket broker, no EOF),
     # same topology + full oracle as stream_watermark_late
     "stream_unbounded_socket",
+    # NEW r6 (second session): training-pipeline widening — URL-canon
+    # dedup, stride chunking, and the two sketch-accelerated-exact plans
+    # (Bloom-prefiltered decontamination, Count-Min heavy hitters)
+    "ns_dedup_url",
+    "ns_chunk_overlap",
+    "ns_decontaminate_bloom",
+    "agg_sketch_cms_heavy",
     # scalar-only output boundary (f0..f7 + sha256 digest) — fixes the
     # r5 red row (driver harness can't hash array<double>)
     "ns_mm_feature_stub",

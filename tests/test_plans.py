@@ -468,3 +468,50 @@ def test_ntile_blocked_no_global_window_over_orders(spark):
     for line in plan.splitlines():
         if "Window [" in line and "row_number" in line:
             assert re.search(r"windowspecdefinition\(pb#\d+L", line), line
+
+
+def test_url_dedup_is_joinless_single_scan(spark):
+    """URL-canonicalization dedup must be map-side canon + hash groupBy:
+    one parquet scan, no join of any kind — the exact-dedup shuffle
+    shape, key-bounded by distinct resources."""
+    df = REGISTRY["ns_dedup_url"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_chunk_overlap_single_exchange(spark):
+    """The stride chunker is a map-side explode: the ONLY exchange in the
+    plan is the presentation sort — per-doc token arrays never cross a
+    shuffle boundary."""
+    df = REGISTRY["ns_chunk_overlap"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_bloom_decontaminate_joins_all_broadcast(spark):
+    """Every join in the Bloom plan (two 1024-row mask probes + the exact
+    eval rerank + the per-doc totals) must be broadcast-shaped, and the
+    materialized n-gram relation must not re-scan parquet (CTE-inlining
+    audit discipline)."""
+    df = REGISTRY["ns_decontaminate_bloom"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Scan parquet") == 0  # ng is checkpointed once
+
+
+def test_cms_heavy_no_sort_merge_join(spark):
+    """The CMS plan's joins are sketch-cell probes (≤3072-row build side)
+    and the candidate rerank — broadcast-shaped at any corpus size; the
+    seed/threshold cross joins are bounded literal relations
+    (BroadcastNestedLoopJoin is acceptable there, CartesianProduct is
+    not)."""
+    df = REGISTRY["agg_sketch_cms_heavy"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
