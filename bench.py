@@ -77,6 +77,10 @@ HEADLINE = [
     # stream_unbounded_socket is deliberately NOT benched: its wall is
     # dominated by the driver-thread broker feeding the TCP socket.
     "ns_sample_importance",
+    # round-6 second-session additions: the two sketch-accelerated-exact
+    # plans (first recorded medians seed the r7 baseline).
+    "ns_decontaminate_bloom",
+    "agg_sketch_cms_heavy",
 ]
 
 
