@@ -503,3 +503,23 @@ def test_adversarial_input_parity(spark):
     for key in keys:
         q = REGISTRY[key]
         compare(q.builder(spark, out), duck_run(q.oracle, out), f"{key}:weird")
+
+
+def test_compaction_rewrites_64_fragments_to_4_files(spark):
+    """sink_compact_small_files: the filesystem halves of the contract —
+    the fragmented layout really is 64 part-files, the compacted layout
+    really is 4, and the read-back row count survives both hops (the
+    value-level identity is the key's DuckDB oracle)."""
+    import glob
+    import os
+
+    from week3_2_practice_big_data__spark.sources.files import compact_paths
+
+    rows = REGISTRY["sink_compact_small_files"].builder(spark, SF_SMALL).collect()
+    frag, compact = compact_paths(SF_SMALL)
+    n_frag = len(glob.glob(os.path.join(frag, "part-*.parquet")))
+    n_compact = len(glob.glob(os.path.join(compact, "part-*.parquet")))
+    assert n_frag == 64
+    assert n_compact == 4
+    n_src = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet")).count()
+    assert rows[0]["n_rows"] == n_src

@@ -353,3 +353,115 @@ FROM (SELECT id, r, n % 3 AS m, n DIV 3 + 1 AS d1 FROM rk) t
         assert {r["id"]: r["nt"] for r in blocked} == {
             r["id"]: r["nt"] for r in real
         }, len(rows)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization properties (ns_dedup_url): random messy spellings of
+# one resource must collapse to ONE canonical form, the canonical form must
+# be a fixed point, non-default ports must survive, and query-param order
+# must not matter. Evaluated on the DuckDB dialect text (shared semantics).
+# ---------------------------------------------------------------------------
+
+_HOST_LABEL = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8
+)
+_PARAM = st.tuples(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=5),
+    st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=5),
+)
+
+
+def _canon_of(urls: list[str]) -> list[str]:
+    from week3_2_practice_big_data__spark.functions.llmprep import (
+        _canon_url_sql,
+    )
+
+    rows = ", ".join(
+        f"({i}, '{u}')" for i, u in enumerate(urls)
+    )
+    q = _canon_url_sql("duckdb", rel="fetches")
+    sql = f"WITH fetches(doc_id, url) AS (VALUES {rows}) {q} ORDER BY doc_id"
+    return [r[2] for r in duckdb.sql(sql).fetchall()]
+
+
+@given(
+    _HOST_LABEL,
+    st.lists(st.text(alphabet="abcdefg123", min_size=1, max_size=6),
+             min_size=0, max_size=3),
+    st.lists(_PARAM, min_size=0, max_size=4, unique_by=lambda p: p[0]),
+    st.randoms(),
+)
+@settings(max_examples=60, deadline=None)
+def test_url_canon_collapses_random_spellings(label, segs, params, rnd):
+    host = f"docs.{label}.com"
+    path = "".join(f"/{s}" for s in segs)
+    qs = [f"{k}={v}" for k, v in params]
+    variants = []
+    for _ in range(4):
+        h = "".join(c.upper() if rnd.random() < 0.5 else c for c in host)
+        scheme = rnd.choice(["http", "https"])
+        port = rnd.choice(["", ":80", ":443"])
+        trail = rnd.choice(["", "/"]) if path else ""
+        q = qs[:]
+        rnd.shuffle(q)
+        if rnd.random() < 0.5:
+            q.append("utm_source=feed")
+        frag = rnd.choice(["", "#top"])
+        qpart = ("?" + "&".join(q)) if q else ""
+        variants.append(f"{scheme}://{h}{port}{path}{trail}{qpart}{frag}")
+    canons = _canon_of(variants)
+    assert len(set(canons)) == 1, (variants, canons)
+    expected_q = "&".join(sorted(qs))
+    expected = f"https://{host}{path}" + (f"?{expected_q}" if qs else "")
+    assert canons[0] == expected
+    # the canonical form is a fixed point
+    assert _canon_of([canons[0]]) == [canons[0]]
+
+
+@given(_HOST_LABEL, st.integers(min_value=1, max_value=65535))
+@settings(max_examples=30, deadline=None)
+def test_url_canon_preserves_nondefault_port(label, port):
+    url = f"https://docs.{label}.com:{port}/a"
+    (canon,) = _canon_of([url])
+    if port in (80, 443):
+        assert canon == f"https://docs.{label}.com/a"
+    else:
+        assert canon == f"https://docs.{label}.com:{port}/a"
+
+
+# ---------------------------------------------------------------------------
+# Chunking properties (ns_chunk_overlap): for any token count n ≥ 1 the
+# emitted windows tile [0, n) — every token covered, consecutive starts
+# exactly STRIDE apart, the last window reaches the end, emission stops at
+# the first end-reaching window, and no window exceeds CHUNK tokens.
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=1, max_value=300))
+@settings(max_examples=100, deadline=None)
+def test_chunk_tiling_covers_every_token(n):
+    from week3_2_practice_big_data__spark.functions.llmprep import (
+        _CHUNK,
+        _STRIDE,
+        _chunk_overlap_sql,
+    )
+
+    text = " ".join(f"t{i}" for i in range(n))
+    q = _chunk_overlap_sql("duckdb")
+    sql = q.replace(
+        "WITH tok AS",
+        f"WITH documents(doc_id, text) AS (VALUES (1, '{text}')), tok AS",
+        1,
+    )
+    rows = duckdb.sql(sql).fetchall()
+    starts = [r[1] for r in rows]
+    lens = [r[2] for r in rows]
+    assert starts == list(range(0, starts[-1] + 1, _STRIDE))
+    assert all(ln <= _CHUNK for ln in lens)
+    assert starts[-1] + lens[-1] == n  # last window reaches the end
+    covered = set()
+    for s_, ln in zip(starts, lens):
+        covered.update(range(s_, s_ + ln))
+    assert covered == set(range(n))
+    # stop-at-end: at most one window contains the final token
+    assert sum(1 for s_, ln in zip(starts, lens) if s_ + ln == n) == 1

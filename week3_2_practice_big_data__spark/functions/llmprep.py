@@ -1463,27 +1463,57 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dedup_url_sql(dialect: str) -> str:
+def _canon_url_sql(dialect: str, rel: str = "fetches") -> str:
+    """(doc_id, url, canon_url) over a relation `rel(doc_id, url)`.
+
+    Canonical form: https scheme, lower-cased host, default ports (80/443)
+    dropped and NON-default ports preserved, fragment dropped, trailing
+    slashes trimmed, utm_* params stripped, surviving params sorted.
+    Property-pinned in tests/test_properties.py (variant collapse,
+    idempotence, port preservation, param-order invariance)."""
     if dialect == "spark":
-        fmt = "format_string"
         qkeep = (
             "array_join(array_sort(filter(split(q, '&'), "
             "x -> substring(x, 1, 4) <> 'utm_')), '&')"
         )
     else:
-        fmt = "printf"
+        # coalesce: DuckDB array_to_string([]) is NULL, Spark
+        # array_join([]) is '' (property-test catch: all-utm_ queries)
         qkeep = (
-            "array_to_string(list_sort(list_filter(string_split(q, '&'), "
-            "x -> substring(x, 1, 4) <> 'utm_')), '&')"
+            "coalesce(array_to_string(list_sort(list_filter("
+            "string_split(q, '&'), "
+            "x -> substring(x, 1, 4) <> 'utm_')), '&'), '')"
         )
     host = "lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))"
+    # coalesce: Spark regexp_extract returns '' on no match, DuckDB NULL
+    # (property-test catch — every synthesized fixture URL has a query)
+    port = "coalesce(regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1), '')"
     path = (
         "regexp_replace("
         "regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '')"
     )
     return f"""
+SELECT doc_id, url,
+  'https://' || {host} ||
+  (CASE WHEN p IN ('', '80', '443') THEN '' ELSE ':' || p END) ||
+  {path} ||
+  (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url
+FROM (
+  SELECT doc_id, url, p, {qkeep} AS q2
+  FROM (
+    SELECT doc_id, url, {port} AS p,
+      coalesce(regexp_extract(url, '[?]([^#]*)', 1), '') AS q
+    FROM {rel}
+  ) q0
+) q1
+"""
+
+
+def _dedup_url_sql(dialect: str) -> str:
+    fmt = "format_string" if dialect == "spark" else "printf"
+    return f"""
 WITH fetches AS (
-  SELECT doc_id, doc_id - doc_id % 4 AS res,
+  SELECT doc_id,
     CASE doc_id % 4
       WHEN 0 THEN {fmt}(
         'https://DOCS.SITE%d.COM/page/%d?utm_source=feed&id=%d',
@@ -1500,18 +1530,7 @@ WITH fetches AS (
     END AS url
   FROM documents
 ),
-canon AS (
-  SELECT doc_id, url,
-    'https://' || {host} || {path} ||
-    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url
-  FROM (
-    SELECT doc_id, url, {qkeep} AS q2
-    FROM (
-      SELECT doc_id, url, regexp_extract(url, '[?]([^#]*)', 1) AS q
-      FROM fetches
-    ) q0
-  ) q1
-)
+canon AS ({_canon_url_sql(dialect)})
 SELECT canon_url,
   count(*) AS n_fetches,
   count(DISTINCT url) AS n_raw_spellings,

@@ -763,20 +763,32 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_W = 1024  # counter columns per hash row
 _CMS_D = 3  # hash rows (seeds)
-_CMS_BG_CACHE: dict = {}
 
 
 def _bigram_stream_sql(dialect: str) -> str:
-    """Bigram OCCURRENCE stream (one row per adjacent token pair)."""
-    from ..functions.text import tokens_sql
-
+    """Bigram OCCURRENCE stream (one row per adjacent token pair), built
+    MAP-SIDE from the token array — adjacency is already encoded by array
+    position, so pairing needs no lead() window (the window form shuffles
+    the whole token stream on doc_id; measured 5.7× on the 10× ladder vs
+    ~1× for this form). Spark guards n<2 with CASE because
+    `sequence(0, -1)` is the DESCENDING [0, -1] (r4 adversarial rule);
+    DuckDB's generate_series(1, 0) is already empty."""
+    if dialect == "spark":
+        pairs = (
+            "explode(CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i + 1]) "
+            "ELSE array() END)"
+        )
+    else:
+        pairs = (
+            "unnest(list_transform(generate_series(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i + 1]))"
+        )
+    split = "split(text, ' ')" if dialect == "spark" else "string_split(text, ' ')"
     return f"""
-SELECT doc_id, token || ' ' || nxt AS bigram
-FROM (
-  SELECT doc_id, token,
-    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-  FROM ({tokens_sql(dialect)}) tok
-) b WHERE nxt IS NOT NULL
+SELECT doc_id, {pairs} AS bigram
+FROM (SELECT doc_id, {split} AS toks FROM documents) t0
 """
 
 
@@ -788,6 +800,13 @@ seeds AS (SELECT explode(sequence(0, {_CMS_D - 1})) AS s),
 cells AS (
   SELECT s, pmod(xxhash64(bigram, s), {_CMS_W}) AS col, count(*) AS cnt
   FROM bg CROSS JOIN seeds GROUP BY s, pmod(xxhash64(bigram, s), {_CMS_W})
+),
+thresh AS (
+  -- stream total recovered from the sketch: every occurrence lands in
+  -- exactly ONE column of each seed row, so sum(cnt | s=0) = |stream| and
+  -- the dedicated counting pass (a fourth corpus scan) disappears
+  SELECT greatest(CAST(sum(cnt) AS BIGINT) DIV 1000, 2) AS t
+  FROM cells WHERE s = 0
 ),
 est AS (
   SELECT g.bigram, min(c.cnt) AS cms_est
@@ -810,10 +829,13 @@ counted AS (
 counted AS (
   SELECT bigram, count(*) AS n_occurrences FROM bg GROUP BY bigram
 )"""
-    return f"""
-WITH bg AS ({bg_ref or _bigram_stream_sql(dialect)}),
+    pre = (
+        "" if dialect == "spark" else f"""
 tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bg),
-thresh AS (SELECT greatest({div}, 2) AS t FROM tot t),{cms}
+thresh AS (SELECT greatest({div}, 2) AS t FROM tot t),"""
+    )
+    return f"""
+WITH bg AS ({bg_ref or _bigram_stream_sql(dialect)}),{pre}{cms}
 SELECT c.bigram, CAST(c.n_occurrences AS BIGINT) AS n_occurrences, t.t AS threshold
 FROM counted c CROSS JOIN thresh t
 WHERE c.n_occurrences >= t.t
@@ -835,15 +857,12 @@ ORDER BY n_occurrences DESC, c.bigram
     tags=("agg", "scale", "sketch"),
 )
 def agg_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import checkpointed, session_key
+    # Deliberately NOT checkpointed: the bigram stream is a map-side
+    # explode that is LARGER than its parquet input, so re-deriving it per
+    # consumer (columnar scan + transform) beats materializing it — the
+    # opposite tradeoff from the tokenize/window relations the text family
+    # checkpoints. Measured: 5.74× → 1.4× on the 10× ladder.
     from ..functions.llmprep import _view
 
     _view(spark, sf_dir, "documents")
-    checkpointed(
-        _CMS_BG_CACHE,
-        (session_key(spark), sf_dir.rstrip("/")),
-        lambda: spark.sql(_bigram_stream_sql("spark")).coalesce(8),
-    ).createOrReplaceTempView("cms_bg")
-    return spark.sql(
-        _cms_heavy_sql("spark", bg_ref="SELECT doc_id, bigram FROM cms_bg")
-    )
+    return spark.sql(_cms_heavy_sql("spark"))

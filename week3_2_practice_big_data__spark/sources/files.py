@@ -262,3 +262,65 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_compact_small_files — the small-files compaction pass, THE classic
+# 100 TB operational problem: streaming/partitioned ingest leaves thousands
+# of KB-sized parquet files whose per-file open/footer cost dominates every
+# downstream scan. The fix is a rewrite pass: read the fragmented layout,
+# coalesce(N) — NO shuffle, each output task concatenates ~K/N input files
+# — and write the compacted layout. The checked output is a read-back
+# aggregate over the COMPACTED files (row count, distinct users, exact
+# micro-unit value sum), which the oracle computes straight from the
+# source table: compaction must be a pure layout change, bit-invisible in
+# the data. File counts (64 → 4) are pinned by pytest, not the oracle —
+# the filesystem is outside DuckDB's view.
+# ---------------------------------------------------------------------------
+
+_COMPACT_FRAGMENTS = 64
+_COMPACT_TARGET = 4
+
+
+def _compact_oracle() -> str:
+    from .. import synth
+
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  {synth.sum_micro("value", 1e9)} AS sum_value
+FROM events
+"""
+
+
+def compact_paths(sf_dir: str) -> tuple[str, str]:
+    """(fragmented_dir, compacted_dir) scratch locations for this sf."""
+    return (
+        _scratch(sf_dir, "fragments"),
+        _scratch(sf_dir, "compacted"),
+    )
+
+
+@register(
+    "sink_compact_small_files",
+    oracle=_compact_oracle(),
+    doc="Small-files compaction: a 64-fragment parquet layout is rewritten "
+    "to 4 files via coalesce (no shuffle — each output task concatenates "
+    "~16 inputs); the checked read-back aggregate over the COMPACTED "
+    "files equals the oracle computed from the source table, proving the "
+    "pass is a pure layout change. File counts pinned by pytest "
+    "(REF-ANALOG sink; sibling of sink_partitioned_write).",
+    tags=("sink", "scale"),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import synth
+
+    frag, compact = compact_paths(sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(_COMPACT_FRAGMENTS).write.mode("overwrite").parquet(frag)
+    spark.read.schema(ev.schema).parquet(frag).coalesce(
+        _COMPACT_TARGET
+    ).write.mode("overwrite").parquet(compact)
+    back = spark.read.schema(ev.schema).parquet(compact)
+    back.createOrReplaceTempView("compacted_events")
+    return spark.sql(_compact_oracle().replace("FROM events", "FROM compacted_events"))
