@@ -200,6 +200,8 @@ _CHANGED_THIS_ROUND = [
     "ns_decontaminate_bloom",
     "agg_sketch_cms_heavy",
     "sink_compact_small_files",
+    "ns_quality_classifier",
+    "src_schema_evolution",
     # scalar-only output boundary (f0..f7 + sha256 digest) — fixes the
     # r5 red row (driver harness can't hash array<double>)
     "ns_mm_feature_stub",

@@ -1716,3 +1716,81 @@ def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _decon_bloom_sql("spark", ng_ref="SELECT doc_id, gram FROM bloom_ng")
     )
+
+
+# ---------------------------------------------------------------------------
+# ns_quality_classifier — model-INFERENCE quality filtering: a linear
+# classifier with fixed literal weights (the shape of fastText/DCLM-style
+# quality models applied corpus-wide) scored map-side over engineered text
+# features (mean token length, stopword ratio, distinct-token ratio,
+# length). The keep DECISION is the sign of the linear score — no
+# transcendental on the decision path, so the boundary is bit-exact
+# cross-engine; the reported mean sigmoid confidence goes through the
+# per-term micro-unit quantizer (order-free sum; exp()'s potential 1-ulp
+# libm-vs-JVM drift is absorbed by quantization, the repo's standard for
+# exp-bearing values). Complements the heuristic-tier ns_text_quality:
+# that key ranks, this one APPLIES a trained model.
+# ---------------------------------------------------------------------------
+
+_QC_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+def _quality_classifier_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        n_uniq = "size(array_distinct(toks))"
+        n_stop = f"size(filter(toks, t -> t IN {_QC_STOPWORDS}))"
+        n = "size(toks)"
+    else:
+        toks = "string_split(text, ' ')"
+        n_uniq = "len(list_distinct(toks))"
+        n_stop = f"len(list_filter(toks, t -> t IN {_QC_STOPWORDS}))"
+        n = "len(toks)"
+    # w·x + b with literal weights; every feature is a ratio of exact
+    # integers (IEEE division — identical doubles both engines)
+    z = (
+        f"({synth.flit(-2.0)} "
+        f"+ {synth.flit(4.0)} * (CAST(n_uniq AS DOUBLE) / n_toks) "
+        f"+ {synth.flit(-6.0)} * (CAST(n_stop AS DOUBLE) / n_toks) "
+        f"+ {synth.flit(0.08)} * mean_len "
+        f"+ {synth.flit(-0.004)} * n_toks)"
+    )
+    p = "(1e0 / (1e0 + exp(-z)))"
+    return f"""
+WITH feats AS (
+  SELECT doc_id, source, {n} AS n_toks, {n_uniq} AS n_uniq,
+    {n_stop} AS n_stop,
+    CAST(length(text) - ({n} - 1) AS DOUBLE) / {n} AS mean_len
+  FROM (SELECT doc_id, source, text, {toks} AS toks FROM documents) t0
+  WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT doc_id, source, {z} AS z FROM feats
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN z >= 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  {synth.q6("CAST(sum(CASE WHEN z >= 0e0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS keep_rate,
+  {synth.q6(synth.sum_micro(p.replace("z", "(z)"), 1.0) + " / count(*)")} AS mean_confidence
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "ns_quality_classifier",
+    oracle=_quality_classifier_sql("duckdb"),
+    doc="Linear quality-model INFERENCE over engineered text features "
+    "(distinct-token ratio, stopword ratio, mean token length, length "
+    "prior) with fixed literal weights — the fastText/DCLM-style "
+    "classifier-filtering stage. Keep decision = sign of the linear "
+    "score (bit-exact, no transcendental); mean sigmoid confidence via "
+    "per-term micro-unit quantization (order-free). Map-side scoring + "
+    "source-bounded groupBy (NS; the model complement of the heuristic "
+    "ns_text_quality tiers).",
+    tags=("ns", "text", "quality"),
+)
+def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_quality_classifier_sql("spark"))

@@ -324,3 +324,63 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(ev.schema).parquet(compact)
     back.createOrReplaceTempView("compacted_events")
     return spark.sql(_compact_oracle().replace("FROM events", "FROM compacted_events"))
+
+
+# ---------------------------------------------------------------------------
+# src_schema_evolution — mergeSchema read over an EVOLVING parquet layout:
+# generation 1 landed (o_orderkey, o_custkey), generation 2 added
+# o_totalprice. A fleet that rewrites history on every schema change does
+# not exist at 100 TB — the reader must reconcile: read both generations
+# with mergeSchema=true (schemas unioned from file footers; by default
+# Spark trusts the single footer-schema and would silently DROP the new
+# column when it samples a v1 file), missing columns surface as NULL. The
+# checked aggregate (rows, priced rows, exact-decimal price sum) matches
+# the oracle's CASE-reconstructed view of the same split.
+# ---------------------------------------------------------------------------
+
+_EVOLVE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(o_totalprice) AS BIGINT) AS n_priced,
+  CAST(coalesce(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))), 0) AS DOUBLE)
+    AS sum_priced
+FROM (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+  FROM orders
+) evolved
+"""
+
+
+@register(
+    "src_schema_evolution",
+    oracle=_EVOLVE_ORACLE,
+    doc="Schema-evolution read: two parquet generations (v2 adds a "
+    "column) unioned with mergeSchema=true, v1 rows surfacing NULL for "
+    "the new column; aggregate oracle-checked against a CASE-"
+    "reconstructed view of the source (REF-ANALOG source; sibling of "
+    "src_csv_malformed for the landing-zone-reality family).",
+    tags=("source", "scale"),
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "evolve")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    back = (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(out, "gen=1"), os.path.join(out, "gen=2"))
+    )
+    back.createOrReplaceTempView("orders_evolved")
+    return spark.sql("""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(o_totalprice) AS BIGINT) AS n_priced,
+  CAST(coalesce(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))), 0) AS DOUBLE)
+    AS sum_priced
+FROM orders_evolved
+""")
