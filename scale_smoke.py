@@ -72,6 +72,14 @@ KEYS = [
     "ns_dedup_substring",
     # r4: rep-collapsed (was 12.2× at 10× dup vector-level; now ~1×)
     "ns_dedup_simhash",
+    # r6 second session: URL canon dedup (map-side + hash groupBy), stride
+    # chunker (map-side explode), and the sketch-accelerated-exact pair
+    # (bloom mask broadcast; CMS bounded-cell shuffle — its ~3.6× ratio is
+    # three stream-linear map passes, see SURVEY §8.6)
+    "ns_dedup_url",
+    "ns_chunk_overlap",
+    "ns_decontaminate_bloom",
+    "agg_sketch_cms_heavy",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
