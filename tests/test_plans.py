@@ -515,3 +515,17 @@ def test_cms_heavy_no_sort_merge_join(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cep_single_stream_shuffle(spark):
+    """win_event_pattern_cep: all pattern logic (leads/lags, burst-length
+    min-over-following, per-user aggregation) must ride ONE hash exchange
+    of the event stream — the naive two-consumer CTE form measured 3
+    scans / 3 user_id shuffles before the single-pass rewrite."""
+    import re
+
+    df = REGISTRY["win_event_pattern_cep"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert "Join" not in plan

@@ -259,3 +259,142 @@ LIMIT 20
 def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_interval_overlap_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_event_pattern_cep — MATCH_RECOGNIZE-style complex event processing,
+# the operator class Spark lacks natively, expressed relationally. Two
+# pattern shapes per user stream (ordered by ts, event_id — the
+# deterministic tiebreak):
+#   P1 strict sequence with a time bound — view → click → purchase on
+#      THREE CONSECUTIVE events with the purchase ≤ 30 min after the view
+#      (MATCH_RECOGNIZE "A B C" with strict contiguity + WITHIN clause):
+#      two lead() columns on one window spec, a pure row-local predicate.
+#   P2 Kleene run — maximal bursts of ≥ 2 consecutive 'error' events
+#      (MATCH_RECOGNIZE "E{2,}"): the gaps-and-islands rank-difference,
+#      grouped per (user, island).
+# Both windows share ONE partition spec (user_id, ordered ts), so the
+# whole key costs a single shuffle of the event stream; pattern predicates
+# are map-side over the sorted runs. This differs from
+# win_funnel_conversion (stage-ANY-order-later funnel over per-user min-ts
+# relations): CEP is about CONTIGUITY and time-boxing.
+# ---------------------------------------------------------------------------
+
+_CEP_WITHIN_MIN = 30
+
+
+def _event_pattern_sql(dialect: str) -> str:
+    if dialect == "spark":
+        # SINGLE-PASS form: one scan, one stream shuffle. Every pattern
+        # signal is a window function on the SAME spec (user_id; ts,
+        # event_id) — Spark stacks the Window nodes on one Exchange+Sort —
+        # and the per-user aggregation reuses that hashpartitioning, so no
+        # second stream shuffle. Burst lengths come from next-non-error
+        # distance (min-over-following on the shared spec), burst COUNT
+        # from row-local start detection (lag ≠ error, lead = error) —
+        # no (user, island) re-shuffle, no CTE re-inlining (the naive
+        # two-consumer form measured 3 scans / 3 user_id shuffles).
+        return f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+    lead(event_type, 1) OVER w AS t1,
+    lead(event_type, 2) OVER w AS t2,
+    lead(ts, 2) OVER w AS ts2,
+    lag(event_type, 1) OVER w AS p1,
+    row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seq2 AS (
+  SELECT user_id, ts, event_type, t1, t2, ts2, p1, rn,
+    min(CASE WHEN event_type <> 'error' THEN rn END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_nonerr,
+    count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM seq
+),
+flagged AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts2 <= ts + INTERVAL {_CEP_WITHIN_MIN} MINUTE
+      THEN 1 ELSE 0 END AS is_conv,
+    CASE WHEN event_type = 'error' AND (p1 IS NULL OR p1 <> 'error')
+      AND t1 = 'error' THEN 1 ELSE 0 END AS is_burst_start,
+    CASE WHEN event_type = 'error' AND (p1 IS NULL OR p1 <> 'error')
+      AND t1 = 'error'
+      THEN coalesce(next_nonerr, n_events + 1) - rn ELSE 0 END AS burst_len
+  FROM seq2
+)
+SELECT user_id,
+  CAST(sum(is_conv) AS BIGINT) AS n_strict_conversions,
+  CAST(sum(is_burst_start) AS BIGINT) AS n_error_bursts,
+  CAST(max(burst_len) AS BIGINT) AS longest_burst
+FROM flagged
+GROUP BY user_id
+HAVING sum(is_conv) + sum(is_burst_start) > 0
+ORDER BY user_id
+"""
+    # Oracle: an INDEPENDENT formulation — classic rank-difference
+    # gaps-and-islands with (user, island) grouping (DuckDB materializes
+    # CTEs, so the multi-reference is free there). Two different
+    # derivations agreeing on every value is a stronger check than shared
+    # text.
+    return f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+    lead(event_type, 1) OVER w AS t1,
+    lead(event_type, 2) OVER w AS t2,
+    lead(ts, 2) OVER w AS ts2,
+    row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+conv AS (
+  SELECT user_id, count(*) AS n_strict_conversions
+  FROM seq
+  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    AND ts2 <= ts + INTERVAL {_CEP_WITHIN_MIN} MINUTE
+  GROUP BY user_id
+),
+err AS (
+  SELECT user_id, rn - row_number() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS island
+  FROM seq WHERE event_type = 'error'
+),
+bursts AS (
+  SELECT user_id, count(*) AS burst_len
+  FROM err GROUP BY user_id, island
+  HAVING count(*) >= 2
+),
+burst_agg AS (
+  SELECT user_id, count(*) AS n_error_bursts,
+    max(burst_len) AS longest_burst
+  FROM bursts GROUP BY user_id
+)
+SELECT u.user_id,
+  CAST(coalesce(c.n_strict_conversions, 0) AS BIGINT) AS n_strict_conversions,
+  CAST(coalesce(b.n_error_bursts, 0) AS BIGINT) AS n_error_bursts,
+  CAST(coalesce(b.longest_burst, 0) AS BIGINT) AS longest_burst
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN conv c ON u.user_id = c.user_id
+LEFT JOIN burst_agg b ON u.user_id = b.user_id
+WHERE c.user_id IS NOT NULL OR b.user_id IS NOT NULL
+ORDER BY u.user_id
+"""
+
+
+@register(
+    "win_event_pattern_cep",
+    oracle=_event_pattern_sql("duckdb"),
+    doc="MATCH_RECOGNIZE-style CEP expressed relationally: strict-"
+    "contiguity time-boxed sequence (view→click→purchase on consecutive "
+    "events within 30 min; lead()×2) and Kleene error bursts (≥2 "
+    "consecutive, rank-difference islands) — both pattern families on ONE "
+    "shared (user_id, ts) window spec, so the key costs a single shuffle "
+    "of the stream (REF-ANALOG; the contiguity complement of "
+    "win_funnel_conversion's any-order funnel).",
+    tags=("window", "analytics", "cep"),
+)
+def win_event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_event_pattern_sql("spark"))
