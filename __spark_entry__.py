@@ -203,6 +203,7 @@ _CHANGED_THIS_ROUND = [
     "ns_quality_classifier",
     "src_schema_evolution",
     "win_event_pattern_cep",
+    "ts_seasonal_decompose",
     # scalar-only output boundary (f0..f7 + sha256 digest) — fixes the
     # r5 red row (driver harness can't hash array<double>)
     "ns_mm_feature_stub",

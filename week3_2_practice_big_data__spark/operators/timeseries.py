@@ -502,3 +502,84 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev_ref="SELECT user_id, event_id, x, value, bkt, rn, n FROM lttb_ev",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_decompose — classical additive decomposition (the naive-STL
+# everyone actually runs): daily series → centered 7-day moving-average
+# TREND (defined only where the full window exists — edges drop, as in
+# statsmodels' convention) → day-of-week SEASONAL (mean detrended value
+# per weekday) → REMAINDER. Exactness chain: the daily total is the
+# per-term micro-unit sum (order-free), every y is then EXACT on the 1e-6
+# grid with |y·10⁶| ≪ 2^53, so the 7-term frame sum and per-dow sums are
+# order-independent by construction and the divisions are identical IEEE
+# in both engines — no q6 needed until the final projection. Single pass:
+# one corpus scan, one calendar-bounded groupBy (days), then two window
+# functions over the ~30-row daily relation (the global window is
+# SUMMARY-sized — bounded by the calendar, not the data — the acceptable
+# class from the r6 unpartitioned-window audit).
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_sql(dialect: str) -> str:
+    # Day key and weekday via pure epoch-microsecond integer arithmetic
+    # (the module's standard seam — no DATE column crosses the output
+    # boundary: engines hand dates to pandas as different dtypes).
+    # 1970-01-01 was a Thursday → dow 0 = Thursday; only consistency
+    # matters for the seasonal grouping.
+    if dialect == "spark":
+        day = f"CAST({_us(dialect)} DIV 86400000000 AS BIGINT)"
+    else:
+        day = f"{_us(dialect)} // 86400000000"
+    dow = "d % 7"
+    y = synth.sum_micro("value", 1e9)
+    return f"""
+WITH daily AS (
+  SELECT {day} AS d, {y} AS y
+  FROM events GROUP BY {day}
+),
+trended AS (
+  SELECT d, y, {dow} AS dow,
+    CASE WHEN count(*) OVER w7 = 7
+      THEN sum(y) OVER w7 / 7e0 END AS trend
+  FROM daily
+  WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seasoned AS (
+  -- per-term micro-quantized detrended value: trend = exact7sum/7 is NOT
+  -- on the 1e-6 grid, and a float sum over an ORDER-BY-less window
+  -- partition is accumulation-order noise (the ADVICE-r5 hazard) — the
+  -- BIGINT sum is commutative, the divisions deterministic IEEE
+  SELECT d, y, dow, trend,
+    (CAST(sum(CASE WHEN trend IS NOT NULL
+        THEN CAST(floor((y - trend) * 1000000e0 + 0.5e0) AS BIGINT)
+        ELSE 0 END) OVER wd AS DOUBLE) / 1000000e0)
+      / greatest(sum(CASE WHEN trend IS NOT NULL THEN 1 ELSE 0 END) OVER wd, 1)
+      AS seasonal
+  FROM trended
+  WINDOW wd AS (PARTITION BY dow)
+)
+SELECT d, {synth.q6("y")} AS y, {synth.q6("trend")} AS trend,
+  {synth.q6("seasonal")} AS seasonal,
+  {synth.q6("y - trend - seasonal")} AS remainder
+FROM seasoned
+WHERE trend IS NOT NULL
+ORDER BY d
+"""
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=_seasonal_sql("duckdb"),
+    doc="Classical additive seasonal decomposition: exact-micro daily "
+    "totals → centered 7-day moving-average trend (full-window rows "
+    "only) → day-of-week seasonal means → remainder. Every intermediate "
+    "is exact on the 1e-6 grid so frame/group sums are order-free; "
+    "windows run over the calendar-bounded daily summary, never the "
+    "event stream (REF-ANALOG; completes the ts_* family with "
+    "ts_resample_fill / ts_downsample_lttb).",
+    tags=("timeseries", "window"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_seasonal_sql("spark"))
