@@ -81,6 +81,7 @@ HEADLINE = [
     # plans (first recorded medians seed the r7 baseline).
     "ns_decontaminate_bloom",
     "agg_sketch_cms_heavy",
+    "win_event_pattern_cep",
 ]
 
 
