@@ -148,17 +148,52 @@ _R05_VERIFIED = frozenset({
     "src_binary_files", "stream_rate_source", "udf_grouped_map_render",
 })
 
+# CORRECTNESS_r06.json: 50/50 clean — 40 oracle keys green (rows +
+# schema + hash) and 10 rows-only keys ran clean. The window executed
+# the r6 changed-first rotation exactly: all 42 changed keys (16
+# r5-spillover re-verifications + the r6 additions incl. the fixed
+# ns_mm_feature_stub) plus 8 proven agg keys as spillover.
+_R06_VERIFIED = frozenset({
+    "agg_approx_distinct", "agg_centroid_mean", "agg_count_distinct",
+    "agg_cube", "agg_extent", "agg_groupby_multi", "agg_rollup_cube",
+    "agg_sketch_cms_heavy", "agg_sum_normalize", "gen_poster_caption",
+    "graph_triangle_count", "ml_naive_bayes", "ml_pca_power",
+    "ns_chunk_overlap", "ns_decontaminate_bloom", "ns_dedup_cluster",
+    "ns_dedup_minhash", "ns_dedup_ngram_jaccard", "ns_dedup_simhash",
+    "ns_dedup_url", "ns_domain_mix", "ns_domain_temperature",
+    "ns_kn_bigram", "ns_mm_audio_window", "ns_mm_decode_meta",
+    "ns_mm_feature_stub", "ns_mm_frame_sample", "ns_mm_image_phash",
+    "ns_mm_resize", "ns_mm_scene_cut", "ns_quality_classifier",
+    "ns_sample_importance", "ns_text_langid", "ns_text_perplexity",
+    "ns_text_pmi", "ns_text_tfidf", "sink_binary_export",
+    "sink_binary_export_hires", "sink_binary_export_tiled",
+    "sink_compact_small_files", "src_schema_evolution",
+    "stream_sliding_agg", "stream_trigger_availablenow",
+    "stream_tumbling_agg", "stream_unbounded_socket",
+    "ts_downsample_lttb", "ts_seasonal_decompose",
+    "win_cusum_changepoint", "win_event_pattern_cep",
+    "win_funnel_conversion",
+})
+
 _VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED
 )
 
 
-# Keys whose implementation changed in ROUND 6, or changed in round 5
-# AFTER the r5 window was consumed (the 16-key re-verification backlog —
-# VERDICT r5 item 2): they lead the window, highest behavior-change risk
-# first.
-_CHANGED_THIS_ROUND = [
+# Keys whose implementation changed in ROUND 7 (or new in r7): they lead
+# the window, highest behavior-change risk first.
+_CHANGED_THIS_ROUND: list[str] = [
+    # ADVICE r6: trend window converted to exact BIGINT micro-unit sums
+    # (order-free by construction, not by engine accident)
+    "ts_seasonal_decompose",
+    # ADVICE r6: ingestion gauge no longer relies on the capped
+    # recentProgress buffer; broker connection provably outlives the query
+    "stream_unbounded_socket",
+]
+
+# Round-6 changed list, kept for the record (all 42 hold green r06 rows).
+_R06_CHANGED = [
     # --- the 16 r5-changed keys with no driver row for their current
     # code (judge-rerun MATCH at sf0.01; re-windowed here for the
     # artifact). Order: dedup rewrites first (largest r5 diffs), then
