@@ -134,7 +134,15 @@ def checkpointed(cache: dict, key, build):
     reference — an RDD-backed checkpoint cannot miss. Callers key by
     (session_key(spark), sf_dir) for sf-dependent relations,
     session_key(spark) otherwise.
+
+    On a miss, entries keyed to OTHER sessions are evicted first (ADVICE
+    r6): one live session at a time is the usage pattern, and without
+    eviction a long-lived process that restarts sessions would leak each
+    dead session's eagerly-materialized checkpoints forever.
     """
     if key not in cache:
+        sess = key[0] if isinstance(key, tuple) else key
+        for k in [k for k in cache if (k[0] if isinstance(k, tuple) else k) != sess]:
+            del cache[k]
         cache[key] = build().localCheckpoint(eager=True)
     return cache[key]

@@ -509,11 +509,13 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everyone actually runs): daily series → centered 7-day moving-average
 # TREND (defined only where the full window exists — edges drop, as in
 # statsmodels' convention) → day-of-week SEASONAL (mean detrended value
-# per weekday) → REMAINDER. Exactness chain: the daily total is the
-# per-term micro-unit sum (order-free), every y is then EXACT on the 1e-6
-# grid with |y·10⁶| ≪ 2^53, so the 7-term frame sum and per-dow sums are
-# order-independent by construction and the divisions are identical IEEE
-# in both engines — no q6 needed until the final projection. Single pass:
+# per weekday) → REMAINDER. Exactness chain (ADVICE r6): the daily total
+# is CARRIED as its BIGINT micro-unit sum — the 7-day trend frame sums
+# int64 (commutative, order-free by construction; a DOUBLE frame sum over
+# 1e-6-grid values is still IEEE accumulation-order-dependent and was
+# only accidentally engine-identical) and divides ONCE by 7e6; the
+# per-dow seasonal window likewise sums per-term-quantized BIGINT.
+# No q6 needed until the final projection. Single pass:
 # one corpus scan, one calendar-bounded groupBy (days), then two window
 # functions over the ~30-row daily relation (the global window is
 # SUMMARY-sized — bounded by the calendar, not the data — the acceptable
@@ -532,16 +534,16 @@ def _seasonal_sql(dialect: str) -> str:
     else:
         day = f"{_us(dialect)} // 86400000000"
     dow = "d % 7"
-    y = synth.sum_micro("value", 1e9)
+    ym = synth.sum_micro_int("value", 1e9)
     return f"""
 WITH daily AS (
-  SELECT {day} AS d, {y} AS y
+  SELECT {day} AS d, {ym} AS ym
   FROM events GROUP BY {day}
 ),
 trended AS (
-  SELECT d, y, {dow} AS dow,
+  SELECT d, CAST(ym AS DOUBLE) / 1000000e0 AS y, {dow} AS dow,
     CASE WHEN count(*) OVER w7 = 7
-      THEN sum(y) OVER w7 / 7e0 END AS trend
+      THEN CAST(sum(ym) OVER w7 AS DOUBLE) / 7000000e0 END AS trend
   FROM daily
   WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ),
@@ -573,8 +575,9 @@ ORDER BY d
     oracle=_seasonal_sql("duckdb"),
     doc="Classical additive seasonal decomposition: exact-micro daily "
     "totals → centered 7-day moving-average trend (full-window rows "
-    "only) → day-of-week seasonal means → remainder. Every intermediate "
-    "is exact on the 1e-6 grid so frame/group sums are order-free; "
+    "only) → day-of-week seasonal means → remainder. Daily totals stay "
+    "BIGINT micro-units through every frame/group sum (order-free int64, "
+    "one divide at the end — ADVICE r6); "
     "windows run over the calendar-bounded daily summary, never the "
     "event stream (REF-ANALOG; completes the ts_* family with "
     "ts_resample_fill / ts_downsample_lttb).",

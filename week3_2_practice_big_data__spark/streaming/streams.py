@@ -815,26 +815,32 @@ def stream_unbounded_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
     def serve() -> None:
         # serve every connection the source opens (it connects once per
         # query start); send all lines, then HOLD the socket open — an
-        # unbounded stream has no EOF — until the query is stopped.
-        server.settimeout(30.0)
-        try:
-            while not done.is_set():
-                try:
-                    conn, _ = server.accept()
-                except (socket.timeout, OSError):
-                    return
-                conns.append(conn)
-                try:
-                    conn.sendall(payload)
-                except OSError:
-                    continue
-                sent.set()
-        finally:
-            for c in conns:
-                try:
-                    c.close()
-                except OSError:
-                    pass
+        # unbounded stream has no EOF. Accept in a short-timeout loop
+        # gated on `done`, and close connections only AFTER the main
+        # thread sets `done` (ADVICE r6: a fixed accept-timeout closed
+        # the live connection ~30 s after the last accept, making the
+        # no-EOF contract timing-dependent on a loaded box; now the
+        # connection provably outlives the query).
+        server.settimeout(0.5)
+        while not done.is_set():
+            try:
+                conn, _ = server.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            conns.append(conn)
+            try:
+                conn.sendall(payload)
+            except OSError:
+                continue
+            sent.set()
+        done.wait()
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
 
     thread = threading.Thread(target=serve, daemon=True)
     thread.start()
@@ -877,12 +883,18 @@ def stream_unbounded_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
         # until the cumulative source input reaches the served row count
         # (then once more so the no-data batch flushes watermark state).
         deadline = time.time() + 120.0
+        # recentProgress is a CAPPED ring buffer (~100 entries, ADVICE
+        # r6): re-summing it undercounts forever once input-bearing
+        # entries are evicted by later no-data batches. Accumulate
+        # per-batch input counts across polls in Python instead — a
+        # batch's count is recorded the first poll after it appears, so
+        # eviction can only drop entries already counted.
+        batch_rows: dict[int, int] = {}
         while time.time() < deadline:
             query.processAllAvailable()
-            ingested = sum(
-                int(p["numInputRows"]) for p in query.recentProgress
-            )
-            if ingested >= n_events:
+            for p in query.recentProgress:
+                batch_rows[int(p["batchId"])] = int(p["numInputRows"])
+            if sum(batch_rows.values()) >= n_events:
                 break
             time.sleep(0.2)
         query.processAllAvailable()

@@ -96,6 +96,19 @@ def sum_micro(expr: str, bound: float = 1e6) -> str:
     )
 
 
+def sum_micro_int(expr: str, bound: float = 1e6) -> str:
+    """BIGINT half of :func:`sum_micro`: the exact per-term-quantized
+    int64 sum, kept as an integer so DOWNSTREAM accumulation (window
+    frame sums over group totals, multi-level rollups) stays commutative
+    too. A DOUBLE frame sum over values on the 1e-6 grid is still IEEE
+    accumulation-order-dependent (ADVICE r6) — only the integer form is
+    order-free by construction. Divide once at the very end."""
+    return (
+        f"coalesce(sum(CAST(floor({sat(expr, bound)} * 1000000e0 "
+        "+ 0.5e0) AS BIGINT)), 0)"
+    )
+
+
 def lcg_u(key_expr: str, seed: int, draw: int = 0) -> str:
     """Uniform [0,1) double: `draw`-th LCG output for integer key `key_expr`."""
     x = f"((({key_expr}) * 1000003 + {seed} * 7919 + {LCG_C}) % {M31})"
