@@ -190,6 +190,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # ADVICE r6: ingestion gauge no longer relies on the capped
     # recentProgress buffer; broker connection provably outlives the query
     "stream_unbounded_socket",
+    # r7: compacted-file target is now size-derived (max(4, rows/2M)) so
+    # the rewrite keeps its parallelism at any scale
+    "sink_compact_small_files",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

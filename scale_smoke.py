@@ -80,6 +80,19 @@ KEYS = [
     "ns_chunk_overlap",
     "ns_decontaminate_bloom",
     "agg_sketch_cms_heavy",
+    # r7 (VERDICT r6 item 1): the five r6 keys that shipped without a
+    # ladder row. CEP + seasonal ride the events ladder (CEP: N× disjoint
+    # users through the single (user_id, ts) window shuffle; seasonal:
+    # N× rows per day through the partial-agg daily groupBy, windows stay
+    # on the ~30-row calendar summary). Classifier rides the duplicated
+    # corpus (pure map-side scoring). Evolution/compaction rewrite the
+    # scaled orders/events through their scratch layouts — data-linear
+    # parallel IO passes, the ratio checks nothing serializes.
+    "win_event_pattern_cep",
+    "ts_seasonal_decompose",
+    "ns_quality_classifier",
+    "src_schema_evolution",
+    "sink_compact_small_files",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

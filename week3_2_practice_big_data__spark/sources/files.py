@@ -279,7 +279,13 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COMPACT_FRAGMENTS = 64
+# Floor on the compacted file count. Production compaction targets a file
+# SIZE, not a count — the actual target is derived from the input volume
+# (max(floor, rows/_COMPACT_ROWS_PER_FILE)) so output files stay bounded
+# (~the 128 MB convention) and the write keeps its parallelism at any
+# scale; a fixed count would serialize the 100× rewrite onto 4 tasks.
 _COMPACT_TARGET = 4
+_COMPACT_ROWS_PER_FILE = 2_000_000
 
 
 def _compact_oracle() -> str:
@@ -305,10 +311,12 @@ def compact_paths(sf_dir: str) -> tuple[str, str]:
     "sink_compact_small_files",
     oracle=_compact_oracle(),
     doc="Small-files compaction: a 64-fragment parquet layout is rewritten "
-    "to 4 files via coalesce (no shuffle — each output task concatenates "
-    "~16 inputs); the checked read-back aggregate over the COMPACTED "
-    "files equals the oracle computed from the source table, proving the "
-    "pass is a pure layout change. File counts pinned by pytest "
+    "to max(4, rows/2M) files via coalesce (no shuffle — each output task "
+    "concatenates fragments; the size-derived target keeps output files "
+    "~128 MB-bounded and the write parallel at any scale); the checked "
+    "read-back aggregate over the COMPACTED files equals the oracle "
+    "computed from the source table, proving the pass is a pure layout "
+    "change. File counts pinned by pytest "
     "(REF-ANALOG sink; sibling of sink_partitioned_write).",
     tags=("sink", "scale"),
 )
@@ -317,9 +325,11 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frag, compact = compact_paths(sf_dir)
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_rows = ev.count()
+    target = max(_COMPACT_TARGET, -(-n_rows // _COMPACT_ROWS_PER_FILE))
     ev.repartition(_COMPACT_FRAGMENTS).write.mode("overwrite").parquet(frag)
     spark.read.schema(ev.schema).parquet(frag).coalesce(
-        _COMPACT_TARGET
+        target
     ).write.mode("overwrite").parquet(compact)
     back = spark.read.schema(ev.schema).parquet(compact)
     back.createOrReplaceTempView("compacted_events")
