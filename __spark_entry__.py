@@ -193,6 +193,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r7: compacted-file target is now size-derived (max(4, rows/2M)) so
     # the rewrite keeps its parallelism at any scale
     "sink_compact_small_files",
+    # NEW r7: corpus-wide BPE application (broadcast encoded vocab over
+    # the map-side token explode; shares iter_bpe_merges' merge table by
+    # construction — one training chain, two keys)
+    "ns_bpe_encode",
+    # NEW r7: persist-and-probe index lifecycle (standing MinHash band
+    # index written once via build_once, ingest batch probes the
+    # persisted parquet; oracle = the in-flight text verbatim)
+    "ns_dedup_incremental_persist",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -93,6 +93,10 @@ KEYS = [
     "ns_quality_classifier",
     "src_schema_evolution",
     "sink_compact_small_files",
+    # r7: corpus-wide BPE application — the duplicated corpus leaves the
+    # distinct vocab (and the whole training chain) unchanged; only the
+    # map-side explode + broadcast join + doc aggregate grow with N.
+    "ns_bpe_encode",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

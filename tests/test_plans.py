@@ -529,3 +529,31 @@ def test_cep_single_stream_shuffle(spark):
     assert plan.count("Scan parquet") == 1
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
     assert "Join" not in plan
+
+
+def test_bpe_encode_broadcast_vocab_single_corpus_scan(spark):
+    """ns_bpe_encode: the corpus-wide application pass must be ONE
+    parquet scan of documents joined BROADCAST against the encoded vocab
+    (the trained seq chain is checkpointed, vocab-sized); the only
+    non-broadcast exchanges are the vocab-bounded enc aggregate, the
+    doc-bounded final aggregate, and the presentation sort — zero
+    corpus-sized shuffles before the final aggregate."""
+    df = REGISTRY["ns_bpe_encode"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_persist_probes_persisted_index(spark):
+    """ns_dedup_incremental_persist: the probe side must be parquet SCANS
+    of the persisted index tables (bands + old signatures under the
+    bandidx scratch), never an in-flight recompute — exactly 3 scans
+    (index bands, old sig, documents for the new-batch admit list), and
+    the only signature/band machinery in the plan is the batch-sized
+    new side."""
+    df = REGISTRY["ns_dedup_incremental_persist"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("bandidx") >= 2  # both persisted tables scanned

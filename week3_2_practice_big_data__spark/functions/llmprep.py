@@ -577,6 +577,104 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ns_dedup_incremental_persist — the INDEX LIFECYCLE half of incremental
+# dedup: ns_dedup_incremental builds its standing MinHash band index
+# in-flight on every run, but the production shape at 100 TB writes the
+# index ONCE as parquet tables (the "index build" job) and every ingest
+# batch PROBES the persisted tables. Here the old-corpus band index
+# (doc_id, band, bandsig) and old signatures (doc_id, i, sig) are written
+# via build_once scratch (stamp-keyed: a parameter change rebuilds, never
+# silently reuses); the probe run computes ONLY the new batch's
+# signatures/bands in-flight (batch-sized work), joins them against
+# SCANS of the persisted tables, and emits the identical admit decision —
+# oracle is ns_dedup_incremental's in-flight text verbatim, so the driver
+# proves persisted-probe ≡ in-flight. Plan-pinned: the probe side is a
+# parquet scan of the index path, not a recompute (no shingle/minhash
+# machinery for old docs anywhere in the plan).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_dedup_incremental_persist",
+    oracle=_dedup_incremental_sql("duckdb"),
+    doc="Persist-and-probe incremental dedup: the standing MinHash band "
+    "index + old-corpus signatures are written once as parquet scratch "
+    "tables (build_once, stamp-keyed) and the ingest batch probes the "
+    "PERSISTED tables — only the new batch's signatures are computed "
+    "in-flight; output (and oracle) identical to ns_dedup_incremental, "
+    "proving index persistence changes nothing but the cost model (NS; "
+    "the index-lifecycle sibling of ns_dedup_incremental).",
+    tags=("ns", "dedup", "scale"),
+)
+def ns_dedup_incremental_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..common import build_once
+    from ..sources.files import _scratch
+    from .text import MINHASH_BAND, MINHASH_K, _bandsig, _cached_minhash_sig
+
+    _view(spark, sf_dir, "documents")
+    band = MINHASH_BAND
+    out = _scratch(sf_dir, "bandidx")
+
+    def build(tmp: str) -> None:
+        sig = _cached_minhash_sig(spark, sf_dir)
+        sig.createOrReplaceTempView("w32bd_idx_allsig")
+        spark.sql(f"""
+SELECT doc_id, {band} AS band, {_bandsig("spark")} AS bandsig
+FROM w32bd_idx_allsig WHERE doc_id % {_INC_MOD} <> 0
+GROUP BY doc_id, {band}
+""").write.mode("overwrite").parquet(os.path.join(tmp, "bands.parquet"))
+        sig.filter(f"doc_id % {_INC_MOD} <> 0").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "sig.parquet"))
+
+    build_once(out, build, stamp=f"v1:k{MINHASH_K}:m{_INC_MOD}")
+    spark.read.parquet(
+        os.path.join(out, "bands.parquet")
+    ).createOrReplaceTempView("w32bd_idx_bands")
+    spark.read.parquet(
+        os.path.join(out, "sig.parquet")
+    ).createOrReplaceTempView("w32bd_idx_oldsig")
+    _cached_minhash_sig(spark, sf_dir).filter(
+        f"doc_id % {_INC_MOD} = 0"
+    ).createOrReplaceTempView("w32bd_idx_newsig")
+    return spark.sql(f"""
+WITH nbands AS (
+  SELECT doc_id, {band} AS band, {_bandsig("spark")} AS bandsig
+  FROM w32bd_idx_newsig GROUP BY doc_id, {band}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM nbands n JOIN w32bd_idx_bands o
+    ON n.band = o.band AND n.bandsig = o.bandsig
+),
+verify AS (
+  SELECT c.new_id, c.old_id,
+    sum(CASE WHEN sa.sig = sb.sig THEN 1e0 ELSE 0e0 END) / {MINHASH_K}e0 AS est
+  FROM cand c
+  JOIN w32bd_idx_newsig sa ON sa.doc_id = c.new_id
+  JOIN w32bd_idx_oldsig sb ON sb.doc_id = c.old_id AND sb.i = sa.i
+  GROUP BY c.new_id, c.old_id
+),
+matches AS (
+  SELECT new_id, count(*) AS n_dup_matches, max(est) AS max_est
+  FROM verify WHERE est >= {_INC_T}
+  GROUP BY new_id
+),
+newdocs AS (
+  SELECT doc_id FROM documents WHERE doc_id % {_INC_MOD} = 0
+)
+SELECT nd.doc_id AS new_id,
+  coalesce(m.n_dup_matches, 0) AS n_dup_matches,
+  {synth.q6("coalesce(m.max_est, 0e0)")} AS max_est,
+  (m.new_id IS NULL) AS admit
+FROM newdocs nd LEFT JOIN matches m ON nd.doc_id = m.new_id
+ORDER BY new_id
+""")
+
+
+# ---------------------------------------------------------------------------
 # ns_dedup_paragraph — sub-document dedup (the Falcon/RefinedWeb granularity
 # between exact-doc and near-doc dedup): documents split into 8-token
 # chunks, chunks counted corpus-wide, per-document duplicated-chunk
@@ -1245,7 +1343,12 @@ _BPE_ROUNDS = 3
 _BPE_MAXLEN = 32  # char-explode bound; corpus tokens are far shorter
 
 
-def _bpe_merges_sql(dialect: str) -> str:
+def _bpe_chain_sql(dialect: str) -> str:
+    """Shared WITH-chain body: corpus vocab → seq0 char explode → the
+    _BPE_ROUNDS trained merge rounds (adj/top/mch/keep/seq per round).
+    Used verbatim by BOTH iter_bpe_merges (emits the top{r} merge table)
+    and ns_bpe_encode (consumes the final seq{R} encoded vocabulary), so
+    the two keys share ONE merge table by construction."""
     mat = " MATERIALIZED" if dialect == "duckdb" else ""
     rounds = []
     prev = "seq0"
@@ -1284,20 +1387,24 @@ seq{r} AS{mat} (
 )""")
         prev = f"seq{r}"
     chain = ",".join(rounds)
-    merges = "\nUNION ALL\n".join(
-        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, c AS pair_count FROM top{r}"
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
-    return f"""
-WITH tok AS{mat} ({tokens_sql(dialect)}),
+    return f"""WITH tok AS{mat} ({tokens_sql(dialect)}),
 vocab AS{mat} (SELECT token, count(*) AS freq FROM tok GROUP BY token),
 seq0 AS{mat} (
   SELECT v.token, v.freq, s.i AS pos, substring(v.token, CAST(s.i AS INT) + 1, 1) AS sym
   FROM vocab v JOIN {synth.series_sql(_BPE_MAXLEN, "i", "__DIALECT__")} s
     ON s.i < length(v.token)
-),{chain}
+),{chain}""".replace("__DIALECT__", dialect)
+
+
+def _bpe_merges_sql(dialect: str) -> str:
+    merges = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, c AS pair_count FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+{_bpe_chain_sql(dialect)}
 SELECT round, sym_a, sym_b, pair_count FROM ({merges}) m ORDER BY round
-""".replace("__DIALECT__", dialect)
+"""
 
 
 def _bpe_merges_oracle() -> str:
@@ -1317,6 +1424,26 @@ def _bpe_merges_oracle() -> str:
     tags=("ns", "iterative", "tokenizer"),
 )
 def iter_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    tops, _seq = _bpe_train(spark, sf_dir)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.select(
+        "round",
+        F.col("a").alias("sym_a"),
+        F.col("b").alias("sym_b"),
+        F.col("c").alias("pair_count"),
+    ).orderBy("round")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Spark half of the shared BPE chain: the lazy per-round DataFrame
+    loop (checkpoint per round, broadcast 1-row top pair, no collect).
+    Returns (per-round top-pair DataFrames, final encoded symbol
+    sequence) — iter_bpe_merges emits the former, ns_bpe_encode consumes
+    the latter; one training, two keys, same merge table."""
     import pyspark.sql.functions as F
 
     _view(spark, sf_dir, "documents")
@@ -1362,15 +1489,95 @@ LEFT JOIN keep k ON s.token = k.token AND s.pos = k.pos
 LEFT JOIN keep kc ON s.token = kc.token AND s.pos = kc.pos + 1
 WHERE kc.pos IS NULL
 """).localCheckpoint(eager=True)
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionAll(t)
-    return out.select(
-        "round",
-        F.col("a").alias("sym_a"),
-        F.col("b").alias("sym_b"),
-        F.col("c").alias("pair_count"),
-    ).orderBy("round")
+    return tops, seq
+
+
+# ---------------------------------------------------------------------------
+# ns_bpe_encode — APPLY the trained BPE vocabulary corpus-wide (the single
+# most common LLM-pipeline map operation: every token of every document is
+# encoded with the learned merges before packing/training). The textbook
+# BPE application rule — replay the merge table in rank order with
+# leftmost-non-overlapping application — is exactly the training chain's
+# seq transformation, and string-level tokens make the encoding factor
+# through the DISTINCT vocabulary: seq{R} (the chain's final state) IS
+# every distinct token's encoded symbol sequence. The corpus-wide pass is
+# then a map-side explode of documents joined against the BROADCAST
+# encoded vocab (count(*) per token over seq{R}) — zero corpus-sized
+# shuffles before the final per-doc aggregate (partial-agg'd on doc_id;
+# if the vocab ever outgrows broadcast, the join degrades to a
+# vocab-bounded shuffle equi-join, the dedup-family candidate shape).
+# Tokens longer than _BPE_MAXLEN are char-capped at 32 by the training
+# explode, so n_chars counts least(length, 32) for consistency; empty
+# tokens (doubled spaces) have no symbols and drop out of the inner join
+# in both engines (a document whose every token is empty is absent from
+# the output). Compression = chars/symbols — a single division of two
+# exact BIGINTs, deterministic IEEE in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_sql(dialect: str) -> str:
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    capped = f"least(length(t.token), {_BPE_MAXLEN})"
+    comp = synth.q6(
+        f"CAST(sum({capped}) AS DOUBLE) / CAST(sum(e.n_syms) AS DOUBLE)"
+    )
+    return f"""
+{_bpe_chain_sql(dialect)},
+enc AS{mat} (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_syms
+  FROM seq{_BPE_ROUNDS} GROUP BY token
+)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum({capped}) AS BIGINT) AS n_chars,
+  CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens,
+  {comp} AS compression
+FROM tok t JOIN enc e ON t.token = e.token
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "ns_bpe_encode",
+    oracle=_bpe_encode_sql("duckdb"),
+    doc="Corpus-wide BPE encoding with the trained merge table (completes "
+    "the tokenizer story: ns_bpe_pair_stats → iter_bpe_merges → encode): "
+    "the chain's final symbol state is the encoded DISTINCT vocabulary, "
+    "broadcast-joined against the map-side token explode; per-doc word/"
+    "char/BPE-token counts + compression ratio, zero corpus-sized "
+    "shuffles before the final doc aggregate (NS, tokenizer).",
+    tags=("ns", "text", "tokenizer", "scale"),
+)
+def ns_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    _tops, seq = _bpe_train(spark, sf_dir)
+    enc = seq.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_syms")
+    )
+    tok = spark.sql(tokens_sql("spark"))
+    capped = F.least(F.length("token"), F.lit(_BPE_MAXLEN))
+    return (
+        tok.join(F.broadcast(enc), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(capped).cast("bigint").alias("n_chars"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            synth.q6(
+                "CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)"
+            )
+            + " AS compression",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
