@@ -201,6 +201,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # index written once via build_once, ingest batch probes the
     # persisted parquet; oracle = the in-flight text verbatim)
     "ns_dedup_incremental_persist",
+    # NEW r7: same lifecycle for the IVF inverted file (query computes
+    # only its own probe cells; persisted cells scanned, exact rerank)
+    "ns_sim_ann_ivf_persist",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -82,6 +82,11 @@ HEADLINE = [
     "ns_decontaminate_bloom",
     "agg_sketch_cms_heavy",
     "win_event_pattern_cep",
+    # round-7 additions: corpus-wide BPE application and the
+    # persist-and-probe index lifecycle (first recorded medians seed the
+    # r8 baseline).
+    "ns_bpe_encode",
+    "ns_dedup_incremental_persist",
 ]
 
 

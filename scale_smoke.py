@@ -178,6 +178,77 @@ def build_scaled(spark) -> str:
     return _SCRATCH
 
 
+# Per-user-window keys stressed by the skew ladder (VERDICT r6 item 7):
+# the uniform ladder replicates DISJOINT user populations, so every
+# per-user partition keeps base density; real deployments have power-law
+# users. The skew build gives ONE user ~10% of ALL events at N×.
+_SKEW_KEYS = [
+    "win_event_pattern_cep",
+    "stream_session_window",
+    "win_running_agg",
+]
+
+
+def build_skewed(spark) -> str:
+    """N× events where the first ~N/10 replicas collapse onto ONE hot
+    user (user_id = -1, ~10% of all rows) and the rest stay disjoint —
+    same total rows as the uniform ladder, so wall(skew)/wall(uniform)
+    isolates the straggler cost of the hot user's window partition."""
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp",
+        f"skew{FACTOR}_{os.path.basename(BASE_SF.rstrip('/'))}",
+    )
+    marker = os.path.join(scratch, "_DONE")
+    stamp = f"events-skew@{FACTOR}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return scratch
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ev = load_table(spark, BASE_SF, "events")
+    ev_shift = ev.agg(F.max("event_id")).first()[0] + 1
+    user_shift = ev.agg(F.max("user_id")).first()[0] + 1
+    utype = ev.schema["user_id"].dataType
+    hot = max(1, FACTOR // 10)
+    parts = None
+    for i in range(FACTOR):
+        p = ev.withColumn("event_id", F.col("event_id") + F.lit(i * ev_shift))
+        if i < hot:
+            p = p.withColumn("user_id", F.lit(-1).cast(utype))
+        else:
+            p = p.withColumn("user_id", F.col("user_id") + F.lit(i * user_shift))
+        parts = p if parts is None else parts.unionAll(p)
+    parts.write.mode("overwrite").parquet(os.path.join(scratch, "events.parquet"))
+    for name in TABLES:
+        if name == "events":
+            continue
+        dst = os.path.join(scratch, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f"{name}.parquet"), dst)
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return scratch
+
+
+def skew_ladder(spark) -> dict:
+    uniform = build_scaled(spark)
+    skewed = build_skewed(spark)
+    report = {}
+    for key in _SKEW_KEYS:
+        for sf_dir in (uniform, skewed):  # warm both paths
+            run_once(spark, key, sf_dir)
+        u = statistics.median(run_once(spark, key, uniform) for _ in range(RUNS))
+        s = statistics.median(run_once(spark, key, skewed) for _ in range(RUNS))
+        report[key] = {
+            "uniform_s": round(u, 3),
+            "skew_s": round(s, 3),
+            "ratio": round(s / u, 2),
+        }
+    return report
+
+
 def run_once(spark, key: str, sf_dir: str) -> float:
     start = time.perf_counter()
     REGISTRY[key].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -248,6 +319,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # MM-only mode: SPARK_GRAFT_SCALE_MM=1 runs the poster-replication
     # ladder instead of the sf-table ladder.
+    # Skew mode: SPARK_GRAFT_SCALE_SKEW=1 runs the hot-user ladder
+    # (uniform N× vs one-user-holds-10% N×, same total rows).
+    if os.environ.get("SPARK_GRAFT_SCALE_SKEW"):
+        report = skew_ladder(spark)
+        print(
+            json.dumps(
+                {
+                    "metric": f"skew{FACTOR}_ratio",
+                    "factor": FACTOR,
+                    "hot_fraction": max(1, FACTOR // 10) / FACTOR,
+                    "queries": report,
+                    "max_ratio": max(r["ratio"] for r in report.values()),
+                }
+            )
+        )
+        return
     if os.environ.get("SPARK_GRAFT_SCALE_MM"):
         report = mm_ladder(spark)
         print(

@@ -499,6 +499,11 @@ def test_adversarial_input_parity(spark):
         # r6: blocked-ntile tier decomposition + the socket-fed unbounded
         # source (ties/NaN/Inf flow through the line protocol + watermark)
         "ns_sample_importance", "stream_unbounded_socket",
+        # r7: the index-lifecycle siblings (persisted band/IVF indexes
+        # must reproduce the in-flight decisions on dirty inputs too) and
+        # the BPE encode pass (empty tokens, 5000-char cap, CJK/emoji)
+        "ns_dedup_incremental_persist", "ns_sim_ann_ivf_persist",
+        "ns_bpe_encode", "ns_dedup_incremental",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -557,3 +557,17 @@ def test_incremental_persist_probes_persisted_index(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 3
     assert plan.count("bandidx") >= 2  # both persisted tables scanned
+
+
+def test_ivf_persist_probes_persisted_inverted_file(spark):
+    """ns_sim_ann_ivf_persist: the corpus→cell assignment must come from
+    a parquet SCAN of the persisted inverted file, never an in-flight
+    recompute — 4 scans total (persisted cells, rerank embeddings, and
+    two point-lookup scans of the query vector with the vec_id equality
+    PUSHED to parquet), and the only centroid cross join left is the
+    1-row query side."""
+    df = REGISTRY["ns_sim_ann_ivf_persist"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 4
+    assert plan.count("ivfidx") >= 1
+    assert plan.count("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id") == 2

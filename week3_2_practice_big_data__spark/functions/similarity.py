@@ -517,6 +517,24 @@ def _centroid_values(dialect: str) -> str:
     return f"(SELECT * FROM (VALUES {vals}) AS ct(c, comps))"
 
 
+def _ivf_d2(dialect: str) -> str:
+    """Squared distance of `e.embedding` to centroid `ct.comps` — the
+    FIXED-ORDER fold shared by the full assignment chain and the
+    persist-variant's query-only probe (identical text → identical
+    doubles → identical cell choice)."""
+    if dialect == "spark":
+        return (
+            "aggregate(zip_with(e.embedding, ct.comps, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "0e0, (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(0e0, list_transform(generate_series(1, {_DIM}), "
+        "j -> (CAST(e.embedding[j] AS DOUBLE) - ct.comps[j]) * "
+        "(CAST(e.embedding[j] AS DOUBLE) - ct.comps[j]))), (acc, v) -> acc + v)"
+    )
+
+
 def _ivf_assign_ctes(dialect: str) -> str:
     """Shared coarse-quantizer CTE chain: dist → assign → cells (vec_id,
     cell). Consumed by the IVF probe search AND the SemDeDup within-cell
@@ -524,18 +542,7 @@ def _ivf_assign_ctes(dialect: str) -> str:
     the embedding against a literal centroid array — map-side only, no
     rows×dims×cells shuffle; q6 quantization before the argmin keeps the
     assignment the deterministic cross-engine contract."""
-    if dialect == "spark":
-        d2 = (
-            "aggregate(zip_with(e.embedding, ct.comps, "
-            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "0e0, (acc, v) -> acc + v)"
-        )
-    else:
-        d2 = (
-            f"list_reduce(list_prepend(0e0, list_transform(generate_series(1, {_DIM}), "
-            "j -> (CAST(e.embedding[j] AS DOUBLE) - ct.comps[j]) * "
-            "(CAST(e.embedding[j] AS DOUBLE) - ct.comps[j]))), (acc, v) -> acc + v)"
-        )
+    d2 = _ivf_d2(dialect)
     return f"""dist AS (
   SELECT e.vec_id, ct.c, {synth.q6(d2)} AS dq
   FROM embeddings e CROSS JOIN {_centroid_values(dialect)} ct
@@ -580,6 +587,78 @@ LIMIT {_TOPK}
 def ns_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_ivf_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_sim_ann_ivf_persist — the INDEX LIFECYCLE half of IVF ANN (sibling of
+# ns_dedup_incremental_persist): ns_sim_ann_ivf recomputes the full
+# corpus→cell assignment on every query, but a serving deployment builds
+# the inverted file ONCE (the "index build" job writes (vec_id, cell) as
+# parquet) and each query computes only ITS OWN probe cells (1 row × 8
+# centroids, map-side) before scanning the persisted cells for the probed
+# subset and reranking by exact cosine. Oracle is ns_sim_ann_ivf's
+# in-flight text verbatim — the driver proves the persisted index returns
+# the identical top-k. The centroid table is seeded/deterministic, so the
+# persisted assignment equals the in-flight one bit-for-bit (same d2 fold
+# text, same q6-then-argmin contract); the stamp keys cells/seed so a
+# quantizer change rebuilds the index instead of silently reusing it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_sim_ann_ivf_persist",
+    oracle=_ivf_sql("duckdb"),
+    doc="Persist-and-probe IVF ANN: the inverted file (vec_id → cell) is "
+    "written once as parquet scratch (build_once, stamp-keyed) and each "
+    "query computes only its own probe cells map-side, scans the "
+    "PERSISTED index for the probed subset, and exact-cosine reranks — "
+    "output (and oracle) identical to ns_sim_ann_ivf, proving index "
+    "persistence changes only the cost model (NS; index-lifecycle "
+    "sibling of ns_dedup_incremental_persist).",
+    tags=("ns", "similarity", "scale"),
+)
+def ns_sim_ann_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..common import build_once
+    from ..sources.files import _scratch
+
+    _view(spark, sf_dir)
+    out = _scratch(sf_dir, "ivfidx")
+
+    def build(tmp: str) -> None:
+        spark.sql(
+            f"WITH {_ivf_assign_ctes('spark')} SELECT vec_id, cell FROM cells"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "cells.parquet"))
+
+    build_once(out, build, stamp=f"v1:c{_IVF_CELLS}:s{_IVF_SEED}:p{_IVF_PROBE}")
+    spark.read.parquet(
+        os.path.join(out, "cells.parquet")
+    ).createOrReplaceTempView("w32bd_ivf_cells")
+    dot = _dot_fold("spark", "cv.embedding", "qv.embedding")
+    na = _dot_fold("spark", "cv.embedding", "cv.embedding")
+    nb = _dot_fold("spark", "qv.embedding", "qv.embedding")
+    return spark.sql(f"""
+WITH qdist AS (
+  SELECT ct.c, {synth.q6(_ivf_d2("spark"))} AS dq
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) e
+  CROSS JOIN {_centroid_values("spark")} ct
+),
+probe AS (
+  SELECT c AS cell FROM (
+    SELECT c, row_number() OVER (ORDER BY dq, c) AS rn FROM qdist
+  ) q WHERE rn <= {_IVF_PROBE}
+)
+SELECT cl.vec_id, cl.cell,
+  {synth.q6(f"{dot} / nullif(sqrt({na}) * sqrt({nb}), 0e0)")} AS cosine
+FROM w32bd_ivf_cells cl
+JOIN probe p ON cl.cell = p.cell
+JOIN embeddings cv ON cl.vec_id = cv.vec_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}) qv
+WHERE cl.vec_id != {_QUERY_ID}
+ORDER BY cosine DESC, cl.vec_id
+LIMIT {_TOPK}
+""")
 
 
 # ---------------------------------------------------------------------------
