@@ -193,6 +193,16 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r7: compacted-file target is now size-derived (max(4, rows/2M)) so
     # the rewrite keeps its parallelism at any scale
     "sink_compact_small_files",
+    # r7 skew-ladder fix: next_nonerr suffix-min rewritten as a running
+    # min over the reverse sort — the CURRENT ROW..UNBOUNDED FOLLOWING
+    # frame was O(n²) per partition (308× wall under a hot user)
+    "win_event_pattern_cep",
+    # r7: same O(n²) suffix-frame class, same reverse-sort rewrite
+    # (old-vs-new oracle values proven identical in DuckDB on
+    # sf0.01/weird/one before the swap)
+    "join_asof_forward",
+    "join_asof_nearest",
+    "win_interpolate_gaps",
     # NEW r7: corpus-wide BPE application (broadcast encoded vocab over
     # the map-side token explode; shares iter_bpe_merges' merge table by
     # construction — one training chain, two keys)

@@ -186,6 +186,10 @@ _SKEW_KEYS = [
     "win_event_pattern_cep",
     "stream_session_window",
     "win_running_agg",
+    # r7: the other two members of the O(n²) suffix-frame class found by
+    # this ladder (rewritten to reverse-sorted running frames)
+    "join_asof_nearest",
+    "win_interpolate_gaps",
 ]
 
 

@@ -307,9 +307,16 @@ WITH seq AS (
 ),
 seq2 AS (
   SELECT user_id, ts, event_type, t1, t2, ts2, p1, rn,
+    -- suffix-min as a RUNNING min over the REVERSE sort: Spark evaluates
+    -- an UNBOUNDED PRECEDING frame incrementally (O(n) per partition),
+    -- but a CURRENT ROW..UNBOUNDED FOLLOWING frame by recomputing the
+    -- whole remaining frame per row — O(n²), measured 308× wall under a
+    -- hot user holding 10% of events (r7 skew ladder). Same partition
+    -- key, so the reverse window rides the SAME exchange (one extra
+    -- in-partition sort, no second shuffle).
     min(CASE WHEN event_type <> 'error' THEN rn END) OVER (
-      PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_nonerr,
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_nonerr,
     count(*) OVER (PARTITION BY user_id) AS n_events
   FROM seq
 ),

@@ -97,14 +97,21 @@ def _interpolate_sql(dialect: str) -> str:
     us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
     base = "PARTITION BY user_id ORDER BY us, event_id"
     prev = f"{base} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
-    nxt = f"{base} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    # The forward neighbor is read off the REVERSE sort: `first_value …
+    # 1 FOLLOWING AND UNBOUNDED FOLLOWING` makes Spark re-scan the whole
+    # remaining frame per row (O(n²) per partition — the r7 skew-ladder
+    # cliff class); `last_value IGNORE NULLS` over the reverse-sorted
+    # UNBOUNDED PRECEDING..1 PRECEDING frame is the identical value with
+    # an incremental O(n) frame, on the same exchange.
+    rbase = "PARTITION BY user_id ORDER BY us DESC, event_id DESC"
+    nxt = f"{rbase} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
     pv = _ignore_nulls(dialect, "last_value", "v", prev)
     pus = _ignore_nulls(
         dialect, "last_value", "CASE WHEN v IS NOT NULL THEN us END", prev
     )
-    nv = _ignore_nulls(dialect, "first_value", "v", nxt)
+    nv = _ignore_nulls(dialect, "last_value", "v", nxt)
     nus = _ignore_nulls(
-        dialect, "first_value", "CASE WHEN v IS NOT NULL THEN us END", nxt
+        dialect, "last_value", "CASE WHEN v IS NOT NULL THEN us END", nxt
     )
     # Equal neighbor timestamps (possible once micros collide at scale)
     # would make the weight 0/0 = NaN; prefer the backward neighbor then.

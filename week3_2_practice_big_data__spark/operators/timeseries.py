@@ -52,8 +52,12 @@ WITH tagged AS (
 ),
 carried AS (
   SELECT user_id, ts, event_id, is_purchase,
-    min(click_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    -- suffix-min as a running min over the REVERSE sort: an UNBOUNDED
+    -- FOLLOWING frame is recomputed per row (O(n²) per partition — the
+    -- r7 skew-ladder cliff class); the reverse-sorted UNBOUNDED
+    -- PRECEDING frame is incremental O(n) and rides the same exchange.
+    min(click_us) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS next_click_us
   FROM tagged
 )
@@ -112,8 +116,10 @@ carried AS (
     max(click_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS prev_click_us,
-    min(click_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    -- suffix-min via the reverse-sorted running frame (see
+    -- join_asof_forward: UNBOUNDED FOLLOWING is O(n²) per partition)
+    min(click_us) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS next_click_us
   FROM tagged
 )
