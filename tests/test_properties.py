@@ -465,3 +465,69 @@ def test_chunk_tiling_covers_every_token(n):
     assert covered == set(range(n))
     # stop-at-end: at most one window contains the final token
     assert sum(1 for s_, ln in zip(starts, lens) if s_ + ln == n) == 1
+
+
+def test_reverse_frame_equals_suffix_frame_random(spark):
+    """r7: every suffix window aggregate in the registry is a running
+    aggregate over the REVERSE sort (incremental O(n)) instead of a
+    CURRENT ROW..UNBOUNDED FOLLOWING frame (re-aggregated per row by
+    Spark — O(n²), the 308× skew-ladder cliff). Pin the value
+    equivalence of the two forms on random sequences with NULLs and
+    heavily tied sort keys, in BOTH engines:
+      - min over the suffix including self (CEP next_nonerr / as-of
+        next-click shape) == reverse-sorted running min;
+      - first non-NULL strictly after self (gap-interpolation forward
+        neighbor) == reverse-sorted last_value IGNORE NULLS over
+        UNBOUNDED PRECEDING..1 PRECEDING."""
+    import random
+
+    import duckdb
+
+    from week3_2_practice_big_data__spark.operators.statml import _ignore_nulls
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        g = i % 5
+        ts = rng.randrange(0, 40)  # dense ties; (ts, id) is the tiebreak
+        v = None if rng.random() < 0.3 else rng.randrange(0, 1000)
+        rows.append((g, ts, i, v))
+
+    def sql(dialect, reverse):
+        if reverse:
+            m = ("min(v) OVER (PARTITION BY g ORDER BY ts DESC, id DESC "
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+            fv = _ignore_nulls(
+                dialect, "last_value", "v",
+                "PARTITION BY g ORDER BY ts DESC, id DESC "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+        else:
+            m = ("min(v) OVER (PARTITION BY g ORDER BY ts, id "
+                 "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+            fv = _ignore_nulls(
+                dialect, "first_value", "v",
+                "PARTITION BY g ORDER BY ts, id "
+                "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING")
+        return (f"SELECT g, id, {m} AS sfx_min, {fv} AS next_v "
+                "FROM frame_in ORDER BY g, id")
+
+    df = spark.createDataFrame(rows, "g long, ts long, id long, v long")
+    df.createOrReplaceTempView("frame_in")
+    sp_fwd = [tuple(r) for r in spark.sql(sql("spark", False)).collect()]
+    sp_rev = [tuple(r) for r in spark.sql(sql("spark", True)).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE frame_in AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({g}, {ts}, {i}, {'NULL' if v is None else v})"
+            for g, ts, i, v in rows
+        )
+        + ") t(g, ts, id, v)"
+    )
+    dk_fwd = [tuple(r) for r in con.execute(sql("duckdb", False)).fetchall()]
+    dk_rev = [tuple(r) for r in con.execute(sql("duckdb", True)).fetchall()]
+
+    assert sp_fwd == sp_rev, "Spark: reverse-frame form diverged"
+    assert dk_fwd == dk_rev, "DuckDB: reverse-frame form diverged"
+    assert sp_rev == dk_rev, "cross-engine divergence on the reverse form"
