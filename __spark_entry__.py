@@ -214,6 +214,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r7: same lifecycle for the IVF inverted file (query computes
     # only its own probe cells; persisted cells scanned, exact rerank)
     "ns_sim_ann_ivf_persist",
+    # NEW r7: streaming CEP — per-user pattern state (last-2 events +
+    # trailing error run) across micro-batch boundaries, hash-checked
+    # against the batch CEP's independent islands oracle
+    "stream_event_pattern_cep",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

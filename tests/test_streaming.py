@@ -144,3 +144,56 @@ def test_socket_source_matches_file_chunk_watermark_path(spark):
     assert len(sock) > 0
     again = REGISTRY["stream_unbounded_socket"].builder(spark, SF_SMALL).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in sock}
+
+
+def test_stream_cep_detects_patterns_across_chunk_boundaries(spark):
+    """stream_event_pattern_cep: the whole point of the GroupState buffer
+    is pattern continuity across micro-batch boundaries. Craft 8 events
+    (one per chunk-rank slot; 4 chunks of 2) where the strict
+    view→click→purchase triple spans the chunk0/chunk1 boundary and the
+    2-error burst spans chunk2/chunk3 — both MUST be detected, and the
+    streamed result must equal the batch CEP key on the same input."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf = os.path.join(repo, ".tmp", "sf_cepb")
+    shutil.rmtree(sf, ignore_errors=True)
+    os.makedirs(sf, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # rank 1-2 → chunk 0; ranks 3-4 → chunk 1 (per=2): the triple
+        # view(r2) click(r3) purchase(r4) straddles the 0/1 boundary
+        (1, mins(0), 7, "scroll"),
+        (2, mins(1), 7, "view"),
+        (3, mins(2), 7, "click"),
+        (4, mins(3), 7, "purchase"),
+        # ranks 5-6 → chunk 2; 7-8 → chunk 3: the error pair (r6, r7)
+        # straddles the 2/3 boundary; r8 closes the run
+        (5, mins(4), 7, "view"),
+        (6, mins(5), 7, "error"),
+        (7, mins(6), 7, "error"),
+        (8, mins(7), 7, "scroll"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    spark.createDataFrame(pdf).repartition(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    streamed = {
+        tuple(r)
+        for r in REGISTRY["stream_event_pattern_cep"].builder(spark, sf).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in REGISTRY["win_event_pattern_cep"].builder(spark, sf).collect()
+    }
+    assert streamed == batch
+    # (user 7, 1 conversion, 1 burst, longest 2) — both boundary patterns
+    assert streamed == {(7, 1, 1, 2)}

@@ -906,3 +906,145 @@ def stream_unbounded_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass
     return spark.table("w32bd_sock").orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# stream_event_pattern_cep — the STREAMING half of MATCH_RECOGNIZE-style CEP
+# (batch half: operators/analytics.py win_event_pattern_cep): per-user
+# pattern state carried ACROSS micro-batch boundaries with explicit
+# GroupState — the part the batch form cannot exercise. State per user is
+# the last two events (type + ns timestamp), the trailing consecutive-error
+# run length, and the monotone counters; a strict view→click→purchase
+# triple or an error burst that STRADDLES a chunk boundary is detected
+# exactly because the buffer survives the boundary. Under lockstep
+# in-order arrival (time-ordered chunk files, maxFilesPerTrigger=1 — the
+# stream_watermark_late contract) the final per-user state equals the
+# batch expression, so the key carries the SAME independent
+# rank-difference-islands DuckDB oracle as the batch key: a streaming
+# stateful implementation and a relational islands derivation agreeing on
+# every value. Emitted counters are monotone in events-seen, so the final
+# state per user is the max-n_seen update row (the stream_custom_state
+# recovery pattern).
+# ---------------------------------------------------------------------------
+
+
+from ..operators.analytics import _event_pattern_sql as _cep_batch_sql
+
+
+@register(
+    "stream_event_pattern_cep",
+    # the oracle IS the batch CEP key's independent islands derivation —
+    # one text, two totally different implementations (stateful pandas
+    # processor vs relational windows) agreeing on every value
+    oracle=_cep_batch_sql("duckdb"),
+    doc="Streaming CEP via applyInPandasWithState: per-user last-2-event "
+    "buffer + trailing-error-run state detect strict view->click->"
+    "purchase (30 min bound) and >=2-error bursts ACROSS micro-batch "
+    "boundaries; under lockstep arrival the final state equals the batch "
+    "semantics, hash-checked against win_event_pattern_cep's independent "
+    "islands oracle (NS streaming stateful CEP).",
+    tags=("streaming", "stateful", "cep"),
+)
+def stream_event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "cep", dup_first=0)
+    within_ns = 30 * 60 * 1_000_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            (n_seen, p2t, p2ts, p1t, p1ts, run, n_conv, n_bursts,
+             longest) = state.get
+        else:
+            n_seen, p2t, p2ts, p1t, p1ts = 0, None, 0, None, 0
+            run, n_conv, n_bursts, longest = 0, 0, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            for et, ens in zip(pdf["event_type"].tolist(), ts_ns.tolist()):
+                n_seen += 1
+                if (
+                    p2t == "view" and p1t == "click" and et == "purchase"
+                    and ens <= p2ts + within_ns
+                ):
+                    n_conv += 1
+                if et == "error":
+                    run += 1
+                else:
+                    if run >= 2:
+                        n_bursts += 1
+                        longest = max(longest, run)
+                    run = 0
+                p2t, p2ts, p1t, p1ts = p1t, p1ts, et, ens
+        state.update(
+            (n_seen, p2t, p2ts, p1t, p1ts, run, n_conv, n_bursts, longest)
+        )
+        # provisional close of the trailing run: after the LAST chunk this
+        # equals the batch partition-end semantics; counters are monotone
+        # in n_seen so the max-n_seen row is the final state.
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_seen": [n_seen],
+                "n_strict_conversions": [n_conv],
+                "n_error_bursts": [n_bursts + (1 if run >= 2 else 0)],
+                "longest_burst": [max(longest, run if run >= 2 else 0)],
+            }
+        )
+
+    def transform(s):
+        return s.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, n_seen bigint, n_strict_conversions "
+                "bigint, n_error_bursts bigint, longest_burst bigint"
+            ),
+            stateStructType=(
+                "n_seen bigint, p2t string, p2ts bigint, p1t string, "
+                "p1ts bigint, run bigint, n_conv bigint, n_bursts bigint, "
+                "longest bigint"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    for q in spark.streams.active:
+        if q.name == "w32bd_cep":
+            q.stop()
+    query = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .transform(transform)
+        .writeStream.format("memory")
+        .queryName("w32bd_cep")
+        .outputMode("update")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        spark.table("w32bd_cep")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(
+            (F.col("n_strict_conversions") + F.col("n_error_bursts")) > 0
+        )
+        .select(
+            "user_id", "n_strict_conversions", "n_error_bursts",
+            "longest_burst",
+        )
+        .orderBy("user_id")
+    )
