@@ -218,6 +218,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     # trailing error run) across micro-batch boundaries, hash-checked
     # against the batch CEP's independent islands oracle
     "stream_event_pattern_cep",
+    # NEW r7: the remaining classic TPC-H plan shapes the tables can
+    # express (correlated scalar max/avg, ON-clause outer-join filter,
+    # decorrelated sole-late-supplier, threshold anti-join)
+    "qry_q2_top_supplier",
+    "agg_q13_cust_distribution",
+    "agg_q17_small_qty_revenue",
+    "join_q21_waiting_supplier",
+    "qry_q22_idle_customers",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

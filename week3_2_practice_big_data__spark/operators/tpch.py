@@ -252,3 +252,224 @@ LIMIT 20
 def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(_Q18_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adaptation: the tables lack partsupp, so the
+# part↔supplier relationship is derived from lineitem and the "best"
+# supplier per part is the max account balance among suppliers who shipped
+# it — same plan shape: multi-dimension join reduced by a CORRELATED
+# scalar-max subquery, then a total-order top-100). The eligible relation
+# is bounded (p_size equality selects ~2% of parts; dims broadcast), so
+# the CTE's two evaluations under Spark inlining stay small.
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH eligible AS (
+  SELECT DISTINCT p_partkey, p_type, s_suppkey, s_acctbal, s_name, n_name
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND r_name = 'EUROPE'
+)
+SELECT p_partkey, p_type, s_name, n_name, s_acctbal
+FROM eligible e
+WHERE s_acctbal = (
+  SELECT max(e2.s_acctbal) FROM eligible e2
+  WHERE e2.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+@register(
+    "qry_q2_top_supplier",
+    oracle=_Q2_SQL,
+    doc="TPC-H Q2 skeleton (partsupp-free adaptation): region-filtered "
+    "part/supplier join, best supplier per part via correlated scalar "
+    "max, deterministic total-order LIMIT 100. max over doubles is "
+    "order-free; no arithmetic touches the carried values (REF-ANALOG).",
+    tags=("qry", "join", "subquery", "tpch"),
+)
+def qry_q2_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The eligible relation is referenced twice (rows + correlated max);
+    # Spark inlines CTEs, so materialize it once (CTE-inlining audit
+    # discipline) — 10 scans → 0 on the tail.
+    _views(spark, sf_dir, ("part", "lineitem", "supplier", "nation", "region"))
+    body = _Q2_SQL.split("\n)\n", 1)
+    eligible_sql = body[0].split("eligible AS (", 1)[1]
+    spark.sql(eligible_sql).localCheckpoint(eager=True).createOrReplaceTempView(
+        "w32bd_q2_eligible"
+    )
+    return spark.sql(
+        "WITH eligible AS (SELECT * FROM w32bd_q2_eligible)\n" + body[1]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: LEFT JOIN with the filter in the
+# ON clause (the not-this-kind-of-order predicate must not turn the outer
+# join inner — the classic Q13 trap), count per customer including the
+# zero-order customers, then the histogram of counts.
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "agg_q13_cust_distribution",
+    oracle=_Q13_SQL,
+    doc="TPC-H Q13 skeleton: outer-join order counting with the priority "
+    "filter in the ON clause (zero-order customers survive), then the "
+    "count-of-counts histogram. Counts only — no float hazard "
+    "(REF-ANALOG).",
+    tags=("agg", "join", "tpch"),
+)
+def agg_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: brand/type-filtered lines kept only
+# when quantity is below 20% of the PART's average quantity (correlated
+# scalar-avg subquery). The average is the exact-DECIMAL sum divided once
+# (cross-engine deterministic double), so the threshold comparison — the
+# value that decides set membership — is bit-identical in both engines.
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 0)
+    AS DOUBLE) / 7e0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4' AND p_type = 'MEDIUM'
+  AND l_quantity < (
+    SELECT 0.2e0 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        AS DOUBLE) / count(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "agg_q17_small_qty_revenue",
+    oracle=_Q17_SQL,
+    doc="TPC-H Q17 skeleton: correlated per-part average-quantity "
+    "threshold (exact-DECIMAL avg -> one double divide, so the membership "
+    "decision is bit-identical cross-engine), revenue of the "
+    "below-threshold lines / 7 (REF-ANALOG).",
+    tags=("agg", "subquery", "tpch"),
+)
+def agg_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adaptation: no commit/receipt
+# dates, so "late" = shipped > 60 days after the order date). Expressed in
+# the decorrelated relational form both engines share: per (order,
+# supplier) late flag, per order supplier/late counts, then keep the
+# suppliers who were the ONLY late supplier on a multi-supplier finished
+# order — the EXISTS/NOT-EXISTS pair of the original as two aggregate
+# predicates. Counts only.
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_os po
+JOIN per_o o ON po.l_orderkey = o.l_orderkey
+JOIN supplier ON s_suppkey = po.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE po.supp_late = 1 AND o.n_supp > 1 AND o.n_late = 1
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register(
+    "join_q21_waiting_supplier",
+    oracle=_Q21_SQL,
+    doc="TPC-H Q21 skeleton (late = shipped >60 days after order date): "
+    "sole-late-supplier detection on multi-supplier finished orders — "
+    "the EXISTS/NOT-EXISTS pair decorrelated into per-order aggregate "
+    "predicates; dims broadcast, counts only (REF-ANALOG).",
+    tags=("join", "agg", "tpch"),
+)
+def join_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per_os is referenced twice (per-order rollup + the final join);
+    # materialize it once so the lineitem⋈orders aggregate runs a single
+    # time under Spark's CTE inlining (6 scans → 2 + checkpoint).
+    _views(spark, sf_dir, ("lineitem", "orders", "supplier", "nation"))
+    per_os_sql = _Q21_SQL.split("per_os AS (", 1)[1].split("\n),\n", 1)[0]
+    spark.sql(per_os_sql).localCheckpoint(eager=True).createOrReplaceTempView(
+        "w32bd_q21_per_os"
+    )
+    tail = _Q21_SQL.split("\n),\n", 1)[1]
+    return spark.sql(
+        "WITH per_os AS (SELECT * FROM w32bd_q21_per_os),\n" + tail
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (adaptation: no phone column, so the
+# country code is c_nationkey % 5, and the no-orders predicate is
+# no-URGENT-orders — on these tables every customer has some order):
+# positive-balance average as the threshold (exact-DECIMAL avg),
+# NOT EXISTS -> anti join, grouped by code.
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    AS a
+  FROM customer WHERE c_acctbal > 0e0
+)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal
+  FROM customer CROSS JOIN avg_bal
+  WHERE c_acctbal > a
+    AND NOT EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+) eligible
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register(
+    "qry_q22_idle_customers",
+    oracle=_Q22_SQL,
+    doc="TPC-H Q22 skeleton (country code = nationkey % 5): exact-DECIMAL "
+    "positive-balance average as threshold, NOT EXISTS anti join against "
+    "urgent orders, per-code count + exact balance total (REF-ANALOG).",
+    tags=("qry", "agg", "subquery", "tpch"),
+)
+def qry_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q22_SQL)
