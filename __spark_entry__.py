@@ -226,6 +226,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     "agg_q17_small_qty_revenue",
     "join_q21_waiting_supplier",
     "qry_q22_idle_customers",
+    "agg_q6_forecast_revenue",
+    "join_q8_market_share",
+    "agg_q15_top_supplier",
+    "join_q19_bracket_revenue",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -571,3 +571,27 @@ def test_ivf_persist_probes_persisted_inverted_file(spark):
     assert plan.count("Scan parquet") == 4
     assert plan.count("ivfidx") >= 1
     assert plan.count("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id") == 2
+
+
+def test_q6_all_predicates_pushed_minimal_schema(spark):
+    """agg_q6_forecast_revenue: the pushdown benchmark — every range
+    predicate reaches the parquet scan and the ReadSchema carries only
+    the four referenced columns."""
+    plan = _formatted_plan(spark, "agg_q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    schema_line = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in schema_line and "l_tax" not in schema_line
+
+
+def test_q19_brackets_plan_as_single_join(spark):
+    """join_q19_bracket_revenue: the disjunctive three-bracket predicate
+    must plan as ONE broadcast join on p_partkey with the brackets as a
+    filter — never three unioned scans."""
+    df = REGISTRY["join_q19_bracket_revenue"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "Union" not in plan

@@ -473,3 +473,169 @@ ORDER BY cntrycode
 def qry_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change: THE scan benchmark — a single lineitem
+# pass with three range predicates (all pushed to parquet) and one exact
+# sum. No joins, no grouping: the query is the predicate-pushdown +
+# column-pruning test in its purest form.
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(coalesce(sum(
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * CAST(l_discount AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05e0 AND 0.07e0
+  AND l_quantity < 24e0
+"""
+
+
+@register(
+    "agg_q6_forecast_revenue",
+    oracle=_Q6_SQL,
+    doc="TPC-H Q6 skeleton: single-scan range-predicate revenue sum — "
+    "all three predicates pushed to parquet, two-column ReadSchema, one "
+    "exact DECIMAL product-sum (REF-ANALOG; the pushdown benchmark).",
+    tags=("agg", "scan", "tpch"),
+)
+def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: the deepest star this schema supports —
+# lineitem at the center, part filter, supplier→nation (share nation),
+# orders→customer→nation→region (market region filter), per-year share of
+# one nation's volume in the region's total. Share = exact-DECIMAL yearly
+# sums divided once.
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = """
+SELECT o_year,
+  CAST(CAST(sum(CASE WHEN supp_nation = 'GERMANY' THEN volume
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+    n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register(
+    "join_q8_market_share",
+    oracle=_Q8_SQL,
+    doc="TPC-H Q8 skeleton: 7-join star (nation twice — supplier and "
+    "customer sides), region + part-type filters, per-year market share "
+    "as a ratio of exact-DECIMAL sums divided once (REF-ANALOG; every "
+    "dimension broadcasts, lineitem scans once).",
+    tags=("join", "agg", "tpch"),
+)
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(
+        spark, sf_dir,
+        ("lineitem", "part", "supplier", "orders", "customer", "nation",
+         "region"),
+    )
+    return spark.sql(_Q8_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: the revenue "view" (a CTE here) aggregated per
+# supplier over a quarter, then the suppliers matching the global max
+# revenue (scalar subquery over the same view). The twice-referenced view
+# is materialized once on the Spark side (CTE-inlining discipline); the
+# revenue values compared for the max are exact-DECIMAL sums cast once,
+# so the equality is cross-engine deterministic.
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "agg_q15_top_supplier",
+    oracle=_Q15_SQL,
+    doc="TPC-H Q15 skeleton: quarterly per-supplier revenue view + "
+    "global-max scalar subquery over the same view (materialized once "
+    "Spark-side); exact-DECIMAL revenue makes the max-equality "
+    "deterministic (REF-ANALOG).",
+    tags=("agg", "subquery", "tpch"),
+)
+def agg_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem", "supplier"))
+    rev_sql = _Q15_SQL.split("revenue AS (", 1)[1].split("\n)\n", 1)[0]
+    spark.sql(rev_sql).localCheckpoint(eager=True).createOrReplaceTempView(
+        "w32bd_q15_revenue"
+    )
+    tail = _Q15_SQL.split("\n)\n", 1)[1]
+    return spark.sql(
+        "WITH revenue AS (SELECT * FROM w32bd_q15_revenue)\n" + tail
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (adaptation: no container/shipmode columns, so
+# the three OR-ed brackets pair p_brand with a quantity band and a size
+# band). The SHAPE is the point: a disjunctive multi-bracket predicate
+# that must still plan as ONE broadcast hash join on p_partkey with the
+# brackets as a post-join filter — not three unioned scans.
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT CAST(coalesce(sum(
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 0) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE
+  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+    AND l_quantity >= 1e0 AND l_quantity <= 11e0)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+    AND l_quantity >= 10e0 AND l_quantity <= 20e0)
+  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+    AND l_quantity >= 20e0 AND l_quantity <= 30e0)
+"""
+
+
+@register(
+    "join_q19_bracket_revenue",
+    oracle=_Q19_SQL,
+    doc="TPC-H Q19 skeleton (brand/size/quantity brackets): disjunctive "
+    "three-bracket predicate planned as ONE broadcast join + post-join "
+    "filter, exact-DECIMAL revenue (REF-ANALOG).",
+    tags=("join", "agg", "tpch"),
+)
+def join_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q19_SQL)
