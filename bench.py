@@ -82,11 +82,14 @@ HEADLINE = [
     "ns_decontaminate_bloom",
     "agg_sketch_cms_heavy",
     "win_event_pattern_cep",
-    # round-7 additions: corpus-wide BPE application and the
-    # persist-and-probe index lifecycle (first recorded medians seed the
-    # r8 baseline).
+    # round-7 additions: corpus-wide BPE application, the
+    # persist-and-probe index lifecycle, the pushdown-benchmark scan and
+    # the deepest star join (first recorded medians seed the r8
+    # baseline).
     "ns_bpe_encode",
     "ns_dedup_incremental_persist",
+    "agg_q6_forecast_revenue",
+    "join_q8_market_share",
 ]
 
 

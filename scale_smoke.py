@@ -97,6 +97,10 @@ KEYS = [
     # distinct vocab (and the whole training chain) unchanged; only the
     # map-side explode + broadcast join + doc aggregate grow with N.
     "ns_bpe_encode",
+    # r7: the deepest star (7 broadcast joins over N× lineitem/orders)
+    # and the decorrelated sole-late-supplier double aggregate
+    "join_q8_market_share",
+    "join_q21_waiting_supplier",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
