@@ -93,59 +93,65 @@ HEADLINE = [
 ]
 
 
-# Standing per-query baseline: the round-6 QUIET-BOX rerun
-# (BENCH_full_r06quiet.json, sf0.1, local[32], 5 interleaved passes) —
-# VERDICT r5 item 7: r5's recorded bench drifted a uniform ~1.16× on a
-# noisy shared VM (the quiet rerun landed back at 0.86–1.15× of r04
-# across the board, confirming noise, and the suspected
-# gen_poster_caption creep vanished: 0.383 s vs its 0.300 s r04
-# median), so the baseline is rolled from a run whose median/min spread
-# is <15% on 33/39 keys rather than from the noisy in-round artifact.
-# EVERY entry below is a measured median from that run — the r04
-# era's seven reconstructed values are fully retired (ADVICE r5 item 4;
-# `baseline_src` in the output records the provenance).
-PREV_ROUND = "r06q"
-BASELINE_SRC = "BENCH_full_r06quiet.json (measured, quiet-box rerun before r6 changes)"
+# Standing per-query baseline: rolled each round from the latest QUIET
+# run only (r6 discipline — a noisy shared-VM artifact would compound
+# drift into the baseline). Currently the r7 final-validation run
+# (BENCH_full_r07.json, sf0.1, local[32], 5 interleaved passes, 39/47
+# keys <15% median/min spread; it measured 0.857× geomean vs the r06
+# quiet baseline with zero regressions, so rolling tightens the bar).
+# EVERY entry below is a measured median from that run — reconstructed
+# values stay banned (ADVICE r5 item 4; `baseline_src` in the output
+# records the provenance).
+PREV_ROUND = "r07"
+BASELINE_SRC = "BENCH_full_r07.json (measured, quiet final-validation run after all r7 changes; 39/47 keys <15% median/min spread)"
 PREV_MEDIANS = {
-    "agg_groupby_multi": 1.0081,
-    "filt_pip_scanline": 1.0418,
-    "filt_point_in_polygon": 1.4628,
-    "gen_poster_aspect": 1.9201,
-    "gen_poster_caption": 0.3827,
-    "gen_poster_full": 2.833,
-    "gen_poster_shadow": 2.056,
-    "iter_pagerank_tokens": 2.0809,
-    "join_bucketed_colocated": 0.6983,
-    "join_inner_equi": 0.7653,
-    "join_q3_shipping_priority": 0.7549,
-    "join_q5_region_volume": 1.249,
-    "join_q7_volume_shipping": 0.8344,
-    "join_range_theta": 0.4246,
-    "ns_ann_knn_join": 0.9404,
-    "ns_dedup_cluster": 1.3989,
-    "ns_dedup_embed_cosine": 2.216,
-    "ns_dedup_exact": 0.3203,
-    "ns_dedup_minhash": 0.7777,
-    "ns_dedup_ngram_jaccard": 1.8289,
-    "ns_dedup_simhash": 1.0659,
-    "ns_dedup_substring": 0.8226,
-    "ns_semdedup": 3.0958,
-    "ns_sim_ann_lsh": 0.2865,
-    "ns_sim_topk": 0.3343,
-    "ns_text_perplexity": 1.031,
-    "ns_text_tfidf": 0.9222,
-    "proj_resample_bilinear": 0.4787,
-    "qry_recursive_cte": 1.5239,
-    "sort_composite_order": 2.0245,
-    "sort_orderby": 0.6304,
-    "stream_custom_state": 6.336,
-    "stream_session_window": 0.8378,
-    "stream_tumbling_agg": 0.5013,
-    "stream_watermark_late": 6.3863,
-    "win_conv1d_frame": 0.9153,
-    "win_conv2d_separable": 1.8064,
-    "win_islands_blocked": 0.3397,
-    "win_ntile_blocked": 0.9659,
+    "agg_groupby_multi": 0.982,
+    "agg_q6_forecast_revenue": 0.2096,
+    "agg_sketch_cms_heavy": 1.0523,
+    "filt_pip_scanline": 0.9322,
+    "filt_point_in_polygon": 1.3416,
+    "gen_poster_aspect": 1.7276,
+    "gen_poster_caption": 0.1711,
+    "gen_poster_full": 2.4652,
+    "gen_poster_shadow": 1.7038,
+    "iter_pagerank_tokens": 1.5656,
+    "join_bucketed_colocated": 0.6634,
+    "join_inner_equi": 0.7168,
+    "join_q3_shipping_priority": 0.7698,
+    "join_q5_region_volume": 1.0597,
+    "join_q7_volume_shipping": 0.799,
+    "join_q8_market_share": 0.9679,
+    "join_range_theta": 0.3993,
+    "ns_ann_knn_join": 0.8774,
+    "ns_bpe_encode": 2.0272,
+    "ns_decontaminate_bloom": 0.8939,
+    "ns_dedup_cluster": 1.2388,
+    "ns_dedup_embed_cosine": 1.8618,
+    "ns_dedup_exact": 0.2906,
+    "ns_dedup_incremental_persist": 0.7162,
+    "ns_dedup_minhash": 0.7616,
+    "ns_dedup_ngram_jaccard": 1.6446,
+    "ns_dedup_simhash": 0.9063,
+    "ns_dedup_substring": 0.6729,
+    "ns_sample_importance": 0.4141,
+    "ns_semdedup": 2.7577,
+    "ns_sim_ann_lsh": 0.2469,
+    "ns_sim_topk": 0.3353,
+    "ns_text_perplexity": 0.4197,
+    "ns_text_tfidf": 0.7566,
+    "proj_resample_bilinear": 0.3578,
+    "qry_recursive_cte": 1.3653,
+    "sort_composite_order": 1.8021,
+    "sort_orderby": 0.5456,
+    "stream_custom_state": 5.22,
+    "stream_session_window": 0.7527,
+    "stream_tumbling_agg": 0.45,
+    "stream_watermark_late": 5.3905,
+    "win_conv1d_frame": 0.887,
+    "win_conv2d_separable": 1.6585,
+    "win_event_pattern_cep": 1.0579,
+    "win_islands_blocked": 0.3033,
+    "win_ntile_blocked": 0.8472,
 }
 
 
