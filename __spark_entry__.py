@@ -230,6 +230,16 @@ _CHANGED_THIS_ROUND: list[str] = [
     "join_q8_market_share",
     "agg_q15_top_supplier",
     "join_q19_bracket_revenue",
+    # NEW r7 (second session): the last four classic TPC-H shapes —
+    # all 22 plan skeletons now covered (q9 profit star, q11
+    # twice-referenced threshold view, q12 delay-class CASE counts,
+    # q20 grouped-HAVING semi-join chain) — plus join_q8_market_share's
+    # share nation fixed to a name that exists in the data
+    # ('GERMANY' -> 'NATION_18'; the numerator was vacuously zero).
+    "join_q9_product_profit",
+    "agg_q11_important_stock",
+    "join_q12_ship_priority",
+    "join_q20_promo_suppliers",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

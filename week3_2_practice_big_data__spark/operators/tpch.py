@@ -517,7 +517,7 @@ def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = """
 SELECT o_year,
-  CAST(CAST(sum(CASE WHEN supp_nation = 'GERMANY' THEN volume
+  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN volume
       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
     / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
 FROM (
@@ -639,3 +639,184 @@ WHERE
 def join_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_Q19_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product type profit (adaptation: no partsupp, so the supply cost
+# stand-in is 60% of p_retailprice). To keep the profit sum exact in both
+# engines WITHOUT a 0.6 decimal literal (whose product would blow the
+# 38-digit cap and round), the whole profit is scaled by 5:
+# 5*volume - 3*retail*qty, summed as exact DECIMAL, cast to DOUBLE and
+# divided by 5 once — one IEEE division of identical doubles.
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = """
+SELECT nation, o_year, CAST(sum(amount_x5) AS DOUBLE) / 5e0 AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+    5 * (CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+      - 3 * (CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(4,0))) AS amount_x5
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register(
+    "join_q9_product_profit",
+    oracle=_Q9_SQL,
+    doc="TPC-H Q9 skeleton (supply cost = 60% of p_retailprice — no "
+    "partsupp): name-filtered profit per supplier nation and order year. "
+    "part/supplier/nation broadcast; the only big-big join is "
+    "lineitem⋈orders on orderkey; profit carried x5 so the 60% factor "
+    "stays inside exact DECIMAL, one double divide at the end "
+    "(REF-ANALOG).",
+    tags=("join", "agg", "tpch"),
+)
+def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(
+        spark, sf_dir, ("lineitem", "part", "supplier", "nation", "orders")
+    )
+    return spark.sql(_Q9_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (adaptation: no partsupp, so a part's "stock
+# value" is the extendedprice-weighted quantity shipped by suppliers of
+# one REGION; the original's single-nation filter keeps ~4% of suppliers,
+# a region here keeps 1/5 — same selectivity idea at these table sizes).
+# The per-part aggregate is referenced twice (rows + the global-total
+# scalar threshold) — the classic twice-referenced-view shape of Q15.
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = """
+WITH partval AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(l_quantity AS DECIMAL(4,0))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 2
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM partval
+WHERE CAST(val AS DOUBLE) >
+  (SELECT CAST(sum(val) AS DOUBLE) * 0.001e0 FROM partval)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register(
+    "agg_q11_important_stock",
+    oracle=_Q11_SQL,
+    doc="TPC-H Q11 skeleton (stock value from lineitem, one region of "
+    "suppliers): per-part exact-DECIMAL value, kept when above 0.1% of "
+    "the global total (scalar subquery over the SAME aggregate — "
+    "materialized once Spark-side). Both comparison operands are exact "
+    "sums cast to DOUBLE, so the threshold decision is bit-identical "
+    "(REF-ANALOG).",
+    tags=("agg", "subquery", "tpch"),
+)
+def agg_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partval feeds both the row set and the global threshold; Spark
+    # inlines CTEs, so materialize it once (CTE-inlining discipline).
+    _views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    pv_sql = _Q11_SQL.split("partval AS (", 1)[1].split("\n)\n", 1)[0]
+    spark.sql(pv_sql).localCheckpoint(eager=True).createOrReplaceTempView(
+        "w32bd_q11_partval"
+    )
+    tail = _Q11_SQL.split("\n)\n", 1)[1]
+    return spark.sql(
+        "WITH partval AS (SELECT * FROM w32bd_q11_partval)\n" + tail
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes and order priority (adaptation: no l_shipmode /
+# commit / receipt dates, so the "mode" is the ship-delay class — SLOW
+# when the line shipped >30 days after the order date — over one ship
+# year). The shape is Q12's exactly: lineitem⋈orders on orderkey, CASE
+# sums splitting urgent/high priority from the rest. Counts only.
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT delay_class,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+              THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+    o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) classed
+GROUP BY delay_class
+ORDER BY delay_class
+"""
+
+
+@register(
+    "join_q12_ship_priority",
+    oracle=_Q12_SQL,
+    doc="TPC-H Q12 skeleton (mode = ship-delay class, >30 days = SLOW): "
+    "lineitem⋈orders on orderkey with the year filter pushed to the "
+    "lineitem scan, priority split as conditional counts — integers "
+    "only, no float hazard (REF-ANALOG).",
+    tags=("join", "agg", "tpch"),
+)
+def join_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_Q12_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (adaptation: no partsupp availqty, so a
+# supplier "has excess stock" when some red part shipped >40 units from
+# it in the year — the original's availqty > half-of-shipped threshold
+# becomes a HAVING on the shipped aggregate itself). The double-nested
+# IN chain decorrelates to: grouped HAVING subquery -> semi join on
+# suppkey -> broadcast nation filter. Strings out, counts inside.
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 2
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 40)
+ORDER BY s_name
+"""
+
+
+@register(
+    "join_q20_promo_suppliers",
+    oracle=_Q20_SQL,
+    doc="TPC-H Q20 skeleton (excess stock = >40 units of one red part "
+    "shipped in the year): grouped-HAVING subquery -> left-semi join on "
+    "s_suppkey -> broadcast nation region filter. l_quantity sums are "
+    "integer-valued doubles, exact far below 2^53 (REF-ANALOG).",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def join_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("supplier", "nation", "lineitem", "part"))
+    return spark.sql(_Q20_SQL)
