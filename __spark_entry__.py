@@ -240,6 +240,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     "agg_q11_important_stock",
     "join_q12_ship_priority",
     "join_q20_promo_suppliers",
+    # NEW r7 (second session): deterministic corpus-wide training order
+    # via the blocked-window decomposition (no single-partition sort;
+    # oracle IS the naive global sort), and token-budget epoch planning
+    # for domain mixtures (single-IEEE-op decision values).
+    "ns_global_shuffle",
+    "ns_mixture_epochs",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -2001,3 +2001,160 @@ ORDER BY source
 def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
     return spark.sql(_quality_classifier_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_global_shuffle — deterministic corpus-wide training order. Every
+# pretraining run needs a reproducible global permutation of the corpus
+# (and contiguous shard files in that order); the naive form is
+# row_number() OVER (ORDER BY hash) — a single-partition sort, the exact
+# global-window cliff win_ntile_blocked retired (10.5×/89× at 10×/100×).
+# Scale path: the md5 key is uniform, so its 2-hex-char prefix gives 256
+# balanced blocks whose lexicographic order is consistent with full-key
+# order (fixed-length hex) — per-block row_number (partitioned window,
+# ONE corpus shuffle) + cumulative offsets over the 256-row block summary
+# reconstruct the global position exactly. Shard = contiguous ranges of
+# the permutation, in pure BIGINT arithmetic (DIV/%). The DuckDB oracle
+# IS the naive global sort — value-identity of the decomposition is the
+# check. Curriculum ordering is this same plan with the sort key swapped
+# for a quality score (monotone block key, win_ntile_blocked discipline).
+# ---------------------------------------------------------------------------
+
+_SHUF_SALT = "shuf1:"
+_SHUF_SHARD = 64  # docs per shard
+
+
+def _global_shuffle_spark_sql() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, k, substring(k, 1, 2) AS blk
+  FROM (SELECT doc_id,
+          md5(concat('{_SHUF_SALT}', CAST(doc_id AS STRING))) AS k
+        FROM documents) t0
+),
+bc AS (SELECT blk, count(*) AS c FROM keyed GROUP BY blk),
+off AS (
+  SELECT blk,
+    sum(c) OVER (ORDER BY blk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      AS off0
+  FROM bc
+),
+rk AS (
+  SELECT k.doc_id,
+    o.off0 + row_number() OVER (
+      PARTITION BY k.blk ORDER BY k.k, k.doc_id) AS pos
+  FROM keyed k JOIN off o ON k.blk = o.blk
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+  CAST((pos - 1) DIV {_SHUF_SHARD} AS BIGINT) AS shard,
+  CAST((pos - 1) % {_SHUF_SHARD} + 1 AS BIGINT) AS pos_in_shard
+FROM rk
+ORDER BY pos
+"""
+
+
+_GLOBAL_SHUFFLE_ORACLE = f"""
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+  CAST((pos - 1) // {_SHUF_SHARD} AS BIGINT) AS shard,
+  CAST((pos - 1) % {_SHUF_SHARD} + 1 AS BIGINT) AS pos_in_shard
+FROM (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY md5('{_SHUF_SALT}' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM documents) t
+ORDER BY pos
+"""
+
+
+@register(
+    "ns_global_shuffle",
+    oracle=_GLOBAL_SHUFFLE_ORACLE,
+    doc="Deterministic global training-order shuffle + contiguous shard "
+    "assignment: md5(salt||doc_id) permutation computed WITHOUT a "
+    "single-partition sort — 256 hex-prefix blocks (prefix order = "
+    "full-key order on fixed-length hex), per-block partitioned "
+    "row_number + cumulative offsets over the 256-row summary; shard "
+    "ids in exact BIGINT DIV/%. Oracle is the naive global-sort "
+    "row_number (NS, training-order reproducibility; the scale "
+    "discipline of win_ntile_blocked applied to corpus permutation).",
+    tags=("ns", "scale", "ordering"),
+)
+def ns_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_global_shuffle_spark_sql())
+
+
+# ---------------------------------------------------------------------------
+# ns_mixture_epochs — token-budget epoch planning for domain mixtures
+# (the operational step AFTER ns_domain_mix chooses target weights):
+# given per-source token inventories, target mixture weights, and a total
+# training-token budget, compute each source's epoch count (how many
+# times its data is repeated), capped at 4 epochs (the diminishing-
+# returns ceiling from the data-constrained-scaling literature), and the
+# effective token contribution. Every decision value is a SINGLE IEEE
+# operation over exactly-computed integers (BIGINT token sums, integer
+# weight products), so the plan is bit-identical cross-engine; the
+# per-source aggregate is the only corpus-sized shuffle (bounded keys),
+# the weight/budget side is literal arithmetic.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 100_000  # total training-token budget
+_MIX_EPOCH_CAP = "4e0"
+
+
+def _mixture_epochs_sql(dialect: str) -> str:
+    ntok = (
+        "size(split(text, ' '))"
+        if dialect == "spark"
+        else "len(string_split(text, ' '))"
+    )
+    raw = f"CAST({_MIX_BUDGET} * wn AS DOUBLE) / CAST(sum_wn * toks AS DOUBLE)"
+    return f"""
+WITH tok AS (
+  SELECT source, CAST(sum({ntok}) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, toks,
+    1 + coalesce(TRY_CAST(substring(source, 4) AS INT), 0) % 4 AS wn
+  FROM tok
+),
+tot AS (SELECT CAST(sum(wn) AS BIGINT) AS sum_wn FROM w)
+SELECT source, toks, CAST(wn AS INT) AS weight,
+  least({_MIX_EPOCH_CAP}, {raw}) AS epochs,
+  least({_MIX_EPOCH_CAP}, {raw}) * toks AS effective_tokens,
+  CAST(CASE WHEN {raw} > 1e0 THEN 1 ELSE 0 END AS INT) AS oversampled
+FROM w CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register(
+    "ns_mixture_epochs",
+    oracle=_mixture_epochs_sql("duckdb"),
+    doc="Token-budget epoch allocation per domain: BIGINT token "
+    "inventories per source, integer mixture weights, epoch count = "
+    "budget share / inventory as ONE IEEE division of exact integers "
+    "(bit-identical cross-engine), capped at 4 epochs; flags "
+    "oversampled domains. The only corpus-sized work is the bounded-key "
+    "token aggregation (NS, mixture planning — the execution step of "
+    "ns_domain_mix / ns_domain_temperature).",
+    tags=("ns", "sampling", "planning"),
+)
+def ns_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The per-source relation w feeds both the weight total and the final
+    # projection; under Spark CTE inlining that re-runs the corpus token
+    # aggregation twice. Materialize the bounded (one row per source)
+    # relation once — corpus scanned exactly once.
+    _view(spark, sf_dir, "documents")
+    full = _mixture_epochs_sql("spark")
+    w_sql = full.split("tot AS", 1)[0].rstrip().rstrip(",") + (
+        "\nSELECT * FROM w"
+    )
+    spark.sql(w_sql).localCheckpoint(eager=True).createOrReplaceTempView(
+        "w32bd_mix_w"
+    )
+    tail = full.split("\ntot AS", 1)[1]
+    return spark.sql(
+        "WITH w AS (SELECT * FROM w32bd_mix_w),\ntot AS" + tail
+    )
