@@ -90,6 +90,11 @@ HEADLINE = [
     "ns_dedup_incremental_persist",
     "agg_q6_forecast_revenue",
     "join_q8_market_share",
+    # round-7 second session: the Q9 profit star (heaviest of the four
+    # closing TPC-H shapes) and the blocked global training-order
+    # permutation (first recorded medians seed the r8 baseline).
+    "join_q9_product_profit",
+    "ns_global_shuffle",
 ]
 
 

@@ -101,6 +101,18 @@ KEYS = [
     # and the decorrelated sole-late-supplier double aggregate
     "join_q8_market_share",
     "join_q21_waiting_supplier",
+    # r7 second session: the last four TPC-H shapes — q9 is the heavy
+    # profit star (4 broadcast dims + the lineitem⋈orders shuffle), q11
+    # re-aggregates N× lineitem into the bounded partval view, q20 runs
+    # the grouped-HAVING semi-join chain over N× lineitem
+    "join_q9_product_profit",
+    "agg_q11_important_stock",
+    "join_q20_promo_suppliers",
+    # r7 second session: blocked global permutation over the N× corpus
+    # (the claim under test: no single-partition sort ⇒ ~linear wall)
+    # and the single-scan mixture planner
+    "ns_global_shuffle",
+    "ns_mixture_epochs",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

@@ -531,3 +531,47 @@ def test_reverse_frame_equals_suffix_frame_random(spark):
     assert sp_fwd == sp_rev, "Spark: reverse-frame form diverged"
     assert dk_fwd == dk_rev, "DuckDB: reverse-frame form diverged"
     assert sp_rev == dk_rev, "cross-engine divergence on the reverse form"
+
+
+def test_blocked_global_shuffle_matches_naive_random(spark):
+    """r7: ns_global_shuffle's blocked decomposition (256 hex-prefix
+    blocks + partitioned row_number + summary offsets) must equal the
+    naive global row_number() OVER (ORDER BY md5key, doc_id) on
+    ARBITRARY doc_id sets — sparse, negative, adjacent — not just the
+    contiguous fixture ids. Fixed-length-hex prefix ordering and the
+    DIV/% shard arithmetic are the properties under test."""
+    import random
+
+    from week3_2_practice_big_data__spark.functions.llmprep import (
+        _SHUF_SHARD,
+        _global_shuffle_spark_sql,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [0],
+        [-3, -2, -1, 0, 1],
+        rng.sample(range(-(10**9), 10**9), 300),
+        list(range(1000, 1100)),
+    ]
+    blocked_sql = _global_shuffle_spark_sql()
+    for ids in cases:
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        df.createOrReplaceTempView("documents")
+        blocked = {
+            r["doc_id"]: (r["pos"], r["shard"], r["pos_in_shard"])
+            for r in spark.sql(blocked_sql).collect()
+        }
+        naive = {
+            r["doc_id"]: (r["pos"], r["shard"], r["pos_in_shard"])
+            for r in spark.sql(f"""
+SELECT doc_id, pos,
+  CAST((pos - 1) DIV {_SHUF_SHARD} AS BIGINT) AS shard,
+  CAST((pos - 1) % {_SHUF_SHARD} + 1 AS BIGINT) AS pos_in_shard
+FROM (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY md5(concat('shuf1:', CAST(doc_id AS STRING))), doc_id) AS pos
+  FROM documents) t
+""").collect()
+        }
+        assert blocked == naive, len(ids)
