@@ -246,6 +246,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     # for domain mixtures (single-IEEE-op decision values).
     "ns_global_shuffle",
     "ns_mixture_epochs",
+    # NEW r7 (third session): exact-integer sample ACF + per-user
+    # running-peak drawdown over the events stream, and the first
+    # node-similarity graph primitive (supplier Jaccard through shared
+    # parts, candidate volume bounded by suppliers-per-part).
+    "ts_autocorr",
+    "ts_max_drawdown",
+    "graph_bipartite_jaccard",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -605,3 +605,80 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _triangle_sql("spark", edges_ref="SELECT a, b FROM tri_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_bipartite_jaccard — node similarity on the part↔supplier bipartite
+# graph (link prediction / "suppliers like this one"): project supplier
+# pairs through shared parts, score by Jaccard over part neighborhoods.
+# Candidate generation is the per-part equi-join — fan-out is bounded by
+# suppliers-per-part (a small constant in any real catalog; TPC-H ≈ 4),
+# so candidate volume is LINEAR in the edge list, never the |S|² product.
+# Degrees broadcast onto the bounded pair relation; top-k is ORDER BY +
+# LIMIT (TakeOrderedAndProject — per-partition heaps, no global sort).
+# The co-occurrence JOIN shape is agg_market_basket's; the semantics
+# here are graph node-similarity (symmetric Jaccard over neighborhoods
+# with degree evidence), completing the pagerank/cc/kcore/triangle
+# family with its first similarity primitive.
+# ---------------------------------------------------------------------------
+
+
+_BIP_EDGES_SQL = "SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem"
+
+
+def _bipartite_jaccard_sql(dialect: str, edges_ref: str | None = None) -> str:
+    del dialect  # shared text
+    # jac is exact: BIGINT counts, one IEEE division — identical doubles
+    # both engines, so the ORDER BY on the unrounded value is a total
+    # deterministic order (ties broken by the unique (supp1, supp2)).
+    # `edges` is referenced three times (deg + both join sides): the
+    # Spark builder materializes it once (CTE inlining re-ran the
+    # lineitem scan + DISTINCT per reference — 4 scans measured).
+    jac = "CAST(n_common AS DOUBLE) / CAST(deg1 + deg2 - n_common AS DOUBLE)"
+    return f"""
+WITH edges AS (
+  {edges_ref or _BIP_EDGES_SQL}
+),
+deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY s
+),
+common AS (
+  SELECT a.s AS supp1, b.s AS supp2, CAST(count(*) AS BIGINT) AS n_common
+  FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING count(*) >= 2
+)
+SELECT supp1, supp2, n_common, d1.d AS deg1, d2.d AS deg2,
+  {synth.q6(jac)} AS jaccard
+FROM common
+JOIN deg d1 ON d1.s = supp1
+JOIN deg d2 ON d2.s = supp2
+ORDER BY {jac} DESC, supp1, supp2
+LIMIT 100
+"""
+
+
+_BIP_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+@register(
+    "graph_bipartite_jaccard",
+    oracle=_bipartite_jaccard_sql("duckdb"),
+    doc="Bipartite node similarity: supplier pairs projected through "
+    "shared parts, Jaccard over part neighborhoods with degree evidence, "
+    "top-100. Candidates from the per-part equi-join (fan-out bounded by "
+    "suppliers-per-part — linear in edges, no |S|² product), degrees "
+    "broadcast, top-k via TakeOrderedAndProject (REF-ANALOG; the node-"
+    "similarity member of the graph family).",
+    tags=("graph", "join", "agg"),
+)
+def graph_bipartite_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    checkpointed(
+        _BIP_EDGE_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_BIP_EDGES_SQL).coalesce(8),
+    ).createOrReplaceTempView("bip_edges")
+    return spark.sql(
+        _bipartite_jaccard_sql("spark", edges_ref="SELECT p, s FROM bip_edges")
+    )

@@ -592,3 +592,174 @@ ORDER BY d
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_seasonal_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorr — sample autocorrelation of the daily total series (r7)
+#
+# ACF at lags 1..10 over the same exact-micro daily summary
+# ts_seasonal_decompose builds (lag 7 is the weekly seasonality the
+# decomposition removes — the two keys cross-check each other). All
+# accumulation is integer-exact: daily totals are BIGINT micro-units,
+# lagged cross-products and squares are summed as DECIMAL(38,0)
+# (ym ≈ 1e13 at sf0.1, squares ≈ 1e26 — past int64, inside 38 digits
+# even at the 100× ladder), and the classic expansion
+#   Σ(y_t−ȳ)(y_{t−k}−ȳ) = Σy_t·y_{t−k} − ȳ(Σ_a + Σ_b) + m·ȳ²
+# turns the float work into a FIXED parse tree over a handful of exact
+# integers — deterministic IEEE on both engines, no order dependence.
+# Every window/join runs over the calendar-bounded daily relation
+# (~30 rows), never the event stream: one scan, one groupBy(day),
+# then summary-sized work (the acceptable global-window class from the
+# r6 audit). The lag offsets join through a 10-row literal table against
+# a row_number index, so missing calendar days collapse the sequence
+# (observed-sequence ACF, the pandas `Series.autocorr` convention).
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 10
+
+
+def _acf_lags(dialect: str) -> str:
+    vals = ", ".join(f"({k})" for k in range(1, _ACF_MAX_LAG + 1))
+    if dialect == "spark":
+        return f"(SELECT * FROM VALUES {vals} AS lg(lag_k))"
+    return f"(SELECT * FROM (VALUES {vals}) AS lg(lag_k))"
+
+
+def _acf_ordered_sql(dialect: str) -> str:
+    """The indexed daily summary — referenced THREE times downstream
+    (stats + both sides of the lag join), so the Spark builder
+    materializes it once: CTE inlining re-ran the events scan + groupBy
+    per reference (3 parquet scans measured pre-materialization)."""
+    if dialect == "spark":
+        day = f"CAST({_us(dialect)} DIV 86400000000 AS BIGINT)"
+    else:
+        day = f"{_us(dialect)} // 86400000000"
+    ym = synth.sum_micro_int("value", 1e9)
+    return f"""
+WITH daily AS (
+  SELECT {day} AS d, {ym} AS ym
+  FROM events GROUP BY {day}
+)
+SELECT ym, row_number() OVER (ORDER BY d) AS i FROM daily
+"""
+
+
+def _autocorr_sql(dialect: str, ordered_ref: str | None = None) -> str:
+    # ȳ in value units; greatest() guards the (empty-input, never-emitted)
+    # stats row under Spark ANSI's double 0/0 error.
+    ybar = "(CAST(s1 AS DOUBLE) / (CAST(greatest(n, 1) AS DOUBLE) * 1000000e0))"
+    num = (
+        "(sxy / 1000000000000e0 "
+        f"- {ybar} * ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 1000000e0) "
+        f"+ CAST(n_pairs AS DOUBLE) * {ybar} * {ybar})"
+    )
+    den = f"(s2 / 1000000000000e0 - CAST(n AS DOUBLE) * {ybar} * {ybar})"
+    ordered = ordered_ref or _acf_ordered_sql(dialect)
+    return f"""
+WITH ordered AS ({ordered}),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    coalesce(sum(ym), 0) AS s1,
+    CAST(coalesce(sum(CAST(ym AS DECIMAL(38,0)) * ym), 0) AS DOUBLE) AS s2
+  FROM ordered
+),
+pairs AS (
+  SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(CAST(a.ym AS DECIMAL(38,0)) * b.ym) AS DOUBLE) AS sxy,
+    sum(a.ym) AS sa, sum(b.ym) AS sb
+  FROM ordered a
+  JOIN {_acf_lags(dialect)} ON a.i > lag_k
+  JOIN ordered b ON b.i = a.i - lag_k
+  GROUP BY lag_k
+)
+SELECT lag_k, n_pairs, {synth.q6(f"{num} / nullif({den}, 0e0)")} AS acf
+FROM pairs CROSS JOIN stats
+ORDER BY lag_k
+"""
+
+
+_ACF_ORDERED_CACHE: dict[tuple, DataFrame] = {}
+
+
+@register(
+    "ts_autocorr",
+    oracle=_autocorr_sql("duckdb"),
+    doc="Sample autocorrelation function of the daily total series at "
+    "lags 1..10: exact-micro daily sums (BIGINT), DECIMAL(38,0) "
+    "cross-product/square accumulation (order-free past int64 range), "
+    "mean-expansion identity evaluated as one fixed double parse tree. "
+    "One event scan + one calendar-bounded groupBy; all lag joins run "
+    "over the ~30-row daily summary via a 10-row literal lag table "
+    "(REF-ANALOG; lag-7 cross-checks ts_seasonal_decompose's weekly "
+    "seasonal).",
+    tags=("timeseries", "stats", "window"),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed, session_key
+
+    _view(spark, sf_dir)
+    checkpointed(
+        _ACF_ORDERED_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_acf_ordered_sql("spark")).coalesce(1),
+    ).createOrReplaceTempView("acf_ordered")
+    return spark.sql(
+        _autocorr_sql("spark", ordered_ref="SELECT ym, i FROM acf_ordered")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_max_drawdown — per-user running-peak drawdown (r7)
+#
+# The classic path statistic (peak-to-trough loss of a cumulative
+# series), here over each user's cumulative event value ordered by
+# (ts, event_id). Everything stays in exact BIGINT micro-units until
+# the final projection: cumulative sum and running max are incremental
+# UNBOUNDED-PRECEDING frames (the O(n) class — NOT the O(n²) suffix
+# frames the r7 skew ladder exposed), both riding ONE (user_id) hash
+# exchange + one in-partition sort. The drawdown fraction divides once
+# at the end, guarded for non-positive peaks.
+# ---------------------------------------------------------------------------
+
+
+def _drawdown_sql(dialect: str) -> str:
+    us = _us(dialect)
+    v6 = f"CAST(floor({synth.sat('value', 1e9)} * 1000000e0 + 0.5e0) AS BIGINT)"
+    w = "PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, {us} AS us, {v6} AS v6 FROM events
+),
+path AS (
+  SELECT user_id, event_id, us,
+    sum(v6) OVER ({w}) AS cum6
+  FROM ev
+),
+peaked AS (
+  SELECT user_id, event_id, cum6,
+    max(cum6) OVER ({w}) AS peak6
+  FROM path
+)
+SELECT user_id,
+  CAST(max(peak6 - cum6) AS BIGINT) AS max_drawdown_micro,
+  {synth.q6("CAST(max(peak6 - cum6) AS DOUBLE) / 1000000e0")} AS max_drawdown,
+  CAST(max(peak6) AS BIGINT) AS final_peak_micro
+FROM peaked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "ts_max_drawdown",
+    oracle=_drawdown_sql("duckdb"),
+    doc="Per-user maximum drawdown of the cumulative value path: "
+    "running sum and running peak as incremental UNBOUNDED-PRECEDING "
+    "frames (O(n) per partition, one user_id exchange), exact BIGINT "
+    "micro-units end-to-end, one divide at the output boundary "
+    "(REF-ANALOG; the path-statistic sibling of win_cusum_changepoint).",
+    tags=("timeseries", "window"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_drawdown_sql("spark"))
