@@ -113,6 +113,13 @@ KEYS = [
     # and the single-scan mixture planner
     "ns_global_shuffle",
     "ns_mixture_epochs",
+    # r7 third session: ACF/drawdown ride the events ladder (ACF work is
+    # one groupBy into the calendar-bounded summary; drawdown is the
+    # incremental-frame window over N× disjoint users), jaccard rides
+    # the duplicated lineitem (N× edges through the per-part pair join)
+    "ts_autocorr",
+    "ts_max_drawdown",
+    "graph_bipartite_jaccard",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

@@ -595,3 +595,45 @@ def test_q19_brackets_plan_as_single_join(spark):
     assert plan.count("Scan parquet") == 2
     assert plan.count("BroadcastHashJoin") == 1
     assert "Union" not in plan
+
+
+def test_drawdown_single_user_exchange(spark):
+    """ts_max_drawdown: cumulative sum, running peak, and the per-user
+    max must all ride ONE user_id hash exchange — both window frames are
+    the incremental UNBOUNDED-PRECEDING class (the O(n) side of the r7
+    suffix-frame finding), and the final aggregate reuses the window's
+    partitioning."""
+    import re
+
+    df = REGISTRY["ts_max_drawdown"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert "Join" not in plan
+    assert "UNBOUNDED FOLLOWING" not in plan.upper().replace(
+        "UNBOUNDED PRECEDING", ""
+    )
+
+
+def test_autocorr_summary_sized_work_only(spark):
+    """ts_autocorr: after the daily summary materializes (checkpointed,
+    coalesce(1)), every lag join and the stats pass run over the ~30-row
+    relation — no parquet re-scan, no sort-merge join, no corpus-sized
+    exchange."""
+    df = REGISTRY["ts_autocorr"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # ordered is checkpointed once
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bipartite_jaccard_bounded_candidates(spark):
+    """graph_bipartite_jaccard: the edge list is checkpointed once (no
+    lineitem re-scan per reference), the pair join is an equi-join on
+    the part key (never a cartesian |S|x|S| product), and top-k is
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    df = REGISTRY["graph_bipartite_jaccard"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # edges checkpointed once
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
