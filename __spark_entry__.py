@@ -253,6 +253,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "ts_autocorr",
     "ts_max_drawdown",
     "graph_bipartite_jaccard",
+    # NEW r7 (third session): two-series lead/lag CCF at calendar lags
+    "ts_cross_corr",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -95,6 +95,12 @@ HEADLINE = [
     # permutation (first recorded medians seed the r8 baseline).
     "join_q9_product_profit",
     "ns_global_shuffle",
+    # round-7 third session: path-statistic window, summary-sized ACF,
+    # and the graph node-similarity key (first medians seed r8).
+    "ts_max_drawdown",
+    "ts_autocorr",
+    "graph_bipartite_jaccard",
+    "ts_cross_corr",
 ]
 
 

@@ -120,6 +120,7 @@ KEYS = [
     "ts_autocorr",
     "ts_max_drawdown",
     "graph_bipartite_jaccard",
+    "ts_cross_corr",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
@@ -213,6 +214,9 @@ _SKEW_KEYS = [
     # this ladder (rewritten to reverse-sorted running frames)
     "join_asof_nearest",
     "win_interpolate_gaps",
+    # r7 third session: both frames are the incremental O(n) class, so
+    # the hot user costs one long in-partition sort, nothing quadratic
+    "ts_max_drawdown",
 ]
 
 

@@ -637,3 +637,15 @@ def test_bipartite_jaccard_bounded_candidates(spark):
     assert plan.count("Scan parquet") == 0  # edges checkpointed once
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cross_corr_summary_sized_work_only(spark):
+    """ts_cross_corr: after the daily two-series summary materializes,
+    the 15-lag calendar join and the stats pass run over the ~30-row
+    relation — no parquet re-scan, no sort-merge join, no cartesian
+    (the 15-row lag literal may ride a BroadcastNestedLoopJoin)."""
+    df = REGISTRY["ts_cross_corr"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # daily is checkpointed once
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

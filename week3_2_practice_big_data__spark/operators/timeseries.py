@@ -750,6 +750,107 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ts_cross_corr — lead/lag cross-correlation of two event series (r7)
+#
+# "Do purchases lag clicks?": CCF of daily click counts (x) against
+# daily purchase counts (y) at calendar lags −7..+7 (b.d = a.d + k, so
+# missing days simply contribute no pair — real calendar lags, not row
+# offsets). The textbook estimator: full-series means and variances,
+# per-lag cross-sums, normalized by sqrt(Sxx·Syy). Every accumulation
+# is exact — counts are BIGINT, products go through DECIMAL(38,0) (safe
+# at any ladder scale) — and the float work is one fixed parse tree.
+# One events scan into the calendar-bounded daily summary (materialized
+# once; referenced three times), everything downstream summary-sized.
+# ---------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 7
+
+
+def _ccf_lags(dialect: str) -> str:
+    vals = ", ".join(f"({k})" for k in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1))
+    if dialect == "spark":
+        return f"(SELECT * FROM VALUES {vals} AS lg(lag_k))"
+    return f"(SELECT * FROM (VALUES {vals}) AS lg(lag_k))"
+
+
+def _ccf_daily_sql(dialect: str) -> str:
+    if dialect == "spark":
+        day = f"CAST({_us(dialect)} DIV 86400000000 AS BIGINT)"
+    else:
+        day = f"{_us(dialect)} // 86400000000"
+    return f"""
+SELECT {day} AS d,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+FROM events GROUP BY {day}
+"""
+
+
+def _cross_corr_sql(dialect: str, daily_ref: str | None = None) -> str:
+    daily = daily_ref or _ccf_daily_sql(dialect)
+    xbar = "(CAST(sx AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE))"
+    ybar = "(CAST(sy AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE))"
+    num = (
+        f"(sxy - {ybar} * CAST(sxk AS DOUBLE) - {xbar} * CAST(syk AS DOUBLE) "
+        f"+ CAST(n_pairs AS DOUBLE) * {xbar} * {ybar})"
+    )
+    den = (
+        f"sqrt((sxx - CAST(n AS DOUBLE) * {xbar} * {xbar}) "
+        f"* (syy - CAST(n AS DOUBLE) * {ybar} * {ybar}))"
+    )
+    return f"""
+WITH daily AS ({daily}),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    coalesce(sum(x), 0) AS sx, coalesce(sum(y), 0) AS sy,
+    CAST(coalesce(sum(CAST(x AS DECIMAL(38,0)) * x), 0) AS DOUBLE) AS sxx,
+    CAST(coalesce(sum(CAST(y AS DECIMAL(38,0)) * y), 0) AS DOUBLE) AS syy
+  FROM daily
+),
+pairs AS (
+  SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(CAST(a.x AS DECIMAL(38,0)) * b.y) AS DOUBLE) AS sxy,
+    sum(a.x) AS sxk, sum(b.y) AS syk
+  FROM daily a
+  JOIN {_ccf_lags(dialect)} ON 1 = 1
+  JOIN daily b ON b.d = a.d + lag_k
+  GROUP BY lag_k
+)
+SELECT lag_k, n_pairs, {synth.q6(f"{num} / nullif({den}, 0e0)")} AS ccf
+FROM pairs CROSS JOIN stats
+ORDER BY lag_k
+"""
+
+
+_CCF_DAILY_CACHE: dict[tuple, DataFrame] = {}
+
+
+@register(
+    "ts_cross_corr",
+    oracle=_cross_corr_sql("duckdb"),
+    doc="Lead/lag cross-correlation of daily click vs purchase counts at "
+    "calendar lags -7..+7 (missing days contribute no pair): full-series "
+    "means/variances, per-lag cross-sums via the b.d = a.d + k equi-join "
+    "over the materialized daily summary, DECIMAL(38,0) exact "
+    "accumulation, one fixed double parse tree per lag (REF-ANALOG; the "
+    "two-series sibling of ts_autocorr).",
+    tags=("timeseries", "stats"),
+)
+def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import checkpointed, session_key
+
+    _view(spark, sf_dir)
+    checkpointed(
+        _CCF_DAILY_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_ccf_daily_sql("spark")).coalesce(1),
+    ).createOrReplaceTempView("ccf_daily")
+    return spark.sql(
+        _cross_corr_sql("spark", daily_ref="SELECT d, x, y FROM ccf_daily")
+    )
+
+
 @register(
     "ts_max_drawdown",
     oracle=_drawdown_sql("duckdb"),
