@@ -504,6 +504,12 @@ def test_adversarial_input_parity(spark):
         # the BPE encode pass (empty tokens, 5000-char cap, CJK/emoji)
         "ns_dedup_incremental_persist", "ns_sim_ann_ivf_persist",
         "ns_bpe_encode", "ns_dedup_incremental",
+        # r7 third session: NaN/Inf/±1e300 values flow through the sat
+        # gate into the daily micro sums (ACF/CCF variance guards hit
+        # their NULL paths here), the drawdown running frames, and the
+        # jaccard division
+        "ts_autocorr", "ts_cross_corr", "ts_max_drawdown",
+        "graph_bipartite_jaccard",
     ]
     for key in keys:
         q = REGISTRY[key]
