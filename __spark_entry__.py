@@ -255,6 +255,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     "graph_bipartite_jaccard",
     # NEW r7 (third session): two-series lead/lag CCF at calendar lags
     "ts_cross_corr",
+    # NEW r7 (fourth session): weighted common-neighbor link prediction
+    # (Resource Allocation index, exact integer micro-weights), greedy
+    # exact-cents budget allocation, and the two-epoch PSI drift monitor
+    "graph_resource_alloc",
+    "win_budget_allocation",
+    "dq_distribution_drift",
+    # NEW r7 (fourth session): KMV/theta sketch intersection with a
+    # deterministic hash — the fully-hash-checked sketch key
+    "agg_sketch_kmv_intersect",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

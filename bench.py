@@ -101,6 +101,13 @@ HEADLINE = [
     "ts_autocorr",
     "graph_bipartite_jaccard",
     "ts_cross_corr",
+    # round-7 fourth session: weighted common-neighbor link prediction,
+    # greedy integer-cents allocation, and the PSI drift monitor (first
+    # medians seed the r8 baseline).
+    "graph_resource_alloc",
+    "win_budget_allocation",
+    "dq_distribution_drift",
+    "agg_sketch_kmv_intersect",
 ]
 
 

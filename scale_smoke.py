@@ -121,6 +121,16 @@ KEYS = [
     "ts_max_drawdown",
     "graph_bipartite_jaccard",
     "ts_cross_corr",
+    # r7 fourth session: RA weights ride the same duplicated-lineitem
+    # edge ladder as jaccard (degree join is |parts|-sized, broadcast);
+    # allocation rides N× orders through its single custkey exchange;
+    # drift rides N× events through the two histogram passes
+    "graph_resource_alloc",
+    "win_budget_allocation",
+    "dq_distribution_drift",
+    # N× duplicated events leave the distinct (type, user) cohort
+    # relation unchanged — the sketch should be duplication-invariant
+    "agg_sketch_kmv_intersect",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

@@ -510,6 +510,17 @@ def test_adversarial_input_parity(spark):
         # jaccard division
         "ts_autocorr", "ts_cross_corr", "ts_max_drawdown",
         "graph_bipartite_jaccard",
+        # r7 fourth session: degenerate edge lists (empty/one-row) must
+        # yield empty pair sets; weird values only touch BIGINT keys
+        "graph_resource_alloc",
+        # NaN/Inf money and NULL dates flow through the sat gate into
+        # the cents running frames; NaN/Inf values + NULL ts through the
+        # drift histogram's sat/extent/epoch-split path
+        "win_budget_allocation",
+        "dq_distribution_drift",
+        # extreme/negative user ids exercise the double-mod hash
+        # normalization; NaN/Inf values the cohort filter
+        "agg_sketch_kmv_intersect",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -639,6 +639,57 @@ def test_bipartite_jaccard_bounded_candidates(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_resource_alloc_bounded_candidates(spark):
+    """graph_resource_alloc: same bounded shape as bipartite_jaccard —
+    edges checkpointed once (no parquet re-scan), pair candidates from
+    the part equi-join (no cartesian), part-degree weights ride a
+    broadcast join, top-k is TakeOrderedAndProject."""
+    df = REGISTRY["graph_resource_alloc"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # edges checkpointed once
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_intersect_checkpointed_summary_tail(spark):
+    """agg_sketch_kmv_intersect: the distinct (type, user) relation is
+    checkpointed once (referenced by sketch AND exact rerank — no events
+    re-scan), the exact path is an equi-join, and no cartesian product
+    appears (the 5-row type-pair theta join may ride a
+    BroadcastNestedLoopJoin — summary-sized by construction)."""
+    df = REGISTRY["agg_sketch_kmv_intersect"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # d checkpointed once
+    assert "CartesianProduct" not in plan
+
+
+def test_budget_allocation_single_hash_exchange(spark):
+    """win_budget_allocation: the customer dim broadcasts (no SMJ), the
+    window's o_custkey exchange is REUSED by the per-customer aggregate
+    — exactly one hash exchange in the plan (the only other exchange is
+    the presentation sort's range partitioning), and the running frame
+    is a PRECEDING frame (incremental, never a re-aggregated suffix)."""
+    df = REGISTRY["win_budget_allocation"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_distribution_drift_two_passes_summary_tail(spark):
+    """dq_distribution_drift: the two-epoch histogram is checkpointed
+    once (the drift tail references it twice — totals + terms — and CTE
+    inlining re-ran BOTH inherent event scans per reference: 4 scans
+    measured before the materialize-once fix), so the returned plan has
+    zero parquet scans and its joins are summary-sized broadcasts — no
+    sort-merge join, no cartesian product."""
+    df = REGISTRY["dq_distribution_drift"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # hist checkpointed once
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cross_corr_summary_sized_work_only(spark):
     """ts_cross_corr: after the daily two-series summary materializes,
     the 15-lag calendar join and the stats pass run over the ~30-row

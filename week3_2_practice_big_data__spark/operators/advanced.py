@@ -682,3 +682,83 @@ def graph_bipartite_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _bipartite_jaccard_sql("spark", edges_ref="SELECT p, s FROM bip_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_resource_alloc — weighted common-neighbor link prediction on the
+# same part↔supplier bipartite graph: the Resource Allocation index
+# (Zhou/Lü/Zhang 2009), RA(u,v) = Σ_{p ∈ Γ(u)∩Γ(v)} 1/deg(p). Rare shared
+# parts carry more evidence than ubiquitous ones — the refinement Jaccard
+# lacks. RA is chosen over the better-known Adamic-Adar (1/ln deg) because
+# 1/d has an EXACT cross-engine form: the per-part micro-weight
+# round(1e6/d) = floor((2e6+d)/(2d)) is one correctly-rounded IEEE
+# division of exact integers (both operands < 2^53), so the double is
+# bit-identical in Spark and DuckDB and the floor can never straddle —
+# whereas ln() is libm-dependent in the last ulp. Weights are summed as
+# BIGINT micro-units (order-free), divided once at the end.
+# Scale shape: same bounded per-part candidate join as
+# graph_bipartite_jaccard (fan-out = suppliers-per-part, linear in edges);
+# the part-degree relation is |parts|-sized and broadcasts onto the pair
+# stream; top-k via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+
+def _resource_alloc_sql(dialect: str, edges_ref: str | None = None) -> str:
+    del dialect  # shared text
+    # round(1e6/d) as floor((2e6+d)/(2d)): numerator/denominator are exact
+    # doubles (< 2^53), IEEE division is correctly rounded in both engines,
+    # and the true quotient is a rational with denominator 2d — its
+    # distance from any integer is either 0 (exactly representable, so the
+    # rounded result IS the integer) or ≥ 1/(2d) ≫ ulp, so floor() is
+    # engine-independent by construction.
+    w = (
+        "CAST(floor((2000000e0 + CAST(pd.d AS DOUBLE)) / "
+        "(2e0 * CAST(pd.d AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""
+WITH edges AS (
+  {edges_ref or _BIP_EDGES_SQL}
+),
+pdeg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY p
+),
+pairs AS (
+  SELECT a.s AS supp1, b.s AS supp2,
+    CAST(count(*) AS BIGINT) AS n_common,
+    CAST(sum({w}) AS BIGINT) AS ra_micro
+  FROM edges a
+  JOIN edges b ON a.p = b.p AND a.s < b.s
+  JOIN pdeg pd ON pd.p = a.p
+  GROUP BY a.s, b.s
+  HAVING count(*) >= 2
+)
+SELECT supp1, supp2, n_common,
+  CAST(ra_micro AS DOUBLE) / 1e6 AS resource_alloc
+FROM pairs
+ORDER BY ra_micro DESC, supp1, supp2
+LIMIT 100
+"""
+
+
+@register(
+    "graph_resource_alloc",
+    oracle=_resource_alloc_sql("duckdb"),
+    doc="Weighted common-neighbor link prediction: Resource Allocation "
+    "index Σ 1/deg(shared part) over supplier pairs, exact BIGINT "
+    "micro-unit weights (round(1e6/d) in pure correctly-rounded "
+    "arithmetic — no libm), top-100. Candidates from the bounded "
+    "per-part equi-join, part degrees broadcast, top-k via "
+    "TakeOrderedAndProject (REF-ANALOG; the weighted member of the "
+    "graph similarity family).",
+    tags=("graph", "join", "agg"),
+)
+def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    checkpointed(
+        _BIP_EDGE_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_BIP_EDGES_SQL).coalesce(8),
+    ).createOrReplaceTempView("bip_edges")
+    return spark.sql(
+        _resource_alloc_sql("spark", edges_ref="SELECT p, s FROM bip_edges")
+    )

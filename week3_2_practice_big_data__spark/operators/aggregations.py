@@ -866,3 +866,156 @@ def agg_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _view(spark, sf_dir, "documents")
     return spark.sql(_cms_heavy_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_sketch_kmv_intersect — set-intersection cardinality via KMV (k-minimum
+# -values / theta) sketches: per event_type, the sketch is the k=64 smallest
+# values of a deterministic integer hash over the type's DISTINCT users;
+# for every type pair, theta = the k-th smallest of the UNION sketch and
+# |A∩B| ≈ matches(h < theta, h in both sketches) · M/theta — the classic
+# theta-sketch intersection estimator (KMV; DataSketches' theta family).
+# Unlike agg_sketch_hll_merge/kll (engine-native sketches, contract-only
+# oracles), the hash here is the repo's pure-integer LCG, so the ENTIRE
+# estimate is bit-identical in Spark and DuckDB and the key carries a FULL
+# value oracle — theta, match count, estimate, exact rerank, and relative
+# error are all hash-checked. The exact intersection rides the bounded
+# per-user self-join (fan-out ≤ C(#types, 2) per user), giving the
+# sketch-vs-exact error surface in one result set.
+# Determinism notes: theta can never be 0 (hash values are DISTINCT within
+# a pair's union, so h=0 would hold rank 1, never rank k), hence the
+# estimate division is safe under Spark ANSI; matches·M ≤ 64·2³¹ ≪ 2⁵³ is
+# exact in double, one correctly-rounded division ends the tree.
+# Scale shape (100 TB): the distinct (type, user) relation materializes
+# once (referenced by the sketch AND the exact path — CTE inlining would
+# re-scan events per reference); sketches are per-type hash top-k (k rows
+# survive per type — the mergeable-sketch property: a k-min of bucketed
+# k-mins is the same sketch); everything downstream of `sk` is
+# summary-sized (≤ pairs × 2k rows).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_M31 = 2_147_483_648
+
+
+def _kmv_hash(u: str) -> str:
+    """31-bit LCG hash of a BIGINT key, non-negative-normalized first
+    (Spark/DuckDB `%` keeps the dividend's sign; the double-mod form is
+    overflow-free under ANSI for any int64 input, and every later
+    intermediate stays < 2^62)."""
+    un = f"((({u}) % {_KMV_M31} + {_KMV_M31}) % {_KMV_M31})"
+    x = f"(({un} * 1000003 + 20260815) % {_KMV_M31})"
+    return f"((1103515245 * {x} + 12345) % {_KMV_M31})"
+
+
+# The cohort universe: users with at least one HIGH-INTENSITY event of the
+# type (value > 150, ≈ the per-event 95th percentile — membership ≈ 50% of
+# users and, crucially, DIFFERENT per type, so pairwise overlaps genuinely
+# vary; the unfiltered (type, user) relation is degenerate in this corpus —
+# every user touches every type and all 10 pairs collapse to one answer).
+# At sf0.001 unions stay under k (the sketch IS the set — exact branch);
+# at sf0.01+ unions exceed k and the theta path is exercised.
+_KMV_D_SQL = """
+SELECT DISTINCT event_type AS t, user_id AS u FROM events
+WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value > 150e0
+"""
+
+
+def _kmv_sql(dialect: str, d_ref: str | None = None) -> str:
+    del dialect  # shared text
+    k, m = _KMV_K, _KMV_M31
+    ne = "coalesce(e.n_exact, 0)"
+    est = f"(CAST(mm.matches AS DOUBLE) * {m}e0 / CAST(mm.th AS DOUBLE))"
+    err = (
+        f"(abs({est} - CAST({ne} AS DOUBLE)) / "
+        f"greatest(CAST({ne} AS DOUBLE), 1e0))"
+    )
+    return f"""
+WITH d AS (
+  {d_ref or _KMV_D_SQL}
+),
+dh AS (
+  SELECT DISTINCT t, {_kmv_hash("u")} AS h FROM d
+),
+sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+    FROM dh
+  ) z WHERE rn <= {k}
+),
+types AS (
+  SELECT DISTINCT t FROM sk
+),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2 FROM types a JOIN types b ON a.t < b.t
+),
+uh AS (
+  SELECT t1, t2, h, max(in1) AS in1, max(in2) AS in2 FROM (
+    SELECT p.t1, p.t2, s.h, 1 AS in1, 0 AS in2
+    FROM pairs p JOIN sk s ON s.t = p.t1
+    UNION ALL
+    SELECT p.t1, p.t2, s.h, 0 AS in1, 1 AS in2
+    FROM pairs p JOIN sk s ON s.t = p.t2
+  ) z GROUP BY t1, t2, h
+),
+ranked AS (
+  SELECT t1, t2, h, in1, in2,
+    row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
+  FROM uh
+),
+theta AS (
+  SELECT t1, t2,
+    CASE WHEN max(rn) >= {k}
+         THEN max(CASE WHEN rn = {k} THEN h ELSE -1 END)
+         ELSE {m} END AS th
+  FROM ranked GROUP BY t1, t2
+),
+mm AS (
+  SELECT r.t1, r.t2, t.th,
+    CAST(sum(CASE WHEN r.in1 = 1 AND r.in2 = 1 AND r.h < t.th
+                  THEN 1 ELSE 0 END) AS BIGINT) AS matches
+  FROM ranked r JOIN theta t ON t.t1 = r.t1 AND t.t2 = r.t2
+  GROUP BY r.t1, r.t2, t.th
+),
+exact AS (
+  SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n_exact
+  FROM d a JOIN d b ON a.u = b.u AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT mm.t1 AS type_a, mm.t2 AS type_b,
+  CAST({ne} AS BIGINT) AS n_exact,
+  mm.th AS theta, mm.matches AS n_matches,
+  {synth.q6(est)} AS n_est,
+  {synth.q6(err)} AS rel_err
+FROM mm
+LEFT JOIN exact e ON e.t1 = mm.t1 AND e.t2 = mm.t2
+ORDER BY type_a, type_b
+"""
+
+
+_KMV_D_CACHE: dict[tuple, DataFrame] = {}
+
+
+@register(
+    "agg_sketch_kmv_intersect",
+    oracle=_kmv_sql("duckdb"),
+    doc="Theta-sketch set intersection: per-type KMV sketch (k=64 minimum "
+    "LCG-hash values over distinct users), per-pair theta = k-th minimum "
+    "of the union sketch, |A∩B| ≈ matches·M/theta, with the exact "
+    "per-user-join rerank and relative error alongside. Deterministic "
+    "integer hash ⇒ FULL value oracle (vs the HLL/KLL contract checks); "
+    "distinct relation materialized once, k rows survive per type, "
+    "everything past the sketch summary-sized (REF-ANALOG; the "
+    "mergeable-sketch answer to set overlap at 100 TB).",
+    tags=("agg", "scale", "sketch"),
+)
+def agg_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    from ..common import checkpointed, session_key
+
+    checkpointed(
+        _KMV_D_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_KMV_D_SQL).coalesce(8),
+    ).createOrReplaceTempView("kmv_d")
+    return spark.sql(_kmv_sql("spark", d_ref="SELECT t, u FROM kmv_d"))

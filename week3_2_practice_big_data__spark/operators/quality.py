@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import synth
+from ..common import checkpointed, session_key
 from ..io import load_table
 from ..registry import register
 
@@ -237,3 +238,117 @@ def _table_stats_sql(dialect: str) -> str:
 def src_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("lineitem",))
     return spark.sql(_table_stats_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# dq_distribution_drift — distribution drift between two data epochs: split
+# the event stream at its time midpoint, histogram `value` into 16
+# fixed-width buckets over the GLOBAL extent, and score each event_type's
+# early-vs-late distribution shift with the Population Stability Index
+# (PSI, Σ (p−q)·ln(p/q), the industry drift gate) and the pure-rational
+# triangular discrimination (Σ (p−q)²/(p+q) — same detection semantics,
+# zero libm in the parse tree). Laplace smoothing (+1 / +B) keeps both
+# well-defined for empty buckets; a bucket absent from both epochs
+# contributes exactly 0, so grouping only observed (type, bucket) pairs IS
+# the full-support sum. The pipeline monitoring op for a crawl/training
+# corpus: "did this week's data move?".
+# Cross-engine determinism: values enter via sat() and quantize to BIGINT
+# micros; the epoch split (2·us ≤ min_us+max_us) and bucket index
+# (floor((v−mn)·16/span), quotient a small-denominator rational ≫ ulp from
+# any integer it isn't) are pure exact arithmetic; per-bucket PSI terms
+# are micro-quantized BEFORE the per-type sum (order-free BIGINT).
+# Scale shape (100 TB): one extent pass + one histogram pass (inherent to
+# fixed-width histograms), the 1-row extent broadcast onto the stream,
+# and everything after the (type, bucket) groupBy is summary-sized
+# (≤ #types·16 rows).
+# ---------------------------------------------------------------------------
+
+_DRIFT_B = 16
+_DRIFT_HIST_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _drift_hist_sql(dialect: str) -> str:
+    """The (event_type, bucket) two-epoch histogram — the corpus-sized
+    half of the plan (two inherent scans: extent, then bucketing). The
+    Spark builder materializes this once: the drift tail references it
+    twice (totals + terms), and CTE inlining would re-run BOTH scans per
+    reference (4 scans measured — the r6 multi-reference-tail trap)."""
+    us = _us(dialect)
+    v6 = f"CAST(floor({synth.sat('value', 1e6)} * 1e6) AS BIGINT)"
+    b = f"{_DRIFT_B}"
+    return f"""
+WITH ev AS (
+  SELECT event_type, {us} AS us, {v6} AS v6
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+ext AS (
+  SELECT min(v6) AS mn6, max(v6) AS mx6, min(us) + max(us) AS mid2 FROM ev
+)
+SELECT event_type,
+  least(CAST(floor(CAST((v6 - mn6) * {b} AS DOUBLE)
+    / CAST(mx6 - mn6 + 1 AS DOUBLE)) AS BIGINT), {_DRIFT_B - 1}) AS bkt,
+  CAST(sum(CASE WHEN 2 * us <= mid2 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+  CAST(sum(CASE WHEN 2 * us <= mid2 THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+FROM ev CROSS JOIN ext
+GROUP BY 1, 2
+"""
+
+
+def _drift_sql(dialect: str, hist_ref: str | None = None) -> str:
+    b = f"{_DRIFT_B}"
+    p = f"(CAST(c_a + 1 AS DOUBLE) / CAST(na + {b} AS DOUBLE))"
+    q = f"(CAST(c_b + 1 AS DOUBLE) / CAST(nb + {b} AS DOUBLE))"
+    psi_t = f"({p} - {q}) * ln({p} / {q})"
+    tri_t = f"({p} - {q}) * ({p} - {q}) / ({p} + {q})"
+    return f"""
+WITH hist AS (
+  {hist_ref or _drift_hist_sql(dialect)}
+),
+tot AS (
+  SELECT event_type, CAST(sum(c_a) AS BIGINT) AS na,
+    CAST(sum(c_b) AS BIGINT) AS nb
+  FROM hist GROUP BY event_type
+),
+terms AS (
+  SELECT h.event_type, t.na, t.nb,
+    CAST(floor(({psi_t}) * 1e6 + 0.5e0) AS BIGINT) AS psi_u,
+    CAST(floor(({tri_t}) * 1e6 + 0.5e0) AS BIGINT) AS tri_u
+  FROM hist h JOIN tot t ON t.event_type = h.event_type
+)
+SELECT event_type, max(na) AS n_early, max(nb) AS n_late,
+  CAST(sum(psi_u) AS DOUBLE) / 1e6 AS psi,
+  CAST(sum(tri_u) AS DOUBLE) / 1e6 AS tri_disc,
+  (sum(psi_u) > 200000) AS drifted
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=_drift_sql("duckdb"),
+    doc="Distribution-drift monitor: events split at the time midpoint, "
+    "16 fixed-width value buckets over the global extent, per-event_type "
+    "PSI (Σ (p−q)·ln(p/q), Laplace-smoothed) plus the pure-rational "
+    "triangular discrimination, drift flag at PSI > 0.2. Two passes "
+    "(extent + histogram, inherent), 1-row extent broadcast, everything "
+    "post-groupBy summary-sized; PSI terms micro-quantized before the "
+    "order-free BIGINT sum (REF-ANALOG; the 'did this week's corpus "
+    "move?' gate).",
+    tags=("quality", "agg", "stats"),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("events",))
+    checkpointed(
+        _DRIFT_HIST_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_drift_hist_sql("spark")).coalesce(1),
+    ).createOrReplaceTempView("drift_hist")
+    return spark.sql(
+        _drift_sql(
+            "spark",
+            hist_ref="SELECT event_type, bkt, c_a, c_b FROM drift_hist",
+        )
+    )

@@ -410,3 +410,93 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "cd", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_budget_allocation — greedy order-of-arrival credit allocation: each
+# customer's (non-negative) account balance is spent across their orders in
+# o_orderdate order; every order receives min(remaining budget, its price).
+# The classic "apply payments to invoices" / "allocate stock to demand"
+# warehouse pattern, expressed as ONE running-frame window in exact BIGINT
+# cents: alloc = clamp(budget − running_sum_before, 0, price). No iteration,
+# no correlated subquery — the greedy recurrence collapses to a prefix sum.
+# Cross-engine discipline: money enters through the sat() gate and is
+# floor-quantized to cents ONCE (NULL→0 so greatest/least never see NULL —
+# Spark and DuckDB both skip NULLs Postgres-style, but we don't rely on it);
+# the sort key coalesces NULL dates to epoch (Spark sorts NULLS FIRST,
+# DuckDB NULLS LAST — the coalesce removes the divergence); equal sort keys
+# imply equal price, so the aggregate outcome is tie-invariant. All
+# arithmetic stays in int64 (prices < 1e12 cents) until two final /1e2
+# divisions of identical integers.
+# Scale shape (100 TB): one orders scan, customer dim broadcasts onto it,
+# ONE hash exchange on o_custkey feeds the window sort, and the final
+# per-customer aggregate REUSES that partitioning — zero additional
+# shuffles. The running frame is UNBOUNDED PRECEDING..1 PRECEDING
+# (incremental O(n) per partition, never a re-aggregated suffix frame).
+# ---------------------------------------------------------------------------
+
+
+def _budget_alloc_sql(dialect: str) -> str:
+    del dialect  # shared text
+    price_c = (
+        "COALESCE(CAST(floor("
+        + synth.sat("o_totalprice", 1e12)
+        + " * 100e0 + 0.5e0) AS BIGINT), 0)"
+    )
+    budget_c = (
+        "COALESCE(CAST(floor(greatest("
+        + synth.sat("c_acctbal", 1e12)
+        + ", 0e0) * 100e0 + 0.5e0) AS BIGINT), 0)"
+    )
+    return f"""
+WITH ord AS (
+  SELECT o_custkey, {price_c} AS price_c,
+    COALESCE(o_orderdate, TIMESTAMP '1970-01-01 00:00:00') AS od,
+    COALESCE(o_orderkey, -1) AS ok
+  FROM orders
+),
+alloc AS (
+  SELECT o.o_custkey, c.budget_c, o.price_c,
+    COALESCE(SUM(o.price_c) OVER (
+      PARTITION BY o.o_custkey ORDER BY o.od, o.ok
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM ord o
+  JOIN (SELECT c_custkey, {budget_c} AS budget_c FROM customer) c
+    ON c.c_custkey = o.o_custkey
+),
+fill AS (
+  SELECT o_custkey, budget_c, price_c,
+    greatest(least(budget_c - cum_before, price_c), 0) AS alloc_c
+  FROM alloc
+)
+SELECT o_custkey AS custkey,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN price_c > 0 AND alloc_c = price_c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+  CAST(sum(CASE WHEN alloc_c > 0 AND alloc_c < price_c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+  CAST(sum(CASE WHEN alloc_c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_none,
+  CAST(max(budget_c) AS DOUBLE) / 1e2 AS budget,
+  CAST(sum(alloc_c) AS DOUBLE) / 1e2 AS allocated
+FROM fill
+GROUP BY o_custkey
+ORDER BY custkey
+"""
+
+
+@register(
+    "win_budget_allocation",
+    oracle=_budget_alloc_sql("duckdb"),
+    doc="Greedy payments-to-invoices allocation: per-customer budget "
+    "(account balance) spread over orders in date order via ONE exact "
+    "BIGINT-cents running frame — alloc = clamp(budget − prefix_sum, 0, "
+    "price); per-customer fill summary. Customer dim broadcasts, the "
+    "window's o_custkey exchange is reused by the final aggregate "
+    "(zero extra shuffles), incremental PRECEDING frame only "
+    "(REF-ANALOG; the allocation member of the window family).",
+    tags=("window", "join", "agg"),
+)
+def win_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_budget_alloc_sql("spark"))
