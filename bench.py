@@ -108,6 +108,9 @@ HEADLINE = [
     "win_budget_allocation",
     "dq_distribution_drift",
     "agg_sketch_kmv_intersect",
+    # round-7 fifth session: BM25 ranked retrieval over the shared token
+    # stream (first median seeds the r8 baseline).
+    "ns_text_bm25",
 ]
 
 

@@ -131,6 +131,10 @@ KEYS = [
     # N× duplicated events leave the distinct (type, user) cohort
     # relation unchanged — the sketch should be duplication-invariant
     "agg_sketch_kmv_intersect",
+    # r7 fifth session: BM25 rides the duplicated corpus — tf/df/doclen
+    # are single groupBy passes over the N× token stream, the query
+    # table stays 12 rows (broadcast), candidate volume is Σ df(term)
+    "ns_text_bm25",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

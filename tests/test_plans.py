@@ -651,6 +651,19 @@ def test_resource_alloc_bounded_candidates(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_no_vocab_window_no_rescan(spark):
+    """ns_text_bm25: query terms come from a TakeOrderedAndProject
+    top-32 (no unpartitioned window over the vocabulary), the token
+    stream is the shared checkpointed tok_mat (zero parquet scans
+    except the 1-row documents count), and the ranking window is
+    partitioned by qid."""
+    df = REGISTRY["ns_text_bm25"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 0  # tok_mat checkpointed
+    assert "CartesianProduct" not in plan
+
+
 def test_kmv_intersect_checkpointed_summary_tail(spark):
     """agg_sketch_kmv_intersect: the distinct (type, user) relation is
     checkpointed once (referenced by sketch AND exact rerank — no events

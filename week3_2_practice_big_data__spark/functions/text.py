@@ -1185,3 +1185,98 @@ FROM kept GROUP BY lang ORDER BY lang
 def ns_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_pipeline_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ns_text_bm25 — BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene
+# practical scoring function) over the shared token stream: four 3-term
+# queries drawn deterministically from the corpus's own df ranking (ranks
+# 21..32 — past the ubiquitous head, still common enough to hit many docs),
+# scored with idf = ln(1 + (N−df+0.5)/(df+0.5)) and the k1=1.2 / b=0.75
+# tf-saturation + length normalization, top-5 docs per query.
+# The retrieval shape that tf-idf (ns_text_tfidf) lacks: a QUERY-side
+# relation probing a document-side inverted index (the 12-term query table
+# broadcasts onto tf — candidate volume is Σ df(term), never corpus × query).
+# Determinism: every per-(query, doc, term) score is one fixed parse tree
+# over exact integers (tf, dl, df, N, Σdl) — divisions correctly rounded,
+# ln on an identical double (house precedent: perplexity/PMI/tfidf) —
+# micro-quantized BEFORE the per-(query, doc) sum, so the 3-term addition
+# is order-free BIGINT; ranking ties break on doc_id.
+# Scale shape: query terms come from a TakeOrderedAndProject top-32 (NO
+# unpartitioned window over the vocabulary — the row_number runs over the
+# 32 surviving rows); tf/df/doclen are single groupBy passes over the
+# materialized token stream; the score join is broadcast-bounded.
+# ---------------------------------------------------------------------------
+
+_BM25_TOPK = 5
+
+
+def _bm25_sql(dialect: str, tok_ref: str | None = None) -> str:
+    # qid = (rn-21) DIV 3 in exact double arithmetic: rn-21-((rn-21)%3)
+    # is a multiple of 3, and N/3 is IEEE-exact whenever N = 3q
+    qid = "CAST((rn - 21 - ((rn - 21) % 3)) / 3e0 AS BIGINT)"
+    idf = (
+        "ln(1e0 + (CAST(t.nd - q.df AS DOUBLE) + 0.5e0) / "
+        "(CAST(q.df AS DOUBLE) + 0.5e0))"
+    )
+    norm = (
+        "(0.25e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) * CAST(t.nd AS DOUBLE) "
+        "/ CAST(t.tot AS DOUBLE))"
+    )
+    term = (
+        f"({idf}) * (CAST(tf.cnt AS DOUBLE) * 2.2e0) / "
+        f"(CAST(tf.cnt AS DOUBLE) + 1.2e0 * {norm})"
+    )
+    return f"""
+WITH tok AS ({tok_ref or tokens_sql(dialect)}),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+       FROM tok GROUP BY doc_id, token),
+doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+dfr AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY token),
+cand AS (SELECT token, df FROM dfr ORDER BY df DESC, token LIMIT 32),
+qterms AS (
+  SELECT {qid} AS qid, token, df FROM (
+    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rn
+    FROM cand
+  ) z WHERE rn BETWEEN 21 AND 32
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(dl) AS BIGINT) AS tot FROM doclen),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+    CAST(count(*) AS BIGINT) AS n_terms_matched,
+    CAST(sum(CAST(floor(({term}) * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT)
+      AS score_u
+  FROM qterms q
+  JOIN tf ON tf.token = q.token
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot t
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, rnk, n_terms_matched,
+  CAST(score_u AS DOUBLE) / 1e6 AS bm25
+FROM (
+  SELECT qid, doc_id, n_terms_matched, score_u,
+    row_number() OVER (PARTITION BY qid
+      ORDER BY score_u DESC, doc_id) AS rnk
+  FROM scored
+) r WHERE rnk <= {_BM25_TOPK}
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "ns_text_bm25",
+    oracle=_bm25_sql("duckdb"),
+    doc="BM25 ranked retrieval: 4 deterministic 3-term queries (df ranks "
+    "21..32 via top-32 TakeOrderedAndProject, no vocabulary-wide window) "
+    "probe the inverted tf index (broadcast, candidate volume Σ df), "
+    "Lucene idf + k1/b saturation-normalization, per-term micro-quantized "
+    "order-free sums, top-5 per query (NS; the retrieval/RAG scoring "
+    "member of the text family).",
+    tags=("ns", "text", "join"),
+)
+def ns_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_bm25_sql("spark", cached_tokens_ref(spark, sf_dir)))
