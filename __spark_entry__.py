@@ -264,6 +264,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r7 (fourth session): KMV/theta sketch intersection with a
     # deterministic hash — the fully-hash-checked sketch key
     "agg_sketch_kmv_intersect",
+    # NEW r7 (fifth session): BM25 ranked retrieval (the query-probes-
+    # inverted-index shape tf-idf lacks), local clustering coefficient
+    # (shares the triangle edge checkpoint), kNN classification with
+    # leave-one-out confusion/accuracy, and histogram-based decision-
+    # stump training (the PLANET shape: 384-cell shuffle at any scale)
+    "ns_text_bm25",
+    "graph_clustering_coeff",
+    "ml_knn_classify",
+    "ml_decision_stump",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

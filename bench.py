@@ -109,8 +109,12 @@ HEADLINE = [
     "dq_distribution_drift",
     "agg_sketch_kmv_intersect",
     # round-7 fifth session: BM25 ranked retrieval over the shared token
-    # stream (first median seeds the r8 baseline).
+    # stream, clustering coefficient, kNN classification, and the
+    # histogram decision stump (first medians seed the r8 baseline).
     "ns_text_bm25",
+    "graph_clustering_coeff",
+    "ml_knn_classify",
+    "ml_decision_stump",
 ]
 
 

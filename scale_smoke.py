@@ -135,6 +135,16 @@ KEYS = [
     # are single groupBy passes over the N× token stream, the query
     # table stays 12 rows (broadcast), candidate volume is Σ df(term)
     "ns_text_bm25",
+    # r7 fifth session: clustering coeff rides the duplicated corpus
+    # (the distinct edge list — and so the whole triangle chain — is
+    # duplication-invariant); the stump rides N× events through the one
+    # histogram pass (384-cell shuffle regardless of N). ml_knn_classify
+    # is deliberately NOT laddered, like ns_ann_knn_join: replicated
+    # embeddings grow the query batch AND the corpus together (N² pair
+    # volume by construction) — the unbounded-query scale path is the
+    # IVF probe, measured via ns_sim_ann_ivf.
+    "graph_clustering_coeff",
+    "ml_decision_stump",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

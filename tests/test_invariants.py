@@ -521,6 +521,14 @@ def test_adversarial_input_parity(spark):
         # extreme/negative user ids exercise the double-mod hash
         # normalization; NaN/Inf values the cohort filter
         "agg_sketch_kmv_intersect",
+        # r7 fifth session: the dirty corpus flows through BM25's
+        # df-rank query derivation + idf/saturation parse tree and the
+        # clustering coefficient's triangle/degree divisions; zero-norm
+        # and ±1e30 embeddings through the kNN vote (NULL-cosine
+        # ordering); NaN/Inf values + NULL ts through the stump's
+        # sat/extent histogram and 0·ln 0 entropy guards
+        "ns_text_bm25", "graph_clustering_coeff", "ml_knn_classify",
+        "ml_decision_stump",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -713,3 +713,40 @@ def test_cross_corr_summary_sized_work_only(spark):
     assert plan.count("Scan parquet") == 0  # daily is checkpointed once
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_clustering_coeff_shared_edges_no_rescan(spark):
+    """graph_clustering_coeff: the oriented edge list is the SAME
+    checkpointed relation graph_triangle_count uses (zero parquet
+    re-scans — degrees, the two-hop chain, and the LEFT JOIN all read
+    it), no cartesian product, and the single-partition OVER () runs
+    after the vocabulary-sized aggregation only."""
+    df = REGISTRY["graph_clustering_coeff"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # edges checkpointed once
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_classify_broadcast_queries_single_qid_window(spark):
+    """ml_knn_classify: the norm relation is the shared checkpoint (no
+    embeddings re-scan), the bounded query batch rides a broadcast
+    nested-loop (never a shuffled cartesian), and ranking runs on a
+    qid-partitioned window (no unpartitioned corpus sort)."""
+    df = REGISTRY["ml_knn_classify"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # norms checkpointed once
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # query batch broadcasts
+
+
+def test_decision_stump_single_histogram_pass(spark):
+    """ml_decision_stump: the joint (vbkt, hour) class histogram is
+    checkpointed once — both feature marginals and the candidate tail
+    read the 384-cell relation, never the events parquet (the
+    multi-reference CTE-inlining trap), and no join appears at all
+    (split finding is pure aggregation over the summary)."""
+    df = REGISTRY["ml_decision_stump"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # histogram checkpointed once
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -762,3 +762,93 @@ def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _resource_alloc_sql("spark", edges_ref="SELECT p, s FROM bip_edges")
     )
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff — local clustering coefficient on the token
+# co-occurrence graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the
+# Watts–Strogatz "how clique-like is v's neighborhood" statistic, plus the
+# network-average clustering over all deg ≥ 2 nodes. Reuses
+# graph_triangle_count's oriented edge list (same checkpointed relation,
+# one corpus pass shared by both keys) and its two-hop triangle chain;
+# degrees come from one explode+groupBy over the edge list.
+# Determinism: T and deg are BIGINT; 2T and d(d−1) are exact int64; the
+# coefficient is ONE IEEE division of exact integers (bit-identical both
+# engines), q6-quantized on output. The network average is computed from
+# per-node MICRO-quantized coefficients summed as BIGINT (order-free),
+# divided once — never a float sum. Ranking ties break on (deg, token).
+# Scale shape: the deg ≥ 2 summary is vocabulary-sized (sub-linear in the
+# corpus); the single-partition OVER () runs over that summary only — the
+# same bounded-summary class as graph_triangle_count's global total.
+# Nodes in no triangle enter via LEFT JOIN with T=0 (they drag the network
+# average down — dropping them is the classic inflation bug).
+# ---------------------------------------------------------------------------
+
+
+def _clustering_sql(dialect: str, edges_ref: str | None = None) -> str:
+    nodes = (
+        "SELECT explode(array(a, b, c)) AS node FROM tri"
+        if dialect == "spark"
+        else "SELECT unnest([a, b, c]) AS node FROM tri"
+    )
+    ends = (
+        "SELECT explode(array(a, b)) AS node FROM edges"
+        if dialect == "spark"
+        else "SELECT unnest([a, b]) AS node FROM edges"
+    )
+    cc = "CAST(2 * n_tri AS DOUBLE) / CAST(deg * (deg - 1) AS DOUBLE)"
+    cc_u = f"CAST(floor(({cc}) * 1e6 + 0.5e0) AS BIGINT)"
+    return f"""
+WITH edges AS ({edges_ref or _triangle_edges_sql(dialect)}),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+member AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM ({nodes}) u
+  GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM ({ends}) g
+  GROUP BY node
+),
+coeff AS (
+  SELECT d.node, d.deg, coalesce(m.n_tri, CAST(0 AS BIGINT)) AS n_tri
+  FROM deg d LEFT JOIN member m ON m.node = d.node
+  WHERE d.deg >= 2
+)
+SELECT node AS token, deg, n_tri,
+  {synth.q6(cc)} AS clustering,
+  {synth.q6(f"CAST(sum({cc_u}) OVER () AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE) / 1e6")}
+    AS avg_clustering
+FROM coeff
+ORDER BY {cc} DESC, deg DESC, node
+LIMIT 20
+"""
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=_clustering_sql("duckdb"),
+    doc="Local clustering coefficient per node (2T/(d(d-1))) on the token "
+    "co-occurrence graph + exact network average over all deg>=2 nodes "
+    "(micro-quantized BIGINT mean, zero-triangle nodes included via LEFT "
+    "JOIN): top-20. Shares graph_triangle_count's checkpointed edge list "
+    "and two-hop chain; degrees are one explode+groupBy; the OVER () runs "
+    "on the vocabulary-sized summary only (REF-ANALOG; completes the "
+    "triangle family with its density statistic).",
+    tags=("graph", "iterative", "agg"),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    checkpointed(
+        _TRI_EDGE_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_triangle_edges_sql("spark")).coalesce(8),
+    ).createOrReplaceTempView("tri_edges")
+    return spark.sql(
+        _clustering_sql("spark", edges_ref="SELECT a, b FROM tri_edges")
+    )

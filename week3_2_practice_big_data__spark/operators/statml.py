@@ -953,3 +953,248 @@ FROM ss
 def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "orders")
     return spark.sql(_anova_sql("spark"))
+
+# ---------------------------------------------------------------------------
+# ml_knn_classify — k-nearest-neighbor classification with leave-one-out
+# evaluation: every 50th vector is a held-out query, its top-5 cosine
+# neighbors (self excluded) vote on the label, majority wins (ties break
+# n_votes DESC then label ASC — deterministic), and the output is the
+# confusion matrix plus overall accuracy. The eval harness every
+# embedding-space pipeline runs after training: "does neighborhood
+# structure predict the label?".
+# Shares ns_ann_knn_join's machinery end-to-end: the checkpointed
+# (vec_id, label, embedding, nrm) relation, one fixed-order dot fold per
+# pair (bit-identical doubles), q6-quantized scores, (cosine DESC, vec_id)
+# ranking. Votes/confusion counts are BIGINT; accuracy is one IEEE
+# division of exact integers over the label² confusion summary (bounded
+# OVER ()). Scale: the query batch broadcasts onto the corpus (map-side
+# folds, one qid shuffle for ranking) — for unbounded query sets the IVF
+# probe (ns_sim_ann_ivf) is the candidate-generation path, same vote tail.
+# ---------------------------------------------------------------------------
+
+_KNNC_MOD = 50
+_KNNC_K = 5
+
+
+def _knn_classify_sql(dialect: str, emb_ref: str | None = None) -> str:
+    from ..functions.similarity import _dot_fold, _emb_norm_sql
+
+    dot = _dot_fold(dialect, "c.embedding", "q.qemb")
+    cos = synth.q6(f"{dot} / nullif(c.nrm * q.qnrm, 0e0)")
+    acc = (
+        "CAST(sum(CASE WHEN true_label = pred_label THEN n_queries "
+        "ELSE CAST(0 AS BIGINT) END) OVER () AS DOUBLE) / "
+        "CAST(sum(n_queries) OVER () AS DOUBLE)"
+    )
+    return f"""
+WITH emb AS ({emb_ref or _emb_norm_sql(dialect)}),
+q AS (
+  SELECT vec_id AS qid, CAST(label AS BIGINT) AS true_label,
+    embedding AS qemb, nrm AS qnrm
+  FROM emb WHERE vec_id % {_KNNC_MOD} = 0
+),
+scored AS (
+  SELECT q.qid, q.true_label, c.vec_id,
+    CAST(c.label AS BIGINT) AS nlabel, {cos} AS cosine
+  FROM emb c CROSS JOIN q
+  WHERE c.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, true_label, nlabel,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT qid, true_label, nlabel, CAST(count(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rk <= {_KNNC_K}
+  GROUP BY qid, true_label, nlabel
+),
+pred AS (
+  SELECT qid, true_label, nlabel AS pred_label,
+    row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, nlabel) AS vr
+  FROM votes
+),
+conf AS (
+  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_queries
+  FROM pred WHERE vr = 1
+  GROUP BY true_label, pred_label
+)
+SELECT true_label, pred_label, n_queries,
+  {synth.q6(acc)} AS accuracy
+FROM conf
+ORDER BY true_label, pred_label
+"""
+
+
+@register(
+    "ml_knn_classify",
+    oracle=_knn_classify_sql("duckdb"),
+    doc="kNN classification with leave-one-out eval: every 50th vector "
+    "queries its top-5 cosine neighbors (shared checkpointed norm "
+    "relation, fixed-order dot folds), majority vote with deterministic "
+    "tie-break, confusion matrix + overall accuracy (exact-integer "
+    "division over the bounded label-pair summary). Query batch "
+    "broadcasts; IVF probe is the unbounded-query path (REF-ANALOG; the "
+    "classification member of the ml family).",
+    tags=("ml", "similarity", "agg"),
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import _cached_emb_norm
+
+    _view(spark, sf_dir, "embeddings")
+    _cached_emb_norm(spark, sf_dir).createOrReplaceTempView("embeddings_norm")
+    return spark.sql(
+        _knn_classify_sql(
+            "spark",
+            emb_ref="SELECT vec_id, label, embedding, nrm FROM embeddings_norm",
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump — distributed decision-tree node training (the PLANET /
+# Spark-MLlib pattern): candidate splits are evaluated from a BOUNDED
+# histogram, never from sorted raw data. One corpus pass builds the joint
+# (value-bucket × hour) class histogram (16×24 cells, checkpointed — the
+# marginal CTEs reference it twice and CTE inlining would re-run the events
+# scan per reference); per-feature marginals, running prefix sums over the
+# bucket summary, and the information gain of every boundary split are all
+# summary-sized. Best split = argmax gain over ~38 candidates across BOTH
+# features (threshold selection AND feature selection, like a real tree
+# node). Label: event_type = 'purchase'; features: value (16 equi-width
+# buckets over the saturated global extent, the dq_distribution_drift
+# bucketing) and hour-of-day (TZ-free integer micros arithmetic).
+# Determinism: all counts are BIGINT from exact prefix sums; entropy terms
+# use n·H = n·ln n − Σ k·ln k with k·ln k guarded at k ≤ 0 (0·ln 0 = 0);
+# gain is one fixed parse tree over exact integers (the PSI/perplexity ln
+# precedent), q6-quantized on output; argmax ties break on (fid, bkt).
+# Scale: histogram-based split finding is THE 100 TB tree-training shape —
+# the shuffle carries 384 cells regardless of row count.
+# ---------------------------------------------------------------------------
+
+_STUMP_VB = 16
+_STUMP_HIST_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _stump_hist_sql(dialect: str) -> str:
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    v6 = f"CAST(floor({synth.sat('value', 1e6)} * 1e6) AS BIGINT)"
+    b = f"{_STUMP_VB}"
+    # Integer division is a dialect seam: Spark spells it DIV, DuckDB //
+    # (the ts_seasonal_decompose precedent).
+    hr = (
+        f"({us} % 86400000000) DIV 3600000000"
+        if dialect == "spark"
+        else f"({us} % 86400000000) // 3600000000"
+    )
+    return f"""
+WITH ev AS (
+  SELECT {v6} AS v6,
+    {hr} AS hr,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+ext AS (SELECT min(v6) AS mn6, max(v6) AS mx6 FROM ev)
+SELECT
+  least(CAST(floor(CAST((v6 - mn6) * {b} AS DOUBLE)
+    / CAST(mx6 - mn6 + 1 AS DOUBLE)) AS BIGINT), {_STUMP_VB - 1}) AS vbkt,
+  hr,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(y) AS BIGINT) AS npos,
+  max(mn6) AS mn6, max(mx6) AS mx6
+FROM ev CROSS JOIN ext
+GROUP BY 1, 2
+"""
+
+
+def _stump_plogp(k: str) -> str:
+    return (
+        f"CASE WHEN {k} <= 0 THEN 0e0 "
+        f"ELSE CAST({k} AS DOUBLE) * ln(CAST({k} AS DOUBLE)) END"
+    )
+
+
+def _stump_nh(n: str, p: str) -> str:
+    """n·H(class counts) in nats = n·ln n − p·ln p − (n−p)·ln(n−p)."""
+    return (
+        f"(({_stump_plogp(n)}) - ({_stump_plogp(p)}) "
+        f"- ({_stump_plogp(f'{n} - {p}')}))"
+    )
+
+
+def _stump_sql(dialect: str, hist_ref: str | None = None) -> str:
+    gain = (
+        f"(({_stump_nh('nt', 'npost')}) - ({_stump_nh('nl', 'nposl')}) "
+        f"- ({_stump_nh('nr', 'nposr')})) / CAST(nt AS DOUBLE)"
+    )
+    thr = (
+        "CASE WHEN fid = 0 THEN (CAST(mn6 AS DOUBLE) "
+        f"+ CAST((mx6 - mn6 + 1) * (bkt + 1) AS DOUBLE) / {_STUMP_VB}e0) / 1e6 "
+        "ELSE CAST(bkt + 1 AS DOUBLE) END"
+    )
+    return f"""
+WITH hist AS ({hist_ref or _stump_hist_sql(dialect)}),
+marg AS (
+  SELECT 0 AS fid, vbkt AS bkt, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(npos) AS BIGINT) AS npos, max(mn6) AS mn6, max(mx6) AS mx6
+  FROM hist GROUP BY vbkt
+  UNION ALL
+  SELECT 1 AS fid, hr AS bkt, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(npos) AS BIGINT) AS npos, max(mn6) AS mn6, max(mx6) AS mx6
+  FROM hist GROUP BY hr
+),
+cum AS (
+  SELECT fid, bkt, mn6, mx6,
+    CAST(sum(n) OVER (PARTITION BY fid ORDER BY bkt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+    CAST(sum(npos) OVER (PARTITION BY fid ORDER BY bkt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nposl,
+    CAST(sum(n) OVER (PARTITION BY fid) AS BIGINT) AS nt,
+    CAST(sum(npos) OVER (PARTITION BY fid) AS BIGINT) AS npost
+  FROM marg
+),
+cand AS (
+  SELECT fid, bkt, mn6, mx6, nl, nposl,
+    nt - nl AS nr, npost - nposl AS nposr, nt, npost
+  FROM cum WHERE nl > 0 AND nl < nt
+)
+SELECT fid,
+  CASE WHEN fid = 0 THEN 'value' ELSE 'hour' END AS feature,
+  bkt, {synth.q6(thr)} AS threshold,
+  nl, nr, nposl, nposr,
+  {synth.q6(gain)} AS gain,
+  (2 * nposl > nl) AS pred_left,
+  (2 * nposr > nr) AS pred_right,
+  (row_number() OVER (ORDER BY {gain} DESC, fid, bkt) = 1) AS is_best
+FROM cand
+ORDER BY fid, bkt
+"""
+
+
+@register(
+    "ml_decision_stump",
+    oracle=_stump_sql("duckdb"),
+    doc="Histogram-based decision-tree node training (the PLANET pattern): "
+    "one events pass builds the checkpointed 16x24 (value-bucket, hour) "
+    "class histogram; marginals, prefix sums, and information gain of "
+    "every boundary split are summary-sized; best split = argmax gain "
+    "across both features with deterministic tie-break; leaf majority "
+    "predictions included. The shuffle carries 384 cells at any row count "
+    "(REF-ANALOG; the tree-training member of the ml family).",
+    tags=("ml", "agg", "stats"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..common import session_key
+
+    _view(spark, sf_dir, "events")
+    checkpointed(
+        _STUMP_HIST_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_stump_hist_sql("spark")).coalesce(1),
+    ).createOrReplaceTempView("stump_hist")
+    return spark.sql(
+        _stump_sql(
+            "spark",
+            hist_ref="SELECT vbkt, hr, n, npos, mn6, mx6 FROM stump_hist",
+        )
+    )
