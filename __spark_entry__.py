@@ -273,6 +273,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     "graph_clustering_coeff",
     "ml_knn_classify",
     "ml_decision_stump",
+    # NEW r7 (fifth session, second batch): last/first-touch attribution
+    # (incremental prefix frames on the one user window) and the degree
+    # distribution + log-log power-law fit over the shared edge list
+    "win_attribution",
+    "graph_degree_distribution",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

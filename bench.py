@@ -115,6 +115,8 @@ HEADLINE = [
     "graph_clustering_coeff",
     "ml_knn_classify",
     "ml_decision_stump",
+    "win_attribution",
+    "graph_degree_distribution",
 ]
 
 

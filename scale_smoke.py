@@ -145,6 +145,12 @@ KEYS = [
     # IVF probe, measured via ns_sim_ann_ivf.
     "graph_clustering_coeff",
     "ml_decision_stump",
+    # r7 fifth session second batch: attribution rides N× events through
+    # the one user window (disjoint user replicas — the CEP posture);
+    # degree distribution rides the duplicated corpus (edge list and
+    # histogram both duplication-invariant)
+    "win_attribution",
+    "graph_degree_distribution",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
@@ -241,6 +247,9 @@ _SKEW_KEYS = [
     # r7 third session: both frames are the incremental O(n) class, so
     # the hot user costs one long in-partition sort, nothing quadratic
     "ts_max_drawdown",
+    # r7 fifth session: both attribution context columns are PRECEDING
+    # frames (incremental) — the hot user is one long sorted partition
+    "win_attribution",
 ]
 
 

@@ -529,6 +529,10 @@ def test_adversarial_input_parity(spark):
         # sat/extent histogram and 0·ln 0 entropy guards
         "ns_text_bm25", "graph_clustering_coeff", "ml_knn_classify",
         "ml_decision_stump",
+        # NULL ts/type and extreme values flow through the attribution
+        # prefix frames and the revenue sat gate; the empty/one-node
+        # graph exercises the degree fit's zero-variance NULL path
+        "win_attribution", "graph_degree_distribution",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -750,3 +750,27 @@ def test_decision_stump_single_histogram_pass(spark):
     assert plan.count("Scan parquet") == 0  # histogram checkpointed once
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_attribution_single_user_shuffle_prefix_frames(spark):
+    """win_attribution: one events scan, the (user_id, us) window
+    exchange is the only corpus-sized hash exchange (the 9-row
+    attribution groupBy rides a tiny second one), and both context
+    columns come from incremental PRECEDING frames — never the O(n2)
+    suffix class."""
+    df = REGISTRY["win_attribution"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "unboundedfollowing" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_degree_distribution_shared_edges_bounded_tail(spark):
+    """graph_degree_distribution: reads only the shared checkpointed
+    edge relation (zero parquet scans), and everything after the degree
+    groupBy is bounded by distinct-degree count — no join in the plan at
+    all."""
+    df = REGISTRY["graph_degree_distribution"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    assert "Join" not in plan

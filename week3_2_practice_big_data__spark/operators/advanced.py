@@ -852,3 +852,102 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _clustering_sql("spark", edges_ref="SELECT a, b FROM tri_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_distribution — the degree histogram of the token
+# co-occurrence graph plus a power-law tail estimate: OLS of ln(n_nodes)
+# on ln(deg) over the histogram points (slope ≈ −α, the log-log linear
+# fit every "is this graph scale-free?" analysis starts with), with R².
+# Reuses the shared checkpointed edge list; degrees are one
+# explode+groupBy; the histogram and every regression sum are bounded by
+# the number of DISTINCT degrees (≪ vocabulary ≪ corpus).
+# Determinism: ln over exact BIGINTs is the PSI/perplexity precedent;
+# every regression sum (Σx, Σy, Σxy, Σx², Σy²) is micro-quantized per
+# term and summed as BIGINT (order-free), so the closed-form slope /
+# intercept / R² are one fixed parse tree over exact integers. A
+# single-distinct-degree graph yields a zero variance denominator →
+# NULL slope via nullif (not a divide-by-zero).
+# ---------------------------------------------------------------------------
+
+
+def _degree_dist_sql(dialect: str, edges_ref: str | None = None) -> str:
+    ends = (
+        "SELECT explode(array(a, b)) AS node FROM edges"
+        if dialect == "spark"
+        else "SELECT unnest([a, b]) AS node FROM edges"
+    )
+    # ln values are ≤ ~44 for any int64 input; products ≤ ~2000 — micro
+    # quantization bounds are generous and can never saturate.
+    sx = synth.sum_micro_int("x", 1e3)
+    sy = synth.sum_micro_int("y", 1e3)
+    sxy = synth.sum_micro_int("x * y", 1e7)
+    sxx = synth.sum_micro_int("x * x", 1e7)
+    syy = synth.sum_micro_int("y * y", 1e7)
+    # Closed-form OLS from the exact micro sums: slope = (n·Σxy − Σx·Σy)
+    # / (n·Σxx − Σx²). Micro units: Σxy carries 1e6, Σx·Σy carries 1e12 —
+    # rescale Σxy by 1e6 so both numerator terms share the 1e12 grid.
+    # n ≤ distinct degrees (≪ 2^20) and |su| ≤ ~2e13 ⇒ n·su ≤ 2e19
+    # overflows int64! Compute in DOUBLE: every operand is an exact
+    # integer ≤ 2^53, products up to ~2e19 lose ulp-level bits BUT do so
+    # identically in both engines (same parse tree, same doubles in).
+    nn = "CAST(n_points AS DOUBLE)"
+    num = f"({nn} * (CAST(sxy_u AS DOUBLE) * 1e6) - CAST(sx_u AS DOUBLE) * CAST(sy_u AS DOUBLE))"
+    den = f"({nn} * (CAST(sxx_u AS DOUBLE) * 1e6) - CAST(sx_u AS DOUBLE) * CAST(sx_u AS DOUBLE))"
+    deny = f"({nn} * (CAST(syy_u AS DOUBLE) * 1e6) - CAST(sy_u AS DOUBLE) * CAST(sy_u AS DOUBLE))"
+    slope = f"{num} / nullif({den}, 0e0)"
+    intercept = f"(CAST(sy_u AS DOUBLE) - ({slope}) * CAST(sx_u AS DOUBLE)) / ({nn} * 1e6)"
+    r2 = f"({num} * {num}) / nullif({den} * {deny}, 0e0)"
+    return f"""
+WITH edges AS ({edges_ref or _triangle_edges_sql(dialect)}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM ({ends}) g
+  GROUP BY node
+),
+hist AS (
+  SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY deg
+),
+pts AS (
+  SELECT ln(CAST(deg AS DOUBLE)) AS x, ln(CAST(n_nodes AS DOUBLE)) AS y,
+    deg, n_nodes
+  FROM hist
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+    CAST(sum(n_nodes) AS BIGINT) AS n_nodes_total,
+    max(deg) AS max_degree,
+    {sx} AS sx_u, {sy} AS sy_u, {sxy} AS sxy_u,
+    {sxx} AS sxx_u, {syy} AS syy_u
+  FROM pts
+)
+SELECT n_points, n_nodes_total, max_degree,
+  {synth.q6(slope)} AS slope,
+  {synth.q6(intercept)} AS intercept,
+  {synth.q6(r2)} AS r2
+FROM agg
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=_degree_dist_sql("duckdb"),
+    doc="Degree distribution + power-law tail fit: histogram of node "
+    "degrees over the shared checkpointed edge list, log-log OLS "
+    "(slope ~ -alpha, intercept, R^2) from per-term micro-quantized "
+    "BIGINT regression sums — everything after the degree groupBy is "
+    "bounded by the number of distinct degrees (REF-ANALOG; the "
+    "scale-free diagnostic of the graph family).",
+    tags=("graph", "agg", "stats"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    checkpointed(
+        _TRI_EDGE_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_triangle_edges_sql("spark")).coalesce(8),
+    ).createOrReplaceTempView("tri_edges")
+    return spark.sql(
+        _degree_dist_sql("spark", edges_ref="SELECT a, b FROM tri_edges")
+    )

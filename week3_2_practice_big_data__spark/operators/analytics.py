@@ -405,3 +405,106 @@ ORDER BY u.user_id
 def win_event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_event_pattern_sql("spark"))
+
+# ---------------------------------------------------------------------------
+# win_attribution — marketing attribution over the event stream: every
+# purchase is credited to the user's most recent prior click within a
+# 7-day lookback (last-touch) and tagged with the age of the user's first
+# touch (first click/view ever). The classic "which touchpoint gets the
+# revenue" report, built from two incremental prefix frames on the ONE
+# (user_id, us) ordered window — last_value IGNORE NULLS for the latest
+# prior click (the O(n) frame class, never a suffix frame) and a running
+# min for the first touch. Purchases with no in-window click fall into
+# the day = -1 (unattributed) bucket — dropping them is the classic
+# attribution-inflation bug.
+# Determinism: pure integer micros arithmetic end-to-end; revenue is a
+# saturating BIGINT micro-unit sum (order-free); the one division (mean
+# first-touch age) is a fixed parse tree over exact integers.
+# Scale: one user_id shuffle for the windows, then a 9-row groupBy —
+# identical posture to sessionize/funnel/cohort above.
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86_400_000_000  # 7-day last-touch window
+
+
+def _attribution_sql(dialect: str) -> str:
+    from .. import synth
+    from .statml import _ignore_nulls
+
+    us = _us(dialect)
+    prefix = (
+        "PARTITION BY user_id ORDER BY us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    last_click = _ignore_nulls(
+        dialect,
+        "last_value",
+        "CASE WHEN event_type = 'click' THEN us END",
+        prefix,
+    )
+    first_touch = (
+        "min(CASE WHEN event_type = 'click' OR event_type = 'view' "
+        f"THEN us END) OVER ({prefix})"
+    )
+    day = (
+        "(us - last_click_us) DIV 86400000000"
+        if dialect == "spark"
+        else "(us - last_click_us) // 86400000000"
+    )
+    age_day = (
+        "(us - first_touch_us) DIV 86400000000"
+        if dialect == "spark"
+        else "(us - first_touch_us) // 86400000000"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, {us} AS us, event_type, value
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+ctx AS (
+  SELECT user_id, event_id, us, event_type, value,
+    {last_click} AS last_click_us,
+    {first_touch} AS first_touch_us
+  FROM ev
+),
+pur AS (
+  SELECT user_id, us, value,
+    CASE WHEN last_click_us IS NOT NULL
+              AND us - last_click_us <= {_ATTR_LOOKBACK_US}
+         THEN {day} ELSE -1 END AS touch_day,
+    CASE WHEN first_touch_us IS NOT NULL THEN {age_day} END AS ft_age_day
+  FROM ctx
+  WHERE event_type = 'purchase'
+)
+SELECT touch_day,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  {synth.sum_micro('value')} AS revenue,
+  CAST(sum(CASE WHEN ft_age_day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_first_touch,
+  {synth.q6(
+      "CAST(coalesce(sum(ft_age_day), 0) AS DOUBLE) / "
+      "CAST(nullif(sum(CASE WHEN ft_age_day IS NOT NULL THEN 1 ELSE 0 END),"
+      " 0) AS DOUBLE)"
+  )} AS mean_first_touch_age_days
+FROM pur
+GROUP BY touch_day
+ORDER BY touch_day
+"""
+
+
+@register(
+    "win_attribution",
+    oracle=_attribution_sql("duckdb"),
+    doc="Marketing attribution: purchases credited to the latest prior "
+    "click within a 7-day lookback (last_value IGNORE NULLS prefix "
+    "frame — incremental, never a suffix frame) + first-touch age "
+    "(running min), unattributed bucket kept; per-gap-day purchase "
+    "counts, micro-exact revenue, mean first-touch age. One user_id "
+    "shuffle then a 9-row groupBy (REF-ANALOG; completes the "
+    "sessionize/funnel/cohort event-analytics suite).",
+    tags=("window", "agg", "events"),
+)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_attribution_sql("spark"))
