@@ -278,6 +278,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # distribution + log-log power-law fit over the shared edge list
     "win_attribution",
     "graph_degree_distribution",
+    # NEW r7 (fifth session, third batch): the EVALUATE leg — lift/gains
+    # table + bucketed trapezoidal AUC from an all-BIGINT propensity score
+    "ml_lift_gains",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -117,6 +117,7 @@ HEADLINE = [
     "ml_decision_stump",
     "win_attribution",
     "graph_degree_distribution",
+    "ml_lift_gains",
 ]
 
 

@@ -151,6 +151,9 @@ KEYS = [
     # histogram both duplication-invariant)
     "win_attribution",
     "graph_degree_distribution",
+    # the gains table rides N× events through its two stream-linear
+    # passes — the drift/stump posture, 16-cell tail at any N
+    "ml_lift_gains",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

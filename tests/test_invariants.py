@@ -533,6 +533,10 @@ def test_adversarial_input_parity(spark):
         # prefix frames and the revenue sat gate; the empty/one-node
         # graph exercises the degree fit's zero-variance NULL path
         "win_attribution", "graph_degree_distribution",
+        # NaN/Inf/±1e300 values through the integer score's sat gate;
+        # the zero-positive fixture exercises every nullif NULL path in
+        # rate/lift/capture/AUC
+        "ml_lift_gains",
     ]
     for key in keys:
         q = REGISTRY[key]

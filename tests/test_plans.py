@@ -774,3 +774,15 @@ def test_degree_distribution_shared_edges_bounded_tail(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0
     assert "Join" not in plan
+
+
+def test_lift_gains_two_pass_bounded_tail(spark):
+    """ml_lift_gains: two inherent events passes (extent + bucketing,
+    the dq_distribution_drift posture), the 1-row extent rides a
+    broadcast, and everything after the 16-cell histogram groupBy is
+    summary-sized — no sort-merge join anywhere."""
+    df = REGISTRY["ml_lift_gains"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

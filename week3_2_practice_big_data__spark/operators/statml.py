@@ -1198,3 +1198,98 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist_ref="SELECT vbkt, hr, n, npos, mn6, mx6 FROM stump_hist",
         )
     )
+
+# ---------------------------------------------------------------------------
+# ml_lift_gains — model evaluation: the lift / gains table plus a bucketed
+# ROC-AUC estimate for a propensity score against observed conversions
+# (event_type = 'purchase'). The score is a fixed-literal-weight linear
+# model over the stump's features (value micro-units + hour of day) kept
+# ENTIRELY in BIGINT — integer weights on integer features — so bucketing
+# by score is exact-integer arithmetic end to end (no float boundary can
+# straddle). 16 equi-width score buckets over the global extent; per
+# bucket: conversion rate, lift vs the base rate, cumulative capture
+# (the gains curve, walked from the top score down); one trapezoidal
+# AUC over the 16 cumulative (FPR, TPR) points, each term micro-quantized
+# before the order-free BIGINT window sum. Everything after the single
+# events pass is 16-row-summary-sized — the same shuffle posture as
+# ml_decision_stump, completing train (stump) + apply (quality
+# classifier) with EVALUATE.
+# ---------------------------------------------------------------------------
+
+_LIFT_B = 16
+
+
+def _lift_gains_sql(dialect: str) -> str:
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    v6 = f"CAST(floor({synth.sat('value', 1e6)} * 1e6) AS BIGINT)"
+    hr = (
+        f"({us} % 86400000000) DIV 3600000000"
+        if dialect == "spark"
+        else f"({us} % 86400000000) // 3600000000"
+    )
+    b = f"{_LIFT_B}"
+    # tpr/fpr of the "score >= bucket" rule, walked from the top bucket
+    # down: cum counts come off the bkt DESC prefix frame.
+    tpr = "CAST(cpos AS DOUBLE) / CAST(nullif(tpos, 0) AS DOUBLE)"
+    fpr = "CAST(cn - cpos AS DOUBLE) / CAST(nullif(tn - tpos, 0) AS DOUBLE)"
+    ptpr = "CAST(cpos - n_pos AS DOUBLE) / CAST(nullif(tpos, 0) AS DOUBLE)"
+    pfpr = (
+        "CAST((cn - n) - (cpos - n_pos) AS DOUBLE) "
+        "/ CAST(nullif(tn - tpos, 0) AS DOUBLE)"
+    )
+    trap = f"(({fpr}) - ({pfpr})) * (({tpr}) + ({ptpr})) / 2e0"
+    trap_u = f"CAST(floor(({trap}) * 1e6 + 0.5e0) AS BIGINT)"
+    rate = "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+    base = "CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE)"
+    return f"""
+WITH ev AS (
+  SELECT 2 * {v6} + 40000000 * ({hr}) AS z_u,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+ext AS (SELECT min(z_u) AS mn, max(z_u) AS mx FROM ev),
+hist AS (
+  SELECT least(CAST(floor(CAST((z_u - mn) * {b} AS DOUBLE)
+      / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT), {_LIFT_B - 1}) AS bkt,
+    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM ev CROSS JOIN ext
+  GROUP BY 1
+),
+cum AS (
+  SELECT bkt, n, n_pos,
+    CAST(sum(n) OVER (ORDER BY bkt DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+    CAST(sum(n_pos) OVER (ORDER BY bkt DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cpos,
+    CAST(sum(n) OVER () AS BIGINT) AS tn,
+    CAST(sum(n_pos) OVER () AS BIGINT) AS tpos
+  FROM hist
+)
+SELECT bkt, n, n_pos,
+  {synth.q6(rate)} AS conv_rate,
+  {synth.q6(f"({rate}) / nullif({base}, 0e0)")} AS lift,
+  {synth.q6("CAST(cpos AS DOUBLE) / CAST(nullif(tpos, 0) AS DOUBLE)")}
+    AS cum_capture,
+  {synth.q6("CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)")} AS cum_reach,
+  {synth.q6(f"CAST(sum({trap_u}) OVER () AS DOUBLE) / 1e6")} AS auc
+FROM cum
+ORDER BY bkt DESC
+"""
+
+
+@register(
+    "ml_lift_gains",
+    oracle=_lift_gains_sql("duckdb"),
+    doc="Model evaluation: lift/gains table + bucketed trapezoidal "
+    "ROC-AUC for an all-BIGINT linear propensity score against observed "
+    "purchases — 16 exact-integer score buckets, conversion rate, lift "
+    "vs base, cumulative capture/reach from the top bucket down, AUC "
+    "terms micro-quantized before the order-free window sum. One events "
+    "pass, 16-row tail (REF-ANALOG; completes train/apply/EVALUATE with "
+    "ml_decision_stump and ns_quality_classifier).",
+    tags=("ml", "agg", "stats"),
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_lift_gains_sql("spark"))
