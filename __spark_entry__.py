@@ -281,6 +281,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r7 (fifth session, third batch): the EVALUATE leg — lift/gains
     # table + bucketed trapezoidal AUC from an all-BIGINT propensity score
     "ml_lift_gains",
+    # NEW r7 (fifth session, fourth batch): freshness/SLA monitor and
+    # robust daily-volume anomaly detection (dq family 2 → 4)
+    "dq_freshness",
+    "dq_rowcount_anomaly",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -118,6 +118,8 @@ HEADLINE = [
     "win_attribution",
     "graph_degree_distribution",
     "ml_lift_gains",
+    "dq_freshness",
+    "dq_rowcount_anomaly",
 ]
 
 

@@ -154,6 +154,10 @@ KEYS = [
     # the gains table rides N× events through its two stream-linear
     # passes — the drift/stump posture, 16-cell tail at any N
     "ml_lift_gains",
+    # freshness: two stream-linear passes into a |types|-row summary;
+    # rowcount anomaly: one pass into the calendar-bounded daily summary
+    "dq_freshness",
+    "dq_rowcount_anomaly",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

@@ -537,6 +537,9 @@ def test_adversarial_input_parity(spark):
         # the zero-positive fixture exercises every nullif NULL path in
         # rate/lift/capture/AUC
         "ml_lift_gains",
+        # NULL ts/type through the freshness filters; the single-day
+        # fixture drives MAD = 0 through the robust-z nullif path
+        "dq_freshness", "dq_rowcount_anomaly",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -786,3 +786,22 @@ def test_lift_gains_two_pass_bounded_tail(spark):
     assert plan.count("Scan parquet") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_freshness_two_pass_type_summary(spark):
+    """dq_freshness: two inherent events passes (global max broadcast +
+    per-type aggregate), no sort-merge join, no corpus-sized window."""
+    df = REGISTRY["dq_freshness"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rowcount_anomaly_checkpointed_daily(spark):
+    """dq_rowcount_anomaly: the daily summary is checkpointed once —
+    median, MAD, and the output tail never re-scan events (the
+    multi-reference CTE-inlining trap)."""
+    df = REGISTRY["dq_rowcount_anomaly"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    assert "SortMergeJoin" not in plan

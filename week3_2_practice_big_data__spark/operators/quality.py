@@ -352,3 +352,128 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist_ref="SELECT event_type, bkt, c_a, c_b FROM drift_hist",
         )
     )
+
+# ---------------------------------------------------------------------------
+# dq_freshness — per-stream freshness / SLA monitor: for every event type,
+# the last-seen timestamp, its staleness against the global high-water
+# mark (the "now" proxy a batch monitor has), trailing-24h volume and
+# hourly rate, and the 6-hour SLA flag. The first page of every pipeline
+# dashboard. Two inherent passes (global max + per-type aggregate — the
+# drift/extent posture, 1-row broadcast); everything is integer micros
+# until the two final fixed-tree divisions.
+# ---------------------------------------------------------------------------
+
+_FRESH_SLA_US = 6 * 3_600_000_000  # 6-hour staleness SLA
+
+
+def _freshness_sql(dialect: str) -> str:
+    us = _us(dialect)
+    return f"""
+WITH ev AS (
+  SELECT event_type, {us} AS us
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+ext AS (SELECT max(us) AS gmax FROM ev),
+per AS (
+  SELECT event_type, max(us) AS last_us, max(gmax) AS gm,
+    CAST(count(*) AS BIGINT) AS n_total,
+    CAST(sum(CASE WHEN us > gmax - 86400000000 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_last_24h
+  FROM ev CROSS JOIN ext
+  GROUP BY event_type
+)
+SELECT event_type, last_us, n_total, n_last_24h,
+  gm - last_us AS staleness_us,
+  {synth.q6("CAST(gm - last_us AS DOUBLE) / 3600000000e0")}
+    AS staleness_hours,
+  {synth.q6("CAST(n_last_24h AS DOUBLE) / 24e0")} AS rate_per_hour_24h,
+  (gm - last_us > {_FRESH_SLA_US}) AS sla_breached
+FROM per
+ORDER BY event_type
+"""
+
+
+@register(
+    "dq_freshness",
+    oracle=_freshness_sql("duckdb"),
+    doc="Per-stream freshness monitor: last-seen micros, staleness vs "
+    "the global high-water mark, trailing-24h volume + hourly rate, "
+    "6-hour SLA flag. Two inherent passes (1-row global max broadcast + "
+    "one per-type aggregate), integer micros end to end (REF-ANALOG; "
+    "the pipeline-dashboard member of the dq family).",
+    tags=("quality", "agg", "events"),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("events",))
+    return spark.sql(_freshness_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# dq_rowcount_anomaly — daily-volume anomaly detection: per-day event
+# counts, robust center/scale from the ~30-row daily summary (exact R-7
+# medians, q6-quantized before reuse — the agg_mad_robust discipline),
+# per-day robust z-score and the 3·1.4826·MAD anomaly flag. The "did
+# ingestion break last Tuesday?" monitor. The daily summary is built once
+# and checkpointed: median, deviation, and the output tail all read it
+# (CTE inlining would re-run the events scan per reference).
+# ---------------------------------------------------------------------------
+
+_RC_DAILY_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _rowcount_daily_sql(dialect: str) -> str:
+    us = _us(dialect)
+    day = (
+        f"{us} DIV 86400000000" if dialect == "spark" else f"{us} // 86400000000"
+    )
+    return f"""
+SELECT {day} AS day, CAST(count(*) AS BIGINT) AS c
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+def _rowcount_anomaly_sql(dialect: str, daily_ref: str | None = None) -> str:
+    from .statml import _pct
+
+    med = synth.q6(_pct(dialect, "c", "0.5"))
+    mad = synth.q6(_pct(dialect, "abs(CAST(c AS DOUBLE) - m)", "0.5"))
+    return f"""
+WITH daily AS ({daily_ref or _rowcount_daily_sql(dialect)}),
+med AS (SELECT {med} AS m FROM daily),
+mads AS (
+  SELECT max(d.m) AS m, {mad} AS mad
+  FROM (SELECT daily.c, med.m FROM daily CROSS JOIN med) d
+)
+SELECT d.day, d.c AS n_events, s.m AS median_daily, s.mad,
+  {synth.q6(
+      "(CAST(d.c AS DOUBLE) - s.m) / nullif(1.4826e0 * s.mad, 0e0)"
+  )} AS robust_z,
+  (abs(CAST(d.c AS DOUBLE) - s.m) > 3e0 * 1.4826e0 * s.mad) AS is_anomaly
+FROM daily d CROSS JOIN mads s
+ORDER BY d.day
+"""
+
+
+@register(
+    "dq_rowcount_anomaly",
+    oracle=_rowcount_anomaly_sql("duckdb"),
+    doc="Daily-volume anomaly monitor: per-day counts, exact R-7 median "
+    "and MAD over the calendar-bounded daily summary (q6 before reuse, "
+    "the agg_mad_robust discipline), robust z + 3-sigma-equivalent flag "
+    "per day. Daily summary checkpointed once — median/deviation/output "
+    "all read it, zero events re-scans (REF-ANALOG; the volume-break "
+    "member of the dq family).",
+    tags=("quality", "agg", "stats"),
+)
+def dq_rowcount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("events",))
+    checkpointed(
+        _RC_DAILY_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_rowcount_daily_sql("spark")).coalesce(1),
+    ).createOrReplaceTempView("rc_daily")
+    return spark.sql(
+        _rowcount_anomaly_sql("spark", daily_ref="SELECT day, c FROM rc_daily")
+    )
