@@ -285,6 +285,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # robust daily-volume anomaly detection (dq family 2 → 4)
     "dq_freshness",
     "dq_rowcount_anomaly",
+    # NEW r7 (fifth session, fifth batch): one full ALS round at rank 2
+    # — the recommender-training workload, micro-exact normal equations
+    "iter_als_rank2",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -120,6 +120,7 @@ HEADLINE = [
     "ml_lift_gains",
     "dq_freshness",
     "dq_rowcount_anomaly",
+    "iter_als_rank2",
 ]
 
 

@@ -158,6 +158,10 @@ KEYS = [
     # rowcount anomaly: one pass into the calendar-bounded daily summary
     "dq_freshness",
     "dq_rowcount_anomaly",
+    # ALS rides N× lineitem/orders: each half-step is one equi-join +
+    # groupBy into entity-sized factor relations — edge-linear like the
+    # graph family, never a user × item product
+    "iter_als_rank2",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

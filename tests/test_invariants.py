@@ -540,6 +540,9 @@ def test_adversarial_input_parity(spark):
         # NULL ts/type through the freshness filters; the single-day
         # fixture drives MAD = 0 through the robust-z nullif path
         "dq_freshness", "dq_rowcount_anomaly",
+        # the empty/one-row ratings matrix exercises the n=0 RMSE nullif
+        # and the single-entity Cramer solve
+        "iter_als_rank2",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -805,3 +805,15 @@ def test_rowcount_anomaly_checkpointed_daily(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0
     assert "SortMergeJoin" not in plan
+
+
+def test_als_checkpointed_ratings_and_factors(spark):
+    """iter_als_rank2: ratings AND intermediate user factors are
+    checkpointed — the item half-step and the RMSE join read the
+    materializations, never the lineitem/orders parquet (the
+    O(steps^2) inlining trap of iter_gd_logreg), and every join is an
+    equi-join (no cartesian anywhere in ALS)."""
+    df = REGISTRY["iter_als_rank2"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    assert "CartesianProduct" not in plan

@@ -951,3 +951,132 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _degree_dist_sql("spark", edges_ref="SELECT a, b FROM tri_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# iter_als_rank2 — distributed recommender training: one full alternating-
+# least-squares round (user step, then item step) at rank 2 over the
+# customer × part rating matrix (rating = line quantity), plus training
+# RMSE. The workload Spark's MLlib was built around, expressed relationally:
+# each half-step is ONE equi-join (ratings ⋈ current factors) and ONE
+# groupBy building the per-entity normal equations — never a materialized
+# user × item product.
+# Exactness: every normal-equation sum (Σq², Σq₁q₂, Σr·q, …) is quantized
+# to BIGINT micro-units per term and summed exactly (the gd_logreg
+# all-reduce discipline), so the 2×2 system is built from identical
+# doubles in both engines; the Cramer solve is one fixed parse tree —
+# det(QᵀQ + λI) ≥ λ² > 0, so no divide-by-zero guard is needed, by
+# construction; factors are q6-quantized before reuse (the weights
+# discipline). Item factors init from the deterministic LCG.
+# Scale: ratings are checkpointed once (referenced by init/user/item/RMSE
+# — the O(steps²) CTE-inlining trap of iter_gd_logreg); user factors are
+# materialized between the half-steps; both half-step shuffles are keyed
+# on the entity id, factor relations are entity-sized.
+# ---------------------------------------------------------------------------
+
+_ALS_LAMBDA = "0.1e0"
+_ALS_R_CACHE: dict[tuple, DataFrame] = {}
+_ALS_P_CACHE: dict[tuple, DataFrame] = {}
+
+_ALS_RATINGS_SQL = """
+SELECT o.o_custkey AS u, l.l_partkey AS i,
+  CAST(l.l_quantity AS DOUBLE) AS rt
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _als_q0(r_ref: str) -> str:
+    """Deterministic rank-2 item-factor init over the distinct item set."""
+    q2 = synth.lcg_u("di.i", 9091, 0)
+    return f"SELECT di.i, 1e0 AS f1, {q2} AS f2 FROM (SELECT DISTINCT i FROM ({r_ref}) r0) di"
+
+
+def _als_solve(sums_rel: str, key: str) -> str:
+    """Cramer solve of (A + λI) x = b from the micro-exact sums relation
+    (key, a11_u, a12_u, a22_u, b1_u, b2_u)."""
+    lam = _ALS_LAMBDA
+    a11 = f"(CAST(a11_u AS DOUBLE) / 1e6 + {lam})"
+    a12 = "(CAST(a12_u AS DOUBLE) / 1e6)"
+    a22 = f"(CAST(a22_u AS DOUBLE) / 1e6 + {lam})"
+    b1 = "(CAST(b1_u AS DOUBLE) / 1e6)"
+    b2 = "(CAST(b2_u AS DOUBLE) / 1e6)"
+    det = f"({a11} * {a22} - {a12} * {a12})"
+    return f"""
+SELECT {key},
+  {synth.q6(f"({b1} * {a22} - {b2} * {a12}) / {det}")} AS f1,
+  {synth.q6(f"({b2} * {a11} - {b1} * {a12}) / {det}")} AS f2
+FROM ({sums_rel}) s
+"""
+
+
+def _als_sums(r_ref: str, fac_ref: str, group: str, join_key: str) -> str:
+    """Per-entity normal-equation sums: factors of the OTHER side joined
+    onto the ratings, every sum BIGINT-micro-exact (|terms| ≤ ~100)."""
+    return f"""
+SELECT r.{group},
+  {synth.sum_micro_int('f.f1 * f.f1', 1e4)} AS a11_u,
+  {synth.sum_micro_int('f.f1 * f.f2', 1e4)} AS a12_u,
+  {synth.sum_micro_int('f.f2 * f.f2', 1e4)} AS a22_u,
+  {synth.sum_micro_int('r.rt * f.f1', 1e5)} AS b1_u,
+  {synth.sum_micro_int('r.rt * f.f2', 1e5)} AS b2_u
+FROM ({r_ref}) r JOIN ({fac_ref}) f ON f.{join_key} = r.{join_key}
+GROUP BY r.{group}
+"""
+
+
+def _als_user_step_sql(r_ref: str) -> str:
+    """User factors after solving against the LCG-initialized items."""
+    return _als_solve(
+        _als_sums(r_ref, _als_q0(r_ref), "u", "i"), "s.u AS u"
+    )
+
+
+def _als_final_sql(r_ref: str, p_ref: str | None = None) -> str:
+    p = p_ref or f"({_als_user_step_sql(r_ref)})"
+    qn = _als_solve(_als_sums(r_ref, p, "i", "u"), "s.i AS i")
+    err = "(r.rt - (p.f1 * q.f1 + p.f2 * q.f2))"
+    return f"""
+WITH qn AS ({qn})
+SELECT {_ALS_LAMBDA} AS lambda,
+  CAST(count(*) AS BIGINT) AS n_ratings,
+  CAST(count(DISTINCT r.u) AS BIGINT) AS n_users,
+  CAST(count(DISTINCT r.i) AS BIGINT) AS n_items,
+  {synth.q6(
+      f"sqrt(({synth.sum_micro(f'{err} * {err}', 1e7)})"
+      " / CAST(nullif(count(*), 0) AS DOUBLE))"
+  )} AS rmse
+FROM ({r_ref}) r
+JOIN ({p}) p ON p.u = r.u
+JOIN qn q ON q.i = r.i
+"""
+
+
+@register(
+    "iter_als_rank2",
+    oracle=_als_final_sql(_ALS_RATINGS_SQL),
+    doc="Alternating least squares at rank 2 (customer x part, rating = "
+    "quantity): one user step + one item step, each a single equi-join "
+    "+ groupBy building BIGINT-micro-exact normal equations, closed-form "
+    "Cramer solve (det >= lambda^2 > 0 by construction), factors q6'd "
+    "before reuse, training RMSE micro-exact. Ratings checkpointed once, "
+    "user factors materialized between half-steps (REF-ANALOG; the "
+    "recommender-training member of the iterative family beside "
+    "gd_logreg/kmeans/pagerank).",
+    tags=("iterative", "ml", "join"),
+)
+def iter_als_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders"):
+        _view(spark, sf_dir, t)
+    key = (session_key(spark), sf_dir.rstrip("/"))
+    checkpointed(
+        _ALS_R_CACHE, key, lambda: spark.sql(_ALS_RATINGS_SQL).coalesce(8)
+    ).createOrReplaceTempView("als_r")
+    r_ref = "SELECT u, i, rt FROM als_r"
+    checkpointed(
+        _ALS_P_CACHE,
+        key,
+        lambda: spark.sql(_als_user_step_sql(r_ref)).coalesce(4),
+    ).createOrReplaceTempView("als_p")
+    return spark.sql(
+        _als_final_sql(r_ref, p_ref="SELECT u, f1, f2 FROM als_p")
+    )
