@@ -288,6 +288,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r7 (fifth session, fifth batch): one full ALS round at rank 2
     # — the recommender-training workload, micro-exact normal equations
     "iter_als_rank2",
+    # NEW r7 (fifth session, sixth batch): the journey transition matrix
+    # and the Kaplan-Meier churn curve (12 h churn horizon calibrated so
+    # both the churned and censored branches carry real mass)
+    "win_markov_transitions",
+    "win_survival_km",
 ]
 
 # Round-6 changed list, kept for the record (all 42 hold green r06 rows).

@@ -121,6 +121,8 @@ HEADLINE = [
     "dq_freshness",
     "dq_rowcount_anomaly",
     "iter_als_rank2",
+    "win_markov_transitions",
+    "win_survival_km",
 ]
 
 

@@ -162,6 +162,11 @@ KEYS = [
     # groupBy into entity-sized factor relations — edge-linear like the
     # graph family, never a user × item product
     "iter_als_rank2",
+    # markov rides N× disjoint users through the one lead() window;
+    # survival rides the same ladder through its two passes into the
+    # calendar-bounded lifetime summary
+    "win_markov_transitions",
+    "win_survival_km",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
@@ -261,6 +266,8 @@ _SKEW_KEYS = [
     # r7 fifth session: both attribution context columns are PRECEDING
     # frames (incremental) — the hot user is one long sorted partition
     "win_attribution",
+    # lead() is a 1-row frame; the hot user costs one in-partition sort
+    "win_markov_transitions",
 ]
 
 

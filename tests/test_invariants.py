@@ -543,6 +543,11 @@ def test_adversarial_input_parity(spark):
         # the empty/one-row ratings matrix exercises the n=0 RMSE nullif
         # and the single-entity Cramer solve
         "iter_als_rank2",
+        # NULL ts/user/type through the pair window and the KM lifetime
+        # aggregation; single-user fixtures pin the degenerate matrix /
+        # all-censored curve (the all-churn d>=r zero branch is a
+        # correctness guard, identical shared text both engines)
+        "win_markov_transitions", "win_survival_km",
     ]
     for key in keys:
         q = REGISTRY[key]

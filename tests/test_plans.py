@@ -817,3 +817,29 @@ def test_als_checkpointed_ratings_and_factors(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_markov_single_user_shuffle_bounded_matrix(spark):
+    """win_markov_transitions: one events scan, the lead() window rides
+    the user exchange, and the transition matrix tail is 25 rows — no
+    cartesian. (The row-total window is a FULL-partition frame over the
+    25-row matrix — the win_first_last class, evaluated once per
+    partition, not the O(n2) running-suffix class; CURRENT ROW-anchored
+    suffix frames are what the house rule bans.)"""
+    df = REGISTRY["win_markov_transitions"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "currentrow, unboundedfollowing" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_two_pass_reverse_sorted_risk(spark):
+    """win_survival_km: two inherent events passes (global max + user
+    aggregate), at-risk suffix totals expressed as the reverse-sorted
+    incremental PRECEDING frame (the O(n2) suffix class never appears),
+    everything after the user groupBy lifetime-summary-sized."""
+    df = REGISTRY["win_survival_km"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert "unboundedfollowing" not in plan.lower()
+    assert "SortMergeJoin" not in plan

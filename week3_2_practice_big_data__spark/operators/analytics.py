@@ -508,3 +508,164 @@ ORDER BY touch_day
 def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_attribution_sql("spark"))
+
+# ---------------------------------------------------------------------------
+# win_markov_transitions — the user-journey transition matrix: P(next
+# event type | current type) from adjacent event pairs per user (lead()
+# on the one (user_id, us) window), aggregated corpus-wide into the
+# |types|² matrix with exact-count probabilities. The descriptive
+# complement of win_event_pattern_cep: CEP finds ONE fixed pattern, this
+# reports where every journey actually goes next.
+# One user shuffle for the window, then a ≤ 25-row groupBy; the
+# probability and the per-row total are exact-integer divisions.
+# ---------------------------------------------------------------------------
+
+
+def _markov_sql(dialect: str) -> str:
+    from .. import synth
+
+    us = _us(dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, {us} AS us, event_type
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+pairs AS (
+  SELECT event_type AS t_from,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      AS t_to
+  FROM ev
+),
+trans AS (
+  SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE t_to IS NOT NULL
+  GROUP BY t_from, t_to
+)
+SELECT t_from, t_to, n,
+  CAST(sum(n) OVER (PARTITION BY t_from) AS BIGINT) AS n_from,
+  {synth.q6(
+      "CAST(n AS DOUBLE) / "
+      "CAST(sum(n) OVER (PARTITION BY t_from) AS DOUBLE)"
+  )} AS p,
+  (row_number() OVER (PARTITION BY t_from ORDER BY n DESC, t_to) = 1)
+    AS is_top_target
+FROM trans
+ORDER BY t_from, t_to
+"""
+
+
+@register(
+    "win_markov_transitions",
+    oracle=_markov_sql("duckdb"),
+    doc="User-journey transition matrix: adjacent event-type pairs per "
+    "user (lead on the one user window) aggregated into the |types|^2 "
+    "matrix — exact counts, exact-integer row-conditional probabilities, "
+    "top-target flag. One user shuffle, 25-row tail (REF-ANALOG; the "
+    "descriptive complement of the CEP pattern matcher).",
+    tags=("window", "agg", "events"),
+)
+def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_markov_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_survival_km — Kaplan-Meier survival estimate of user lifetime: per
+# user, lifetime = days between first and last event; a user whose last
+# event sits more than 12 hours before the global high-water mark is a
+# CHURN event at that lifetime, later users are right-censored (the
+# standard churn-analysis setup; the 12 h horizon is calibrated to the
+# synthetic stream's per-user cadence so BOTH branches — churned and
+# censored — carry real mass at every sf, the ns_quality_classifier
+# genuinely-discriminating standard; in production this constant is the
+# product's churn definition). The KM curve over the calendar-bounded
+# lifetime summary: at-risk counts from a reverse-sorted running sum
+# (suffix totals as incremental PRECEDING frames — the house rule, never
+# a re-aggregated suffix), hazard d/r per day, and the survival product
+# Π(1 − d/r) carried as a PREFIX SUM of per-day micro-quantized ln terms
+# in BIGINT (order-free), exponentiated once. A day where everyone at
+# risk churns sends survival to exactly 0 via an explicit CASE (ln(0) is
+# never evaluated). Two inherent events passes (global max + per-user
+# aggregate, the freshness posture); everything after the user groupBy
+# is lifetime-summary-sized.
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_GAP_US = 12 * 3_600_000_000
+
+
+def _survival_sql(dialect: str) -> str:
+    from .. import synth
+
+    us = _us(dialect)
+    day = "DIV" if dialect == "spark" else "//"
+    # Zero-hazard days contribute ln(1) = 0 exactly; the all-churn day is
+    # excluded from the ln (survival forced to 0 downstream).
+    lnterm = (
+        "CASE WHEN d = 0 OR d >= r THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(floor(ln(1e0 - CAST(d AS DOUBLE) / CAST(r AS DOUBLE)) "
+        "* 1e6 + 0.5e0) AS BIGINT) END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, {us} AS us
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+ext AS (SELECT max(us) AS gmax FROM ev),
+users AS (
+  SELECT user_id,
+    (max(us) - min(us)) {day} 86400000000 AS lifetime_d,
+    CASE WHEN max(us) < max(gmax) - {_KM_CHURN_GAP_US} THEN 1 ELSE 0 END
+      AS churned
+  FROM ev CROSS JOIN ext
+  GROUP BY user_id
+),
+days AS (
+  SELECT lifetime_d, CAST(count(*) AS BIGINT) AS ending,
+    CAST(sum(churned) AS BIGINT) AS d
+  FROM users GROUP BY lifetime_d
+),
+risk AS (
+  SELECT lifetime_d, d,
+    CAST(sum(ending) OVER (ORDER BY lifetime_d DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+  FROM days
+),
+km AS (
+  SELECT lifetime_d, d, r,
+    CAST(sum({lnterm}) OVER (ORDER BY lifetime_d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS lns_u,
+    CAST(sum(CASE WHEN d >= r AND d > 0 THEN 1 ELSE 0 END)
+      OVER (ORDER BY lifetime_d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS n_extinct
+  FROM risk
+)
+SELECT lifetime_d, d AS n_churned, r AS n_at_risk,
+  {synth.q6("CAST(d AS DOUBLE) / CAST(r AS DOUBLE)")} AS hazard,
+  {synth.q6(
+      "CASE WHEN n_extinct > 0 THEN 0e0 "
+      "ELSE exp(CAST(lns_u AS DOUBLE) / 1e6) END"
+  )} AS survival
+FROM km
+ORDER BY lifetime_d
+"""
+
+
+@register(
+    "win_survival_km",
+    oracle=_survival_sql("duckdb"),
+    doc="Kaplan-Meier user-lifetime survival with 12-hour churn definition "
+    "and right censoring: at-risk counts from a reverse-sorted running "
+    "sum (incremental, never a suffix frame), hazard d/r, survival as a "
+    "BIGINT prefix sum of micro-quantized ln(1-d/r) terms exponentiated "
+    "once, all-churn days forced to exact 0. Two inherent passes, "
+    "lifetime-summary-sized tail (REF-ANALOG; the churn-curve member of "
+    "the event-analytics suite).",
+    tags=("window", "agg", "stats"),
+)
+def win_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_survival_sql("spark"))
