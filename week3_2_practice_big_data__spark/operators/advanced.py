@@ -612,8 +612,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph (link prediction / "suppliers like this one"): project supplier
 # pairs through shared parts, score by Jaccard over part neighborhoods.
 # Candidate generation is the per-part equi-join — fan-out is bounded by
-# suppliers-per-part (a small constant in any real catalog; TPC-H ≈ 4),
-# so candidate volume is LINEAR in the edge list, never the |S|² product.
+# suppliers-per-part (measured on this data: mean ≈ 30, max 52 — ~8.7M
+# candidate pairs at sf0.1, the key's genuine ~2.5 s of work), so
+# candidate volume is LINEAR in the edge list with a bounded per-part
+# constant, never the |S|² product.
 # Degrees broadcast onto the bounded pair relation; top-k is ORDER BY +
 # LIMIT (TakeOrderedAndProject — per-partition heaps, no global sort).
 # The co-occurrence JOIN shape is agg_market_basket's; the semantics
