@@ -575,3 +575,161 @@ FROM (
 """).collect()
         }
         assert blocked == naive, len(ids)
+
+
+# ---------------------------------------------------------------------------
+# r7 fifth-session keys: math invariants beyond the hash oracle
+# ---------------------------------------------------------------------------
+
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _duck_with_events(rows):
+    """DuckDB connection with an `events` view built from (user_id, us,
+    event_type, value) tuples — micros become TIMESTAMPs the way the
+    parquet path delivers them."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev_raw (user_id BIGINT, us BIGINT, "
+        "event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev_raw VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        "CREATE VIEW events AS SELECT user_id, make_timestamp(us) AS ts, "
+        "event_type, value, row_number() OVER () AS event_id FROM ev_raw"
+    )
+    return con
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),            # user
+            st.integers(min_value=0, max_value=40 * 86_400),  # seconds
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_km_survival_matches_python_product(pairs):
+    from week3_2_practice_big_data__spark.operators.analytics import (
+        _KM_CHURN_GAP_US,
+        _survival_sql,
+    )
+
+    rows = [(u, s * 1_000_000, "view", 1.0) for u, s in pairs]
+    con = _duck_with_events(rows)
+    got = con.execute(_survival_sql("duckdb")).fetchall()
+    # Pure-Python Kaplan-Meier from the same rows.
+    by_user: dict = {}
+    for u, us, _, _ in rows:
+        lo, hi = by_user.get(u, (us, us))
+        by_user[u] = (min(lo, us), max(hi, us))
+    gmax = max(hi for _, hi in by_user.values())
+    lifetimes = {}
+    for u, (lo, hi) in by_user.items():
+        lt = (hi - lo) // 86_400_000_000
+        churn = 1 if hi < gmax - _KM_CHURN_GAP_US else 0
+        n, d = lifetimes.get(lt, (0, 0))
+        lifetimes[lt] = (n + 1, d + churn)
+    days = sorted(lifetimes)
+    at_risk = {}
+    run = 0
+    for t in reversed(days):
+        run += lifetimes[t][0]
+        at_risk[t] = run
+    surv, extinct, expect = 1.0, False, {}
+    for t in days:
+        d, r = lifetimes[t][1], at_risk[t]
+        if d >= r and d > 0:
+            extinct = True
+        if not extinct and d > 0:
+            surv *= 1.0 - d / r
+        expect[t] = (d, r, 0.0 if extinct else surv)
+    assert len(got) == len(days)
+    for lt, d, r, _hz, s in got:
+        ed, er, es = expect[lt]
+        assert (d, r) == (ed, er)
+        # ln terms are micro-quantized: tolerance n_days·1e-6 in ln space
+        assert abs(s - es) <= 2e-4
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=0, max_value=500),  # seconds
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_markov_rows_are_distributions(triples):
+    from week3_2_practice_big_data__spark.operators.analytics import (
+        _markov_sql,
+    )
+
+    rows = [(u, s * 1_000_000, t, 1.0) for u, s, t in triples]
+    con = _duck_with_events(rows)
+    got = con.execute(_markov_sql("duckdb")).fetchall()
+    from collections import defaultdict
+
+    by_from = defaultdict(list)
+    for t_from, t_to, n, n_from, p, top in got:
+        by_from[t_from].append((t_to, n, n_from, p, top))
+    for t_from, ents in by_from.items():
+        total = sum(n for _, n, _, _, _ in ents)
+        assert all(nf == total for _, _, nf, _, _ in ents)
+        assert abs(sum(p for _, _, _, p, _ in ents) - 1.0) <= len(ents) * 1e-6
+        tops = [(n, t_to) for t_to, n, _, _, top in ents if top]
+        assert len(tops) == 1
+        best = max((n, t_to) for t_to, n, _, _, _ in ents)
+        # top flag = max count, ties broken by t_to ascending
+        mx = max(n for _, n, _, _, _ in ents)
+        first_at_max = min(t_to for t_to, n, _, _, _ in ents if n == mx)
+        assert tops[0][1] == first_at_max
+
+
+def test_lift_gains_curve_invariants():
+    from week3_2_practice_big_data__spark.operators.statml import (
+        _lift_gains_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{_SF0001}/events.parquet')"
+    )
+    rows = con.execute(_lift_gains_sql("duckdb")).fetchall()
+    assert rows, "sf0.001 events must produce a gains table"
+    reach = [r[6] for r in rows]   # cum_reach, walked top bucket down
+    capture = [r[5] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(reach, reach[1:]))
+    assert all(b >= a - 1e-9 for a, b in zip(capture, capture[1:]))
+    assert abs(reach[-1] - 1.0) <= 1e-6
+    auc = rows[0][7]
+    assert 0.0 <= auc <= 1.0
+    total = sum(r[1] for r in rows)
+    npos = sum(r[2] for r in rows)
+    assert 0 < npos < total
+
+
+def test_als_beats_mean_predictor_baseline():
+    from week3_2_practice_big_data__spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_SF0001}/{t}.parquet')"
+        )
+    (als_rmse,) = [r[4] for r in con.execute(
+        REGISTRY["iter_als_rank2"].oracle).fetchall()]
+    (base,) = con.execute(
+        "SELECT sqrt(avg((l_quantity - m) * (l_quantity - m))) FROM ("
+        "SELECT l_quantity, avg(l_quantity) OVER () AS m FROM lineitem) t"
+    ).fetchone()
+    assert als_rmse < base, (als_rmse, base)
