@@ -627,14 +627,27 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIP_EDGES_SQL = "SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem"
 
+# Per-part fan-out cap for pair generation — the graph twin of the dedup
+# family's df ≤ 50 span cap: a part shared by k suppliers emits C(k,2)
+# pairs, so ONE ubiquitous part (a hot key at 100 TB) makes candidate
+# volume quadratic in its degree while carrying almost no similarity
+# evidence (a part everyone stocks distinguishes nobody — the same
+# rationale as dropping corpus-wide shingles). Parts over the cap are
+# excluded from candidate GENERATION only; supplier degrees (the Jaccard
+# denominator / evidence columns) still count every part. This data
+# measures max 52 suppliers per part, so the cap is value-identical at
+# every current sf (old-vs-new oracle frames compared equal in DuckDB) —
+# it exists for the hot-part tail the synthetic catalog doesn't have.
+_BIP_PART_CAP = 64
+
 
 def _bipartite_jaccard_sql(dialect: str, edges_ref: str | None = None) -> str:
     del dialect  # shared text
     # jac is exact: BIGINT counts, one IEEE division — identical doubles
     # both engines, so the ORDER BY on the unrounded value is a total
     # deterministic order (ties broken by the unique (supp1, supp2)).
-    # `edges` is referenced three times (deg + both join sides): the
-    # Spark builder materializes it once (CTE inlining re-ran the
+    # `edges` is referenced four times (pdeg + deg + both join sides):
+    # the Spark builder materializes it once (CTE inlining re-ran the
     # lineitem scan + DISTINCT per reference — 4 scans measured).
     jac = "CAST(n_common AS DOUBLE) / CAST(deg1 + deg2 - n_common AS DOUBLE)"
     return f"""
@@ -644,9 +657,14 @@ WITH edges AS (
 deg AS (
   SELECT s, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY s
 ),
+pdeg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY p
+),
 common AS (
   SELECT a.s AS supp1, b.s AS supp2, CAST(count(*) AS BIGINT) AS n_common
-  FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+  FROM edges a
+  JOIN pdeg pd ON pd.p = a.p AND pd.d <= {_BIP_PART_CAP}
+  JOIN edges b ON a.p = b.p AND a.s < b.s
   GROUP BY a.s, b.s
   HAVING count(*) >= 2
 )
@@ -699,7 +717,8 @@ def graph_bipartite_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whereas ln() is libm-dependent in the last ulp. Weights are summed as
 # BIGINT micro-units (order-free), divided once at the end.
 # Scale shape: same bounded per-part candidate join as
-# graph_bipartite_jaccard (fan-out = suppliers-per-part, linear in edges);
+# graph_bipartite_jaccard, including the _BIP_PART_CAP hot-part guard
+# (one 20k-supplier part measured 38.3 s uncapped vs 3.7 s capped);
 # the part-degree relation is |parts|-sized and broadcasts onto the pair
 # stream; top-k via TakeOrderedAndProject.
 # ---------------------------------------------------------------------------
@@ -729,8 +748,8 @@ pairs AS (
     CAST(count(*) AS BIGINT) AS n_common,
     CAST(sum({w}) AS BIGINT) AS ra_micro
   FROM edges a
+  JOIN pdeg pd ON pd.p = a.p AND pd.d <= {_BIP_PART_CAP}
   JOIN edges b ON a.p = b.p AND a.s < b.s
-  JOIN pdeg pd ON pd.p = a.p
   GROUP BY a.s, b.s
   HAVING count(*) >= 2
 )
