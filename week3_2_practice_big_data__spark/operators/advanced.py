@@ -748,8 +748,8 @@ pairs AS (
     CAST(count(*) AS BIGINT) AS n_common,
     CAST(sum({w}) AS BIGINT) AS ra_micro
   FROM edges a
-  JOIN pdeg pd ON pd.p = a.p AND pd.d <= {_BIP_PART_CAP}
   JOIN edges b ON a.p = b.p AND a.s < b.s
+  JOIN pdeg pd ON pd.p = a.p AND pd.d <= {_BIP_PART_CAP}
   GROUP BY a.s, b.s
   HAVING count(*) >= 2
 )
