@@ -175,15 +175,70 @@ _R06_VERIFIED = frozenset({
     "win_funnel_conversion",
 })
 
+# CORRECTNESS_r07.json: 50/50 green (rows + schema + hash on every row;
+# zero rows-only rows in the window). Executed the r7 rotation exactly:
+# the 39 never-driver-verified r7 additions plus 11 re-verifications of
+# r7-changed keys.
+_R07_VERIFIED = frozenset({
+    "agg_centroid_mean", "agg_extent", "agg_groupby_multi",
+    "agg_q11_important_stock", "agg_q13_cust_distribution",
+    "agg_q15_top_supplier", "agg_q17_small_qty_revenue",
+    "agg_q6_forecast_revenue", "agg_sketch_kmv_intersect",
+    "agg_sum_normalize", "dq_distribution_drift", "dq_freshness",
+    "dq_rowcount_anomaly", "graph_bipartite_jaccard",
+    "graph_clustering_coeff", "graph_degree_distribution",
+    "graph_resource_alloc", "iter_als_rank2", "join_asof_forward",
+    "join_asof_nearest", "join_q12_ship_priority",
+    "join_q19_bracket_revenue", "join_q20_promo_suppliers",
+    "join_q21_waiting_supplier", "join_q8_market_share",
+    "join_q9_product_profit", "ml_decision_stump", "ml_knn_classify",
+    "ml_lift_gains", "ns_bpe_encode", "ns_dedup_incremental_persist",
+    "ns_global_shuffle", "ns_mixture_epochs", "ns_sim_ann_ivf_persist",
+    "ns_text_bm25", "qry_q22_idle_customers", "qry_q2_top_supplier",
+    "sink_compact_small_files", "stream_event_pattern_cep",
+    "stream_unbounded_socket", "ts_autocorr", "ts_cross_corr",
+    "ts_max_drawdown", "ts_seasonal_decompose", "win_attribution",
+    "win_budget_allocation", "win_event_pattern_cep",
+    "win_interpolate_gaps", "win_markov_transitions", "win_survival_km",
+})
+
 _VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED | _R06_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED
 )
 
 
-# Keys whose implementation changed in ROUND 7 (or new in r7): they lead
+# Keys whose implementation changed in ROUND 8 (or new in r8): they lead
 # the window, highest behavior-change risk first.
-_CHANGED_THIS_ROUND: list[str] = [
+_CHANGED_THIS_ROUND: list[str] = []
+
+# ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,
+# so after this round's changed keys the window re-attests the OLDEST
+# driver rows — the 41 keys whose only green row is CORRECTNESS_r01,
+# which predates six rounds of shared-infrastructure change (io.py
+# timestamp normalization, the q6 saturation fix, synth.sat, checkpoint-
+# cache keying). They are pytest-replayed and sf0.01-swept every round;
+# this puts fresh driver rows on them.
+_REFRESH_THIS_ROUND: list[str] = [
+    "agg_grouping_sets", "agg_mode", "agg_percentile", "agg_salted_skew",
+    "filt_dict_dispatch", "filt_range_pred", "join_asof",
+    "join_broadcast_params", "join_bucketed_colocated",
+    "join_cross_meshgrid", "join_inner_equi", "join_outer",
+    "join_range_theta", "join_salted_skew", "join_semi_anti",
+    "limit_topk", "limit_topk_per_group", "merge_upsert",
+    "proj_color_scale", "proj_dist_radial", "proj_dot_light",
+    "proj_gauss_exp", "proj_minmax_norm", "proj_shade_affine",
+    "proj_trig_polar", "proj_wobble", "reshape_pivot", "reshape_unpivot",
+    "set_except", "set_intersect", "set_union", "sort_orderby",
+    "udaf_weighted_quantity", "win_conv1d_frame", "win_first_last",
+    "win_lead_lag", "win_ntile", "win_percent_rank", "win_range_frame",
+    "win_rank_order", "win_running_agg",
+]
+
+# Round-7 changed list, kept for the record (all hold green r07 rows —
+# the 50-key window covered every entry that fit; the few spillover
+# entries were judge-rerun MATCH and hold earlier-round rows).
+_R07_CHANGED: list[str] = [
     # ADVICE r6: trend window converted to exact BIGINT micro-unit sums
     # (order-free by construction, not by engine accident)
     "ts_seasonal_decompose",
@@ -421,15 +476,20 @@ _PENDING_PRIORITY: list[str] = []
 def _ordered_keys() -> list[str]:
     """Registry keys ordered for the driver's bounded correctness window.
 
-    ROUND-6 ORDER (changed-first, the r1–r4 block order): this round's
-    changed keys lead (oracle before rows-only) — including the 16
-    r5-changed keys re-windowed for a driver row on their current code —
-    then never-verified keys (new in r6+), then proven keys
-    (registration order within unlisted groups)."""
+    ROUND-8 ORDER (changed-first, then oldest-green refresh): this
+    round's changed keys lead (oracle before rows-only), then the
+    _REFRESH_THIS_ROUND r01-era re-attestation block (VERDICT r7 item
+    3), then never-verified keys (new keys not listed as changed), then
+    proven keys (registration order within unlisted groups)."""
     changed = [k for k in _CHANGED_THIS_ROUND if k in REGISTRY]
     changed_set = set(changed)
     changed_oracle = [k for k in changed if REGISTRY[k].oracle is not None]
     changed_rows_only = [k for k in changed if REGISTRY[k].oracle is None]
+    refresh = [
+        k for k in _REFRESH_THIS_ROUND
+        if k in REGISTRY and k not in changed_set
+    ]
+    changed_set.update(refresh)
     rest = [k for k in REGISTRY if k not in changed_set]
     prio = {k: i for i, k in enumerate(_PENDING_PRIORITY)}
     pending_oracle = sorted(
@@ -450,6 +510,7 @@ def _ordered_keys() -> list[str]:
     return (
         changed_oracle
         + changed_rows_only
+        + refresh
         + pending_oracle
         + pending_rows_only
         + proven
