@@ -210,7 +210,23 @@ _VERIFIED = (
 
 # Keys whose implementation changed in ROUND 8 (or new in r8): they lead
 # the window, highest behavior-change risk first.
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # r8 (VERDICT r7 item 1): ns_pipeline_e2e REBUILT as the full current
+    # pipeline — url canon → exact+MinHash dedup keepers → quality
+    # classifier → perplexity tercile (blocked ntile) → bloom decontam →
+    # pack → blocked global shuffle → mixture epochs; per-source funnel +
+    # exact modular pack/position checksums; oracle is the naive pipeline
+    "ns_pipeline_e2e",
+    # r8: oracle text re-factored through the shared per-doc score
+    # relation (_qc_scored_sql) — old-vs-new proven value-identical in
+    # DuckDB on sf0.001/sf0.01/one/weird/empty before the swap
+    "ns_quality_classifier",
+    # r8: builder now consumes the extracted _cached_ppl_doc /
+    # _cached_bloom_ng helpers (SQL byte-identical; re-windowed because
+    # the builder code path changed)
+    "ns_text_perplexity",
+    "ns_decontaminate_bloom",
+]
 
 # ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,
 # so after this round's changed keys the window re-attests the OLDEST

@@ -123,6 +123,11 @@ HEADLINE = [
     "iter_als_rank2",
     "win_markov_transitions",
     "win_survival_km",
+    # round-8: the rebuilt FULL composed pipeline (url canon → dedup
+    # cluster → quality classifier → perplexity tercile → bloom decontam →
+    # pack → blocked global shuffle → mixture epochs); first medians seed
+    # the r9 baseline.
+    "ns_pipeline_e2e",
 ]
 
 

@@ -167,6 +167,13 @@ KEYS = [
     # calendar-bounded lifetime summary
     "win_markov_transitions",
     "win_survival_km",
+    # r8: the rebuilt FULL composed pipeline rides the duplicated corpus —
+    # every corpus-sized stage input is a relation already proven
+    # duplication-collapsed (rep-collapsed MinHash pairs, distinct 5-gram
+    # stream, token-stream groupBys); the three per-doc materializations
+    # and the funnel/pack/shuffle tail grow with the KEEPER count, which
+    # duplication leaves unchanged (extra copies die at the dedup stage).
+    "ns_pipeline_e2e",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

@@ -438,3 +438,112 @@ def test_jaccard_rep_collapse_survives_df_cap_under_duplication(spark):
     for ra, rb in itertools.combinations(reps, 2):
         assert (ra, rb) in pairs, f"cross-text pair {(ra, rb)} pruned"
     assert pairs[(0, 1)] == 1.0  # byte-identical within-group pair
+
+
+def test_pipeline_e2e_funnel_and_decon_fixture(spark):
+    """ns_pipeline_e2e (r8 full composition): a crafted corpus where ONE
+    surviving doc shares a 5-gram with the eval holdout pins the
+    decontamination branch (vacuous on the synthetic driver corpus below
+    sf0.1 — the contaminated docs there are eval near-dups that die at the
+    dedup stage first). The contaminated doc sits alone in source 'src5',
+    so the funnel row shows n_ppl=1, n_final=0; Spark and DuckDB agree on
+    the whole fixture output."""
+    import os
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_pipedecon",
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        import duckdb
+
+        os.makedirs(out, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, n_chars BIGINT)"
+        )
+        common = [f"c{i}" for i in range(1, 10)]
+        rows = [
+            # eval holdout doc (97 % 97 == 0): its distinct 5-grams are the
+            # contamination probes
+            (97, "c1 c2 c3 c4 c5 x1 x2 x3", "srceval"),
+            # the contaminated doc: shares the 'c1 c2 c3 c4 c5' 5-gram,
+            # otherwise distinct (passes dedup); common tokens keep its nll
+            # out of the tail tercile; isolated in src5
+            (12, "c1 c2 c3 c4 c5 a1 a2 a3", "src5"),
+        ]
+        # head/middle fillers: common vocabulary (low nll), unique
+        # suffixes; the slice starts at c2 so no filler contains the eval
+        # doc's 'c1 c2 c3 c4 c5' 5-gram
+        for j, doc_id in enumerate((13, 14, 15, 20, 21, 22)):
+            rows.append(
+                (doc_id, " ".join(common[1:7]) + f" f{j}a f{j}b", "src1")
+            )
+        # tail fillers: all-rare tokens (high nll)
+        for j, doc_id in enumerate((23, 28, 29)):
+            rows.append(
+                (doc_id, " ".join(f"r{j}{i}" for i in range(7)), "src1")
+            )
+        for doc_id, text, source in rows:
+            con.execute(
+                "INSERT INTO d VALUES (?, ?, 'en', ?, ?)",
+                [doc_id, text, source, len(text)],
+            )
+        con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+        from week3_2_practice_big_data__spark.io import TABLES
+
+        for t in TABLES:
+            if t == "documents":
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') "
+                f"LIMIT 20) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        with open(stamp, "w") as f:
+            f.write("v1")
+
+    from .oracle import compare, duck_run
+
+    q = REGISTRY["ns_pipeline_e2e"]
+    sdf = q.builder(spark, out)
+    compare(sdf, duck_run(q.oracle, out), "ns_pipeline_e2e:pipedecon")
+    by_src = {r["source"]: r for r in sdf.collect()}
+    # the contaminated doc survived every stage EXCEPT decontamination
+    assert by_src["src5"]["n_ppl"] == 1, by_src["src5"]
+    assert by_src["src5"]["n_final"] == 0, by_src["src5"]
+    # the eval doc never entered the funnel (srceval row absent entirely)
+    assert "srceval" not in by_src
+    # fillers: nobody else was decontaminated
+    assert by_src["src1"]["n_final"] == by_src["src1"]["n_ppl"] > 0
+
+
+def test_pipeline_e2e_funnel_invariants(spark):
+    """Monotone survival funnel + every stage keeps AND drops mass at
+    sf0.001 (no vacuous stage — the r8 eyeball discipline made permanent),
+    and the shuffle positions are a permutation of the final survivors."""
+    rows = REGISTRY["ns_pipeline_e2e"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ("n_raw", "n_url", "n_dedup", "n_qual", "n_ppl", "n_final")
+    }
+    for r in rows:
+        assert r["n_raw"] >= r["n_url"] >= r["n_dedup"] >= r["n_qual"]
+        assert r["n_qual"] >= r["n_ppl"] >= r["n_final"]
+    # each stage drops corpus-wide mass... (decon is sf-dependent: vacuous
+    # at sf0.001 on the driver corpus, pinned by the fixture test above)
+    assert tot["n_raw"] > tot["n_url"] > tot["n_dedup"] > tot["n_qual"]
+    assert tot["n_qual"] > tot["n_ppl"] >= tot["n_final"] > 0
+    # ...and keeps mass in >= 15 of 20 sources at every stage
+    for c in ("n_url", "n_dedup", "n_qual"):
+        assert sum(1 for r in rows if r[c] > 0) >= 15, c
+    # global shuffle: max position over all sources == total survivors
+    assert max(r["max_pos"] for r in rows) == tot["n_final"]
+    # mixture: both the capped and the uncapped epoch branches carry mass
+    eps = [r["epochs"] for r in rows if r["toks"] > 0]
+    assert any(e == 4.0 for e in eps) and any(0.0 < e < 4.0 for e in eps)
+    # weights span the 1..4 range (source-id hash)
+    assert {r["weight"] for r in rows if r["toks"] > 0} == {1, 2, 3, 4}

@@ -843,3 +843,17 @@ def test_survival_two_pass_reverse_sorted_risk(spark):
     assert plan.count("Scan parquet") == 2
     assert "unboundedfollowing" not in plan.lower()
     assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_e2e_one_lazy_plan_zero_scans(spark):
+    """ns_pipeline_e2e (r8): the final funnel/pack/shuffle/mixture
+    statement composes over the three checkpointed stage relations — ZERO
+    parquet scans in the executed plan (every corpus-sized input is a
+    session-shared materialization), no cartesian product, no sort-merge
+    join (the funnel joins are 20-row source aggregates), and repeat
+    invocation stays scan-free (stage caches hit)."""
+    for _ in range(2):
+        df = REGISTRY["ns_pipeline_e2e"].builder(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 0
+        assert "CartesianProduct" not in plan

@@ -27,7 +27,14 @@ from .. import synth
 from ..common import checkpointed, ordered_string_agg, session_key
 from ..io import load_table
 from ..registry import register
-from .text import _REP_WHERE, char_polyhash, tokens_sql
+from .text import (
+    _CLUSTER_ITER,
+    _REP_MAP_SQL,
+    _REP_WHERE,
+    _minhash_sql,
+    char_polyhash,
+    tokens_sql,
+)
 from .similarity import _dot_fold
 
 
@@ -982,6 +989,23 @@ ORDER BY doc_id
 _PPL_DOC_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _cached_ppl_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, nll) materialized once per (session, sf) — the
+    blocked-ntile tail consumes it twice, and CTE inlining would re-run
+    the unigram join per reference. Tokenizes via the session-shared token
+    stream. Shared by ns_text_perplexity and ns_pipeline_e2e (r8)."""
+    from .text import cached_tokens_ref
+
+    _view(spark, sf_dir, "documents")
+    return checkpointed(
+        _PPL_DOC_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(
+            _perplexity_doc_sql("spark", cached_tokens_ref(spark, sf_dir))
+        ).coalesce(8),
+    )
+
+
 @register(
     "ns_text_perplexity",
     oracle=_perplexity_sql("duckdb"),
@@ -994,21 +1018,10 @@ _PPL_DOC_CACHE: dict[tuple, DataFrame] = {}
     tags=("ns", "text", "quality"),
 )
 def ns_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import checkpointed, session_key
-    from .text import cached_tokens_ref
-
-    _view(spark, sf_dir, "documents")
     # Materialize the per-doc score relation once (and tokenize via the
     # session-shared token stream): the blocked-ntile tail consumes it
     # twice, and CTE inlining would re-run the unigram join per reference.
-    doc = checkpointed(
-        _PPL_DOC_CACHE,
-        (session_key(spark), sf_dir.rstrip("/")),
-        lambda: spark.sql(
-            _perplexity_doc_sql("spark", cached_tokens_ref(spark, sf_dir))
-        ).coalesce(8),
-    )
-    doc.createOrReplaceTempView("ppl_doc")
+    _cached_ppl_doc(spark, sf_dir).createOrReplaceTempView("ppl_doc")
     return spark.sql(
         _perplexity_sql("spark", "SELECT doc_id, n_tokens, nll FROM ppl_doc")
     )
@@ -1850,13 +1863,32 @@ _BLOOM_M = 65536  # bits
 _BLOOM_NG_CACHE: dict = {}
 
 
-def _decon_bloom_sql(dialect: str, ng_ref: str | None = None) -> str:
+def _cached_bloom_ng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram) distinct corpus 5-grams materialized once per
+    (session, sf) — shared by ns_decontaminate_bloom and the pipeline's
+    decontamination stage (ns_pipeline_e2e, r8)."""
+    _view(spark, sf_dir, "documents")
+    return checkpointed(
+        _BLOOM_NG_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_ngram_sql("spark")).coalesce(8),
+    )
+
+
+def _bloom_cand_cte(dialect: str) -> str:
+    """The Bloom-mask candidate CTE block. Callers must have `eval_g(gram)`
+    and `corpus(doc_id, gram)` in scope; the block yields `cand(doc_id,
+    gram)`. Spark folds the eval grams into the 8 KB k=2 xxhash64 bitmask
+    and probes it map-side; DuckDB (the oracle side) passes the corpus
+    through unfiltered — Bloom filters have no false negatives and the
+    exact gram equi-join reruns downstream, so the sketch is invisible in
+    the result. Shared verbatim by ns_decontaminate_bloom and the
+    pipeline's decontamination stage (ns_pipeline_e2e)."""
     m = _BLOOM_M
-    ratio = synth.q6("CAST(h.n_shared_grams AS DOUBLE) / t.n_doc_grams")
     if dialect == "spark":
         p1 = f"pmod(xxhash64(gram), {m})"
         p2 = f"pmod(xxhash64(gram, 'b2'), {m})"
-        bloom = f"""
+        return f"""
 pos AS (
   SELECT {p1} AS p FROM eval_g
   UNION ALL
@@ -1878,10 +1910,14 @@ cand AS (
   WHERE (m1.bits & shiftleft(CAST(1 AS BIGINT), CAST(pr.p1 % 64 AS INT))) <> 0
     AND (m2.bits & shiftleft(CAST(1 AS BIGINT), CAST(pr.p2 % 64 AS INT))) <> 0
 ),"""
-    else:
-        # The oracle runs the exact join with NO bloom: the sketch must be
-        # invisible in the result, and this asymmetry is the proof.
-        bloom = "\ncand AS (SELECT doc_id, gram FROM corpus),"
+    # The oracle runs the exact join with NO bloom: the sketch must be
+    # invisible in the result, and this asymmetry is the proof.
+    return "\ncand AS (SELECT doc_id, gram FROM corpus),"
+
+
+def _decon_bloom_sql(dialect: str, ng_ref: str | None = None) -> str:
+    ratio = synth.q6("CAST(h.n_shared_grams AS DOUBLE) / t.n_doc_grams")
+    bloom = _bloom_cand_cte(dialect)
     return f"""
 WITH ng AS ({ng_ref or _ngram_sql(dialect)}),
 eval_g AS (SELECT DISTINCT gram FROM ng WHERE doc_id % {_EVAL_MOD} = 0),
@@ -1914,12 +1950,7 @@ LIMIT 50
     tags=("ns", "text", "decontamination", "sketch"),
 )
 def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "documents")
-    checkpointed(
-        _BLOOM_NG_CACHE,
-        (session_key(spark), sf_dir.rstrip("/")),
-        lambda: spark.sql(_ngram_sql("spark")).coalesce(8),
-    ).createOrReplaceTempView("bloom_ng")
+    _cached_bloom_ng(spark, sf_dir).createOrReplaceTempView("bloom_ng")
     return spark.sql(
         _decon_bloom_sql("spark", ng_ref="SELECT doc_id, gram FROM bloom_ng")
     )
@@ -1942,7 +1973,12 @@ def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QC_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
 
 
-def _quality_classifier_sql(dialect: str) -> str:
+def _qc_scored_sql(dialect: str) -> str:
+    """(doc_id, source, z) — the per-document linear quality score.
+    Factored out (r8) so ns_quality_classifier's source aggregate and the
+    composed pipeline's per-doc keep flag (ns_pipeline_e2e) score each
+    document with the SAME parse tree. The keep decision downstream is the
+    sign of z — no transcendental on the decision path."""
     if dialect == "spark":
         toks = "split(text, ' ')"
         n_uniq = "size(array_distinct(toks))"
@@ -1962,7 +1998,6 @@ def _quality_classifier_sql(dialect: str) -> str:
         f"+ {synth.flit(0.08)} * mean_len "
         f"+ {synth.flit(-0.004)} * n_toks)"
     )
-    p = "(1e0 / (1e0 + exp(-z)))"
     return f"""
 WITH feats AS (
   SELECT doc_id, source, {n} AS n_toks, {n_uniq} AS n_uniq,
@@ -1970,10 +2005,15 @@ WITH feats AS (
     CAST(length(text) - ({n} - 1) AS DOUBLE) / {n} AS mean_len
   FROM (SELECT doc_id, source, text, {toks} AS toks FROM documents) t0
   WHERE text IS NOT NULL
-),
-scored AS (
-  SELECT doc_id, source, {z} AS z FROM feats
 )
+SELECT doc_id, source, {z} AS z FROM feats
+"""
+
+
+def _quality_classifier_sql(dialect: str) -> str:
+    p = "(1e0 / (1e0 + exp(-z)))"
+    return f"""
+WITH scored AS ({_qc_scored_sql(dialect)})
 SELECT source,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN z >= 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
@@ -2157,4 +2197,439 @@ def ns_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = full.split("\ntot AS", 1)[1]
     return spark.sql(
         "WITH w AS (SELECT * FROM w32bd_mix_w),\ntot AS" + tail
+    )
+
+
+# ---------------------------------------------------------------------------
+# ns_pipeline_e2e — the FULL corpus-refresh pipeline a 100 TB training-data
+# run actually ships (rebuilt r8, VERDICT r7 item 1), composing the
+# already-proven stage relations end to end:
+#
+#   eval holdout (doc_id % 97 = 0 is the benchmark suite)
+#   → URL canonicalization dedup       (ns_dedup_url's canonicalizer)
+#   → exact + MinHash-cluster dedup    (ns_dedup_cluster's keeper election)
+#   → linear quality-model filter      (ns_quality_classifier's score, z≥0)
+#   → perplexity tercile, drop 'tail'  (ns_text_perplexity's blocked ntile)
+#   → Bloom-prefiltered decontamination (ns_decontaminate_bloom's mask;
+#     strict GPT-3-style rule: ANY shared eval 5-gram drops the doc)
+#   → sequence packing                 (ns_pack_sequences' shard windows)
+#   → deterministic global shuffle     (ns_global_shuffle's 256-block md5)
+#   → token-budget mixture epochs      (ns_mixture_epochs' allocation)
+#
+# Output: one row per source — the stage-by-stage survival funnel
+# (n_raw → n_url → n_dedup → n_qual → n_ppl → n_final), surviving token
+# inventory, mixture weight/epochs (budget = 2× surviving corpus tokens, so
+# the allocation is scale-invariant — both the capped and uncapped branches
+# carry mass at every sf), pack count, and exact modular checksums that pin
+# every doc's pack_id and global-shuffle position without emitting per-doc
+# rows (sum over docs of (id % p)·(doc_id % p) % p, p = 1000003 — order-free
+# BIGINT, overflow-safe at any corpus size).
+#
+# Scale/plan shape: the corpus-sized relations (token stream, rep map,
+# MinHash pairs, per-doc NLL, 5-gram stream) are the SESSION-SHARED
+# checkpoints every sibling key already uses — built once, reused across
+# the whole family; the pipeline materializes exactly three narrow per-doc
+# relations (flags → s4 → doc2, each one row per surviving doc) and the
+# final funnel/pack/shuffle/mixture statement is ONE lazy plan over them
+# with ZERO parquet scans (pinned in tests/test_plans.py). No stage
+# shuffles on anything wider than (doc_id) / (source) / the 256 hex blocks;
+# the tercile and the permutation use the blocked decompositions (never a
+# single-partition global sort); decontamination probes the 8 KB Bloom mask
+# map-side. The DuckDB oracle is the same pipeline with every scale device
+# replaced by its naive form (real ntile(3), naive global-sort row_number,
+# no Bloom) — value identity of the decompositions IS the check.
+# ---------------------------------------------------------------------------
+
+_PIPE_P = 1_000_003  # checksum modulus (keeps every term product < 1e12)
+_PIPE_SALT = "pipe1:"
+_PIPE_SHARD = 256  # docs per packing shard (ns_pack_sequences' constant)
+_PIPE_CAP = 512  # tokens per pack
+
+
+def _pipe_url_case(dialect: str) -> str:
+    """Messy URL spellings synthesized per doc (the driver tables carry no
+    URLs). Docs with doc_id % 8 < 4 are four spellings of ONE resource
+    (base = doc_id - doc_id % 8); doc_id % 8 >= 4 docs are unique
+    resources — refetch rate 4/8, post-dedup keep rate 5/8. The keeper is
+    elected per canonical URL by an affine doc_id hash (NOT min doc_id:
+    doc_id % 4 == 0 keepers would concentrate on 5 of the 20 sources
+    because source is doc_id-correlated — caught by eyeballing the funnel,
+    r8) so survivors stay uniform across sources."""
+    fmt = "format_string" if dialect == "spark" else "printf"
+    base = "doc_id - doc_id % 8"
+    return f"""CASE doc_id % 8
+      WHEN 0 THEN {fmt}(
+        'https://DOCS.SITE%d.COM/page/%d?utm_source=feed&id=%d',
+        ({base}) % 7, {base}, {base})
+      WHEN 1 THEN {fmt}(
+        'https://docs.site%d.com:443/page/%d/?id=%d',
+        ({base}) % 7, {base}, {base})
+      WHEN 2 THEN {fmt}(
+        'http://docs.site%d.com/page/%d?id=%d#section-2',
+        ({base}) % 7, {base}, {base})
+      WHEN 3 THEN {fmt}(
+        'https://docs.site%d.com/page/%d?id=%d&utm_campaign=refresh&utm_medium=rss',
+        ({base}) % 7, {base}, {base})
+      ELSE {fmt}(
+        'https://docs.site%d.com/page/%d?id=%d',
+        doc_id % 7, doc_id, doc_id)
+    END"""
+
+
+def _pipe_flags_sql(
+    dialect: str, rep_ref: str | None = None, pairs_ref: str | None = None
+) -> str:
+    """(doc_id, source, f_url, f_dedup, f_qual) — one row per non-eval,
+    non-NULL-text document with the three corpus-wide keep flags. The
+    keeper hash is (doc_id % p)·1103515245 + 12345 mod 2^31-1 — the doc_id
+    pre-reduction keeps the product inside int64 at ANY doc_id magnitude
+    (ANSI overflow = cross-engine divergence); ties break on doc_id and
+    the canon_url window partitions are bounded by the 4-spelling groups."""
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    keeper_hash = f"((doc_id % {_PIPE_P}) * 1103515245 + 12345) % 2147483647"
+    clab = []
+    for k in range(_CLUSTER_ITER):
+        clab.append(
+            f""",
+clab{k + 1} AS (
+  SELECT n.node, least(n.lab, coalesce(m.minlab, n.lab)) AS lab
+  FROM clab{k} n
+  LEFT JOIN (
+    SELECT e.dst AS node, min(l.lab) AS minlab
+    FROM und e JOIN clab{k} l ON e.src = l.node
+    GROUP BY e.dst
+  ) m ON n.node = m.node
+)"""
+        )
+    return f"""
+WITH s0 AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+),
+fetches AS (SELECT doc_id, {_pipe_url_case(dialect)} AS url FROM s0),
+canon AS ({_canon_url_sql(dialect)}),
+url_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY canon_url ORDER BY {keeper_hash}, doc_id) AS rn
+    FROM canon
+  ) e WHERE rn = 1
+),
+rep AS ({rep_ref or _REP_MAP_SQL}),
+pairs AS {mat}({pairs_ref or f"SELECT ai, bi FROM ({_minhash_sql(dialect)}) mp"}),
+und AS (
+  SELECT ai AS src, bi AS dst FROM pairs
+  UNION
+  SELECT bi AS src, ai AS dst FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+clab0 AS (SELECT node, node AS lab FROM cnodes){"".join(clab)},
+ckeep AS (SELECT lab, min(node) AS keep FROM clab{_CLUSTER_ITER} GROUP BY lab),
+dropped AS (
+  SELECT c.node FROM clab{_CLUSTER_ITER} c
+  JOIN ckeep k ON c.lab = k.lab WHERE c.node <> k.keep
+),
+qs AS ({_qc_scored_sql(dialect)})
+SELECT s0.doc_id, s0.source,
+  CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_url,
+  CASE WHEN r.rep = s0.doc_id AND dr.node IS NULL THEN 1 ELSE 0 END AS f_dedup,
+  CASE WHEN q.z >= 0e0 THEN 1 ELSE 0 END AS f_qual
+FROM s0
+LEFT JOIN url_keep u ON s0.doc_id = u.doc_id
+JOIN rep r ON s0.doc_id = r.doc_id
+LEFT JOIN dropped dr ON s0.doc_id = dr.node
+JOIN qs q ON s0.doc_id = q.doc_id
+"""
+
+
+def _pipe_s4_sql(
+    dialect: str, flags_ref: str, pdoc_ref: str | None = None
+) -> str:
+    """(doc_id, source, n_tokens, f_ppl) over pipeline survivors of stages
+    1–3: the perplexity tercile computed on the POST-FILTER corpus (the
+    model ranks what's left, the sequential-pipeline semantics). Spark uses
+    the hierarchical blocked-ntile decomposition (ns_text_perplexity's
+    scale path: nll is q6-quantized and < ~30, so floor(nll·10) is a
+    monotone ≤ ~300-bucket key; per-bucket row_number + cumulative offsets
+    + NTILE's closed form — no corpus-sized single-partition sort); the
+    oracle keeps real ntile(3)."""
+    pdoc = pdoc_ref or _perplexity_doc_sql(dialect)
+    base = f"""s3 AS (
+  SELECT doc_id, source FROM ({flags_ref}) fl
+  WHERE f_url = 1 AND f_dedup = 1 AND f_qual = 1
+),
+pdoc AS ({pdoc}),
+base AS (
+  SELECT s3.doc_id, s3.source, p.n_tokens, p.nll
+  FROM s3 JOIN pdoc p ON s3.doc_id = p.doc_id
+)"""
+    if dialect == "duckdb":
+        return f"""
+WITH {base}
+SELECT doc_id, source, n_tokens,
+  CAST(CASE WHEN nt <= 2 THEN 1 ELSE 0 END AS INT) AS f_ppl
+FROM (
+  SELECT doc_id, source, n_tokens,
+    ntile(3) OVER (ORDER BY nll, doc_id) AS nt
+  FROM base
+) r
+"""
+    return f"""
+WITH {base},
+pb AS (
+  SELECT doc_id, source, n_tokens, nll,
+    CAST(floor(nll * 10e0) AS BIGINT) AS pb
+  FROM base
+),
+bc AS (SELECT pb, count(*) AS c FROM pb GROUP BY pb),
+off AS (
+  SELECT pb, c,
+    sum(c) OVER (ORDER BY pb ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      AS off0,
+    sum(c) OVER () AS n
+  FROM bc
+),
+rk AS (
+  SELECT p.doc_id, p.source, p.n_tokens,
+    o.off0 + row_number() OVER (
+      PARTITION BY p.pb ORDER BY p.nll, p.doc_id
+    ) AS r,
+    o.n
+  FROM pb p JOIN off o ON p.pb = o.pb
+)
+SELECT doc_id, source, n_tokens,
+  CAST(CASE WHEN nt <= 2 THEN 1 ELSE 0 END AS INT) AS f_ppl
+FROM (
+  SELECT doc_id, source, n_tokens,
+    CASE WHEN r <= m * d1 THEN (r - 1) DIV d1 + 1
+         ELSE m + (r - m * d1 - 1) DIV (d1 - 1) + 1 END AS nt
+  FROM (
+    SELECT doc_id, source, n_tokens, r, n % 3 AS m, n DIV 3 + 1 AS d1 FROM rk
+  ) t
+) ranked
+"""
+
+
+def _pipe_doc2_sql(
+    dialect: str, s4_ref: str, ng_ref: str | None = None
+) -> str:
+    """(doc_id, source, n_tokens, f_ppl, f_decon) — adds the strict
+    decontamination flag: a surviving doc sharing ANY distinct 5-gram with
+    the eval holdout is contaminated (the GPT-3-style rule; ratio
+    thresholds are vacuous on this corpus — measured max contamination
+    ratio < 0.1 at every sf). Spark probes the 8 KB Bloom mask map-side
+    (`_bloom_cand_cte`); the oracle runs the exact join unfiltered."""
+    return f"""
+WITH s4 AS ({s4_ref}),
+ng AS ({ng_ref or _ngram_sql(dialect)}),
+eval_g AS (SELECT DISTINCT gram FROM ng WHERE doc_id % {_EVAL_MOD} = 0),
+corpus AS (
+  SELECT g.doc_id, g.gram FROM ng g JOIN s4 ON g.doc_id = s4.doc_id
+),{_bloom_cand_cte(dialect)}
+hits AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM cand c JOIN eval_g e ON c.gram = e.gram
+  GROUP BY c.doc_id
+)
+SELECT s4.doc_id, s4.source, s4.n_tokens, s4.f_ppl,
+  CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS f_decon
+FROM s4 LEFT JOIN hits h ON s4.doc_id = h.doc_id
+"""
+
+
+def _pipe_final_sql(dialect: str, flags_ref: str, doc2_ref: str) -> str:
+    """The one lazy funnel/pack/shuffle/mixture statement — a WITH-chain
+    CONTINUATION (no leading WITH) so the oracle can prepend its
+    materialized stage CTEs and Spark can run it directly over the
+    checkpointed stage views."""
+    p = _PIPE_P
+    shard = f"CAST(floor(doc_id / {synth.flit(_PIPE_SHARD)}) AS BIGINT)"
+    if dialect == "spark":
+        pos_rel = f"""keyed AS (
+  SELECT doc_id, source, k, substring(k, 1, 2) AS blk
+  FROM (SELECT doc_id, source,
+          md5(concat('{_PIPE_SALT}', CAST(doc_id AS STRING))) AS k
+        FROM s5) t0
+),
+blkc AS (SELECT blk, count(*) AS c FROM keyed GROUP BY blk),
+blko AS (
+  SELECT blk,
+    sum(c) OVER (ORDER BY blk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      AS off0
+  FROM blkc
+),
+pos_rel AS (
+  SELECT k.doc_id, k.source,
+    o.off0 + row_number() OVER (
+      PARTITION BY k.blk ORDER BY k.k, k.doc_id) AS pos
+  FROM keyed k JOIN blko o ON k.blk = o.blk
+)"""
+    else:
+        pos_rel = f"""pos_rel AS (
+  SELECT doc_id, source, row_number() OVER (
+    ORDER BY md5('{_PIPE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM s5
+)"""
+    epochs = (
+        "CASE WHEN CAST(coalesce(dd.toks, 0) AS BIGINT) = 0 THEN 0e0 "
+        "ELSE least(4e0, CAST(wt.budget * w.wn AS DOUBLE) "
+        "/ CAST(wt.sum_wn * dd.toks AS DOUBLE)) END"
+    )
+    return f"""f AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+    CAST(sum(f_url) AS BIGINT) AS n_url,
+    CAST(sum(f_url * f_dedup) AS BIGINT) AS n_dedup,
+    CAST(sum(f_url * f_dedup * f_qual) AS BIGINT) AS n_qual
+  FROM ({flags_ref}) fl GROUP BY source
+),
+dd AS (
+  SELECT source, CAST(sum(f_ppl) AS BIGINT) AS n_ppl,
+    CAST(sum(f_ppl * f_decon) AS BIGINT) AS n_final,
+    CAST(sum(CASE WHEN f_ppl * f_decon = 1 THEN n_tokens ELSE 0 END)
+      AS BIGINT) AS toks
+  FROM ({doc2_ref}) d2a GROUP BY source
+),
+s5 AS (
+  SELECT doc_id, source, n_tokens FROM ({doc2_ref}) d2b
+  WHERE f_ppl = 1 AND f_decon = 1
+),
+cum AS (
+  SELECT doc_id, source, n_tokens, {shard} AS shard,
+    sum(n_tokens) OVER (PARTITION BY {shard} ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_tokens
+  FROM s5
+),
+packed AS (
+  SELECT doc_id, source,
+    shard * 1000000
+      + CAST(floor((cum_tokens - 1) / {synth.flit(_PIPE_CAP)}) AS BIGINT)
+      AS pack_id
+  FROM cum
+),
+pk AS (
+  SELECT source, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+    CAST(sum((pack_id % {p}) * (doc_id % {p}) % {p}) AS BIGINT) AS pack_check
+  FROM packed GROUP BY source
+),
+{pos_rel},
+sh AS (
+  SELECT source,
+    CAST(sum((pos % {p}) * (doc_id % {p}) % {p}) AS BIGINT) AS shuffle_check,
+    CAST(max(pos) AS BIGINT) AS max_pos
+  FROM pos_rel GROUP BY source
+),
+w AS (
+  SELECT source, toks,
+    1 + coalesce(TRY_CAST(substring(source, 4) AS INT), 0) % 4 AS wn
+  FROM dd
+),
+wt AS (
+  SELECT CAST(sum(CASE WHEN toks > 0 THEN wn ELSE 0 END) AS BIGINT) AS sum_wn,
+    2 * CAST(sum(toks) AS BIGINT) AS budget
+  FROM w
+)
+SELECT f.source, f.n_raw, f.n_url, f.n_dedup, f.n_qual,
+  CAST(coalesce(dd.n_ppl, 0) AS BIGINT) AS n_ppl,
+  CAST(coalesce(dd.n_final, 0) AS BIGINT) AS n_final,
+  CAST(coalesce(dd.toks, 0) AS BIGINT) AS toks,
+  CAST(coalesce(w.wn, 0) AS INT) AS weight,
+  {epochs} AS epochs,
+  {epochs} * CAST(coalesce(dd.toks, 0) AS DOUBLE) AS effective_tokens,
+  CAST(coalesce(pk.n_packs, 0) AS BIGINT) AS n_packs,
+  CAST(coalesce(pk.pack_check, 0) AS BIGINT) AS pack_check,
+  CAST(coalesce(sh.shuffle_check, 0) AS BIGINT) AS shuffle_check,
+  CAST(coalesce(sh.max_pos, 0) AS BIGINT) AS max_pos
+FROM f
+LEFT JOIN dd ON f.source = dd.source
+LEFT JOIN w ON f.source = w.source
+LEFT JOIN pk ON f.source = pk.source
+LEFT JOIN sh ON f.source = sh.source
+CROSS JOIN wt
+ORDER BY f.source
+"""
+
+
+def _pipeline_v2_oracle_sql() -> str:
+    return (
+        "WITH flagm AS MATERIALIZED ("
+        + _pipe_flags_sql("duckdb")
+        + "),\ns4m AS MATERIALIZED ("
+        + _pipe_s4_sql("duckdb", "SELECT * FROM flagm")
+        + "),\nd2m AS MATERIALIZED ("
+        + _pipe_doc2_sql("duckdb", "SELECT * FROM s4m")
+        + "),\n"
+        + _pipe_final_sql(
+            "duckdb", "SELECT * FROM flagm", "SELECT * FROM d2m"
+        )
+    )
+
+
+_PIPE_FLAGS_CACHE: dict[tuple, DataFrame] = {}
+_PIPE_S4_CACHE: dict[tuple, DataFrame] = {}
+_PIPE_DOC2_CACHE: dict[tuple, DataFrame] = {}
+
+
+@register(
+    "ns_pipeline_e2e",
+    oracle=_pipeline_v2_oracle_sql(),
+    doc="The FULL composed corpus-refresh pipeline (rebuilt r8): eval "
+    "holdout → URL-canonicalization dedup → exact+MinHash cluster dedup → "
+    "linear quality-model filter → perplexity tercile (blocked ntile, no "
+    "global sort) → Bloom-prefiltered strict decontamination → sequence "
+    "packing → blocked md5 global shuffle → token-budget mixture epochs "
+    "(budget = 2× surviving tokens, scale-invariant). Emits the per-source "
+    "survival funnel, token inventory, epoch allocation, and exact modular "
+    "checksums pinning every doc's pack id and shuffle position. Stage "
+    "relations are the session-shared checkpoints (tokens, rep map, "
+    "MinHash pairs, per-doc NLL, 5-grams); three narrow per-doc "
+    "materializations; the final statement is one lazy plan with zero "
+    "parquet scans. Oracle = the same pipeline with every scale device "
+    "naive (real ntile, global-sort row_number, no Bloom) (NS).",
+    tags=("ns", "text", "bench", "pipeline"),
+)
+def ns_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _cached_minhash_pairs, cached_rep_map_ref
+
+    _view(spark, sf_dir, "documents")
+    key = (session_key(spark), sf_dir.rstrip("/"))
+    rep_ref = cached_rep_map_ref(spark, sf_dir)
+    _cached_minhash_pairs(spark, sf_dir).createOrReplaceTempView(
+        "minhash_pairs"
+    )
+    checkpointed(
+        _PIPE_FLAGS_CACHE, key,
+        lambda: spark.sql(
+            _pipe_flags_sql(
+                "spark", rep_ref=rep_ref,
+                pairs_ref="SELECT ai, bi FROM minhash_pairs",
+            )
+        ).coalesce(8),
+    ).createOrReplaceTempView("pipe_flags")
+    _cached_ppl_doc(spark, sf_dir).createOrReplaceTempView("ppl_doc")
+    checkpointed(
+        _PIPE_S4_CACHE, key,
+        lambda: spark.sql(
+            _pipe_s4_sql(
+                "spark", "SELECT * FROM pipe_flags",
+                pdoc_ref="SELECT doc_id, n_tokens, nll FROM ppl_doc",
+            )
+        ).coalesce(8),
+    ).createOrReplaceTempView("pipe_s4")
+    _cached_bloom_ng(spark, sf_dir).createOrReplaceTempView("bloom_ng")
+    checkpointed(
+        _PIPE_DOC2_CACHE, key,
+        lambda: spark.sql(
+            _pipe_doc2_sql(
+                "spark", "SELECT * FROM pipe_s4",
+                ng_ref="SELECT doc_id, gram FROM bloom_ng",
+            )
+        ).coalesce(8),
+    ).createOrReplaceTempView("pipe_doc2")
+    return spark.sql(
+        "WITH "
+        + _pipe_final_sql(
+            "spark", "SELECT * FROM pipe_flags", "SELECT * FROM pipe_doc2"
+        )
     )

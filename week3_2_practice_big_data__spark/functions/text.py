@@ -1138,55 +1138,11 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ns_pipeline_e2e — the composed pipeline a user actually runs: exact-dedup
-# keepers ∩ quality threshold ∩ language allowlist → surviving-corpus stats
-# per language. Each stage is an already-oracle-checked relation; this key
-# proves they COMPOSE into one lazy plan (no intermediate materialization;
-# the keeper relation inner-joins back so duplicates drop in the same
-# pass).
-# ---------------------------------------------------------------------------
-
-
-def _strip_trailing_order(sql: str) -> str:
-    """Remove only the FINAL `ORDER BY doc_id` (subquery use) — a blanket
-    replace would also strip window ORDER BYs inside the stage SQL."""
-    marker = "ORDER BY doc_id"
-    assert sql.rstrip().endswith(marker), "stage SQL tail changed; fix caller"
-    return sql[: sql.rstrip().rfind(marker)]
-
-
-def _pipeline_sql(dialect: str) -> str:
-    quality = f"({_strip_trailing_order(_quality_sql(dialect))})"
-    keepers = f"({_strip_trailing_order(_dedup_exact_sql(dialect))})"
-    return f"""
-WITH q AS {quality},
-k AS {keepers},
-kept AS (
-  SELECT d.doc_id, d.lang, d.n_chars
-  FROM documents d
-  JOIN k ON d.doc_id = k.doc_id
-  JOIN q ON d.doc_id = q.doc_id
-  WHERE q.quality >= 0.5e0 AND d.lang IN ('en', 'de', 'fr')
-)
-SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
-FROM kept GROUP BY lang ORDER BY lang
-"""
-
-
-@register(
-    "ns_pipeline_e2e",
-    oracle=_pipeline_sql("duckdb"),
-    doc="Composed cleaning pipeline: exact-dedup keepers ∩ quality >= 0.5 ∩ "
-    "language allowlist → per-language surviving-corpus stats. One lazy "
-    "plan over already-proven stage relations — the end-to-end shape a "
-    "data pipeline actually ships (NS).",
-    tags=("ns", "text", "bench"),
-)
-def ns_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
-    return spark.sql(_pipeline_sql("spark"))
-
-
+# ns_pipeline_e2e moved to functions/llmprep.py in r8, rebuilt as the FULL
+# current pipeline (VERDICT r7 item 1): URL canonicalization → exact+MinHash
+# dedup keepers → quality classifier → perplexity tercile → Bloom
+# decontamination → sequence packing → blocked global shuffle → mixture
+# epochs, composed over this module's shared token/rep/pair relations.
 # ---------------------------------------------------------------------------
 # ns_text_bm25 — BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene
 # practical scoring function) over the shared token stream: four 3-term
