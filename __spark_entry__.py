@@ -226,6 +226,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # the builder code path changed)
     "ns_text_perplexity",
     "ns_decontaminate_bloom",
+    # NEW r8 (VERDICT r7 item 4): multi-source BFS / unweighted shortest
+    # path over the shared bip_edges graph — per-round frontier equi-join
+    # + visited anti-join, localCheckpoint per round, unrolled
+    # MATERIALIZED-CTE oracle
+    "iter_bfs_sssp",
 ]
 
 # ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,

@@ -125,9 +125,10 @@ HEADLINE = [
     "win_survival_km",
     # round-8: the rebuilt FULL composed pipeline (url canon → dedup
     # cluster → quality classifier → perplexity tercile → bloom decontam →
-    # pack → blocked global shuffle → mixture epochs); first medians seed
-    # the r9 baseline.
+    # pack → blocked global shuffle → mixture epochs) and the multi-source
+    # BFS frontier loop; first medians seed the r9 baseline.
     "ns_pipeline_e2e",
+    "iter_bfs_sssp",
 ]
 
 

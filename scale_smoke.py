@@ -167,6 +167,10 @@ KEYS = [
     # calendar-bounded lifetime summary
     "win_markov_transitions",
     "win_survival_km",
+    # r8: multi-source BFS rides the duplicated lineitem — the DISTINCT
+    # part–supplier edge list (and so every frontier round) is
+    # duplication-invariant like the jaccard/RA pair
+    "iter_bfs_sssp",
     # r8: the rebuilt FULL composed pipeline rides the duplicated corpus —
     # every corpus-sized stage input is a relation already proven
     # duplication-collapsed (rep-collapsed MinHash pairs, distinct 5-gram

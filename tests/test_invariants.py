@@ -572,3 +572,21 @@ def test_compaction_rewrites_64_fragments_to_4_files(spark):
     assert n_compact == 4
     n_src = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet")).count()
     assert rows[0]["n_rows"] == n_src
+
+
+def test_bfs_sssp_levels_saturate(spark):
+    """iter_bfs_sssp semantic pins at sf0.001: multi-source seeds present,
+    real frontier mass at dists 1–3, the round-4 frontier EMPTY (the
+    expander saturates — the fixpoint round is exercised, not just
+    configured), and zero unreached nodes (the part–supplier graph is
+    connected at every driver sf)."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    rows = {r["dist"]: r for r in
+            REGISTRY["iter_bfs_sssp"].builder(spark, SF_SMALL).collect()}
+    assert set(rows) == {-1, 0, 1, 2, 3, 4}
+    assert rows[0]["n_nodes"] >= 2  # multi-source
+    assert rows[1]["n_nodes"] > 0 and rows[2]["n_nodes"] > 0
+    assert rows[3]["n_nodes"] > 0
+    assert rows[4]["n_nodes"] == 0 and rows[4]["node_check"] == 0
+    assert rows[-1]["n_nodes"] == 0

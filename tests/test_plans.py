@@ -857,3 +857,31 @@ def test_pipeline_e2e_one_lazy_plan_zero_scans(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan parquet") == 0
         assert "CartesianProduct" not in plan
+
+
+def test_bfs_round_plan_equi_joins_only(spark):
+    """iter_bfs_sssp (r8): one level-synchronous expansion round — the
+    frontier neighbor join + the visited anti-join — must compile to
+    shuffle/broadcast EQUI-joins only (never a cartesian product, never a
+    nested loop over nodes); this is the per-round plan the driver loop
+    checkpoints 4 times."""
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark.operators.advanced import (
+        _BFS_SEEDS_SQL,
+        _BFS_UND_SQL,
+        _bfs_expand,
+    )
+
+    # builder run primes the bip_edges checkpoint + views
+    REGISTRY["iter_bfs_sssp"].builder(spark, SF_SMALL).collect()
+    und = spark.sql(f"WITH bip AS (SELECT p, s FROM bip_edges) {_BFS_UND_SQL}")
+    frontier = spark.sql(_BFS_SEEDS_SQL)
+    new = _bfs_expand(und, frontier, frontier.select("node"))
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin") >= 2
+    )

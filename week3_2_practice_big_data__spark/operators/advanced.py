@@ -1101,3 +1101,158 @@ def iter_als_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _als_final_sql(r_ref, p_ref="SELECT u, f1, f2 FROM als_p")
     )
+
+
+# ---------------------------------------------------------------------------
+# iter_bfs_sssp — multi-source BFS / unweighted shortest path (r8, VERDICT
+# r7 item 4): the frontier-expansion traversal the iterative family lacked
+# (pagerank/cc/kcore/triangle/ALS are all fixed-round relational updates;
+# this is the level-synchronous propagation GraphFrames users hit first).
+# Graph: the shared part–supplier bipartite edge list (bip_edges — the
+# same checkpoint graph_bipartite_jaccard / graph_resource_alloc read),
+# node-encoded supplier s → 2s, part p → 2p+1 in pure BIGINT. Sources:
+# every supplier in the nation-0/5/10/15/20 group ("distance to the
+# nearest distribution-center region"). Each round is ONE dst-keyed
+# equi-join of the frontier against the undirected edge list plus ONE
+# anti-join against the visited set — never a cartesian product, never a
+# per-node loop; the Spark side is the kcore/pagerank driver loop with a
+# localCheckpoint per round, the DuckDB oracle the same rounds unrolled as
+# MATERIALIZED CTEs. 4 rounds: the expander saturates at dist 3 on every
+# driver sf (measured), so round 4 pins the empty-frontier fixpoint.
+# Output: per-distance node count + exact modular membership checksum
+# (sum of node % 1000003 — order-free BIGINT), plus the unreached row
+# (dist = -1) — schema-stable, corpus-size-independent.
+# Scale: the duplicated-lineitem ladder leaves the DISTINCT edge list
+# unchanged (duplication-invariant like the jaccard/RA pair); frontier
+# size is bounded by the node set, every shuffle key is a node id.
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_P = 1_000_003
+_BFS_UND_SQL = """
+  SELECT 2 * s AS src, 2 * p + 1 AS dst FROM bip
+  UNION ALL
+  SELECT 2 * p + 1 AS src, 2 * s AS dst FROM bip
+"""
+_BFS_SEEDS_SQL = (
+    "SELECT DISTINCT 2 * s_suppkey AS node FROM supplier "
+    "WHERE s_nationkey % 5 = 0"
+)
+
+
+def _bfs_summary(rel: str, dist: str) -> str:
+    return (
+        f"SELECT CAST({dist} AS BIGINT) AS dist, "
+        f"CAST(count(*) AS BIGINT) AS n_nodes, "
+        f"CAST(coalesce(sum(node % {_BFS_P}), 0) AS BIGINT) AS node_check "
+        f"FROM {rel}"
+    )
+
+
+def _bfs_oracle_sql() -> str:
+    parts = [
+        f"""
+WITH bip AS MATERIALIZED ({_BIP_EDGES_SQL}),
+und AS MATERIALIZED ({_BFS_UND_SQL}),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+f0 AS MATERIALIZED ({_BFS_SEEDS_SQL}),
+v0 AS MATERIALIZED (SELECT node FROM f0)"""
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f""",
+f{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM und e JOIN f{r - 1} fr ON e.src = fr.node
+  WHERE NOT EXISTS (SELECT 1 FROM v{r - 1} v WHERE v.node = e.dst)
+),
+v{r} AS MATERIALIZED (
+  SELECT node FROM v{r - 1} UNION SELECT node FROM f{r}
+)"""
+        )
+    summaries = "\n  UNION ALL\n  ".join(
+        _bfs_summary(f"f{r}", r) for r in range(_BFS_ROUNDS + 1)
+    )
+    unreached = _bfs_summary(
+        f"(SELECT n.node FROM nodes n WHERE NOT EXISTS "
+        f"(SELECT 1 FROM v{_BFS_ROUNDS} v WHERE v.node = n.node)) ur",
+        -1,
+    )
+    return "".join(parts) + f"""
+SELECT dist, n_nodes, node_check FROM (
+  {summaries}
+  UNION ALL
+  {unreached}
+) s
+ORDER BY dist
+"""
+
+
+def _bfs_expand(und: DataFrame, frontier: DataFrame, visited: DataFrame):
+    """One level-synchronous BFS round: neighbors of the frontier via the
+    src-keyed equi-join, minus the visited set via an anti-join — the
+    per-round plan the test pins (shuffle/broadcast equi-joins only)."""
+    import pyspark.sql.functions as F
+
+    return (
+        und.join(frontier, und["src"] == frontier["node"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(visited, "node", "left_anti")
+    )
+
+
+@register(
+    "iter_bfs_sssp",
+    oracle=_bfs_oracle_sql(),
+    doc="Multi-source BFS / unweighted shortest path over the shared "
+    "part–supplier bipartite graph (bip_edges checkpoint; supplier 2s / "
+    "part 2p+1 node encoding): sources are the nation-0/5/10/15/20 "
+    "suppliers, 4 level-synchronous rounds — each ONE frontier equi-join "
+    "+ ONE visited anti-join, localCheckpoint per round (the "
+    "kcore/pagerank driver-loop discipline) — vs the same rounds unrolled "
+    "as MATERIALIZED CTEs in DuckDB. Emits per-distance node counts with "
+    "exact modular membership checksums plus the unreached row "
+    "(REF-ANALOG; the frontier-expansion member of the iterative graph "
+    "family).",
+    tags=("iterative", "graph", "join"),
+)
+def iter_bfs_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    for t in ("lineitem", "supplier"):
+        _view(spark, sf_dir, t)
+    checkpointed(
+        _BIP_EDGE_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_BIP_EDGES_SQL).coalesce(8),
+    ).createOrReplaceTempView("bip_edges")
+    und = spark.sql(
+        f"WITH bip AS (SELECT p, s FROM bip_edges) {_BFS_UND_SQL}"
+    ).localCheckpoint(eager=True)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    frontier = spark.sql(_BFS_SEEDS_SQL).localCheckpoint(eager=True)
+    visited = frontier
+    levels = [(0, frontier)]
+    for r in range(1, _BFS_ROUNDS + 1):
+        frontier = _bfs_expand(und, frontier, visited).localCheckpoint(
+            eager=True
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        levels.append((r, frontier))
+    levels.append((-1, nodes.join(visited, "node", "left_anti")))
+
+    def summary(dist: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(dist).cast("bigint").alias("dist"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.coalesce(F.sum(F.col("node") % _BFS_P), F.lit(0))
+            .cast("bigint")
+            .alias("node_check"),
+        )
+
+    dfs = [summary(d, df) for d, df in levels]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out.orderBy("dist")
