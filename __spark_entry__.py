@@ -231,6 +231,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     # + visited anti-join, localCheckpoint per round, unrolled
     # MATERIALIZED-CTE oracle
     "iter_bfs_sssp",
+    # NEW r8 (VERDICT r7 item 5): stream-stream LEFT OUTER join with
+    # watermark-driven null emission — full batch-equivalence oracle
+    # (inner set + never-matched clicks evicted at click_ms <= wm_ms -
+    # range_ms - 1, final global wm = max_ts + sentinel offset - 1 s -
+    # delay); eviction forced into data batches by two far-future
+    # sentinel files (the trailing no-data batch is not awaited by
+    # processAllAvailable — observed flaky before the sentinels)
+    "stream_stream_outer_join",
 ]
 
 # ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,

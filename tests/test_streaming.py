@@ -197,3 +197,76 @@ def test_stream_cep_detects_patterns_across_chunk_boundaries(spark):
     assert streamed == batch
     # (user 7, 1 conversion, 1 burst, longest 2) — both boundary patterns
     assert streamed == {(7, 1, 1, 2)}
+
+
+def test_outer_join_watermark_null_emission_boundary(spark):
+    """stream_stream_outer_join (r8): crafted fixture pinning all three
+    emission classes — a click that MATCHES a late-but-in-range view, a
+    never-matched click whose window the watermark closed (emitted with
+    NULL view columns), and never-matched clicks whose window is still
+    open at end-of-stream (withheld) — with two clicks placed at the exact
+    ±1 ms eviction boundary, so the oracle's state-watermark predicate
+    (click_ms <= wm_ms - range_ms - 1) is pinned against the engine, not
+    assumed. Cross-engine compare runs on the same fixture."""
+    import os
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_ssojfix",
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        import duckdb
+
+        os.makedirs(out, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+        )
+        t0_ms = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC
+        tmax_ms = 1_704_844_800_000  # 2024-01-10 00:00:00 UTC
+        # final GLOBAL wm = tmax + 30 min (sentinel) - 1 s (the sentinel
+        # view lags its click, and global wm = min over sides) - 10 min
+        wm_ms = tmax_ms + 1_200_000 - 1_000
+        b_ms = wm_ms - 360 * 60_000  # eviction boundary wm - range
+        rows = [
+            (100, t0_ms, 1, "click"),  # matched by the late view below
+            (101, t0_ms + 21_540_000, 1, "view"),  # +5h59m: in range
+            (200, t0_ms, 2, "click"),  # never matched, old -> NULL-emitted
+            (201, t0_ms + 21_600_001, 2, "view"),  # +6h + 1ms: OUT of range
+            (300, b_ms, 3, "click"),  # exactly wm - range: withheld
+            (400, b_ms - 1, 4, "click"),  # 1 ms older: evicted, emitted
+            (500, b_ms + 1, 5, "click"),  # 1 ms newer: withheld
+            (600, tmax_ms - 3_600_000, 6, "click"),  # recent: withheld
+            (700, tmax_ms, 99, "view"),  # max-ts anchor
+        ]
+        for eid, ms, uid, typ in rows:
+            con.execute(
+                "INSERT INTO e VALUES (?, make_timestamp(? * 1000), ?, ?, "
+                "0e0, NULL)",
+                [eid, ms, uid, typ],
+            )
+        con.execute(f"COPY e TO '{out}/events.parquet' (FORMAT PARQUET)")
+        from week3_2_practice_big_data__spark.io import TABLES
+
+        for t in TABLES:
+            if t == "events":
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') "
+                f"LIMIT 20) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        with open(stamp, "w") as f:
+            f.write("v1")
+
+    from .oracle import compare, duck_run
+
+    q = REGISTRY["stream_stream_outer_join"]
+    sdf = q.builder(spark, out)
+    compare(sdf, duck_run(q.oracle, out), "stream_stream_outer_join:fix")
+    got = {
+        (r["click_id"], r["view_id"]) for r in sdf.collect()
+    }
+    assert got == {(100, 101), (200, None), (400, None)}, sorted(got)

@@ -31,12 +31,33 @@ _REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path
 _CHUNKS = 4
 _WATERMARK = "10 minutes"
 _WATERMARK_US = 600_000_000  # the same 10 minutes, in microseconds
+# Far-future sentinel offset (30 min past max real ts): final watermark =
+# max_ts + 30 min - 10 min, so unmatched clicks in the last 5 h 40 min of
+# real data stay withheld — both outer-join branches keep mass.
+_SSOJ_SENT_OFFSET_US = 1_800_000_000
 
 
-def _chunked_source(spark: SparkSession, sf_dir: str, tag: str, dup_first: int = 0) -> str:
+def _chunked_source(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    dup_first: int = 0,
+    sentinels: int = 0,
+) -> str:
     """Write events as _CHUNKS time-ordered parquet files; optionally append
     a final chunk duplicating the first `dup_first` rows (late + duplicate
-    data for the dedup/watermark paths). Deterministic per (sf_dir, tag)."""
+    data for the dedup/watermark paths). Deterministic per (sf_dir, tag).
+
+    `sentinels` > 0 appends that many trailing single-pair chunk files
+    (one 'click' + one 'view' row, user_id = -(i+1), ts = max real ts +
+    _SSOJ_SENT_OFFSET_US) — far-future rows that pass both side filters of
+    the stream-stream joins and so deterministically advance BOTH sources'
+    watermarks and run state eviction inside DATA batches. Without them
+    the final evictions ride the trailing no-data micro-batch, which
+    processAllAvailable is NOT guaranteed to wait for (observed flaky at
+    sf0.001: one eviction-eligible click intermittently withheld). The
+    sentinel view sits 1 s BEFORE its click, so the pair never matches
+    itself; user_id < 0 matches no real user."""
     ev = load_table(spark, sf_dir, "events")
     out = os.path.join(_REPO_TMP, f"stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
 
@@ -65,8 +86,36 @@ def _chunked_source(spark: SparkSession, sf_dir: str, tag: str, dup_first: int =
                 .write.mode("overwrite")
                 .parquet(os.path.join(tmp, f"chunk={_CHUNKS:02d}_dups"))
             )
+        for i in range(sentinels if n > 0 else 0):
+            # (empty source: max(ts) is NULL — no sentinels, the whole
+            # stream is empty and the oracle's wm CTE is NULL-vacuous too)
+            sent = spark.sql(
+                f"""
+SELECT CAST(-1 - {i} AS BIGINT) AS event_id,
+  timestampadd(MICROSECOND, {_SSOJ_SENT_OFFSET_US},
+               (SELECT max(ts) FROM {{ev}})) AS ts,
+  CAST(-1 - {i} AS BIGINT) AS user_id, t.event_type,
+  CAST(0e0 AS DOUBLE) AS value, CAST(NULL AS STRING) AS props
+FROM VALUES ('click'), ('view') AS t(event_type)
+""",
+                ev=ev,
+            ).withColumn(
+                "ts",
+                F.when(
+                    F.col("event_type") == "view",
+                    F.expr("timestampadd(SECOND, -1, ts)"),
+                ).otherwise(F.col("ts")),
+            )
+            (
+                sent.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"chunk={90 + i:02d}_sent"))
+            )
 
-    return build_once(out, build, stamp=f"dup_first={dup_first}")
+    stamp = f"dup_first={dup_first}" + (
+        f",sentinels={sentinels}" if sentinels else ""
+    )
+    return build_once(out, build, stamp=stamp)
 
 
 def _run_stream(spark: SparkSession, src_dir: str, schema, transform, name: str) -> DataFrame:
@@ -578,6 +627,129 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "view_id",
         "user_id",
+        (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(name).orderBy("click_id", "view_id")
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_outer_join — the LEFT OUTER variant (r8, VERDICT r7 item
+# 5): same clicks×views range join, but unmatched clicks are emitted with
+# NULL view columns — and only WHEN THE WATERMARK CLOSES THEIR WINDOW
+# (state eviction), the semantics no inner-join key exercises. Under
+# lockstep in-order arrival the batch-equivalence oracle is exact:
+# matched rows are the complete inner join (the r1 argument), and the
+# null-extended set is every never-matched click whose join window the
+# FINAL watermark has passed — Spark evicts left state at
+# click_ts_ms <= wm_ms - range_ms - 1 (the state-watermark allowance:
+# eviction strictly BELOW the ms-floored boundary; calibrated against the
+# engine, see tests/test_streaming.py's crafted fixture) — clicks still
+# inside their window when the stream ends stay in state and are NOT
+# emitted. The oracle reproduces exactly that predicate in integer ms
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+_SSOJ_ORACLE = f"""
+WITH wm AS (
+  -- the GLOBAL watermark is min over the two sides' watermark nodes
+  -- (each computed post-filter on its own rows): the sentinel view sits
+  -- 1 s before the sentinel click, so the views side lags and the final
+  -- global watermark is max_ts + offset - 1 s - delay (observed on the
+  -- crafted fixture's per-batch progress, encoded exactly here)
+  SELECT CAST(floor((max(epoch_us(ts)) + {_SSOJ_SENT_OFFSET_US} - 1000000
+                     - {_WATERMARK_US}) / 1000e0) AS BIGINT) AS wm_ms
+  FROM events
+)
+SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_RANGE_MIN} MINUTE
+UNION ALL
+SELECT a.event_id AS click_id, CAST(NULL AS BIGINT) AS view_id, a.user_id,
+  CAST(NULL AS BIGINT) AS gap_us
+FROM events a CROSS JOIN wm
+WHERE a.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'view'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_RANGE_MIN} MINUTE
+  )
+  AND CAST(floor(epoch_us(a.ts) / 1000e0) AS BIGINT)
+      <= wm.wm_ms - {_SSJ_RANGE_MIN} * 60000 - 1
+ORDER BY click_id, view_id
+"""
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle=_SSOJ_ORACLE,
+    doc="Watermarked stream-stream LEFT OUTER join (clicks x views per "
+    "user within a 6 h event-time range) over lockstep file micro-batches: "
+    "matches emit on arrival (complete inner set), never-matched clicks "
+    "emit with NULL view columns only when the watermark evicts their "
+    "state (click_ts_ms <= final_wm_ms - range_ms - 1, the engine's "
+    "state-watermark allowance, reproduced exactly in the oracle); clicks "
+    "whose window is still open at end-of-stream are withheld — fully "
+    "hash-checked watermark-driven null emission (NS).",
+    tags=("streaming", "join"),
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "ssoj", sentinels=2)
+    name = "w32bd_ssoj"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    def side():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    clicks = (
+        side()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", _WATERMARK)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    views = (
+        side()
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", _WATERMARK)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"click_user = user_id AND view_ts >= click_ts "
+            f"AND view_ts <= click_ts + interval {_SSJ_RANGE_MIN} minutes"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("click_user").alias("user_id"),
         (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
     query = (
