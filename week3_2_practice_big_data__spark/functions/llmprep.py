@@ -2633,3 +2633,84 @@ def ns_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark", "SELECT * FROM pipe_flags", "SELECT * FROM pipe_doc2"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ns_curriculum_order — deterministic curriculum training order (r8): the
+# sibling ns_global_shuffle's docstring promised — same blocked
+# decomposition, sort key swapped from a uniform md5 permutation to the
+# quality-model score (best-first curriculum), so the whole corpus gets a
+# reproducible position + contiguous shard WITHOUT a single-partition
+# sort. The score z is the shared _qc_scored_sql parse tree — pure
+# IEEE +,*,/ over exact integer features, so the DOUBLE is bit-identical
+# cross-engine and safe to SORT by (house precedent: the classifier's
+# keep decision is already the sign of this value). Bucket key
+# floor(z·16) is monotone in the sort order; bucket count is bounded by
+# the VALUE RANGE of z (a few hundred — z scales with text-length stats,
+# not corpus rows), per-bucket row_number + cumulative offsets over the
+# bucket summary reconstruct the global rank exactly. Oracle is the
+# naive global-sort row_number.
+# ---------------------------------------------------------------------------
+
+_CURR_SHARD = 64  # docs per shard (ns_global_shuffle's constant)
+
+
+def _curriculum_sql(dialect: str, qs_ref: str | None = None) -> str:
+    qs = qs_ref or _qc_scored_sql(dialect)
+    shard = (
+        f"CAST((pos - 1) {'DIV' if dialect == 'spark' else '//'} "
+        f"{_CURR_SHARD} AS BIGINT) AS shard"
+    )
+    if dialect == "duckdb":
+        return f"""
+WITH qs AS ({qs})
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, {shard},
+  CAST((pos - 1) % {_CURR_SHARD} + 1 AS BIGINT) AS pos_in_shard
+FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY z DESC, doc_id) AS pos
+  FROM qs
+) t
+ORDER BY pos
+"""
+    return f"""
+WITH qs AS ({qs}),
+pb AS (
+  SELECT doc_id, z, CAST(floor(z * 16e0) AS BIGINT) AS pb FROM qs
+),
+bc AS (SELECT pb, count(*) AS c FROM pb GROUP BY pb),
+off AS (
+  SELECT pb,
+    sum(c) OVER (ORDER BY pb DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      AS off0
+  FROM bc
+),
+rk AS (
+  SELECT p.doc_id,
+    o.off0 + row_number() OVER (
+      PARTITION BY p.pb ORDER BY p.z DESC, p.doc_id) AS pos
+  FROM pb p JOIN off o ON p.pb = o.pb
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, {shard},
+  CAST((pos - 1) % {_CURR_SHARD} + 1 AS BIGINT) AS pos_in_shard
+FROM rk
+ORDER BY pos
+"""
+
+
+@register(
+    "ns_curriculum_order",
+    oracle=_curriculum_sql("duckdb"),
+    doc="Deterministic curriculum training order: corpus ranked best-first "
+    "by the shared quality-model score (bit-identical IEEE parse tree, "
+    "safe to sort by), position + contiguous shard assignment via the "
+    "blocked decomposition — floor(z·16) monotone buckets, per-bucket "
+    "partitioned row_number + cumulative offsets over the value-bounded "
+    "bucket summary; NEVER a single-partition sort. Oracle is the naive "
+    "global-sort row_number (NS; ns_global_shuffle's promised curriculum "
+    "sibling, sort key = quality instead of md5).",
+    tags=("ns", "scale", "ordering"),
+)
+def ns_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_curriculum_sql("spark"))

@@ -500,3 +500,106 @@ def win_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_budget_alloc_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_pareto_abc — ABC / Pareto revenue classification (r8): rank parts by
+# exact revenue, classify by GLOBAL cumulative revenue share (A ≤ 70%,
+# B ≤ 90%, C rest) — the inventory-management classic that is secretly a
+# global-cumulative-sum problem, i.e. the same single-partition-sort cliff
+# win_ntile_blocked retired. Scale path: the coarse bucket key is
+# floor(log2(revenue)) computed EXACTLY as length(bin(rev_u)) — string
+# length of the binary form, no float log — so the bucket summary is ≤ 64
+# rows at ANY corpus size or value range (a fixed-width value bucket like
+# ntile_blocked's would grow with revenue magnitude under duplication);
+# per-bucket prefix revenue sums (partitioned window) + bucket-total
+# offsets over the ≤ 64-row summary reconstruct the global running sum
+# exactly. Revenue is an exact DECIMAL sum emitted as BIGINT 1e-4 units;
+# class thresholds compare 10·cum ≤ 7·total in pure BIGINT. The oracle is
+# the naive global window — value identity of the decomposition is the
+# check. Output: 3 class rows with exact revenue, one-division share, and
+# a modular part-membership checksum.
+# ---------------------------------------------------------------------------
+
+_ABC_P = 1_000_003
+
+
+def _pareto_rev_sql() -> str:
+    """(p_partkey, rev_u) — exact per-part revenue in BIGINT 1e-4 units
+    (DECIMAL(18,2) price × (1 − DECIMAL(18,2) discount) has scale 4, so
+    ×10000 is integral; the DECIMAL sum is exact in both engines)."""
+    return """
+SELECT l_partkey AS p_partkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+    AS rev_u
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def _pareto_abc_sql(dialect: str) -> str:
+    if dialect == "duckdb":
+        cum = """
+rk AS (
+  SELECT p_partkey, rev_u,
+    sum(rev_u) OVER (ORDER BY rev_u DESC, p_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_rev,
+    sum(rev_u) OVER () AS total
+  FROM pr
+)"""
+    else:
+        cum = """
+pb AS (SELECT p_partkey, rev_u, length(bin(rev_u)) AS pb FROM pr),
+bs AS (SELECT pb, sum(rev_u) AS brev FROM pb GROUP BY pb),
+off AS (
+  SELECT pb,
+    sum(brev) OVER (ORDER BY pb DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - brev
+      AS off_rev,
+    sum(brev) OVER () AS total
+  FROM bs
+),
+rk AS (
+  SELECT p.p_partkey, p.rev_u,
+    o.off_rev + sum(p.rev_u) OVER (
+      PARTITION BY p.pb ORDER BY p.rev_u DESC, p.p_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+    o.total
+  FROM pb p JOIN off o ON p.pb = o.pb
+)"""
+    return f"""
+WITH pr AS ({_pareto_rev_sql()}),{cum}
+SELECT abc_class,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(sum(rev_u) AS BIGINT) AS class_rev_u,
+  CAST(sum(rev_u) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS revenue_share,
+  CAST(sum(p_partkey % {_ABC_P}) AS BIGINT) AS part_check
+FROM (
+  SELECT p_partkey, rev_u, total,
+    CASE WHEN cum_rev * 10 <= total * 7 THEN 'A'
+         WHEN cum_rev * 10 <= total * 9 THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM rk
+) c
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@register(
+    "win_pareto_abc",
+    oracle=_pareto_abc_sql("duckdb"),
+    doc="Pareto/ABC revenue classification of parts (A = first 70% of "
+    "global cumulative revenue, B to 90%, C rest): exact DECIMAL revenue "
+    "as BIGINT 1e-4 units, global running sum via the blocked "
+    "decomposition with an EXACT log2 bucket key (length(bin(rev_u)) — "
+    "string length, no float log; ≤ 64-row bucket summary at any value "
+    "range), thresholds in pure BIGINT (10·cum ≤ 7·total). Oracle is the "
+    "naive global cumulative window (REF-ANALOG; the warehouse-classic "
+    "sibling of win_ntile_blocked).",
+    tags=("window", "scale", "agg"),
+)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_pareto_abc_sql("spark"))
