@@ -373,6 +373,10 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         "win_cusum_changepoint", "ts_resample_fill", "agg_bootstrap_poisson",
         "agg_skew_kurt", "ml_linreg_closed", "agg_anova_oneway",
         "agg_corr_moments", "ml_pca_power", "agg_sketch_kll_quantile",
+        # r8: the composed pipeline, the blocked pareto/curriculum ranks,
+        # and the BFS fixpoint on empty/one-row inputs
+        "ns_pipeline_e2e", "win_pareto_abc", "ns_curriculum_order",
+        "iter_bfs_sssp",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -548,6 +552,16 @@ def test_adversarial_input_parity(spark):
         # all-censored curve (the all-churn d>=r zero branch is a
         # correctness guard, identical shared text both engines)
         "win_markov_transitions", "win_survival_km",
+        # r8: the dirty corpus flows end-to-end through the composed
+        # pipeline (url regexes on synthesized strings, quality features
+        # over empty/5000-char/CJK text, blocked tercile, bloom probe,
+        # pack/shuffle checksums, epoch divisions behind the toks=0
+        # guard); curriculum sorts by the raw quality double and
+        # floor-casts it into buckets; pareto's DECIMAL revenue and log2
+        # bin() bucket run over the weird lineitem; the BFS frontier over
+        # the weird graph exercises the empty-round fixpoint
+        "ns_pipeline_e2e", "ns_curriculum_order", "win_pareto_abc",
+        "iter_bfs_sssp", "stream_stream_outer_join",
     ]
     for key in keys:
         q = REGISTRY[key]
