@@ -248,6 +248,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # position/shard plan with the sort key swapped to the shared
     # quality-model score; oracle is the naive global-sort row_number
     "ns_curriculum_order",
+    # NEW r8: chained stateful operators (stream-stream inner join
+    # feeding a tumbling windowed agg in ONE append-mode query) — pins
+    # watermark propagation: windows finalize against the join's output
+    # watermark = global wm - join range, reproduced in the oracle
+    "stream_chained_join_agg",
 ]
 
 # ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,

@@ -131,6 +131,7 @@ HEADLINE = [
     "iter_bfs_sssp",
     "win_pareto_abc",
     "ns_curriculum_order",
+    "stream_chained_join_agg",
 ]
 
 

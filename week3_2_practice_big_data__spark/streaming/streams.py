@@ -764,6 +764,133 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream_chained_join_agg — MULTIPLE STATEFUL OPERATORS in one streaming
+# query (r8): the stream-stream inner range join feeding a tumbling
+# windowed aggregation, the Spark-3.4+ chained-stateful capability no
+# other key exercises (join state + window state in the same append-mode
+# query, with watermark PROPAGATION between them). Under lockstep
+# in-order arrival the oracle is exact: the join emits the complete inner
+# set (the stream_stream_join argument), and the aggregation's input
+# watermark is the join's OUTPUT watermark — the global watermark minus
+# the join's state hold (a matched click can surface as late as
+# wm - range, so Spark delays the downstream watermark by exactly the
+# range) — hence the emitted windows are those with
+# end_ms <= final_wm_ms - range_ms. Same sentinel-driven source as
+# stream_stream_outer_join (evictions/finalizations ride DATA batches;
+# final global wm = max_ts + offset - 1 s - delay). Aggregates are exact
+# BIGINT (count + sum of integer gap_us), so the key is fully
+# hash-checked.
+# ---------------------------------------------------------------------------
+
+_SCJA_ORACLE = f"""
+WITH wm AS (
+  SELECT CAST(floor((max(epoch_us(ts)) + {_SSOJ_SENT_OFFSET_US} - 1000000
+                     - {_WATERMARK_US}) / 1000e0) AS BIGINT) AS wm_ms
+  FROM events
+),
+j AS (
+  SELECT a.ts AS click_ts, epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND a.event_type = 'click' AND b.event_type = 'view'
+   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_RANGE_MIN} MINUTE
+),
+agg AS (
+  SELECT CAST(floor(epoch(click_ts) / 600) AS BIGINT) * 600 AS win_start,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+  FROM j GROUP BY 1
+)
+SELECT win_start, n_pairs, sum_gap_us
+FROM agg CROSS JOIN wm
+WHERE (win_start + 600) * 1000 <= wm.wm_ms - {_SSJ_RANGE_MIN} * 60000
+ORDER BY win_start
+"""
+
+
+@register(
+    "stream_chained_join_agg",
+    oracle=_SCJA_ORACLE,
+    doc="Chained stateful operators in ONE streaming query: watermarked "
+    "stream-stream inner range join (clicks x views) feeding a tumbling "
+    "10-min windowed aggregation of the matches (count + exact BIGINT "
+    "gap sum), append mode. Pins Spark's watermark PROPAGATION: the "
+    "aggregation finalizes windows against the join's output watermark "
+    "= global wm - join range, reproduced exactly in the oracle "
+    "(windows with end_ms <= final_wm_ms - range_ms); sentinel-driven "
+    "source so finalization rides data batches (NS).",
+    tags=("streaming", "join", "stateful"),
+)
+def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "ssoj", sentinels=2)
+    name = "w32bd_scja"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    def side():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    clicks = (
+        side()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", _WATERMARK)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    views = (
+        side()
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", _WATERMARK)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"click_user = user_id AND view_ts >= click_ts "
+            f"AND view_ts <= click_ts + interval {_SSJ_RANGE_MIN} minutes"
+        ),
+    ).select(
+        "click_ts",
+        (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    agg = (
+        joined.groupBy(F.window("click_ts", "600 seconds"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "n_pairs",
+            "sum_gap_us",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(name).orderBy("win_start")
+
+
+# ---------------------------------------------------------------------------
 # stream_static_join — the standard enrichment topology: a stream inner-
 # joined to a STATIC dimension (events ⋈ customer, segment-filtered).
 # Stream-static inner joins are STATELESS (each micro-batch joins against
