@@ -253,6 +253,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # watermark propagation: windows finalize against the join's output
     # watermark = global wm - join range, reproduced in the oracle
     "stream_chained_join_agg",
+    # NEW r8: hierarchical multi-resolution rollup — hour tier aggregated
+    # FROM the 10-min tier (micro-unit BIGINT sums make tier-from-tier
+    # commutative); oracle computes the hour tier directly from raw, so
+    # the hash proves rollup-of-rollup == direct
+    "ts_rollup_multires",
 ]
 
 # ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,

@@ -132,6 +132,7 @@ HEADLINE = [
     "win_pareto_abc",
     "ns_curriculum_order",
     "stream_chained_join_agg",
+    "ts_rollup_multires",
 ]
 
 

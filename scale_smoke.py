@@ -178,6 +178,10 @@ KEYS = [
     # through one map-side score + the value-bounded bucket windows
     "win_pareto_abc",
     "ns_curriculum_order",
+    # r8: the rollup pyramid rides N x events through ONE partial-agg
+    # groupBy into the calendar-bounded 10-min tier; the hour tier
+    # re-shuffles only that summary
+    "ts_rollup_multires",
     # r8: the rebuilt FULL composed pipeline rides the duplicated corpus —
     # every corpus-sized stage input is a relation already proven
     # duplication-collapsed (rep-collapsed MinHash pairs, distinct 5-gram

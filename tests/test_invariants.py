@@ -376,7 +376,7 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # r8: the composed pipeline, the blocked pareto/curriculum ranks,
         # and the BFS fixpoint on empty/one-row inputs
         "ns_pipeline_e2e", "win_pareto_abc", "ns_curriculum_order",
-        "iter_bfs_sssp",
+        "iter_bfs_sssp", "ts_rollup_multires",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -562,6 +562,9 @@ def test_adversarial_input_parity(spark):
         # the weird graph exercises the empty-round fixpoint
         "ns_pipeline_e2e", "ns_curriculum_order", "win_pareto_abc",
         "iter_bfs_sssp", "stream_stream_outer_join",
+        # NaN/Inf/±1e300 values through the rollup's sat gate; NULL
+        # ts/type rows dropped identically in both tiers
+        "ts_rollup_multires",
     ]
     for key in keys:
         q = REGISTRY[key]

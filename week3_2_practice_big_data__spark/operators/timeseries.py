@@ -864,3 +864,87 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     return spark.sql(_drawdown_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ts_rollup_multires — hierarchical multi-resolution rollup (r8): the
+# continuous-aggregate / hypertable-rollup pattern — the 1-hour tier is
+# aggregated FROM the 10-minute tier, never from raw data, which is what
+# makes materialized rollup pyramids cheap at 100 TB (each tier reads the
+# one below, the raw table is scanned exactly once). Exactness is the
+# point: per-event values are quantized to BIGINT micro-units BEFORE any
+# sum (synth.sum_micro_int), so re-aggregating tier sums is commutative
+# and EXACTLY equals aggregating raw — the DuckDB oracle computes the
+# hour tier directly from raw events, so the driver hash PROVES
+# rollup-of-rollup ≡ direct. Output: hour buckets per event type with
+# event counts, exact value sums, and the count of contributing 10-min
+# buckets. One corpus shuffle (the 10-min groupBy with map-side partial
+# aggregation); the hour tier re-shuffles only the bucket summary.
+# ---------------------------------------------------------------------------
+
+
+def _rollup_multires_sql(dialect: str) -> str:
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    vm = synth.sum_micro_int("value", 1e9)
+    fine = f"""
+SELECT CAST(floor({us} / 600000000e0) AS BIGINT) * 600 AS b10,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST({vm} AS BIGINT) AS sum_v_u
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+    if dialect == "duckdb":
+        # The oracle computes the HOUR tier directly from raw events (and
+        # the fine-bucket count from the fine tier): equality with the
+        # Spark side's tier-from-tier plan is the rollup-equivalence proof.
+        return f"""
+WITH fine AS ({fine}),
+direct AS (
+  SELECT CAST(floor({us} / 3600000000e0) AS BIGINT) * 3600 AS b60,
+    event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST({vm} AS BIGINT) AS sum_v_u
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+fb AS (
+  SELECT CAST(floor(b10 / 3600e0) AS BIGINT) * 3600 AS b60, event_type,
+    CAST(count(*) AS BIGINT) AS n_fine_buckets
+  FROM fine GROUP BY 1, 2
+)
+SELECT d.b60, d.event_type, d.n_events, d.sum_v_u, fb.n_fine_buckets
+FROM direct d JOIN fb ON d.b60 = fb.b60 AND d.event_type = fb.event_type
+ORDER BY d.b60, d.event_type
+"""
+    return f"""
+WITH fine AS ({fine})
+SELECT CAST(floor(b10 / 3600e0) AS BIGINT) * 3600 AS b60,
+  event_type,
+  CAST(sum(n) AS BIGINT) AS n_events,
+  CAST(sum(sum_v_u) AS BIGINT) AS sum_v_u,
+  CAST(count(*) AS BIGINT) AS n_fine_buckets
+FROM fine
+GROUP BY 1, 2
+ORDER BY b60, event_type
+"""
+
+
+@register(
+    "ts_rollup_multires",
+    oracle=_rollup_multires_sql("duckdb"),
+    doc="Hierarchical multi-resolution rollup (the continuous-aggregate / "
+    "hypertable pattern): the 1-hour tier aggregates the 10-minute tier, "
+    "never raw data — one corpus shuffle, each higher tier reads the one "
+    "below. Values quantized to BIGINT micro-units BEFORE any sum, so "
+    "tier-from-tier re-aggregation is commutative and the oracle — which "
+    "computes the hour tier DIRECTLY from raw events — proves "
+    "rollup-of-rollup ≡ direct, hash-exact (REF-ANALOG; the batch "
+    "foundation of the streaming window family).",
+    tags=("timeseries", "agg", "scale"),
+)
+def ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_rollup_multires_sql("spark"))
