@@ -258,6 +258,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # commutative); oracle computes the hour tier directly from raw, so
     # the hash proves rollup-of-rollup == direct
     "ts_rollup_multires",
+    # NEW r8: two-round LS gradient boosting on the shared PLANET stump
+    # histogram — exact integer/DECIMAL residual numerators, order-free
+    # prefix sums, micro-quantized per-round train MSE
+    "ml_gbt_boost2",
 ]
 
 # ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,

@@ -133,6 +133,7 @@ HEADLINE = [
     "ns_curriculum_order",
     "stream_chained_join_agg",
     "ts_rollup_multires",
+    "ml_gbt_boost2",
 ]
 
 

@@ -182,6 +182,9 @@ KEYS = [
     # groupBy into the calendar-bounded 10-min tier; the hour tier
     # re-shuffles only that summary
     "ts_rollup_multires",
+    # r8: boosting rides N x events through the ONE shared histogram
+    # pass (384-cell shuffle at any N; all boosting math is summary-sized)
+    "ml_gbt_boost2",
     # r8: the rebuilt FULL composed pipeline rides the duplicated corpus —
     # every corpus-sized stage input is a relation already proven
     # duplication-collapsed (rep-collapsed MinHash pairs, distinct 5-gram

@@ -376,7 +376,7 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # r8: the composed pipeline, the blocked pareto/curriculum ranks,
         # and the BFS fixpoint on empty/one-row inputs
         "ns_pipeline_e2e", "win_pareto_abc", "ns_curriculum_order",
-        "iter_bfs_sssp", "ts_rollup_multires",
+        "iter_bfs_sssp", "ts_rollup_multires", "ml_gbt_boost2",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -565,6 +565,9 @@ def test_adversarial_input_parity(spark):
         # NaN/Inf/±1e300 values through the rollup's sat gate; NULL
         # ts/type rows dropped identically in both tiers
         "ts_rollup_multires",
+        # NaN/Inf values through the boosting histogram's sat gate; the
+        # near-constant weird corpus exercises the zero-gain tie-break
+        "ml_gbt_boost2",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -641,3 +644,19 @@ def test_curriculum_order_is_permutation(spark):
     for r in rows:
         assert r["shard"] == (r["pos"] - 1) // 64
         assert r["pos_in_shard"] == (r["pos"] - 1) % 64 + 1
+
+
+def test_gbt_boost_mse_monotone(spark):
+    """ml_gbt_boost2: train MSE must not increase across boosting rounds
+    (LS leaf values with shrinkage 1/2 reduce each region's SSE unless the
+    leaf mean is zero), rounds are 0/1/2, and the baseline MSE equals
+    p(1-p) of the purchase rate to quantization."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    rows = {r["round"]: r for r in
+            REGISTRY["ml_gbt_boost2"].builder(spark, SF_SMALL).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["mse"] >= rows[1]["mse"] >= rows[2]["mse"] > 0
+    assert rows[1]["gain"] > 0 and rows[2]["gain"] >= 0
+    # each round's leaf corrections pull in opposite directions
+    assert rows[1]["gamma_l"] * rows[1]["gamma_r"] <= 0

@@ -1075,6 +1075,22 @@ _STUMP_VB = 16
 _STUMP_HIST_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _cached_stump_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16×24 (value-bucket, hour) class histogram materialized once
+    per (session, sf) as view `stump_hist` — the single corpus pass
+    shared by ml_decision_stump and ml_gbt_boost2 (r8)."""
+    from ..common import session_key
+
+    _view(spark, sf_dir, "events")
+    df = checkpointed(
+        _STUMP_HIST_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(_stump_hist_sql("spark")).coalesce(1),
+    )
+    df.createOrReplaceTempView("stump_hist")
+    return df
+
+
 def _stump_hist_sql(dialect: str) -> str:
     us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
     v6 = f"CAST(floor({synth.sat('value', 1e6)} * 1e6) AS BIGINT)"
@@ -1184,14 +1200,7 @@ ORDER BY fid, bkt
     tags=("ml", "agg", "stats"),
 )
 def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..common import session_key
-
-    _view(spark, sf_dir, "events")
-    checkpointed(
-        _STUMP_HIST_CACHE,
-        (session_key(spark), sf_dir.rstrip("/")),
-        lambda: spark.sql(_stump_hist_sql("spark")).coalesce(1),
-    ).createOrReplaceTempView("stump_hist")
+    _cached_stump_hist(spark, sf_dir)
     return spark.sql(
         _stump_sql(
             "spark",
@@ -1293,3 +1302,211 @@ ORDER BY bkt DESC
 def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "events")
     return spark.sql(_lift_gains_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ml_gbt_boost2 — two rounds of least-squares gradient boosting (r8): the
+# ensemble-training workload on top of the PLANET histogram — base score
+# F0 = mean(y), then two boosting rounds, each fitting the best
+# SSE-reducing stump to the CURRENT residuals with shrinkage ν = 1/2 and
+# updating the model. Everything after the one corpus pass (the shared
+# 16×24 stump histogram) is 384-cell-summary-sized.
+# Exactness discipline: residual sums are carried as EXACT integer
+# numerators over a common denominator — round 1 over nt (BIGINT:
+# u = npos·nt − n·npost; the prefix sums that feed every split candidate
+# are order-free integer sums, never a float window), round 2 over
+# D = 2·nt·nl₁·nr₁ carried in DECIMAL(38,0) (≤ ~1e28 ≪ 1e38; DECIMAL
+# sums are exact in both engines, so the bucket prefix sums stay
+# order-free where a DOUBLE window sum would hit DuckDB's segment-tree
+# accumulation order). Doubles appear only in fixed parse trees over
+# those exact numerators (gain comparisons, leaf means, per-cell model
+# scores), and the train-MSE terms are micro-quantized before their
+# 384-cell sum. Ties in the argmax break on (fid, bkt). ν = 1/2 is
+# folded into the denominators (power of two — exact).
+# ---------------------------------------------------------------------------
+
+
+def _gbt_boost_sql(dialect: str, hist_ref: str | None = None) -> str:
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    q6 = synth.q6
+    feat = "CASE WHEN fid = 0 THEN 'value' ELSE 'hour' END"
+    # round-1 scaled gain: UL²·(1/nl + 1/nr) (true SSE reduction × nt²);
+    # reported gain = per-row MSE reduction = that / nt³
+    g1 = (
+        "(CAST(ul AS DOUBLE) * CAST(ul AS DOUBLE)) "
+        "* (1e0 / CAST(nl AS DOUBLE) + 1e0 / CAST(nr AS DOUBLE))"
+    )
+    mse_term = (
+        "CAST(floor((CAST(npos AS DOUBLE) * (1e0 - {f}) * (1e0 - {f}) "
+        "+ CAST(n - npos AS DOUBLE) * {f} * {f}) * 1e6 + 0.5e0) AS BIGINT)"
+    )
+    return f"""
+WITH hist AS {mat}({hist_ref or _stump_hist_sql(dialect)}),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(npos) AS BIGINT) AS npost
+  FROM hist
+),
+marg1 AS (
+  SELECT fid, bkt, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(npos) AS BIGINT) AS npos
+  FROM (
+    SELECT 0 AS fid, vbkt AS bkt, n, npos FROM hist
+    UNION ALL
+    SELECT 1 AS fid, hr AS bkt, n, npos FROM hist
+  ) m GROUP BY fid, bkt
+),
+cum1 AS (
+  SELECT m.fid, m.bkt,
+    CAST(sum(m.n) OVER w AS BIGINT) AS nl,
+    CAST(sum(m.npos) OVER w AS BIGINT) AS nposl,
+    t.nt, t.npost
+  FROM marg1 m CROSS JOIN tot t
+  WINDOW w AS (PARTITION BY m.fid ORDER BY m.bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b1 AS (
+  SELECT fid, bkt, nl, nr, ul, nt, npost, gain1
+  FROM (
+    SELECT c.*, row_number() OVER (ORDER BY gain1 DESC, fid, bkt) AS rn
+    FROM (
+      SELECT fid, bkt, nl, nt - nl AS nr,
+        nposl * nt - nl * npost AS ul, nt, npost,
+        (CAST(nposl * nt - nl * npost AS DOUBLE)
+         * CAST(nposl * nt - nl * npost AS DOUBLE))
+        * (1e0 / CAST(nl AS DOUBLE) + 1e0 / CAST(nt - nl AS DOUBLE))
+          AS gain1
+      FROM cum1 WHERE nl > 0 AND nl < nt
+    ) c
+  ) z WHERE rn = 1
+),
+d2 AS (
+  SELECT b.*,
+    CAST(2 AS DECIMAL(38, 0)) * b.nt * b.nl * b.nr AS dd,
+    (CAST(2 AS DECIMAL(38, 0)) * b.npost * b.nl + b.ul) * b.nr AS f1l_num,
+    (CAST(2 AS DECIMAL(38, 0)) * b.npost * b.nr - b.ul) * b.nl AS f1r_num
+  FROM b1 b
+),
+s2c AS (
+  SELECT h.vbkt, h.hr, h.n, h.npos, d.dd, d.nt, d.npost,
+    d.fid AS fid1, d.bkt AS bkt1,
+    CASE WHEN (d.fid = 0 AND h.vbkt <= d.bkt)
+           OR (d.fid = 1 AND h.hr <= d.bkt)
+         THEN d.f1l_num ELSE d.f1r_num END AS f1_num
+  FROM hist h CROSS JOIN d2 d
+),
+s2n AS (
+  SELECT vbkt, hr, n, npos, dd, nt, f1_num,
+    CAST(npos AS DECIMAL(38, 0)) * dd
+      - CAST(n AS DECIMAL(38, 0)) * f1_num AS s2_num
+  FROM s2c
+),
+tot2 AS (SELECT sum(s2_num) AS st2 FROM s2n),
+marg2 AS (
+  SELECT fid, bkt, CAST(sum(n) AS BIGINT) AS n, sum(s2_num) AS s2
+  FROM (
+    SELECT 0 AS fid, vbkt AS bkt, n, s2_num FROM s2n
+    UNION ALL
+    SELECT 1 AS fid, hr AS bkt, n, s2_num FROM s2n
+  ) m GROUP BY fid, bkt
+),
+cum2 AS (
+  SELECT m.fid, m.bkt,
+    CAST(sum(m.n) OVER w AS BIGINT) AS nl,
+    sum(m.s2) OVER w AS s2l,
+    t2.st2, d.dd, d.nt
+  FROM marg2 m CROSS JOIN tot2 t2 CROSS JOIN d2 d
+  WINDOW w AS (PARTITION BY m.fid ORDER BY m.bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b2 AS (
+  SELECT fid, bkt, nl, nr, sl, sr, gain2,
+    sl / CAST(nl AS DOUBLE) AS g2l, sr / CAST(nr AS DOUBLE) AS g2r
+  FROM (
+    SELECT c.*, row_number() OVER (ORDER BY gain2 DESC, fid, bkt) AS rn
+    FROM (
+      SELECT fid, bkt, nl, nt - nl AS nr,
+        CAST(s2l AS DOUBLE) / CAST(dd AS DOUBLE) AS sl,
+        CAST(st2 - s2l AS DOUBLE) / CAST(dd AS DOUBLE) AS sr,
+        (CAST(s2l AS DOUBLE) / CAST(dd AS DOUBLE))
+          * (CAST(s2l AS DOUBLE) / CAST(dd AS DOUBLE))
+          / CAST(nl AS DOUBLE)
+        + (CAST(st2 - s2l AS DOUBLE) / CAST(dd AS DOUBLE))
+          * (CAST(st2 - s2l AS DOUBLE) / CAST(dd AS DOUBLE))
+          / CAST(nt - nl AS DOUBLE) AS gain2
+      FROM cum2 WHERE nl > 0 AND nl < nt
+    ) c
+  ) z WHERE rn = 1
+),
+msec AS (
+  SELECT s.n, s.npos,
+    CAST(s.npost AS DOUBLE) / CAST(s.nt AS DOUBLE) AS f0d,
+    CAST(s.f1_num AS DOUBLE) / CAST(s.dd AS DOUBLE) AS f1d,
+    CAST(s.f1_num AS DOUBLE) / CAST(s.dd AS DOUBLE)
+      + 0.5e0 * (CASE WHEN (b.fid = 0 AND s.vbkt <= b.bkt)
+                        OR (b.fid = 1 AND s.hr <= b.bkt)
+                      THEN b.g2l ELSE b.g2r END) AS f2d
+  FROM s2c s CROSS JOIN b2 b
+),
+mse AS (
+  SELECT
+    CAST(sum({mse_term.format(f="f0d")}) AS BIGINT) AS m0u,
+    CAST(sum({mse_term.format(f="f1d")}) AS BIGINT) AS m1u,
+    CAST(sum({mse_term.format(f="f2d")}) AS BIGINT) AS m2u
+  FROM msec
+),
+mse0 AS (
+  SELECT CAST(sum(CAST(floor((CAST(npos AS DOUBLE)
+      * (1e0 - CAST(t.npost AS DOUBLE) / CAST(t.nt AS DOUBLE))
+      * (1e0 - CAST(t.npost AS DOUBLE) / CAST(t.nt AS DOUBLE))
+    + CAST(n - npos AS DOUBLE)
+      * (CAST(t.npost AS DOUBLE) / CAST(t.nt AS DOUBLE))
+      * (CAST(t.npost AS DOUBLE) / CAST(t.nt AS DOUBLE))) * 1e6 + 0.5e0)
+    AS BIGINT)) AS BIGINT) AS m0u, max(t.nt) AS nt
+  FROM hist CROSS JOIN tot t
+  WHERE t.nt > 0
+  GROUP BY t.nt
+)
+SELECT 0 AS round, 'baseline' AS feature, CAST(NULL AS BIGINT) AS split_bkt,
+  CAST(NULL AS DOUBLE) AS gain,
+  CAST(NULL AS DOUBLE) AS gamma_l, CAST(NULL AS DOUBLE) AS gamma_r,
+  {q6("CAST(m0u AS DOUBLE) / 1e6 / CAST(nt AS DOUBLE)")} AS mse
+FROM mse0
+UNION ALL
+SELECT 1, {feat}, CAST(bkt AS BIGINT),
+  {q6("gain1 / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))")},
+  {q6("CAST(ul AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nl AS DOUBLE))")},
+  {q6("-CAST(ul AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nr AS DOUBLE))")},
+  {q6("CAST(m.m1u AS DOUBLE) / 1e6 / CAST(b1.nt AS DOUBLE)")}
+FROM b1 CROSS JOIN mse m
+UNION ALL
+SELECT 2, {feat}, CAST(b2.bkt AS BIGINT),
+  {q6("b2.gain2 / CAST(t.nt AS DOUBLE)")},
+  {q6("b2.g2l")}, {q6("b2.g2r")},
+  {q6("CAST(m.m2u AS DOUBLE) / 1e6 / CAST(t.nt AS DOUBLE)")}
+FROM b2 CROSS JOIN mse m CROSS JOIN tot t
+ORDER BY round
+"""
+
+
+@register(
+    "ml_gbt_boost2",
+    oracle=_gbt_boost_sql("duckdb"),
+    doc="Two rounds of least-squares gradient boosting (shrinkage 1/2) on "
+    "the shared PLANET stump histogram: base score = mean(y), each round "
+    "fits the best SSE-reducing stump to the CURRENT residuals — round-1 "
+    "residual sums as exact BIGINT numerators over nt, round-2 over "
+    "2·nt·nl·nr in DECIMAL(38,0) (order-free exact prefix sums; doubles "
+    "only in fixed parse trees for gains/leaf means), train MSE per round "
+    "micro-quantized. One corpus pass; every boosting computation is "
+    "384-cell-summary-sized (REF-ANALOG; the ensemble-training member of "
+    "the ml family beside the stump/logreg/ALS).",
+    tags=("ml", "iterative", "agg"),
+)
+def ml_gbt_boost2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cached_stump_hist(spark, sf_dir)
+    return spark.sql(
+        _gbt_boost_sql(
+            "spark",
+            hist_ref="SELECT vbkt, hr, n, npos, mn6, mx6 FROM stump_hist",
+        )
+    )
