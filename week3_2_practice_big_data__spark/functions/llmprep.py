@@ -2653,9 +2653,14 @@ def ns_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CURR_SHARD = 64  # docs per shard (ns_global_shuffle's constant)
+_CURR_PB_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _curriculum_sql(dialect: str, qs_ref: str | None = None) -> str:
+def _curriculum_sql(
+    dialect: str,
+    qs_ref: str | None = None,
+    pb_ref: str | None = None,
+) -> str:
     qs = qs_ref or _qc_scored_sql(dialect)
     shard = (
         f"CAST((pos - 1) {'DIV' if dialect == 'spark' else '//'} "
@@ -2672,11 +2677,12 @@ FROM (
 ) t
 ORDER BY pos
 """
+    pb_rel = f"""(
+  SELECT doc_id, z, CAST(floor(z * 16e0) AS BIGINT) AS pb
+  FROM ({qs}) qs0
+)"""
     return f"""
-WITH qs AS ({qs}),
-pb AS (
-  SELECT doc_id, z, CAST(floor(z * 16e0) AS BIGINT) AS pb FROM qs
-),
+WITH pb AS ({pb_ref or pb_rel}),
 bc AS (SELECT pb, count(*) AS c FROM pb GROUP BY pb),
 off AS (
   SELECT pb,
@@ -2712,5 +2718,19 @@ ORDER BY pos
     tags=("ns", "scale", "ordering"),
 )
 def ns_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scored-and-bucketed relation feeds both the bucket summary and
+    # the rank join; CTE inlining would re-run the map-side scoring pass
+    # per reference (r8 plan audit: 2 documents scans) — materialize once.
     _view(spark, sf_dir, "documents")
-    return spark.sql(_curriculum_sql("spark"))
+    checkpointed(
+        _CURR_PB_CACHE,
+        (session_key(spark), sf_dir.rstrip("/")),
+        lambda: spark.sql(
+            "SELECT doc_id, z, CAST(floor(z * 16e0) AS BIGINT) AS pb FROM ("
+            + _qc_scored_sql("spark")
+            + ") qs0"
+        ).coalesce(8),
+    ).createOrReplaceTempView("curr_pb")
+    return spark.sql(
+        _curriculum_sql("spark", pb_ref="SELECT doc_id, z, pb FROM curr_pb")
+    )
