@@ -262,6 +262,19 @@ _CHANGED_THIS_ROUND: list[str] = [
     # histogram — exact integer/DECIMAL residual numerators, order-free
     # prefix sums, micro-quantized per-round train MSE
     "ml_gbt_boost2",
+    # r8 streaming-shuffle-width fix (SQL/results unchanged; builders now
+    # size streaming shuffles to executor count via _stream_shuffle —
+    # state-store commit overhead measured 33 s -> 8 s on the chained
+    # join at sf0.1; every stateful streaming key re-windowed)
+    "stream_watermark_late",
+    "stream_dedup_state",
+    "stream_custom_state",
+    "stream_stream_join",
+    "stream_event_pattern_cep",
+    "stream_unbounded_socket",
+    "stream_tumbling_file_rate",
+    "stream_static_join",
+    "stream_sink_parquet",
 ]
 
 # ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,

@@ -31,6 +31,41 @@ _REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path
 _CHUNKS = 4
 _WATERMARK = "10 minutes"
 _WATERMARK_US = 600_000_000  # the same 10 minutes, in microseconds
+
+
+def _stream_partitions(spark: SparkSession) -> int:
+    """Shuffle width for STREAMING queries: state-store instances =
+    partitions × stores-per-op × stateful-ops, and every store pays a
+    per-micro-batch commit (delta file + fsync) regardless of data — at
+    micro-batch scale that fixed cost dominates (measured r8: the chained
+    join+agg at sf0.1 took 33 s at 32 partitions vs 8.4 s at 8; every
+    batch cost ~5 s even with 4 input rows). Size streaming shuffles to
+    the executor count, not the batch data volume; a real cluster
+    re-sizes via its own session conf before the query starts."""
+    return max(8, spark.sparkContext.defaultParallelism // 4)
+
+
+class _stream_shuffle:
+    """Scoped shuffle-partition override for a streaming query's lifetime
+    (numShufflePartitions is captured from the session conf when the
+    query plans its first batch; restored on exit for the batch keys)."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_stream_partitions(self._spark)),
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 # Far-future sentinel offset (30 min past max real ts): final watermark =
 # max_ts + 30 min - 10 min, so unmatched clicks in the last 5 h 40 min of
 # real data stay withheld — both outer-join branches keep mass.
@@ -128,15 +163,16 @@ def _run_stream(spark: SparkSession, src_dir: str, schema, transform, name: str)
         .option("recursiveFileLookup", "true")
         .parquet(src_dir)
     )
-    query = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
     return spark.table(name)
 
 
@@ -307,25 +343,26 @@ def stream_tumbling_file_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "w32bd_tfr":
             q.stop()
-    query = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .groupBy(F.window("ts", "86400 seconds"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.unix_timestamp(F.col("window.start")).alias("win_start"),
-            "event_type",
-            "n",
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .groupBy(F.window("ts", "86400 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("win_start"),
+                "event_type",
+                "n",
+            )
+            .writeStream.format("memory")
+            .queryName("w32bd_tfr")
+            .outputMode("update")
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName("w32bd_tfr")
-        .outputMode("update")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+        query.processAllAvailable()
+        query.stop()
     # Update-mode sink: one row per (micro-batch, window) update carrying
     # the cumulative count — the final value is the max, the row count is
     # the number of batches that touched the window.
@@ -422,19 +459,20 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "w32bd_state":
             q.stop()
-    query = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .transform(transform)
-        .writeStream.format("memory")
-        .queryName("w32bd_state")
-        .outputMode("update")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .transform(transform)
+            .writeStream.format("memory")
+            .queryName("w32bd_state")
+            .outputMode("update")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
     # update-mode memory sink appends one row per (batch, user) — keep the
     # final state per user (max n_events is the last update).
     final = spark.table("w32bd_state")
@@ -629,14 +667,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
     return spark.table(name).orderBy("click_id", "view_id")
 
 
@@ -752,14 +791,15 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_user").alias("user_id"),
         (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
     return spark.table(name).orderBy("click_id", "view_id")
 
 
@@ -879,14 +919,15 @@ def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_gap_us",
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
     return spark.table(name).orderBy("win_start")
 
 
@@ -977,28 +1018,29 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "w32bd_psink":
             q.stop()
-    query = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .withWatermark("ts", _WATERMARK)
-        .groupBy(F.window("ts", "600 seconds"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.unix_timestamp(F.col("window.start")).alias("win_start"),
-            "event_type",
-            "n",
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withWatermark("ts", _WATERMARK)
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("win_start"),
+                "event_type",
+                "n",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName("w32bd_psink")
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .queryName("w32bd_psink")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+        query.processAllAvailable()
+        query.stop()
     return spark.read.parquet(sink).orderBy("win_start", "event_type")
 
 
@@ -1161,6 +1203,8 @@ def stream_unbounded_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("p")[0].cast("bigint")).alias("ts"),
         F.col("p")[1].alias("event_type"),
     )
+    shuffle_scope = _stream_shuffle(spark)
+    shuffle_scope.__enter__()
     query = (
         parsed.withWatermark("ts", _WATERMARK)
         .groupBy(F.window("ts", "600 seconds"), "event_type")
@@ -1199,6 +1243,7 @@ def stream_unbounded_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.processAllAvailable()
     finally:
         query.stop()
+        shuffle_scope.__exit__(None, None, None)
         done.set()
         try:
             server.close()
@@ -1318,19 +1363,20 @@ def stream_event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "w32bd_cep":
             q.stop()
-    query = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .transform(transform)
-        .writeStream.format("memory")
-        .queryName("w32bd_cep")
-        .outputMode("update")
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .transform(transform)
+            .writeStream.format("memory")
+            .queryName("w32bd_cep")
+            .outputMode("update")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
