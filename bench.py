@@ -146,56 +146,85 @@ HEADLINE = [
 # EVERY entry below is a measured median from that run — reconstructed
 # values stay banned (ADVICE r5 item 4; `baseline_src` in the output
 # records the provenance).
-PREV_ROUND = "r07"
-BASELINE_SRC = "BENCH_full_r07.json (measured, quiet final-validation run after all r7 changes; 39/47 keys <15% median/min spread)"
+PREV_ROUND = "r08"
+BASELINE_SRC = "BENCH_full_r08.json (measured, quiet final-validation run after all r8 changes incl. the streaming shuffle-width fix; 62/76 keys <15% median/min spread)"
 PREV_MEDIANS = {
-    "agg_groupby_multi": 0.982,
-    "agg_q6_forecast_revenue": 0.2096,
-    "agg_sketch_cms_heavy": 1.0523,
-    "filt_pip_scanline": 0.9322,
-    "filt_point_in_polygon": 1.3416,
-    "gen_poster_aspect": 1.7276,
-    "gen_poster_caption": 0.1711,
-    "gen_poster_full": 2.4652,
-    "gen_poster_shadow": 1.7038,
-    "iter_pagerank_tokens": 1.5656,
-    "join_bucketed_colocated": 0.6634,
-    "join_inner_equi": 0.7168,
-    "join_q3_shipping_priority": 0.7698,
-    "join_q5_region_volume": 1.0597,
-    "join_q7_volume_shipping": 0.799,
-    "join_q8_market_share": 0.9679,
-    "join_range_theta": 0.3993,
-    "ns_ann_knn_join": 0.8774,
-    "ns_bpe_encode": 2.0272,
-    "ns_decontaminate_bloom": 0.8939,
-    "ns_dedup_cluster": 1.2388,
-    "ns_dedup_embed_cosine": 1.8618,
-    "ns_dedup_exact": 0.2906,
-    "ns_dedup_incremental_persist": 0.7162,
-    "ns_dedup_minhash": 0.7616,
-    "ns_dedup_ngram_jaccard": 1.6446,
-    "ns_dedup_simhash": 0.9063,
-    "ns_dedup_substring": 0.6729,
-    "ns_sample_importance": 0.4141,
-    "ns_semdedup": 2.7577,
-    "ns_sim_ann_lsh": 0.2469,
-    "ns_sim_topk": 0.3353,
-    "ns_text_perplexity": 0.4197,
-    "ns_text_tfidf": 0.7566,
-    "proj_resample_bilinear": 0.3578,
-    "qry_recursive_cte": 1.3653,
-    "sort_composite_order": 1.8021,
-    "sort_orderby": 0.5456,
-    "stream_custom_state": 5.22,
-    "stream_session_window": 0.7527,
-    "stream_tumbling_agg": 0.45,
-    "stream_watermark_late": 5.3905,
-    "win_conv1d_frame": 0.887,
-    "win_conv2d_separable": 1.6585,
-    "win_event_pattern_cep": 1.0579,
-    "win_islands_blocked": 0.3033,
-    "win_ntile_blocked": 0.8472,
+    "agg_groupby_multi": 1.0031,
+    "agg_q6_forecast_revenue": 0.248,
+    "agg_sketch_cms_heavy": 1.0162,
+    "agg_sketch_kmv_intersect": 1.0255,
+    "dq_distribution_drift": 0.3416,
+    "dq_freshness": 0.3968,
+    "dq_rowcount_anomaly": 0.3025,
+    "filt_pip_scanline": 1.1359,
+    "filt_point_in_polygon": 1.4827,
+    "gen_poster_aspect": 1.8738,
+    "gen_poster_caption": 0.1963,
+    "gen_poster_full": 2.6565,
+    "gen_poster_shadow": 1.8484,
+    "graph_bipartite_jaccard": 2.2241,
+    "graph_clustering_coeff": 0.4636,
+    "graph_degree_distribution": 0.3696,
+    "graph_resource_alloc": 2.6237,
+    "iter_als_rank2": 1.291,
+    "iter_bfs_sssp": 3.2382,
+    "iter_pagerank_tokens": 1.7306,
+    "join_bucketed_colocated": 0.7038,
+    "join_inner_equi": 0.8359,
+    "join_q3_shipping_priority": 0.7796,
+    "join_q5_region_volume": 1.179,
+    "join_q7_volume_shipping": 0.8744,
+    "join_q8_market_share": 0.9967,
+    "join_q9_product_profit": 0.9809,
+    "join_range_theta": 0.4482,
+    "ml_decision_stump": 0.4956,
+    "ml_gbt_boost2": 1.9594,
+    "ml_knn_classify": 1.0982,
+    "ml_lift_gains": 0.5831,
+    "ns_ann_knn_join": 0.9054,
+    "ns_bpe_encode": 1.9498,
+    "ns_curriculum_order": 0.4708,
+    "ns_decontaminate_bloom": 0.9022,
+    "ns_dedup_cluster": 1.2495,
+    "ns_dedup_embed_cosine": 1.9407,
+    "ns_dedup_exact": 0.3047,
+    "ns_dedup_incremental_persist": 0.7199,
+    "ns_dedup_minhash": 0.8044,
+    "ns_dedup_ngram_jaccard": 1.7965,
+    "ns_dedup_simhash": 0.9367,
+    "ns_dedup_substring": 0.7575,
+    "ns_global_shuffle": 0.6058,
+    "ns_pipeline_e2e": 0.8035,
+    "ns_sample_importance": 0.4349,
+    "ns_semdedup": 2.5157,
+    "ns_sim_ann_lsh": 0.2297,
+    "ns_sim_topk": 0.3401,
+    "ns_text_bm25": 1.1156,
+    "ns_text_perplexity": 0.4803,
+    "ns_text_tfidf": 0.7479,
+    "proj_resample_bilinear": 0.4024,
+    "qry_recursive_cte": 1.6293,
+    "sort_composite_order": 1.9026,
+    "sort_orderby": 0.6255,
+    "stream_chained_join_agg": 8.7732,
+    "stream_custom_state": 5.1809,
+    "stream_session_window": 0.7895,
+    "stream_tumbling_agg": 0.5046,
+    "stream_watermark_late": 2.8187,
+    "ts_autocorr": 0.3707,
+    "ts_cross_corr": 0.3579,
+    "ts_max_drawdown": 0.5402,
+    "ts_rollup_multires": 0.5258,
+    "win_attribution": 0.5936,
+    "win_budget_allocation": 0.785,
+    "win_conv1d_frame": 0.9291,
+    "win_conv2d_separable": 1.8231,
+    "win_event_pattern_cep": 1.128,
+    "win_islands_blocked": 0.339,
+    "win_markov_transitions": 0.6668,
+    "win_ntile_blocked": 0.9183,
+    "win_pareto_abc": 0.575,
+    "win_survival_km": 0.5537,
 }
 
 
