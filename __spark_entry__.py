@@ -202,15 +202,41 @@ _R07_VERIFIED = frozenset({
     "win_interpolate_gaps", "win_markov_transitions", "win_survival_km",
 })
 
+# CORRECTNESS_r08.json: all 50 window rows green (rows + schema + hash,
+# zero err) — the 11 r8-new/changed keys, the 9 stateful-streaming keys
+# re-verified after the shuffle-width fix, and 30 r01-era refresh keys.
+_R08_VERIFIED = frozenset({
+    "ns_pipeline_e2e", "ns_quality_classifier", "ns_text_perplexity",
+    "ns_decontaminate_bloom", "iter_bfs_sssp", "stream_stream_outer_join",
+    "win_pareto_abc", "ns_curriculum_order", "stream_chained_join_agg",
+    "ts_rollup_multires", "ml_gbt_boost2", "stream_watermark_late",
+    "stream_dedup_state", "stream_custom_state", "stream_stream_join",
+    "stream_event_pattern_cep", "stream_unbounded_socket",
+    "stream_tumbling_file_rate", "stream_static_join",
+    "stream_sink_parquet", "agg_grouping_sets", "agg_mode",
+    "agg_percentile", "agg_salted_skew", "filt_dict_dispatch",
+    "filt_range_pred", "join_asof", "join_broadcast_params",
+    "join_bucketed_colocated", "join_cross_meshgrid", "join_inner_equi",
+    "join_outer", "join_range_theta", "join_salted_skew",
+    "join_semi_anti", "limit_topk", "limit_topk_per_group",
+    "merge_upsert", "proj_color_scale", "proj_dist_radial",
+    "proj_dot_light", "proj_gauss_exp", "proj_minmax_norm",
+    "proj_shade_affine", "proj_trig_polar", "proj_wobble",
+    "reshape_pivot", "reshape_unpivot", "set_except", "set_intersect",
+})
+
 _VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
 )
 
 
-# Keys whose implementation changed in ROUND 8 (or new in r8): they lead
+# Keys whose implementation changed in ROUND 9 (or new in r9): they lead
 # the window, highest behavior-change risk first.
-_CHANGED_THIS_ROUND: list[str] = [
+_CHANGED_THIS_ROUND: list[str] = []
+
+# Round-8 changed list, kept for the record (all 20 hold green r08 rows).
+_R08_CHANGED: list[str] = [
     # r8 (VERDICT r7 item 1): ns_pipeline_e2e REBUILT as the full current
     # pipeline — url canon → exact+MinHash dedup keepers → quality
     # classifier → perplexity tercile (blocked ntile) → bloom decontam →
@@ -277,27 +303,33 @@ _CHANGED_THIS_ROUND: list[str] = [
     "stream_sink_parquet",
 ]
 
-# ROUND-8 REFRESH (VERDICT r7 item 3): the never-verified backlog is 0,
-# so after this round's changed keys the window re-attests the OLDEST
-# driver rows — the 41 keys whose only green row is CORRECTNESS_r01,
-# which predates six rounds of shared-infrastructure change (io.py
-# timestamp normalization, the q6 saturation fix, synth.sat, checkpoint-
-# cache keying). They are pytest-replayed and sf0.01-swept every round;
+# ROUND-9 REFRESH (VERDICT r8 item 1 + item 6): lead with the 11 keys
+# whose ONLY driver row is CORRECTNESS_r01 (they spilled past the r8
+# 50-key window), then the next-oldest cohort — the 33 keys whose most
+# recent green row is CORRECTNESS_r02. Both cohorts predate rounds of
+# shared-infrastructure change (io.py timestamp normalization, the q6
+# saturation fix, synth.sat, checkpoint-cache keying, the suffix-frame
+# rewrites); they are pytest-replayed and sf0.01-swept every round, and
 # this puts fresh driver rows on them.
 _REFRESH_THIS_ROUND: list[str] = [
-    "agg_grouping_sets", "agg_mode", "agg_percentile", "agg_salted_skew",
-    "filt_dict_dispatch", "filt_range_pred", "join_asof",
-    "join_broadcast_params", "join_bucketed_colocated",
-    "join_cross_meshgrid", "join_inner_equi", "join_outer",
-    "join_range_theta", "join_salted_skew", "join_semi_anti",
-    "limit_topk", "limit_topk_per_group", "merge_upsert",
-    "proj_color_scale", "proj_dist_radial", "proj_dot_light",
-    "proj_gauss_exp", "proj_minmax_norm", "proj_shade_affine",
-    "proj_trig_polar", "proj_wobble", "reshape_pivot", "reshape_unpivot",
-    "set_except", "set_intersect", "set_union", "sort_orderby",
-    "udaf_weighted_quantity", "win_conv1d_frame", "win_first_last",
-    "win_lead_lag", "win_ntile", "win_percent_rank", "win_range_frame",
-    "win_rank_order", "win_running_agg",
+    # r01-only block (VERDICT r8 item 1 — carry these first)
+    "set_union", "sort_orderby", "udaf_weighted_quantity",
+    "win_conv1d_frame", "win_first_last", "win_lead_lag", "win_ntile",
+    "win_percent_rank", "win_range_frame", "win_rank_order",
+    "win_running_agg",
+    # r02 cohort (oldest-green after the r01 block)
+    "agg_sketch_hll_merge", "join_q3_shipping_priority",
+    "join_q5_region_volume", "win_cume_dist", "set_intersect_all",
+    "set_except_all", "win_sessionize_gaps", "agg_cohort_retention",
+    "join_interval_bucketed", "ns_dedup_exact", "ns_text_clean",
+    "ns_text_stats", "ns_text_tokens", "ns_sample_stratified",
+    "ns_pack_sequences", "ns_split_train_val", "ns_decontaminate",
+    "proj_mod_cycle", "proj_cond_guard", "fn_string_fmt",
+    "fn_hsv_to_rgb", "fn_datetime_math", "fn_json_extract",
+    "filt_point_in_polygon", "filt_pip_scanline", "filt_mask_apply",
+    "sort_composite_order", "sink_display", "proj_resample_bilinear",
+    "gen_poster_shadow", "gen_poster_param", "fn_bitwise_ops",
+    "src_orc_roundtrip",
 ]
 
 # Round-7 changed list, kept for the record (all hold green r07 rows —
