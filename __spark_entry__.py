@@ -233,7 +233,16 @@ _VERIFIED = (
 
 # Keys whose implementation changed in ROUND 9 (or new in r9): they lead
 # the window, highest behavior-change risk first.
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # ADVICE r8: nt-ceiling overflow guard added to the builder (SQL
+    # text untouched; the builder now reads the 384-row histogram
+    # summary before planning)
+    "ml_gbt_boost2",
+    # ADVICE r8: _stream_shuffle now scopes the whole build/start/poll
+    # via the context manager so the width override is restored on any
+    # exception
+    "stream_unbounded_socket",
+]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).
 _R08_CHANGED: list[str] = [

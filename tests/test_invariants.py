@@ -644,6 +644,19 @@ def test_curriculum_order_is_permutation(spark):
     for r in rows:
         assert r["shard"] == (r["pos"] - 1) // 64
         assert r["pos_in_shard"] == (r["pos"] - 1) % 64 + 1
+    # ADVICE r8: tie pos to the quality score — the builder's curr_pb
+    # temp view carries z per doc; the walk down positions must be
+    # z-descending with doc_id as the tiebreak, so an ascending-sort
+    # regression fails HERE, not only at the oracle compare.
+    z = {r["doc_id"]: r["z"]
+         for r in spark.sql("SELECT doc_id, z FROM curr_pb").collect()}
+    ordered = sorted(rows, key=lambda r: r["pos"])
+    assert len(ordered) > 2
+    for a, b in zip(ordered, ordered[1:]):
+        assert (z[a["doc_id"]] > z[b["doc_id"]]) or (
+            z[a["doc_id"]] == z[b["doc_id"]]
+            and a["doc_id"] < b["doc_id"]
+        )
 
 
 def test_gbt_boost_mse_monotone(spark):

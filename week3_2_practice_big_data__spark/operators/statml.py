@@ -1315,15 +1315,28 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numerators over a common denominator — round 1 over nt (BIGINT:
 # u = npos·nt − n·npost; the prefix sums that feed every split candidate
 # are order-free integer sums, never a float window), round 2 over
-# D = 2·nt·nl₁·nr₁ carried in DECIMAL(38,0) (≤ ~1e28 ≪ 1e38; DECIMAL
-# sums are exact in both engines, so the bucket prefix sums stay
-# order-free where a DOUBLE window sum would hit DuckDB's segment-tree
-# accumulation order). Doubles appear only in fixed parse trees over
+# D = 2·nt·nl₁·nr₁ carried in DECIMAL(38,0) (≤ ~1e28 ≪ 1e38 at current
+# scales; DECIMAL sums are exact in both engines, so the bucket prefix
+# sums stay order-free where a DOUBLE window sum would hit DuckDB's
+# segment-tree accumulation order).
+# HARD CEILING (ADVICE r8): the round-2 numerator total scales as nt⁴
+# (s2_num ~ npos·dd with dd = 2·nt·nl·nr ≤ nt³/2, summed over 384
+# cells), so sum(s2_num) crosses DECIMAL(38,0) once nt approaches
+# ~10^9.5; under non-ANSI Spark the overflowed sum silently becomes
+# NULL and rounds 1-2 vanish from the output instead of erroring. The
+# builder asserts nt ≤ _GBT_NT_CEILING (1e9) off the 384-row cached
+# histogram before planning — beyond that, rescale the residual
+# numerators to a reduced common denominator before raising the cap. Doubles appear only in fixed parse trees over
 # those exact numerators (gain comparisons, leaf means, per-cell model
 # scores), and the train-MSE terms are micro-quantized before their
 # 384-cell sum. Ties in the argmax break on (fid, bkt). ν = 1/2 is
 # folded into the denominators (power of two — exact).
 # ---------------------------------------------------------------------------
+
+
+# nt⁴ < 10^38 ⇔ nt < 10^9.5 ≈ 3.2e9; 1e9 leaves a >100× margin for the
+# npos/f1_num constant factors in the per-cell numerators.
+_GBT_NT_CEILING = 1_000_000_000
 
 
 def _gbt_boost_sql(dialect: str, hist_ref: str | None = None) -> str:
@@ -1504,6 +1517,18 @@ ORDER BY round
 )
 def ml_gbt_boost2(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cached_stump_hist(spark, sf_dir)
+    # Overflow guard (ADVICE r8): sum(s2_num) ~ nt⁴ crosses
+    # DECIMAL(38,0) near nt ≈ 10^9.5 and non-ANSI Spark would NULL it
+    # silently. The check reads the 384-row cached histogram summary,
+    # not the corpus.
+    nt = spark.sql("SELECT sum(n) AS nt FROM stump_hist").collect()[0][0]
+    if nt is not None and int(nt) > _GBT_NT_CEILING:
+        raise ValueError(
+            f"ml_gbt_boost2: event count {nt} exceeds the DECIMAL(38,0) "
+            f"round-2 numerator ceiling ({_GBT_NT_CEILING}); rescale the "
+            "residual numerators to a reduced common denominator before "
+            "raising this cap"
+        )
     return spark.sql(
         _gbt_boost_sql(
             "spark",

@@ -1203,47 +1203,56 @@ def stream_unbounded_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("p")[0].cast("bigint")).alias("ts"),
         F.col("p")[1].alias("event_type"),
     )
-    shuffle_scope = _stream_shuffle(spark)
-    shuffle_scope.__enter__()
-    query = (
-        parsed.withWatermark("ts", _WATERMARK)
-        .groupBy(F.window("ts", "600 seconds"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.unix_timestamp(F.col("window.start")).alias("win_start"),
-            "event_type",
-            "n",
-        )
-        .writeStream.format("memory")
-        .queryName("w32bd_sock")
-        .outputMode("append")
-        .start()
-    )
+    # ADVICE r8: the whole build/start/poll lives INSIDE the context
+    # manager so the shuffle-width override is restored even when plan
+    # construction or writeStream.start() raises — a manual __enter__
+    # with __exit__ only in the post-start finally leaked the streaming
+    # width (8) into every subsequent batch key's session on failure.
+    query = None
     try:
-        sent.wait(timeout=60.0)
-        # The socket source ingests on its own receiver thread, so
-        # processAllAvailable() only covers bytes already buffered: poll
-        # until the cumulative source input reaches the served row count
-        # (then once more so the no-data batch flushes watermark state).
-        deadline = time.time() + 120.0
-        # recentProgress is a CAPPED ring buffer (~100 entries, ADVICE
-        # r6): re-summing it undercounts forever once input-bearing
-        # entries are evicted by later no-data batches. Accumulate
-        # per-batch input counts across polls in Python instead — a
-        # batch's count is recorded the first poll after it appears, so
-        # eviction can only drop entries already counted.
-        batch_rows: dict[int, int] = {}
-        while time.time() < deadline:
+        with _stream_shuffle(spark):
+            query = (
+                parsed.withWatermark("ts", _WATERMARK)
+                .groupBy(F.window("ts", "600 seconds"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.unix_timestamp(F.col("window.start")).alias(
+                        "win_start"
+                    ),
+                    "event_type",
+                    "n",
+                )
+                .writeStream.format("memory")
+                .queryName("w32bd_sock")
+                .outputMode("append")
+                .start()
+            )
+            sent.wait(timeout=60.0)
+            # The socket source ingests on its own receiver thread, so
+            # processAllAvailable() only covers bytes already buffered:
+            # poll until the cumulative source input reaches the served
+            # row count (then once more so the no-data batch flushes
+            # watermark state).
+            deadline = time.time() + 120.0
+            # recentProgress is a CAPPED ring buffer (~100 entries,
+            # ADVICE r6): re-summing it undercounts forever once
+            # input-bearing entries are evicted by later no-data
+            # batches. Accumulate per-batch input counts across polls
+            # in Python instead — a batch's count is recorded the first
+            # poll after it appears, so eviction can only drop entries
+            # already counted.
+            batch_rows: dict[int, int] = {}
+            while time.time() < deadline:
+                query.processAllAvailable()
+                for p in query.recentProgress:
+                    batch_rows[int(p["batchId"])] = int(p["numInputRows"])
+                if sum(batch_rows.values()) >= n_events:
+                    break
+                time.sleep(0.2)
             query.processAllAvailable()
-            for p in query.recentProgress:
-                batch_rows[int(p["batchId"])] = int(p["numInputRows"])
-            if sum(batch_rows.values()) >= n_events:
-                break
-            time.sleep(0.2)
-        query.processAllAvailable()
     finally:
-        query.stop()
-        shuffle_scope.__exit__(None, None, None)
+        if query is not None:
+            query.stop()
         done.set()
         try:
             server.close()
