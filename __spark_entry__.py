@@ -242,6 +242,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # via the context manager so the width override is restored on any
     # exception
     "stream_unbounded_socket",
+    # NEW r9 (VERDICT r8 item 2): NATIVE streaming session_window()
+    # under a 6 h watermark — session state merges across micro-batch
+    # boundaries, append-mode finalization at session_end_us <=
+    # ms-floored final wm * 1000 (boundary calibrated against the
+    # engine); full gaps-and-islands batch-equivalence oracle
+    "stream_session_window_native",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

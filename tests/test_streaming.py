@@ -270,3 +270,79 @@ def test_outer_join_watermark_null_emission_boundary(spark):
         (r["click_id"], r["view_id"]) for r in sdf.collect()
     }
     assert got == {(100, 101), (200, None), (400, None)}, sorted(got)
+
+
+def test_session_window_native_merge_and_boundary(spark):
+    """stream_session_window_native (r9): crafted fixture pinning the
+    streaming-distinctive session machinery — (a) a session that MERGES
+    across a micro-batch boundary (u1's second event arrives in the next
+    chunk, 200 s < the 5-min gap), (b) the inclusive eviction boundary
+    (u1's merged session ends at exactly wm*1000 us and IS emitted),
+    (c) microsecond-exact withholding (u4's session ends 500 us past the
+    ms-floored watermark and is NOT emitted), and (d) an open session at
+    end-of-stream (u3, withheld). The fixture is sized so the final
+    watermark (max real ts + 30 min sentinel - 6 h delay) lands at
+    exactly +500 s. Cross-engine compare runs on the same fixture."""
+    import os
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_sessfix",
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        import duckdb
+
+        os.makedirs(out, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+        )
+        t0_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+        rows = [
+            # (event_id, offset_us, user_id)
+            (1, 0, 1),  # u1 session opens in chunk 0
+            (2, 100_000_000, 2),  # u2: single-event session [100, 400)
+            (3, 200_000_000, 1),  # u1 extends ACROSS the chunk boundary
+            (4, 200_000_500, 4),  # u4: end 500.0005 s — 500 us past wm
+            (5, 20_300_000_000, 3),  # u3: open at stream end; also the
+            # max-real-ts anchor: wm = 20300 + 1800 (sentinel) - 21600
+            # (delay) = exactly +500 s
+        ]
+        for eid, us, uid in rows:
+            con.execute(
+                "INSERT INTO e VALUES (?, make_timestamp(?), ?, 'view', "
+                "0e0, NULL)",
+                [eid, t0_us + us, uid],
+            )
+        con.execute(f"COPY e TO '{out}/events.parquet' (FORMAT PARQUET)")
+        from week3_2_practice_big_data__spark.io import TABLES
+
+        for t in TABLES:
+            if t == "events":
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') "
+                f"LIMIT 20) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        with open(stamp, "w") as f:
+            f.write("v1")
+
+    from .oracle import compare, duck_run
+
+    q = REGISTRY["stream_session_window_native"]
+    sdf = q.builder(spark, out)
+    compare(sdf, duck_run(q.oracle, out), "stream_session_window_native:fix")
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"],
+         r["n_events"])
+        for r in sdf.collect()
+    }
+    t0 = 1_704_067_200_000_000
+    assert got == {
+        (1, t0, t0 + 500_000_000, 2),  # merged across the chunk boundary,
+        # end == wm*1000 exactly — inclusive boundary pinned
+        (2, t0 + 100_000_000, t0 + 400_000_000, 1),
+    }, sorted(got)

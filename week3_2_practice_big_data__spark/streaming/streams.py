@@ -26,6 +26,8 @@ from .. import synth
 from ..common import build_once
 from ..io import load_table
 from ..registry import register
+from ..operators.analytics import _GAP_US as _SESS_GAP_US
+from ..operators.analytics import _sessionize_sql as _session_batch_sql
 
 _REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 _CHUNKS = 4
@@ -1401,4 +1403,104 @@ def stream_event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_burst",
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_session_window_native — the NATIVE streaming session_window()
+# operator under a watermark (r9, VERDICT r8 item 2): the batch key
+# stream_session_window runs session_window() on a batch DataFrame, which
+# never exercises the streaming-distinctive machinery — session state
+# MERGING across micro-batch boundaries and append-mode finalization when
+# the watermark passes session end + gap. This key drives exactly that:
+# the ts-ordered chunked file source (one file per trigger), withWatermark
+# + session_window groupBy, append mode.
+#
+# Batch-equivalence oracle under lockstep in-order arrival: per-user event
+# order is preserved by the global (ts, event_id) chunking, so the final
+# merged session set equals the batch gaps-and-islands sessions (ONE
+# definition, shared with win_sessionize_gaps / stream_session_window via
+# operators/analytics._sessionize_sql), and append mode emits exactly the
+# sessions finalized by the FINAL watermark. Eviction boundary calibrated
+# against the engine (r9, three crafted scenarios): a session emits iff
+# session_end_us <= wm_ms * 1000 — the comparison is inclusive and in
+# MICROSECONDS against the ms-floored watermark (end 400.000000 s vs wm
+# 400.000 s emitted; end 301.0005 s vs wm 301.000 s withheld, i.e. the
+# sub-ms part of the session end is NOT floored away).
+#
+# Watermark delay is 6 h (not the file-wide 10 min): the final watermark
+# lands at max_real_ts + 30 min (sentinels) - 6 h = 5.5 h before the end
+# of the timeline, so the withheld-open-session branch keeps real mass at
+# every driver sf (sessions whose last event falls in the trailing ~5.5 h
+# stay in state; with a 10-min delay the 30-min sentinel offset would
+# finalize every real session and the withholding path would go
+# untested). The two far-future sentinel chunks (user_id < 0, filtered
+# after the sink) force the final eviction into ordinary DATA batches —
+# processAllAvailable does not reliably wait for the trailing no-data
+# batch (r8 sentinel discipline).
+# ---------------------------------------------------------------------------
+
+_SESS_NATIVE_WM = "6 hours"
+_SESS_NATIVE_WM_US = 21_600_000_000
+
+_SESS_NATIVE_ORACLE = f"""
+WITH sess AS ({_session_batch_sql("duckdb")}),
+wm AS (
+  SELECT CAST(floor((max(epoch_us(ts)) + {_SSOJ_SENT_OFFSET_US}
+                     - {_SESS_NATIVE_WM_US}) / 1000e0) AS BIGINT) AS wm_ms
+  FROM events
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM sess CROSS JOIN wm
+WHERE session_end_us <= wm.wm_ms * 1000
+ORDER BY user_id, session_start_us
+"""
+
+
+def _session_native_transform(s: DataFrame) -> DataFrame:
+    """The streaming session topology (shared with the crafted-fixture
+    pytest so the pinned merge/withhold/boundary behavior is the same
+    code path the registered key runs)."""
+    return (
+        s.withWatermark("ts", _SESS_NATIVE_WM)
+        .groupBy(
+            F.session_window("ts", f"{_SESS_GAP_US // 1_000_000} seconds"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_window_native",
+    oracle=_SESS_NATIVE_ORACLE,
+    doc="NATIVE streaming session_window() under withWatermark('ts','6 "
+    "hours'), append mode over the ts-ordered chunked source: session "
+    "state merges across micro-batch boundaries and sessions finalize "
+    "when the watermark passes session end. Complete batch-equivalence "
+    "oracle under lockstep in-order arrival: emitted set = the shared "
+    "gaps-and-islands sessions with session_end_us <= ms-floored final "
+    "watermark * 1000 (boundary calibrated against the engine: inclusive, "
+    "microsecond-exact ends). Far-future sentinel chunks force final "
+    "eviction into data batches (NS).",
+    tags=("streaming", "stateful"),
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "sessnat", sentinels=2)
+    out = _run_stream(
+        spark, src, ev.schema, _session_native_transform, "w32bd_sessnat"
+    )
+    return out.filter(F.col("user_id") >= 0).orderBy(
+        "user_id", "session_start_us"
     )
