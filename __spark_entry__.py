@@ -248,6 +248,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # ms-floored final wm * 1000 (boundary calibrated against the
     # engine); full gaps-and-islands batch-equivalence oracle
     "stream_session_window_native",
+    # NEW r9 (VERDICT r8 item 3): composed media pipeline — rep-collapse
+    # then ONE fused decode kernel per distinct image (accumulator-pinned
+    # in pytest), near-dup pairs, member expansion, metadata join,
+    # all-scalar per-source funnel; rows-only (rendered-pixel inputs)
+    "ns_mm_pipeline_e2e",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

@@ -391,6 +391,7 @@ def mm_ladder(spark) -> dict:
         "mm_frame_sample": mm.frame_sample_pipeline,
         "mm_scene_cut": mm.scene_cut_pipeline,
         "mm_image_phash": lambda p: mm.phash_pipeline(spark, p),
+        "mm_pipeline_e2e": lambda p: mm.mm_pipeline_e2e(spark, p),
         "mm_audio_window": None,  # track-count scaling, handled below
     }
 

@@ -547,3 +547,59 @@ def test_pipeline_e2e_funnel_invariants(spark):
     assert any(e == 4.0 for e in eps) and any(0.0 < e < 4.0 for e in eps)
     # weights span the 1..4 range (source-id hash)
     assert {r["weight"] for r in rows if r["toks"] > 0} == {1, 2, 3, 4}
+
+
+def test_mm_pipeline_e2e_decodes_each_distinct_image_once(spark):
+    """ns_mm_pipeline_e2e (r9): the composed media pipeline decodes each
+    DISTINCT image exactly once across all fused stages (accumulator-
+    counted inside the kernel), the funnel invariants hold, and byte-
+    identical replicas add ZERO decodes while member-level stats scale
+    exactly k× (the rep-collapse composition claim)."""
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark.functions.multimodal import (
+        _posters,
+        mm_pipeline_e2e,
+    )
+
+    posters = _posters(spark, SF_SMALL).localCheckpoint(eager=True)
+    n_posters = posters.count()
+    acc = spark.sparkContext.accumulator(0)
+    rows = mm_pipeline_e2e(spark, posters, decode_counter=acc).collect()
+    assert acc.value == n_posters, "fused kernel must decode once per rep"
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in (
+            "n_blobs", "n_distinct", "n_exact_dup", "n_meta_ok",
+            "n_frames", "n_cuts",
+        )
+    }
+    assert tot["n_blobs"] == n_posters == tot["n_distinct"]
+    assert tot["n_exact_dup"] == 0
+    assert tot["n_meta_ok"] == n_posters  # parsed IHDR == stored metadata
+    assert tot["n_frames"] == 3 * n_posters  # every 2nd of 6 frames
+    assert tot["n_cuts"] == 0  # uniform brightness ramp: no true cuts
+    # duplication ladder: byte-identical replicas collapse before decode
+    k = 4
+    rep = spark.range(k).withColumnRenamed("id", "replica")
+    dup = (
+        posters.crossJoin(rep)
+        .withColumn("blob_id", F.col("blob_id") + F.col("replica") * 1000)
+        .drop("replica")
+        .localCheckpoint(eager=True)
+    )
+    acc2 = spark.sparkContext.accumulator(0)
+    rows2 = mm_pipeline_e2e(spark, dup, decode_counter=acc2).collect()
+    assert acc2.value == n_posters, "replicas must NOT decode"
+    tot2 = {c: sum(r[c] for r in rows2) for c in ("n_blobs", "n_distinct", "n_exact_dup")}
+    assert tot2["n_blobs"] == k * n_posters
+    assert tot2["n_distinct"] == n_posters
+    assert tot2["n_exact_dup"] == (k - 1) * n_posters
+    # member expansion: per-source member stats scale exactly k×
+    m1 = {r["source"]: r for r in rows}
+    m2 = {r["source"]: r for r in rows2}
+    assert set(m1) == set(m2)
+    for s in m1:
+        for c in ("n_frames", "thumb_bytes", "feat0_u_sum", "r_u_sum"):
+            assert m2[s][c] == k * m1[s][c], (s, c)
+        assert m2[s]["n_near_pairs"] == m1[s]["n_near_pairs"]

@@ -645,3 +645,225 @@ def scene_cut_pipeline(posters: DataFrame) -> DataFrame:
 def ns_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)
     return scene_cut_pipeline(_posters(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ns_mm_pipeline_e2e — the MEDIA twin of ns_pipeline_e2e (r9, VERDICT r8
+# item 3): every proven mm stage composed into ONE plan with each distinct
+# image decoded exactly ONCE. The per-stage keys above each decode the
+# posters themselves; a real media pipeline cannot afford k decodes for k
+# stages, so the composition fuses them:
+#
+#   render (checkpointed once) → sha256 rep-collapse (byte-identical dups
+#   never decode) → ONE mapInPandas kernel per representative that decodes
+#   the poster a single time and derives ALL pixel stages from the decoded
+#   array — metadata consistency (parsed IHDR vs stored dims), perceptual
+#   aHash, 32×32 thumbnail re-encode, stub features, frame sampling count,
+#   and scene-cut stats over the brightness-ramp frames (the ramp frames
+#   are derived arrays: clip(img·scale) equals the decoded re-encoded
+#   frame bit-for-bit because the engine's RGB8 codec is lossless, so no
+#   container re-decode is needed) → rep-level phash near-dup pairs
+#   (popcount(xor) ≤ 10, pixels never shuffle) → member-level expansion by
+#   the rep map → broadcast join to the typed blob-param metadata
+#   (synth.blobs_sql — the media ↔ metadata join) → per-source funnel.
+#
+# Output is a ≤3-row, all-scalar funnel (source = orig_blob % 3; replicas
+# from the N× ladder fold onto their origin via pmod(blob_id, 1000), the
+# ladder's replica id stride). Rows-only by design (the upstream is
+# rendered pixels), pinned by pytest: decode counter == n_reps (each
+# distinct image decoded once, accumulator-counted in the kernel),
+# funnel invariants, and the duplication ladder (byte-identical replicas
+# add ZERO decodes).
+# ---------------------------------------------------------------------------
+
+
+def mm_pipeline_e2e(
+    spark: SparkSession, posters: DataFrame, decode_counter=None
+) -> DataFrame:
+    """The composed media pipeline over any posters-shaped relation.
+
+    `decode_counter`: optional SparkContext accumulator incremented once
+    per actual pixel decode — the pytest hook proving the one-decode-per-
+    distinct-image claim on the very plan the registered key runs."""
+    import struct
+
+    from pyspark.sql.window import Window
+
+    from ..plans.generative import NB, SEED
+    from .. import synth
+
+    def fused(batches):
+        import numpy as np
+
+        from ..plans.png import decode_png_rgb, encode_png_rgb
+
+        for pdf in batches:
+            out = {
+                "blob_id": [], "parsed_w": [], "parsed_h": [],
+                "phash": [], "thumb_len": [], "n_frames": [],
+                "n_cuts": [], "feat0_u": [],
+            }
+            for blob_id, png in zip(pdf["blob_id"], pdf["png"]):
+                png = bytes(png)
+                pixels, w, h = decode_png_rgb(png)  # THE one decode
+                if decode_counter is not None:
+                    decode_counter.add(1)
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                # stage: perceptual aHash (same math as phash_pipeline)
+                gray = img.astype(np.float64).mean(axis=2)
+                ri = (np.arange(8) * h) // 8
+                ci = (np.arange(8) * w) // 8
+                rl = np.append(ri[1:], h)
+                cl = np.append(ci[1:], w)
+                blocks = np.array(
+                    [
+                        [gray[ri[i]:rl[i], ci[j]:cl[j]].mean()
+                         for j in range(8)]
+                        for i in range(8)
+                    ]
+                )
+                bits = (blocks > blocks.mean()).astype(np.uint64).reshape(-1)
+                hv = 0
+                for b in bits:
+                    hv = (hv << 1) | int(b)
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                # stage: thumbnail (nearest-neighbor, same as resize_pipeline)
+                tri = (np.arange(_THUMB) * h) // _THUMB
+                tci = (np.arange(_THUMB) * w) // _THUMB
+                thumb = encode_png_rgb(
+                    img[tri][:, tci].tobytes(), _THUMB, _THUMB
+                )
+                # stage: frame sampling + scene cuts over the ramp frames —
+                # derived from the decoded array (the codec is lossless, so
+                # clip(img*scale) IS the frame scene_cut_pipeline decodes)
+                fimg = img.astype(np.float64)
+                frames = [
+                    np.clip(fimg * (0.5 + 0.1 * f), 0, 255)
+                    .astype(np.uint8).astype(np.float64)
+                    for f in range(_N_FRAMES)
+                ]
+                n_frames = len(range(0, _N_FRAMES, _FRAME_STEP))
+                diffs = [
+                    float(np.abs(frames[i] - frames[i - 1]).mean())
+                    for i in range(1, _N_FRAMES)
+                ]
+                mu = sum(diffs) / len(diffs)
+                sd = (sum((d - mu) ** 2 for d in diffs) / len(diffs)) ** 0.5
+                n_cuts = sum(1 for d in diffs if d > mu + 2 * sd)
+                # stage: stub features over the compressed bytes (micro-
+                # quantized scalar: f0 is already 6-dp rounded)
+                f0 = _stub_feature(png, _FEAT_DIM)[0]
+                out["blob_id"].append(int(blob_id))
+                out["parsed_w"].append(int(w))
+                out["parsed_h"].append(int(h))
+                out["phash"].append(hv)
+                out["thumb_len"].append(len(thumb))
+                out["n_frames"].append(int(n_frames))
+                out["n_cuts"].append(int(n_cuts))
+                out["feat0_u"].append(int(round(f0 * 1_000_000)))
+            yield pd.DataFrame(out)
+
+    # Materialize the render once; every corpus-sized relation below is a
+    # narrow derivation of this checkpoint (the text pipeline's zero-
+    # re-scan discipline applied to pixels).
+    keyed = posters.select(
+        "blob_id", "width", "height", "png",
+        F.sha2(F.col("png"), 256).alias("digest"),
+    ).localCheckpoint(eager=True)
+    rep_map = keyed.select(
+        "blob_id", "width", "height",
+        F.min("blob_id").over(Window.partitionBy("digest")).alias("rep"),
+    ).localCheckpoint(eager=True)
+    reps = keyed.join(
+        rep_map.filter(F.col("blob_id") == F.col("rep"))
+        .select(F.col("blob_id").alias("rid")),
+        keyed.blob_id == F.col("rid"),
+    ).select("blob_id", "png")
+    decoded = (
+        reps.mapInPandas(
+            fused,
+            "blob_id bigint, parsed_w int, parsed_h int, phash bigint, "
+            "thumb_len bigint, n_frames int, n_cuts int, feat0_u bigint",
+        )
+        .localCheckpoint(eager=True)  # consumed twice: pairs + members
+    )
+    # rep-level near-dup pairs: popcount(xor) on the 64-bit fingerprints
+    a, b = decoded.alias("a"), decoded.alias("b")
+    pairs = (
+        a.join(b, F.col("a.blob_id") < F.col("b.blob_id"))
+        .filter(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            <= _PHASH_HAMMING
+        )
+        .select(
+            (F.pmod(F.col("a.blob_id"), F.lit(1000)) % 3).alias("source")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    )
+    # member-level expansion + the media ↔ typed-metadata broadcast join
+    params = spark.sql(
+        synth.blobs_sql(SEED, NB, "spark")
+    ).select(
+        F.col("blob_id").alias("orig"), "r",
+    )
+    members = (
+        rep_map.join(
+            F.broadcast(
+                decoded.select(
+                    F.col("blob_id").alias("rep"), "parsed_w", "parsed_h",
+                    "thumb_len", "n_frames", "n_cuts", "feat0_u",
+                )
+            ),
+            "rep",
+        )
+        .withColumn("orig", F.pmod(F.col("blob_id"), F.lit(1000)))
+        .join(F.broadcast(params), "orig")
+    )
+    funnel = members.groupBy(
+        (F.col("orig") % 3).cast("int").alias("source")
+    ).agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.count_distinct(F.col("rep")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("rep"))).alias(
+            "n_exact_dup"
+        ),
+        F.sum(
+            (
+                (F.col("parsed_w") == F.col("width"))
+                & (F.col("parsed_h") == F.col("height"))
+            ).cast("bigint")
+        ).alias("n_meta_ok"),
+        F.sum("n_frames").cast("bigint").alias("n_frames"),
+        F.sum("n_cuts").cast("bigint").alias("n_cuts"),
+        F.sum("thumb_len").alias("thumb_bytes"),
+        F.sum("feat0_u").alias("feat0_u_sum"),
+        F.expr(synth.sum_micro_int("r", 4)).alias("r_u_sum"),
+    )
+    return (
+        funnel.join(pairs, "source", "left")
+        .withColumn(
+            "n_near_pairs", F.coalesce(F.col("n_near_pairs"), F.lit(0))
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "ns_mm_pipeline_e2e",
+    oracle=None,  # rendered-pixel inputs → rows-only; pytest pins the
+    # decode count, funnel invariants, and the duplication ladder
+    doc="The composed media pipeline (media twin of ns_pipeline_e2e): "
+    "render checkpoint → sha256 rep-collapse → ONE fused mapInPandas "
+    "kernel decoding each distinct image exactly once (metadata check, "
+    "aHash, thumbnail, stub features, frame sampling, scene cuts all from "
+    "the single decoded array) → rep-level near-dup pairs → member "
+    "expansion → broadcast join to typed blob-param metadata → all-scalar "
+    "per-source funnel. Decode count is accumulator-pinned in pytest (NS "
+    "multimodal).",
+    tags=("ns", "multimodal", "udf", "scale"),
+)
+def ns_mm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)
+    return mm_pipeline_e2e(spark, _posters(spark, sf_dir))
