@@ -253,6 +253,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # in pytest), near-dup pairs, member expansion, metadata join,
     # all-scalar per-source funnel; rows-only (rendered-pixel inputs)
     "ns_mm_pipeline_e2e",
+    # NEW r9 (VERDICT r8 item 4): Spark 4 native Python UDTF (@udtf via
+    # SQL LATERAL) — span-emitting tokenizer, oracle = the relational
+    # span derivation (two derivations, one hash)
+    "udtf_python_native",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

@@ -673,3 +673,37 @@ def test_gbt_boost_mse_monotone(spark):
     assert rows[1]["gain"] > 0 and rows[2]["gain"] >= 0
     # each round's leaf corrections pull in opposite directions
     assert rows[1]["gamma_l"] * rows[1]["gamma_r"] <= 0
+
+
+def test_udtf_spans_reconstruct_document(spark):
+    """udtf_python_native (r9): the emitted spans must EXACTLY tile each
+    document — substring(text, start_off+1, len) == token for every row,
+    consecutive spans separated by exactly one space, and the last span
+    ends at the document's code-point length."""
+    from collections import defaultdict
+
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.io import load_table
+
+    rows = REGISTRY["udtf_python_native"].builder(spark, SF_SMALL).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text").collect()
+        if r["text"] is not None
+    }
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+    assert set(per_doc) == set(texts)
+    for doc_id, spans in per_doc.items():
+        text = texts[doc_id]
+        spans.sort(key=lambda r: r["pos"])
+        prev_end = None
+        for r in spans:
+            assert text[r["start_off"]:r["end_off"]] == r["token"]
+            if prev_end is not None:
+                assert r["start_off"] == prev_end + 1  # single-space gap
+            prev_end = r["end_off"]
+        assert prev_end == len(text)
