@@ -257,6 +257,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # SQL LATERAL) — span-emitting tokenizer, oracle = the relational
     # span derivation (two derivations, one hash)
     "udtf_python_native",
+    # NEW r9 (VERDICT r8 item 5): embedding k-means topic clustering +
+    # balanced-topic sampling weights — 3 Lloyd rounds, projection
+    # argmin (no shuffle), exact micro-unit centroid sums, unrolled
+    # MATERIALIZED oracle
+    "iter_kmeans_embed",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

@@ -192,6 +192,13 @@ KEYS = [
     # and the funnel/pack/shuffle tail grow with the KEEPER count, which
     # duplication leaves unchanged (extra copies die at the dedup stage).
     "ns_pipeline_e2e",
+    # r9: k-means topic clustering rides the duplicated embeddings —
+    # assignment is a pure projection, each round ONE partial-agg corpus
+    # shuffle into the K×64 summary; duplicated vectors scale every
+    # micro-unit sum and count by the same N, so the centroid divisions
+    # (exact-int numerator/denominator pairs < 2^53) and therefore the
+    # assignments are duplication-INVARIANT — wall is corpus-pass-linear
+    "iter_kmeans_embed",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

@@ -707,3 +707,38 @@ def test_udtf_spans_reconstruct_document(spark):
                 assert r["start_off"] == prev_end + 1  # single-space gap
             prev_end = r["end_off"]
         assert prev_end == len(text)
+
+
+def test_kmeans_embed_lloyd_converges_and_weights_balance(spark):
+    """iter_kmeans_embed (r9): Lloyd inertia is non-increasing across the
+    three rounds (micro-unit slack: 1 micro per vector for the q6
+    boundary), every round's cluster sizes conserve the corpus, and the
+    balanced-topic weight is exactly total*1e6 DIV (K*n) — larger topics
+    get smaller sampling weight."""
+    from collections import defaultdict
+
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.functions.similarity import _KME_K
+    from week3_2_practice_big_data__spark.io import load_table
+
+    rows = REGISTRY["iter_kmeans_embed"].builder(spark, SF_SMALL).collect()
+    n_corpus = load_table(spark, SF_SMALL, "embeddings").count()
+    by_round = defaultdict(list)
+    for r in rows:
+        by_round[r["round"]].append(r)
+    assert set(by_round) == {1, 2, 3}
+    inertias = {}
+    for rnd, rs in by_round.items():
+        assert len(rs) == _KME_K
+        total = sum(r["n_vecs"] for r in rs)
+        assert total == n_corpus  # every vector assigned, every round
+        inertias[rnd] = sum(r["inertia_u"] for r in rs)
+        for r in rs:
+            want = (total * 1_000_000) // (_KME_K * r["n_vecs"]) if r["n_vecs"] else 0
+            assert r["weight_u"] == want
+        sized = sorted((r for r in rs if r["n_vecs"]), key=lambda r: r["n_vecs"])
+        if len(sized) >= 2:
+            assert sized[0]["weight_u"] >= sized[-1]["weight_u"]
+    assert inertias[1] + n_corpus >= inertias[2]
+    assert inertias[2] + n_corpus >= inertias[3]
+    assert inertias[3] > 0

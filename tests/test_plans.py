@@ -885,3 +885,15 @@ def test_bfs_round_plan_equi_joins_only(spark):
         plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin")
         + plan.count("ShuffledHashJoin") >= 2
     )
+
+
+def test_kmeans_embed_assignment_is_projection(spark):
+    """iter_kmeans_embed (r9): the returned (round-3 live) plan must carry
+    exactly ONE embeddings scan, assignment as a pure projection — no
+    BroadcastNestedLoopJoin/cartesian on the corpus, no per-vector window
+    (the only windowspec is the bounded <=K-row stats total), and no
+    Python evaluation anywhere."""
+    plan = _formatted_plan(spark, "iter_kmeans_embed")
+    assert plan.count("Scan parquet") == 2  # one scan (tree + details)
+    assert "CartesianProduct" not in plan
+    assert "Pandas" not in plan and "BatchEvalPython" not in plan

@@ -922,3 +922,243 @@ SELECT v.dim, v.l AS loading, {synth.q6("ray.lam")} AS eigenvalue
 FROM pca_v v CROSS JOIN ray
 ORDER BY v.dim
 """)
+
+
+# ---------------------------------------------------------------------------
+# iter_kmeans_embed — embedding k-means topic clustering (r9, VERDICT r8
+# item 5): the topic-balancing stage real pretraining mixes run — cluster
+# the embedding corpus into K topics with Lloyd iterations, then convert
+# the cluster shares into a balanced-sampling weight (uniform-topic
+# target: w_c = total / (K·n_c), micro-units).
+#
+# Spark shape (the plan you'd run at 100 TB): ASSIGNMENT IS A PURE
+# PROJECTION — the K=8 centroids are literal arrays folded against each
+# embedding with the IVF fixed-order fold, argmin via array_min over
+# (dq, c) structs (struct ordering = exact (dq, c) tie-break; pinned by
+# tests) — no rows×K join, no per-vector window, NO shuffle. The only
+# corpus shuffle per round is the partial-agg groupBy on (cell, dim)
+# (map-side combine → K·64 rows per partition). The Lloyd loop moves
+# driver-side: each round collects the K×64 micro-unit sums (bounded
+# summary, like the BFS frontier stats) and embeds the next centroids as
+# literals — exactly how a production k-means ships centroids back each
+# round. Rounds 1-2 stats are emitted as literal rows; round 3 stays a
+# LIVE lazy plan (assignment + stats + weights), so the returned
+# DataFrame re-runs real corpus work under the driver.
+#
+# Exactness discipline (the iter_kmeans_points contract over real
+# embeddings): per-round distances are q6-quantized BEFORE the argmin;
+# centroid components are EXACT micro-unit BIGINT sums divided once
+# (comp = CAST(sx_u AS DOUBLE) / (CAST(n AS DOUBLE)·1e6) — the identical
+# IEEE parse tree in Python, Spark, and DuckDB, so round r's literals
+# equal the oracle's relationally-computed centroids bit-for-bit);
+# inertia is the exact micro-unit sum of the (saturated) assigned
+# distances; weights are pure BIGINT floor division. Empty cells keep
+# their previous centroid and emit n_vecs = 0, weight 0. The DuckDB
+# oracle is the fully unrolled 3-round MATERIALIZED-CTE chain (window
+# argmin over the cross join — a different derivation of the same
+# values).
+# ---------------------------------------------------------------------------
+
+_KME_K = _IVF_CELLS  # 8 topics; init = the shared IVF seeded centroids
+_KME_ROUNDS = 3
+_KME_SAT_X = 4.0  # component clamp for the micro-unit centroid sums
+_KME_SAT_D = 1e6  # squared-distance clamp for the inertia micro units
+
+
+def _kme_xu(dialect: str, expr: str) -> str:
+    return (
+        f"CAST(floor({synth.sat(expr, _KME_SAT_X)} * 1000000e0 + 0.5e0) "
+        "AS BIGINT)"
+    )
+
+
+def _kme_du(dialect: str, expr: str) -> str:
+    return (
+        f"CAST(floor({synth.sat(expr, _KME_SAT_D)} * 1000000e0 + 0.5e0) "
+        "AS BIGINT)"
+    )
+
+
+def _kme_cents_literal(cents: list[list[float]]) -> str:
+    """Spark literal array-of-arrays for the current centroids."""
+    rows = ", ".join(
+        "array(" + ", ".join(synth.flit(v) for v in comps) + ")"
+        for comps in cents
+    )
+    return f"array({rows})"
+
+
+def _kme_amin(cents: list[list[float]]) -> str:
+    """Projection argmin: fold the embedding against each literal centroid
+    (the IVF fixed-order fold), q6 the distance, array_min over
+    named_struct('dq', …, 'c', cc) — struct ordering gives the exact
+    (dq, c) tie-break with zero joins and zero windows."""
+    fold = (
+        "aggregate(zip_with(embedding, element_at("
+        + _kme_cents_literal(cents)
+        + ", cc + 1), (x, y) -> (CAST(x AS DOUBLE) - y) "
+        "* (CAST(x AS DOUBLE) - y)), 0e0, (acc, v) -> acc + v)"
+    )
+    return (
+        f"array_min(transform(sequence(0, {_KME_K - 1}), cc -> "
+        f"named_struct('dq', coalesce({synth.q6(fold)}, 1e300), 'c', cc)))"
+    )
+
+
+def _kme_round_sql(cents: list[list[float]]) -> str:
+    """One Lloyd round's combined one-pass stats (Spark): per (cell, dim)
+    micro-unit component sums + per-cell n and inertia (the d = 0 rows
+    carry them) — a single corpus scan, assignment in the projection."""
+    return f"""
+WITH asg AS (
+  SELECT {_kme_amin(cents)} AS am, embedding
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT am.c AS cell, pos AS d,
+  sum({_kme_xu("spark", "CAST(x AS DOUBLE)")}) AS sx_u,
+  count(*) AS n, sum({_kme_du("spark", "am.dq")}) AS si_u
+FROM asg LATERAL VIEW posexplode(embedding) t AS pos, x
+GROUP BY am.c, pos
+"""
+
+
+def _kme_final_sql(cents: list[list[float]]) -> str:
+    """Round-3 LIVE stats + balanced-topic sampling weights (Spark): the
+    sum(n) OVER () is an unpartitioned window over the ≤ K-row stats
+    summary (bounded by construction — window-audit exempt)."""
+    return f"""
+WITH asg AS (
+  SELECT {_kme_amin(cents)} AS am
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+stats AS (
+  SELECT am.c AS cell, count(*) AS n,
+    sum({_kme_du("spark", "am.dq")}) AS si
+  FROM asg GROUP BY am.c
+),
+spine AS (SELECT explode(sequence(0, {_KME_K - 1})) AS cluster),
+w AS (
+  SELECT cell, n, si, sum(n) OVER () AS total FROM stats
+)
+SELECT CAST({_KME_ROUNDS} AS INT) AS round, CAST(s.cluster AS INT) AS cluster,
+  coalesce(w.n, CAST(0 AS BIGINT)) AS n_vecs,
+  coalesce(w.si, CAST(0 AS BIGINT)) AS inertia_u,
+  CASE WHEN w.n IS NULL THEN CAST(0 AS BIGINT)
+       ELSE w.total * 1000000 DIV ({_KME_K} * w.n) END AS weight_u
+FROM spine s LEFT JOIN w ON s.cluster = w.cell
+"""
+
+
+def _kme_oracle_sql() -> str:
+    """Fully unrolled 3-round MATERIALIZED Lloyd chain (DuckDB): window
+    argmin over the cross join, micro-unit centroid updates, spine-
+    completed per-round stats with BIGINT floor-division weights. Every
+    sum is CAST AS BIGINT (HUGEINT trap)."""
+    d2 = _ivf_d2("duckdb").replace("ct.comps", "ct.comps")
+    parts = [
+        f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+dims AS (SELECT unnest(generate_series(1, {_DIM})) AS j),
+spine AS (SELECT unnest(generate_series(0, {_KME_K - 1})) AS cluster),
+cent0 AS MATERIALIZED (SELECT c, comps FROM {_centroid_values("duckdb")} ct0)"""
+    ]
+    for r in range(1, _KME_ROUNDS + 1):
+        parts.append(f""",
+asg{r} AS MATERIALIZED (
+  SELECT vec_id, embedding, c AS cell,
+    {_kme_du("duckdb", "dq")} AS dq_u
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, c) AS rn
+    FROM (
+      SELECT e.vec_id, e.embedding, ct.c, coalesce({synth.q6(d2)}, 1e300) AS dq
+      FROM ev e CROSS JOIN cent{r - 1} ct
+    ) d0
+  ) d1 WHERE rn = 1
+),
+stats{r} AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(dq_u) AS BIGINT) AS si
+  FROM asg{r} GROUP BY cell
+)""")
+        if r < _KME_ROUNDS:
+            parts.append(f""",
+sums{r} AS (
+  SELECT a.cell, d.j,
+    CAST(sum({_kme_xu("duckdb", "CAST(a.embedding[d.j] AS DOUBLE)")}) AS BIGINT) AS sx
+  FROM asg{r} a CROSS JOIN dims d GROUP BY a.cell, d.j
+),
+cent{r} AS MATERIALIZED (
+  SELECT p.c, list(
+    CASE WHEN st.n IS NULL THEN p.comps[d.j]
+         ELSE CAST(su.sx AS DOUBLE) / (CAST(st.n AS DOUBLE) * 1000000e0)
+    END ORDER BY d.j) AS comps
+  FROM cent{r - 1} p CROSS JOIN dims d
+  LEFT JOIN stats{r} st ON st.cell = p.c
+  LEFT JOIN sums{r} su ON su.cell = p.c AND su.j = d.j
+  GROUP BY p.c
+)""")
+    rounds = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS INT) AS round, CAST(s.cluster AS INT) AS cluster,
+  coalesce(st.n, 0) AS n_vecs, coalesce(st.si, 0) AS inertia_u,
+  CASE WHEN st.n IS NULL THEN CAST(0 AS BIGINT)
+       ELSE (t{r}.total * 1000000) // ({_KME_K} * st.n) END AS weight_u
+FROM spine s
+LEFT JOIN stats{r} st ON s.cluster = st.cell
+CROSS JOIN (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total
+            FROM stats{r}) t{r}"""
+        for r in range(1, _KME_ROUNDS + 1)
+    )
+    parts.append(f"\n{rounds}\nORDER BY round, cluster")
+    return "".join(parts)
+
+
+@register(
+    "iter_kmeans_embed",
+    oracle=_kme_oracle_sql(),
+    doc="Embedding k-means topic clustering + balanced-topic sampling "
+    "weights: 3 Lloyd rounds over the 64-dim embedding corpus, K=8 "
+    "seeded (IVF-shared) initial centroids. Assignment is a pure "
+    "PROJECTION (literal-centroid fixed-order fold + array_min struct "
+    "argmin — no join, no window, no shuffle); one partial-agg corpus "
+    "shuffle per round; Lloyd loop driver-side over K×64 micro-unit "
+    "summaries. q6 distances before argmin, exact BIGINT centroid/ "
+    "inertia sums, BIGINT floor-division weights; oracle = unrolled "
+    "MATERIALIZED 3-round chain (NS; the topic-balancing mixture stage).",
+    tags=("iterative", "ns", "similarity", "scale"),
+)
+def iter_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    cents = [list(c) for c in _centroid_components()]
+    lit_rows = []
+    for rnd in range(1, _KME_ROUNDS):
+        per: dict[int, dict[int, dict]] = {}
+        for row in spark.sql(_kme_round_sql(cents)).collect():
+            per.setdefault(row["cell"], {})[row["d"]] = row
+        new_cents, stats = [], {}
+        for c in range(_KME_K):
+            if c in per:
+                n = int(per[c][0]["n"])
+                stats[c] = (n, int(per[c][0]["si_u"]))
+                new_cents.append(
+                    [int(per[c][d]["sx_u"]) / (n * 1e6) for d in range(_DIM)]
+                )
+            else:
+                stats[c] = (0, 0)
+                new_cents.append(cents[c])
+        total = sum(n for n, _ in stats.values())
+        for c in range(_KME_K):
+            n, si = stats[c]
+            w = (total * 1_000_000) // (_KME_K * n) if n else 0
+            lit_rows.append(f"({rnd}, {c}, {n}, {si}, {w})")
+        cents = new_cents
+    lits = ", ".join(lit_rows)
+    return spark.sql(f"""
+SELECT CAST(round AS INT) AS round, CAST(cluster AS INT) AS cluster,
+  CAST(n_vecs AS BIGINT) AS n_vecs, CAST(inertia_u AS BIGINT) AS inertia_u,
+  CAST(weight_u AS BIGINT) AS weight_u
+FROM VALUES {lits} AS t(round, cluster, n_vecs, inertia_u, weight_u)
+UNION ALL
+({_kme_final_sql(cents)})
+ORDER BY round, cluster
+""")
