@@ -262,6 +262,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # argmin (no shuffle), exact micro-unit centroid sums, unrolled
     # MATERIALIZED oracle
     "iter_kmeans_embed",
+    # NEW r9: tokenizer-vocabulary coverage / OOV-rate diagnostic —
+    # top-V df vocabulary (TakeOrderedAndProject) broadcast into the
+    # one-pass tf relation, per-source rollup
+    "ns_vocab_coverage",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

@@ -134,6 +134,13 @@ HEADLINE = [
     "stream_chained_join_agg",
     "ts_rollup_multires",
     "ml_gbt_boost2",
+    # round-9: the native streaming session window, the composed media
+    # pipeline, the lateral Python UDTF, and embedding k-means topic
+    # clustering; first medians seed the r10 baseline.
+    "stream_session_window_native",
+    "ns_mm_pipeline_e2e",
+    "udtf_python_native",
+    "iter_kmeans_embed",
 ]
 
 

@@ -603,3 +603,28 @@ def test_mm_pipeline_e2e_decodes_each_distinct_image_once(spark):
         for c in ("n_frames", "thumb_bytes", "feat0_u_sum", "r_u_sum"):
             assert m2[s][c] == k * m1[s][c], (s, c)
         assert m2[s]["n_near_pairs"] == m1[s]["n_near_pairs"]
+
+
+def test_vocab_coverage_bounds_and_conservation(spark):
+    """ns_vocab_coverage (r9): OOV never exceeds totals, rates in [0,1],
+    the source rollup conserves the corpus token count, and the top-V
+    vocabulary actually bites (some OOV mass exists on this corpus)."""
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark.functions.text import (
+        cached_tokens_ref,
+    )
+
+    rows = REGISTRY["ns_vocab_coverage"].builder(spark, SF_SMALL).collect()
+    assert rows
+    total_tokens = spark.sql(
+        f"SELECT count(*) AS n FROM ({cached_tokens_ref(spark, SF_SMALL)})"
+    ).collect()[0]["n"]
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
+    assert sum(r["n_oov"] for r in rows) > 0  # the V-cap bites
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0 <= r["n_oov_types"] <= r["n_oov"] or r["n_oov"] == 0
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert 0.0 <= r["max_doc_oov_rate"] <= 1.0
+        assert r["max_doc_oov"] <= r["n_oov"]

@@ -1320,3 +1320,86 @@ SELECT d.doc_id, t.pos, t.token, t.start_off, t.end_off
 FROM documents d, LATERAL w32bd_tokenize_spans(d.text) t
 ORDER BY doc_id, pos
 """)
+
+
+# ---------------------------------------------------------------------------
+# ns_vocab_coverage — tokenizer-vocabulary coverage / OOV rate (r9): the
+# vocabulary-fit diagnostic run before committing a tokenizer to a
+# pretraining corpus — build the top-V (16) vocabulary by corpus document
+# frequency (df DESC, token — exactly the BM25 candidate discipline: a
+# TakeOrderedAndProject top-V, never a vocabulary-wide window), then score
+# every document's coverage: token occurrences inside the vocab vs total,
+# distinct OOV types, and the q6 OOV rate. Per-source rollup keeps the
+# output summary-sized (sources = doc_id % 20, the corpus convention).
+#
+# Scale shape: one pass over the shared materialized token stream into
+# the (doc, token) tf relation; the V-row vocabulary broadcasts into the
+# coverage join; per-doc flags aggregate by source with map-side
+# combine. OOV rate denominators guard empty docs with nullif.
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 16  # the synthetic corpus has ~31 distinct types; V=16 keeps real OOV mass at every sf
+
+
+def _vocab_coverage_sql(dialect: str, tok_ref: str | None = None) -> str:
+    src = (
+        "CAST(doc_id % 20 AS BIGINT)" if dialect == "spark"
+        else "CAST(doc_id % 20 AS BIGINT)"
+    )
+    rate = "CAST(sum(oov_occ) AS DOUBLE) / nullif(CAST(sum(n_occ) AS DOUBLE), 0e0)"
+    return f"""
+WITH tok AS ({tok_ref or tokens_sql(dialect)}),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY doc_id, token
+),
+dfr AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY token
+),
+vocab AS (
+  SELECT token FROM dfr ORDER BY df DESC, token LIMIT {_VOCAB_V}
+),
+flagged AS (
+  SELECT tf.doc_id, tf.cnt AS n_occ,
+    CASE WHEN v.token IS NULL THEN tf.cnt ELSE 0 END AS oov_occ,
+    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov_type
+  FROM tf LEFT JOIN vocab v ON tf.token = v.token
+),
+per_doc AS (
+  SELECT doc_id,
+    CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+    CAST(sum(oov_occ) AS BIGINT) AS n_oov,
+    CAST(sum(oov_type) AS BIGINT) AS n_oov_types,
+    {synth.q6(rate)} AS oov_rate
+  FROM flagged GROUP BY doc_id
+)
+SELECT {src} AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(n_oov) AS BIGINT) AS n_oov,
+  CAST(sum(n_oov_types) AS BIGINT) AS n_oov_types,
+  CAST(max(n_oov) AS BIGINT) AS max_doc_oov,
+  {synth.q6("CAST(sum(n_oov) AS DOUBLE) / nullif(CAST(sum(n_tokens) AS DOUBLE), 0e0)")} AS oov_rate,
+  {synth.q6("max(oov_rate)")} AS max_doc_oov_rate
+FROM per_doc
+GROUP BY 1
+ORDER BY source
+"""
+
+
+@register(
+    "ns_vocab_coverage",
+    oracle=_vocab_coverage_sql("duckdb"),
+    doc="Tokenizer-vocabulary coverage / OOV-rate diagnostic: top-16 "
+    "vocabulary by document frequency (TakeOrderedAndProject, no "
+    "vocabulary-wide window), broadcast coverage join over the one-pass "
+    "(doc, token) tf relation, per-source rollup of token/OOV "
+    "occurrence and type counts with q6 rates (NS; the vocabulary-fit "
+    "check run before committing a tokenizer to a corpus).",
+    tags=("ns", "text", "scale"),
+)
+def ns_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        _vocab_coverage_sql("spark", cached_tokens_ref(spark, sf_dir))
+    )
