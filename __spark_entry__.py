@@ -266,6 +266,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # top-V df vocabulary (TakeOrderedAndProject) broadcast into the
     # one-pass tf relation, per-source rollup
     "ns_vocab_coverage",
+    # NEW r9: topic-balanced mixture allocation — the k-means topic
+    # weights feeding an actual per-topic token budget (composes
+    # iter_kmeans_embed; oracle = shared unrolled Lloyd chain + rollup)
+    "ns_topic_mixture",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

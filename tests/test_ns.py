@@ -628,3 +628,29 @@ def test_vocab_coverage_bounds_and_conservation(spark):
         assert 0.0 <= r["oov_rate"] <= 1.0
         assert 0.0 <= r["max_doc_oov_rate"] <= 1.0
         assert r["max_doc_oov"] <= r["n_oov"]
+
+
+def test_topic_mixture_allocates_balanced_budget(spark):
+    """ns_topic_mixture (r9): topic doc counts conserve the corpus, the
+    weight is exactly total*1e6 DIV (K*n), bigger topics get smaller
+    weights, and the allocated budget stays the right order of magnitude
+    (Σ w_c·tok_c ≈ total_tokens·1e6 up to topic/token-mass covariance)."""
+    from week3_2_practice_big_data__spark.functions.similarity import _KME_K
+    from week3_2_practice_big_data__spark.io import load_table
+
+    rows = REGISTRY["ns_topic_mixture"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == _KME_K
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == n_vecs
+    tok_total = sum(r["n_tokens"] for r in rows)
+    assert tok_total > 0
+    alloc = sum(r["alloc_tokens_u"] for r in rows)
+    assert 0.3 * tok_total * 1_000_000 <= alloc <= 3 * tok_total * 1_000_000
+    for r in rows:
+        want = (total * 1_000_000) // (_KME_K * r["n_docs"]) if r["n_docs"] else 0
+        assert r["weight_u"] == want
+        assert r["alloc_tokens_u"] == want * r["n_tokens"]
+    sized = sorted((r for r in rows if r["n_docs"]), key=lambda r: r["n_docs"])
+    if len(sized) >= 2:
+        assert sized[0]["weight_u"] >= sized[-1]["weight_u"]

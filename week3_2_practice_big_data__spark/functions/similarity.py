@@ -1049,11 +1049,10 @@ FROM spine s LEFT JOIN w ON s.cluster = w.cell
 """
 
 
-def _kme_oracle_sql() -> str:
-    """Fully unrolled 3-round MATERIALIZED Lloyd chain (DuckDB): window
-    argmin over the cross join, micro-unit centroid updates, spine-
-    completed per-round stats with BIGINT floor-division weights. Every
-    sum is CAST AS BIGINT (HUGEINT trap)."""
+def _kme_oracle_ctes() -> str:
+    """The unrolled 3-round MATERIALIZED Lloyd CTE chain (DuckDB WITH
+    body, through asg/stats of every round) — shared by the
+    iter_kmeans_embed oracle and the ns_topic_mixture oracle."""
     d2 = _ivf_d2("duckdb").replace("ct.comps", "ct.comps")
     parts = [
         f"""WITH ev AS MATERIALIZED (
@@ -1098,6 +1097,14 @@ cent{r} AS MATERIALIZED (
   LEFT JOIN sums{r} su ON su.cell = p.c AND su.j = d.j
   GROUP BY p.c
 )""")
+    return "".join(parts)
+
+
+def _kme_oracle_sql() -> str:
+    """Full iter_kmeans_embed oracle: the shared Lloyd chain + the
+    spine-completed per-round stats with BIGINT floor-division weights.
+    Every sum is CAST AS BIGINT (HUGEINT trap)."""
+    parts = [_kme_oracle_ctes()]
     rounds = "\nUNION ALL\n".join(
         f"""SELECT CAST({r} AS INT) AS round, CAST(s.cluster AS INT) AS cluster,
   coalesce(st.n, 0) AS n_vecs, coalesce(st.si, 0) AS inertia_u,
@@ -1113,21 +1120,12 @@ CROSS JOIN (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total
     return "".join(parts)
 
 
-@register(
-    "iter_kmeans_embed",
-    oracle=_kme_oracle_sql(),
-    doc="Embedding k-means topic clustering + balanced-topic sampling "
-    "weights: 3 Lloyd rounds over the 64-dim embedding corpus, K=8 "
-    "seeded (IVF-shared) initial centroids. Assignment is a pure "
-    "PROJECTION (literal-centroid fixed-order fold + array_min struct "
-    "argmin — no join, no window, no shuffle); one partial-agg corpus "
-    "shuffle per round; Lloyd loop driver-side over K×64 micro-unit "
-    "summaries. q6 distances before argmin, exact BIGINT centroid/ "
-    "inertia sums, BIGINT floor-division weights; oracle = unrolled "
-    "MATERIALIZED 3-round chain (NS; the topic-balancing mixture stage).",
-    tags=("iterative", "ns", "similarity", "scale"),
-)
-def iter_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kme_lloyd(spark: SparkSession, sf_dir: str):
+    """Run the driver-side Lloyd rounds 1..R−1 (each ONE corpus pass
+    collecting the K×64 micro-unit summary) and return (final centroids,
+    literal per-round stat rows). Shared by iter_kmeans_embed (which
+    appends the live round-R plan) and ns_topic_mixture (which consumes
+    only the final centroids)."""
     _view(spark, sf_dir)
     cents = [list(c) for c in _centroid_components()]
     lit_rows = []
@@ -1152,6 +1150,26 @@ def iter_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = (total * 1_000_000) // (_KME_K * n) if n else 0
             lit_rows.append(f"({rnd}, {c}, {n}, {si}, {w})")
         cents = new_cents
+    return cents, lit_rows
+
+
+
+@register(
+    "iter_kmeans_embed",
+    oracle=_kme_oracle_sql(),
+    doc="Embedding k-means topic clustering + balanced-topic sampling "
+    "weights: 3 Lloyd rounds over the 64-dim embedding corpus, K=8 "
+    "seeded (IVF-shared) initial centroids. Assignment is a pure "
+    "PROJECTION (literal-centroid fixed-order fold + array_min struct "
+    "argmin — no join, no window, no shuffle); one partial-agg corpus "
+    "shuffle per round; Lloyd loop driver-side over K×64 micro-unit "
+    "summaries. q6 distances before argmin, exact BIGINT centroid/ "
+    "inertia sums, BIGINT floor-division weights; oracle = unrolled "
+    "MATERIALIZED 3-round chain (NS; the topic-balancing mixture stage).",
+    tags=("iterative", "ns", "similarity", "scale"),
+)
+def iter_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents, lit_rows = _kme_lloyd(spark, sf_dir)
     lits = ", ".join(lit_rows)
     return spark.sql(f"""
 SELECT CAST(round AS INT) AS round, CAST(cluster AS INT) AS cluster,
@@ -1162,3 +1180,107 @@ UNION ALL
 ({_kme_final_sql(cents)})
 ORDER BY round, cluster
 """)
+
+
+# ---------------------------------------------------------------------------
+# ns_topic_mixture — topic-balanced token-budget allocation (r9): the
+# composition VERDICT r8 item 5 points at — the k-means topic weights
+# actually FEEDING a mixture plan. The final Lloyd centroids assign every
+# embedding to its topic; the 1:1 vec_id ↔ doc_id join brings in each
+# document's token mass; per topic the output carries the doc count,
+# token mass, the balanced-sampling weight w_c = total_docs·1e6 DIV
+# (K·n_c), and the allocated token budget alloc_u = w_c · token_mass —
+# the per-topic expected sampled tokens under uniform-topic resampling
+# (alloc_u/1e6 sums to ~total tokens when topics are balanced; skewed
+# topics are up/down-weighted exactly).
+#
+# Plan shape: the assignment is the same shuffle-free projection argmin;
+# ONE corpus join (embeddings ⋈ documents on the id, both sides pruned
+# to two columns) feeds a K-row partial agg; weights/allocations are
+# pure BIGINT arithmetic over the ≤K-row summary (the sum OVER () is
+# window-audit-exempt bounded). Oracle = the shared unrolled Lloyd CTE
+# chain + the same join/rollup, every sum CAST AS BIGINT.
+# ---------------------------------------------------------------------------
+
+
+def _topic_mixture_live_sql(cents: list[list[float]]) -> str:
+    return f"""
+WITH asg AS (
+  SELECT vec_id, {_kme_amin(cents)} AS am
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+docs AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN CAST(0 AS BIGINT)
+         ELSE CAST(size(split(text, ' ')) AS BIGINT) END AS tok
+  FROM documents
+),
+tm AS (
+  SELECT asg.am.c AS cell, count(*) AS n_docs,
+    coalesce(sum(d.tok), CAST(0 AS BIGINT)) AS n_tokens
+  FROM asg JOIN docs d ON asg.vec_id = d.doc_id
+  GROUP BY asg.am.c
+),
+w AS (SELECT cell, n_docs, n_tokens, sum(n_docs) OVER () AS total FROM tm),
+spine AS (SELECT explode(sequence(0, {_KME_K - 1})) AS topic)
+SELECT CAST(s.topic AS INT) AS topic,
+  coalesce(w.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+  coalesce(w.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+  CASE WHEN w.n_docs IS NULL THEN CAST(0 AS BIGINT)
+       ELSE w.total * 1000000 DIV ({_KME_K} * w.n_docs) END AS weight_u,
+  CASE WHEN w.n_docs IS NULL THEN CAST(0 AS BIGINT)
+       ELSE (w.total * 1000000 DIV ({_KME_K} * w.n_docs)) * w.n_tokens
+  END AS alloc_tokens_u
+FROM spine s LEFT JOIN w ON s.topic = w.cell
+ORDER BY topic
+"""
+
+
+def _topic_mixture_oracle() -> str:
+    return _kme_oracle_ctes() + f""",
+docs AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN CAST(0 AS BIGINT)
+         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS tok
+  FROM documents
+),
+tm AS (
+  SELECT a.cell, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(coalesce(sum(d.tok), 0) AS BIGINT) AS n_tokens
+  FROM asg{_KME_ROUNDS} a JOIN docs d ON a.vec_id = d.doc_id
+  GROUP BY a.cell
+),
+tot AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS total FROM tm)
+SELECT CAST(s.cluster AS INT) AS topic,
+  coalesce(tm.n_docs, 0) AS n_docs,
+  coalesce(tm.n_tokens, 0) AS n_tokens,
+  CASE WHEN tm.n_docs IS NULL THEN CAST(0 AS BIGINT)
+       ELSE (t.total * 1000000) // ({_KME_K} * tm.n_docs) END AS weight_u,
+  CASE WHEN tm.n_docs IS NULL THEN CAST(0 AS BIGINT)
+       ELSE ((t.total * 1000000) // ({_KME_K} * tm.n_docs)) * tm.n_tokens
+  END AS alloc_tokens_u
+FROM spine s
+LEFT JOIN tm ON s.cluster = tm.cell
+CROSS JOIN tot t
+ORDER BY topic
+"""
+
+
+@register(
+    "ns_topic_mixture",
+    oracle=_topic_mixture_oracle(),
+    doc="Topic-balanced mixture allocation: the k-means topic assignment "
+    "(final Lloyd centroids, shuffle-free projection argmin) joined 1:1 "
+    "to the documents' token mass, rolled up per topic with the balanced "
+    "sampling weight total·1e6 DIV (K·n) and the allocated token budget "
+    "weight·tokens — cluster shares feeding an actual sampling plan, all "
+    "BIGINT-exact over a ≤K-row summary (NS; composes iter_kmeans_embed "
+    "into the mixture family).",
+    tags=("ns", "similarity", "iterative", "scale"),
+)
+def ns_topic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents, _ = _kme_lloyd(spark, sf_dir)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_topic_mixture_live_sql(cents))
