@@ -270,6 +270,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # weights feeding an actual per-topic token budget (composes
     # iter_kmeans_embed; oracle = shared unrolled Lloyd chain + rollup)
     "ns_topic_mixture",
+    # NEW r9: Spark 4 Python Data Source API — custom partitioned
+    # DataSource/DataSourceReader, LCG source hash-pinned against the
+    # SQL/DuckDB derivations
+    "src_python_datasource",
+    # NEW r9: mapInArrow RecordBatch transform, hash-pinned vs SQL
+    "udf_arrow_map",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

@@ -742,3 +742,28 @@ def test_kmeans_embed_lloyd_converges_and_weights_balance(spark):
     assert inertias[1] + n_corpus >= inertias[2]
     assert inertias[2] + n_corpus >= inertias[3]
     assert inertias[3] > 0
+
+
+def test_python_datasource_partition_contract(spark):
+    """src_python_datasource (r9): the custom Python DataSource must
+    expose its 8 InputPartitions as real scan partitions (the
+    parallelism contract), emit every row exactly once across them, and
+    reproduce the shared LCG bit-for-bit."""
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.sources.generators import (
+        _PYDS_N,
+        _PYDS_PARTS,
+        _PYDS_SEED,
+    )
+
+    REGISTRY["src_python_datasource"].builder(spark, SF_SMALL)  # registers
+    raw = spark.read.format("w32bd_lcg").load()
+    assert raw.rdd.getNumPartitions() == _PYDS_PARTS
+    rows = raw.collect()
+    assert len(rows) == _PYDS_N
+    assert sorted(r["i"] for r in rows) == list(range(_PYDS_N))
+    m31, a, c = 2_147_483_648, 1_103_515_245, 12_345
+    for r in rows[:64]:
+        x = (r["i"] * 1000003 + _PYDS_SEED * 7919 + c) % m31
+        x = (a * x + c) % m31
+        assert r["u"] == x / m31

@@ -139,3 +139,71 @@ ORDER BY o_orderkey
 def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_bitwise_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# udf_arrow_map — the mapInArrow API surface (r9): the RecordBatch-level
+# sibling of mapInPandas — no pandas materialization at all, the UDF
+# receives and returns pyarrow.RecordBatch, which is the lowest-overhead
+# Python hook Spark offers (bulk columnar transforms, format shims,
+# zero-copy handoffs to Arrow-native libraries). The kernel computes each
+# lineitem's quantity micro-units with pyarrow/numpy float64 ops that are
+# textually the same IEEE parse tree as the SQL oracle (floor(q·1e6+0.5)
+# of an exact small double — identical BIGINT in numpy, Spark, DuckDB),
+# plus a pure string tag. Hash-pinned: Arrow kernel ≡ SQL.
+# ---------------------------------------------------------------------------
+
+_ARROW_MAP_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  l_returnflag || '-' || l_linestatus AS tag,
+  CAST(floor(l_quantity * 1000000e0 + 0.5e0) AS BIGINT) AS qty_u
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "udf_arrow_map",
+    oracle=_ARROW_MAP_ORACLE,
+    doc="mapInArrow: RecordBatch-in/RecordBatch-out Python transform (no "
+    "pandas layer) computing exact quantity micro-units + a string tag "
+    "per lineitem — the bulk-columnar Python hook beside mapInPandas, "
+    "hash-pinned against the SQL derivation (J: UDF surface).",
+    tags=("udf", "function", "scale"),
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity",
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            qty_u = np.floor(qty * 1e6 + 0.5).astype(np.int64)
+            tag = pc.binary_join_element_wise(
+                pc.cast(batch.column("l_returnflag"), pa.string()),
+                pc.cast(batch.column("l_linestatus"), pa.string()),
+                "-",
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    batch.column("l_linenumber"),
+                    tag,
+                    pa.array(qty_u, type=pa.int64()),
+                ],
+                names=["l_orderkey", "l_linenumber", "tag", "qty_u"],
+            )
+
+    return li.mapInArrow(
+        kernel,
+        "l_orderkey bigint, l_linenumber int, tag string, qty_u bigint",
+    ).orderBy("l_orderkey", "l_linenumber")

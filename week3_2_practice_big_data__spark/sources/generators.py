@@ -269,3 +269,89 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# src_python_datasource — the Spark 4 PYTHON DATA SOURCE API (r9): the
+# `pyspark.sql.datasource.DataSource` surface a PySpark 4 user implements
+# to ingest a system Spark has no built-in connector for. The source here
+# is a deterministic partitioned "sensor readings" generator: P=8
+# InputPartitions, each emitting its contiguous row range with the
+# engine's shared LCG uniform (the Python reader replays synth.lcg_u's
+# exact integer arithmetic, so the emitted doubles are bit-identical to
+# the SQL form — the src_range_gen_numpy discipline applied to the
+# connector API). The DuckDB oracle computes the same relation
+# relationally, proving the third derivation (Python reader ≡ Spark SQL
+# LCG ≡ DuckDB SQL LCG).
+#
+# Scale note: partitions() is the parallelism contract — each partition
+# reads independently on its executor (8 here; a real connector returns
+# one per shard/split). Row-by-row yield is the simple path; RecordBatch
+# (Arrow) yield is the fast path for bulk connectors — the plumbing is
+# the same either way.
+# ---------------------------------------------------------------------------
+
+_PYDS_N = 4096
+_PYDS_PARTS = 8
+_PYDS_SEED = 7331
+_PYDS_SENSORS = 16
+
+
+def _pyds_sql(dialect: str) -> str:
+    u = synth.lcg_u("i", _PYDS_SEED)
+    return f"""
+SELECT i, CAST(i % {_PYDS_SENSORS} AS INT) AS sensor_id, {u} AS u
+FROM {synth.series_sql(_PYDS_N, "i", dialect)}
+ORDER BY i
+"""
+
+
+@register(
+    "src_python_datasource",
+    oracle=_pyds_sql("duckdb"),
+    doc="Spark 4 Python Data Source API: a custom partitioned DataSource/"
+    "DataSourceReader (8 InputPartitions, contiguous ranges) registered "
+    "via spark.dataSource.register and read with spark.read.format — the "
+    "reader replays the shared LCG's exact integer arithmetic so the "
+    "hash pins Python-reader ≡ SQL-LCG ≡ DuckDB (A: the connector API "
+    "surface beside the built-in file sources).",
+    tags=("source", "udf", "scale"),
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    n, parts, seed, sensors = _PYDS_N, _PYDS_PARTS, _PYDS_SEED, _PYDS_SENSORS
+
+    class _LcgReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(parts)]
+
+        def read(self, partition):
+            per = (n + parts - 1) // parts
+            p = partition.value
+            m31, a, c = 2_147_483_648, 1_103_515_245, 12_345
+            for i in range(p * per, min((p + 1) * per, n)):
+                x = (i * 1000003 + seed * 7919 + c) % m31
+                x = (a * x + c) % m31
+                yield (i, i % sensors, x / m31)
+
+    class _LcgSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "w32bd_lcg"
+
+        def schema(self):
+            return "i bigint, sensor_id int, u double"
+
+        def reader(self, schema):
+            return _LcgReader()
+
+    spark.dataSource.register(_LcgSource)
+    return spark.read.format("w32bd_lcg").load().orderBy("i")
