@@ -141,6 +141,10 @@ HEADLINE = [
     "ns_mm_pipeline_e2e",
     "udtf_python_native",
     "iter_kmeans_embed",
+    "ns_vocab_coverage",
+    "ns_topic_mixture",
+    "src_python_datasource",
+    "udf_arrow_map",
 ]
 
 

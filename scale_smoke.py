@@ -199,6 +199,15 @@ KEYS = [
     # (exact-int numerator/denominator pairs < 2^53) and therefore the
     # assignments are duplication-INVARIANT — wall is corpus-pass-linear
     "iter_kmeans_embed",
+    # r9: vocab coverage rides the duplicated corpus through the shared
+    # token stream (df vocab is type-bounded; coverage join broadcasts);
+    # topic mixture rides embeddings+documents through the projection
+    # assignment + one id equi-join. udf_arrow_map is deliberately NOT
+    # here: a bijective per-row transform is output-LINEAR by
+    # construction (the ml_knn_classify posture) — measured ~1.4M rows/s
+    # through the Arrow kernel at 100x, sub-linear only in fixed costs.
+    "ns_vocab_coverage",
+    "ns_topic_mixture",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.
