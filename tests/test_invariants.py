@@ -377,6 +377,12 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # and the BFS fixpoint on empty/one-row inputs
         "ns_pipeline_e2e", "win_pareto_abc", "ns_curriculum_order",
         "iter_bfs_sssp", "ts_rollup_multires", "ml_gbt_boost2",
+        # r9: Lloyd rounds / topic mixture on empty and single-vector
+        # corpora (all-zero stats spine, weight 0 branches), UDTF over
+        # empty/one documents, vocab coverage with an under-V vocabulary
+        "iter_kmeans_embed", "ns_topic_mixture", "udtf_python_native",
+        "ns_vocab_coverage", "stream_session_window_native",
+        "udf_arrow_map", "src_python_datasource",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -568,6 +574,15 @@ def test_adversarial_input_parity(spark):
         # NaN/Inf values through the boosting histogram's sat gate; the
         # near-constant weird corpus exercises the zero-gain tie-break
         "ml_gbt_boost2",
+        # r9: the ±1e30/denormal/zero embeddings flow through the Lloyd
+        # folds (1e60-scale squared distances saturate into the inertia
+        # micro units; the coalesce-1e300 NULL guard), the topic join,
+        # and the balanced-weight DIV; unicode/empty/5000-char docs
+        # through the UDTF's code-point span arithmetic and the vocab
+        # coverage nullif rates; session windows under tied timestamps
+        "iter_kmeans_embed", "ns_topic_mixture", "udtf_python_native",
+        "ns_vocab_coverage", "stream_session_window_native",
+        "udf_arrow_map",
     ]
     for key in keys:
         q = REGISTRY[key]
