@@ -276,6 +276,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     "src_python_datasource",
     # NEW r9: mapInArrow RecordBatch transform, hash-pinned vs SQL
     "udf_arrow_map",
+    # NEW r9: SQL-language UDFs (CREATE TEMPORARY FUNCTION ... RETURN),
+    # Catalyst-inlined; oracle inlines the identical expression text
+    "fn_sql_udf",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

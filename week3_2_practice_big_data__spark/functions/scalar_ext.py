@@ -210,3 +210,61 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "l_orderkey bigint, l_linenumber int, tag string, qty_u bigint",
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# fn_sql_udf — Spark 4 SQL-language UDFs (r9): CREATE TEMPORARY FUNCTION
+# ... RETURNS ... RETURN <expr> — the declarative UDF surface (catalog
+# functions defined in pure SQL, resolved by Catalyst and inlined into
+# whole-stage codegen — the zero-overhead alternative to Python UDFs for
+# expressible logic). Two functions are declared and driven through a
+# lineitem aggregate: a discounted-revenue scalar and the engine's own
+# micro-unit quantizer re-expressed as a SQL UDF. The DuckDB oracle
+# inlines the identical expression text, so the hash proves Catalyst's
+# UDF inlining is semantics-preserving.
+# ---------------------------------------------------------------------------
+
+
+def _sql_udf_query(dialect: str) -> str:
+    # Spark side references the declared UDFs; DuckDB inlines their
+    # bodies verbatim (same parse tree, same doubles).
+    if dialect == "spark":
+        rev = "w32bd_disc_rev(l_extendedprice, l_discount)"
+        qu = "w32bd_micro(" + rev + ")"
+    else:
+        rev = "(l_extendedprice * (1e0 - l_discount))"
+        qu = f"CAST(floor({synth.sat(rev, 1e9)} * 1000000e0 + 0.5e0) AS BIGINT)"
+    return f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(sum({qu}) AS BIGINT) AS DOUBLE) / 1000000e0 AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "fn_sql_udf",
+    oracle=_sql_udf_query("duckdb"),
+    doc="Spark 4 SQL-language UDFs (CREATE TEMPORARY FUNCTION ... RETURN "
+    "expr): a discounted-revenue scalar and the micro-unit quantizer "
+    "declared as catalog SQL functions, driven through a lineitem "
+    "aggregate; Catalyst inlines them into codegen, and the oracle "
+    "inlines the same expression text — the hash pins the UDF "
+    "resolution as semantics-preserving (B: the declarative UDF "
+    "surface beside Python/pandas UDFs).",
+    tags=("function", "udf"),
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION w32bd_disc_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1e0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION w32bd_micro(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor("
+        + synth.sat("x", 1e9)
+        + " * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+    return spark.sql(_sql_udf_query("spark"))
