@@ -357,6 +357,10 @@ _R08_CHANGED: list[str] = [
 # saturation fix, synth.sat, checkpoint-cache keying, the suffix-frame
 # rewrites); they are pytest-replayed and sf0.01-swept every round, and
 # this puts fresh driver rows on them.
+# NOTE: with 11 r9-changed keys leading, the LAST ~5 entries of this
+# list fall outside the 50-key window — by design the spill is the TAIL
+# of the r02 cohort (gen_poster_shadow/param, fn_bitwise_ops,
+# src_orc_roundtrip, ...), never the r01 block; they lead r10's refresh.
 _REFRESH_THIS_ROUND: list[str] = [
     # r01-only block (VERDICT r8 item 1 — carry these first)
     "set_union", "sort_orderby", "udaf_weighted_quantity",
