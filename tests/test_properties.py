@@ -733,3 +733,42 @@ def test_als_beats_mean_predictor_baseline():
         "SELECT l_quantity, avg(l_quantity) OVER () AS m FROM lineitem) t"
     ).fetchone()
     assert als_rmse < base, (als_rmse, base)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab é日🦄'\\\" ")),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_udtf_span_oracle_matches_python_replay(texts):
+    """udtf_python_native (r9): the RELATIONAL span oracle (explode +
+    code-point prefix sums) must equal a pure-Python replay of
+    text.split(' ') span enumeration for arbitrary unicode text — the
+    same replay the @udtf kernel executes, so this pins the oracle's
+    arithmetic independently of the cross-engine compare."""
+    import duckdb
+
+    from week3_2_practice_big_data__spark.functions.text import (
+        _UDTF_SPANS_ORACLE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = con.execute(_UDTF_SPANS_ORACLE).fetchall()
+    want = []
+    for i, t in enumerate(texts):
+        off = 0
+        for pos, tok in enumerate(t.split(" ")):
+            want.append((i, pos, tok, off, off + len(tok)))
+            off += len(tok) + 1
+    assert got == want
