@@ -279,6 +279,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r9: SQL-language UDFs (CREATE TEMPORARY FUNCTION ... RETURN),
     # Catalyst-inlined; oracle inlines the identical expression text
     "fn_sql_udf",
+    # NEW r9: dropDuplicatesWithinWatermark — watermark-BOUNDED dedup
+    # state (the at-least-once-source API); same exactly-once oracle as
+    # the unbounded dropDuplicates key, different state contract
+    "stream_dedup_within_watermark",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

@@ -1504,3 +1504,52 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("user_id") >= 0).orderBy(
         "user_id", "session_start_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_within_watermark — dropDuplicatesWithinWatermark (r9): the
+# WATERMARK-BOUNDED streaming dedup API (Spark 3.5+), distinct from plain
+# dropDuplicates: state for a key is guaranteed only until the watermark
+# passes its event time + delay, so the state store stays bounded by the
+# delay window instead of growing with every key ever seen — the dedup a
+# production pipeline actually runs against at-least-once sources, where
+# duplicates arrive CLOSE to the original (retries, replays) rather than
+# arbitrarily late.
+#
+# Batch-equivalence oracle under lockstep arrival (the stream_dedup_state
+# argument adapted to the bounded-state contract): the four main chunks
+# carry every event exactly once in ts order; the appended dup chunk
+# replays the FIRST 100 rows LAST. Each replayed row is removed on one of
+# two paths — if its event time is still at-or-above the watermark its
+# key's dedup state is provably live (within-watermark state evicts only
+# below wm − delay), so it is filtered as a duplicate; if its event time
+# has fallen below the watermark it is dropped as late input before the
+# dedup state is consulted. Either way: every source event exactly once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle=_DEDUP_STATE_ORACLE,
+    doc="dropDuplicatesWithinWatermark under withWatermark('ts','10 "
+    "minutes'): watermark-BOUNDED dedup state (evicted below wm − delay, "
+    "so the store is sized by the delay window, not by distinct-keys-"
+    "ever) — the at-least-once-source dedup API beside the unbounded "
+    "dropDuplicates key. Complete batch-equivalence oracle under "
+    "lockstep arrival: every event exactly once (I: streaming).",
+    tags=("streaming", "stateful"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "dedupww", dup_first=100)
+
+    def transform(s):
+        return (
+            s.withWatermark("ts", _WATERMARK)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type")
+        )
+
+    return _run_stream(
+        spark, src, ev.schema, transform, "w32bd_dedupww"
+    ).orderBy("event_id")
