@@ -383,6 +383,7 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         "iter_kmeans_embed", "ns_topic_mixture", "udtf_python_native",
         "ns_vocab_coverage", "stream_session_window_native",
         "udf_arrow_map", "src_python_datasource",
+        "stream_dedup_within_watermark", "fn_sql_udf",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -582,7 +583,7 @@ def test_adversarial_input_parity(spark):
         # coverage nullif rates; session windows under tied timestamps
         "iter_kmeans_embed", "ns_topic_mixture", "udtf_python_native",
         "ns_vocab_coverage", "stream_session_window_native",
-        "udf_arrow_map",
+        "udf_arrow_map", "stream_dedup_within_watermark", "fn_sql_udf",
     ]
     for key in keys:
         q = REGISTRY[key]
