@@ -171,7 +171,10 @@ BASELINE_SRC = ("r8 keys: BENCH_full_r08.json (quiet r8 final validation, "
                 "at geomean 1.004x). r9-new keys: the 17:55 final-code r9 "
                 "run (~+10% ambient drift, zero min-based regressions)")
 PREV_MEDIANS = {
-    # r9-new keys (17:55 final-code run)
+    # r9-new keys (17:55 final-code run; fn_sql_udf + the committed
+    # BENCH_full_r09.json from the 18:55 run — same ambient-drift family,
+    # tighter 9/85 spread)
+    "fn_sql_udf": 0.431,
     "iter_kmeans_embed": 2.1809,
     "ns_mm_pipeline_e2e": 1.189,
     "ns_topic_mixture": 2.177,
