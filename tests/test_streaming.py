@@ -346,3 +346,32 @@ def test_session_window_native_merge_and_boundary(spark):
         # end == wm*1000 exactly — inclusive boundary pinned
         (2, t0 + 100_000_000, t0 + 400_000_000, 1),
     }, sorted(got)
+
+
+def test_dedup_within_watermark_runs_distinct_operator(spark):
+    """stream_dedup_within_watermark (r9): the bounded-state API must
+    plan the DeduplicateWithinWatermark operator (not silently the
+    unbounded Deduplicate), and both dedup keys must emit the identical
+    exactly-once row set on the replayed-duplicates source."""
+    from week3_2_practice_big_data__spark.io import load_table
+    from week3_2_practice_big_data__spark.streaming.streams import (
+        _WATERMARK,
+        _chunked_source,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    src = _chunked_source(spark, SF_SMALL, "dedupww", dup_first=100)
+    s = spark.readStream.schema(ev.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    bounded = s.withWatermark("ts", _WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    plan = bounded._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan
+    a = REGISTRY["stream_dedup_state"].builder(spark, SF_SMALL).collect()
+    b = REGISTRY["stream_dedup_within_watermark"].builder(
+        spark, SF_SMALL
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(b) == 1000
