@@ -283,6 +283,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # state (the at-least-once-source API); same exactly-once oracle as
     # the unbounded dropDuplicates key, different state contract
     "stream_dedup_within_watermark",
+    # NEW r9: checkpoint RECOVERY — the watermarked agg run as two query
+    # lives against one checkpoint/sink; boundary-straddling windows pin
+    # real state recovery; same finalized-window oracle
+    "stream_checkpoint_restart",
 ]
 
 # Round-8 changed list, kept for the record (all 20 hold green r08 rows).

@@ -384,6 +384,7 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         "ns_vocab_coverage", "stream_session_window_native",
         "udf_arrow_map", "src_python_datasource",
         "stream_dedup_within_watermark", "fn_sql_udf",
+        "stream_checkpoint_restart",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -584,6 +585,7 @@ def test_adversarial_input_parity(spark):
         "iter_kmeans_embed", "ns_topic_mixture", "udtf_python_native",
         "ns_vocab_coverage", "stream_session_window_native",
         "udf_arrow_map", "stream_dedup_within_watermark", "fn_sql_udf",
+        "stream_checkpoint_restart",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -375,3 +375,75 @@ def test_dedup_within_watermark_runs_distinct_operator(spark):
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(b) == 1000
+
+
+def test_checkpoint_restart_recovers_boundary_state(spark):
+    """stream_checkpoint_restart (r9): crafted fixture where one window's
+    rows deliberately SPAN the restart boundary — the chunker puts ranks
+    1-4 in life 1 and ranks 5-8 in life 2, and the first six events share
+    the [0, 600s) window. The emitted count 6 is only possible if life 2
+    recovered life 1's partial state (fresh state would emit 2) AND did
+    not reprocess life 1's files (reprocessing would double-count or
+    double-emit). The two-life run must also equal the single-life
+    topology on the normal corpus."""
+    import os
+
+    two_lives = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in REGISTRY["stream_checkpoint_restart"]
+        .builder(spark, SF_SMALL).collect()
+    }
+    one_life = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in REGISTRY["stream_sink_parquet"]
+        .builder(spark, SF_SMALL).collect()
+    }
+    assert two_lives == one_life and two_lives
+    # crafted boundary fixture
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_ckresfix",
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        import duckdb
+
+        os.makedirs(out, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+        )
+        t0_us = 1_704_067_200_000_000
+        # ranks 1-6 inside [0, 600s); rank boundary after rank 4; two far
+        # events finalize the window (wm = 7200 - 600 = 6600 s)
+        offs = [0, 60, 120, 180, 200, 240, 3_600, 7_200]
+        for i, sec in enumerate(offs):
+            con.execute(
+                "INSERT INTO e VALUES (?, make_timestamp(?), ?, 'view', "
+                "0e0, NULL)",
+                [i + 1, t0_us + sec * 1_000_000, i % 3],
+            )
+        con.execute(f"COPY e TO '{out}/events.parquet' (FORMAT PARQUET)")
+        from week3_2_practice_big_data__spark.io import TABLES
+
+        for t in TABLES:
+            if t == "events":
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') "
+                f"LIMIT 20) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        with open(stamp, "w") as f:
+            f.write("v1")
+    from .oracle import compare, duck_run
+
+    q = REGISTRY["stream_checkpoint_restart"]
+    sdf = q.builder(spark, out)
+    compare(sdf, duck_run(q.oracle, out), "stream_checkpoint_restart:fix")
+    rows = {(r["win_start"], r["n"]) for r in sdf.collect()}
+    t0 = 1_704_067_200
+    # the straddling window: 4 rows from life 1 + 2 from life 2
+    assert (t0, 6) in rows, sorted(rows)
+    assert (t0 + 3_600, 1) in rows  # the 3600 s singleton, finalized

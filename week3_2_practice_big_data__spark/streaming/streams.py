@@ -1553,3 +1553,95 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_stream(
         spark, src, ev.schema, transform, "w32bd_dedupww"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# stream_checkpoint_restart — checkpoint RECOVERY, the fault-tolerance
+# contract (r9): a watermarked stateful query is run in TWO LIVES against
+# the same checkpointLocation and parquet sink — life 1 sees only the
+# first two ts-ordered chunks and is STOPPED (open windows and the
+# watermark live only in the state store); life 2 finds the remaining
+# chunks, restarts from the checkpoint, and must resume the watermark and
+# window state exactly where life 1 left them. The final sink must equal
+# the single-life run bit-for-bit — windows whose rows SPAN the restart
+# boundary (pytest-pinned to exist) can only be correct if the recovered
+# state carried life 1's partial counts.
+#
+# Same topology as stream_sink_parquet, so the SAME lockstep
+# finalized-window oracle applies: chunk order preserves global ts order
+# across the two lives, hence append output = tumbling counts for windows
+# with end <= ms-floored final watermark. This is the restart a real
+# deployment performs on every deploy/failover; the file-source offsets,
+# watermark, and window state all recover from the commit log.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_checkpoint_restart",
+    oracle=_WM_LATE_ORACLE,
+    doc="Checkpoint recovery: the watermarked tumbling agg runs as TWO "
+    "query lives against one checkpointLocation + parquet sink — life 1 "
+    "consumes the first half of the ts-ordered chunks and stops; life 2 "
+    "restarts from the checkpoint, resumes watermark/window state, and "
+    "drains the rest. Final sink hash-equals the single-life finalized-"
+    "window oracle; boundary-straddling windows pin real state recovery "
+    "(I: streaming fault tolerance).",
+    tags=("streaming", "stateful", "sink"),
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "ckres", dup_first=0)
+    base = os.path.join(
+        _REPO_TMP, f"ckres_run_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    stage = os.path.join(base, "stage")
+    sink, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    chunks = sorted(
+        d for d in os.listdir(src)
+        if os.path.isdir(os.path.join(src, d))
+    )
+    half = max(1, len(chunks) // 2)
+
+    def _reveal(names):
+        for d in names:
+            dst = os.path.join(stage, d)
+            if not os.path.exists(dst):
+                shutil.copytree(os.path.join(src, d), dst)
+
+    def _life():
+        for q in spark.streams.active:
+            if q.name == "w32bd_ckres":
+                q.stop()
+        with _stream_shuffle(spark):
+            query = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(stage)
+                .withWatermark("ts", _WATERMARK)
+                .groupBy(F.window("ts", "600 seconds"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.unix_timestamp(F.col("window.start")).alias(
+                        "win_start"
+                    ),
+                    "event_type",
+                    "n",
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .queryName("w32bd_ckres")
+                .start()
+            )
+            query.processAllAvailable()
+            query.stop()
+
+    _reveal(chunks[:half])  # life 1: first half of the timeline
+    _life()
+    _reveal(chunks[half:])  # life 2: restart over the full set
+    _life()
+    return spark.read.parquet(sink).orderBy("win_start", "event_type")
