@@ -225,15 +225,61 @@ _R08_VERIFIED = frozenset({
     "reshape_pivot", "reshape_unpivot", "set_except", "set_intersect",
 })
 
+_R09_VERIFIED = frozenset({
+    "agg_cohort_retention", "agg_sketch_hll_merge", "filt_mask_apply",
+    "filt_pip_scanline", "filt_point_in_polygon", "fn_datetime_math",
+    "fn_hsv_to_rgb", "fn_json_extract", "fn_sql_udf", "fn_string_fmt",
+    "iter_kmeans_embed", "join_interval_bucketed",
+    "join_q3_shipping_priority", "join_q5_region_volume",
+    "ml_gbt_boost2", "ns_decontaminate", "ns_dedup_exact",
+    "ns_mm_pipeline_e2e", "ns_pack_sequences", "ns_sample_stratified",
+    "ns_split_train_val", "ns_text_clean", "ns_text_stats",
+    "ns_text_tokens", "ns_topic_mixture", "ns_vocab_coverage",
+    "proj_cond_guard", "proj_mod_cycle", "set_except_all",
+    "set_intersect_all", "set_union", "sort_orderby",
+    "src_python_datasource", "stream_checkpoint_restart",
+    "stream_dedup_within_watermark", "stream_session_window_native",
+    "stream_unbounded_socket", "udaf_weighted_quantity",
+    "udf_arrow_map", "udtf_python_native", "win_conv1d_frame",
+    "win_cume_dist", "win_first_last", "win_lead_lag", "win_ntile",
+    "win_percent_rank", "win_range_frame", "win_rank_order",
+    "win_running_agg", "win_sessionize_gaps",
+})
+
 _VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
+    | _R09_VERIFIED
 )
 
 
-# Keys whose implementation changed in ROUND 9 (or new in r9): they lead
-# the window, highest behavior-change risk first.
+# Keys whose implementation changed in ROUND 10 (or new in r10): they
+# lead the window, highest behavior-change risk first.
 _CHANGED_THIS_ROUND: list[str] = [
+    # ADVICE r9 (medium): the shared gaps-and-islands sessionize text
+    # now starts a NEW session at diff >= gap (Spark's session_window
+    # splits events exactly gap apart — [t, t+gap) ranges are adjacent,
+    # not overlapping, at exact-gap spacing); the batch key and both
+    # streaming session keys share the corrected predicate
+    "win_sessionize_gaps",
+    "stream_session_window",
+    "stream_session_window_native",
+    # ADVICE r9 (low): k-means per-cell n/si now derived from a
+    # vector-level aggregate (empty-embedding rows no longer counted by
+    # the d=0 posexplode row only), dims absent from a cell default to 0
+    "iter_kmeans_embed",
+    # composes iter_kmeans_embed's Lloyd chain — re-windowed with it
+    "ns_topic_mixture",
+    # ADVICE r9 (low): two-life restart harness now wraps each life in
+    # try/finally query.stop() and the scratch build is race-protected
+    "stream_checkpoint_restart",
+    # ADVICE r9 (low): mapInArrow kernel now applies the shared sat()
+    # saturation discipline (NaN→0, ±bound clip) matching the oracle
+    "udf_arrow_map",
+]
+
+# Round-9 changed list, kept for the record (all 13 hold green r09 rows).
+_R09_CHANGED: list[str] = [
     # ADVICE r8: nt-ceiling overflow guard added to the builder (SQL
     # text untouched; the builder now reads the 384-row histogram
     # summary before planning)
@@ -357,37 +403,33 @@ _R08_CHANGED: list[str] = [
     "stream_sink_parquet",
 ]
 
-# ROUND-9 REFRESH (VERDICT r8 item 1 + item 6): lead with the 11 keys
-# whose ONLY driver row is CORRECTNESS_r01 (they spilled past the r8
-# 50-key window), then the next-oldest cohort — the 33 keys whose most
-# recent green row is CORRECTNESS_r02. Both cohorts predate rounds of
-# shared-infrastructure change (io.py timestamp normalization, the q6
-# saturation fix, synth.sat, checkpoint-cache keying, the suffix-frame
-# rewrites); they are pytest-replayed and sf0.01-swept every round, and
-# this puts fresh driver rows on them.
-# NOTE: with 11 r9-changed keys leading, the LAST ~5 entries of this
-# list fall outside the 50-key window — by design the spill is the TAIL
-# of the r02 cohort (gen_poster_shadow/param, fn_bitwise_ops,
-# src_orc_roundtrip, ...), never the r01 block; they lead r10's refresh.
+# ROUND-10 REFRESH (VERDICT r9 item 2): lead with the 7 keys whose
+# newest green row is still CORRECTNESS_r02 (the planned r9 window tail
+# that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
+# 34-key r03 cohort (the next-oldest attestations). With the r10 changed
+# block leading, the TAIL of the r03 cohort spills past the 50-key
+# window by design — never the r02 block; spill leads r11's refresh.
 _REFRESH_THIS_ROUND: list[str] = [
-    # r01-only block (VERDICT r8 item 1 — carry these first)
-    "set_union", "sort_orderby", "udaf_weighted_quantity",
-    "win_conv1d_frame", "win_first_last", "win_lead_lag", "win_ntile",
-    "win_percent_rank", "win_range_frame", "win_rank_order",
-    "win_running_agg",
-    # r02 cohort (oldest-green after the r01 block)
-    "agg_sketch_hll_merge", "join_q3_shipping_priority",
-    "join_q5_region_volume", "win_cume_dist", "set_intersect_all",
-    "set_except_all", "win_sessionize_gaps", "agg_cohort_retention",
-    "join_interval_bucketed", "ns_dedup_exact", "ns_text_clean",
-    "ns_text_stats", "ns_text_tokens", "ns_sample_stratified",
-    "ns_pack_sequences", "ns_split_train_val", "ns_decontaminate",
-    "proj_mod_cycle", "proj_cond_guard", "fn_string_fmt",
-    "fn_hsv_to_rgb", "fn_datetime_math", "fn_json_extract",
-    "filt_point_in_polygon", "filt_pip_scanline", "filt_mask_apply",
-    "sort_composite_order", "sink_display", "proj_resample_bilinear",
-    "gen_poster_shadow", "gen_poster_param", "fn_bitwise_ops",
+    # r02-attestation block (VERDICT r9 item 2 — carry these first)
+    "fn_bitwise_ops", "gen_poster_param", "gen_poster_shadow",
+    "proj_resample_bilinear", "sink_display", "sort_composite_order",
     "src_orc_roundtrip",
+    # r03 cohort (oldest-green after the r02 block; registration-ish
+    # order, sources first so the scan/readers re-attest early)
+    "src_range_gen", "src_sequence", "src_param_lookup",
+    "src_parquet_scan", "src_text_lines", "udf_rowwise_lambda",
+    "udtf_explode_gen", "stream_session_window", "ts_resample_fill",
+    "agg_histogram", "agg_corr_moments", "agg_anova_oneway",
+    "agg_bootstrap_poisson", "agg_chi2_independence", "agg_t_test",
+    "agg_sketch_kll_quantile", "agg_q14_promo_share",
+    "agg_q16_supplier_cnt", "agg_q18_large_orders",
+    "join_q4_order_priority", "join_q7_volume_shipping",
+    "join_q10_returned_item", "join_dpp_partitioned",
+    "qry_scalar_subquery", "qry_correlated_scalar",
+    "qry_exists_correlated", "qry_in_null_semantics",
+    "qry_lateral_topk", "qry_recursive_cte", "iter_bpe_merges",
+    "ns_pii_scrub", "ns_sample_reservoir", "win_conv2d_separable",
+    "gen_poster_shadow_blur",
 ]
 
 # Round-7 changed list, kept for the record (all hold green r07 rows —

@@ -346,7 +346,7 @@ def main() -> None:
     # which has twice truncated away medians/queries_min the next
     # round's standing baseline needed. Best-effort: benching from a
     # read-only checkout must not break the stdout contract.
-    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r09")
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r10")
     try:
         full = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
