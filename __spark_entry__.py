@@ -256,25 +256,46 @@ _VERIFIED = (
 # Keys whose implementation changed in ROUND 10 (or new in r10): they
 # lead the window, highest behavior-change risk first.
 _CHANGED_THIS_ROUND: list[str] = [
-    # ADVICE r9 (medium): the shared gaps-and-islands sessionize text
-    # now starts a NEW session at diff >= gap (Spark's session_window
-    # splits events exactly gap apart — [t, t+gap) ranges are adjacent,
-    # not overlapping, at exact-gap spacing); the batch key and both
-    # streaming session keys share the corrected predicate
-    "win_sessionize_gaps",
-    "stream_session_window",
-    "stream_session_window_native",
-    # ADVICE r9 (low): k-means per-cell n/si now derived from a
-    # vector-level aggregate (empty-embedding rows no longer counted by
-    # the d=0 posexplode row only), dims absent from a cell default to 0
+    # NOTE on ADVICE r9 (medium, session exact-gap boundary): resolved
+    # by LIVE calibration AGAINST the advisory claim — Spark's
+    # session_window() MERGES events exactly gap apart in both batch and
+    # streaming execution (r10 crafted probes), so the shared
+    # gaps-and-islands predicate stays `diff > gap` and the session
+    # keys' SQL text is UNCHANGED from their r9-verified state; the
+    # boundary is now pytest-pinned (test_sessionize_exact_gap_pair_
+    # merges + the u5 pair in the native crafted fixture).
+    #
+    # NEW r10 (VERDICT r9 item 3): df.observe()/CollectMetrics — exact-
+    # integer audit metrics riding a proven pipeline to a no-op sink,
+    # observed dict emitted as the output relation; relational oracle
+    "dq_observe_metrics",
+    # NEW r10 (VERDICT r9 item 3, streaming twin): observe() on a
+    # watermarked streaming query, per-micro-batch metrics summed from
+    # the progress events; lockstep exactly-once totals oracle
+    "stream_observe_metrics",
+    # NEW r10 (VERDICT r9 item 4): Python Data Source STREAMING reader
+    # (simpleStreamReader) — offset-tracked LCG chunks with exact
+    # readBetweenOffsets replay under the standard watermarked topology
+    "src_python_datasource_stream",
+    # NEW r10 (VERDICT r9 item 5): applyInArrow grouped map — per-group
+    # Arrow table kernel (micro-unit extent + exact ppm position),
+    # hash-pinned against the relational window derivation
+    "udf_arrow_grouped",
+    # NEW r10 (VERDICT r9 item 6): the composed streaming pipeline —
+    # dedupWithinWatermark → observe → session_window across a
+    # checkpoint restart (two query lives), native-session oracle
+    "stream_pipeline_e2e",
+    # ADVICE r9 (low): k-means chain now filters size(embedding) = 64
+    # identically in every Spark pass AND the oracle ev CTE (vector-set
+    # alignment; d=0 posexplode undercount + per-dim KeyError closed)
     "iter_kmeans_embed",
     # composes iter_kmeans_embed's Lloyd chain — re-windowed with it
     "ns_topic_mixture",
     # ADVICE r9 (low): two-life restart harness now wraps each life in
-    # try/finally query.stop() and the scratch build is race-protected
+    # try/finally query.stop() and the scratch path is pid-suffixed
     "stream_checkpoint_restart",
-    # ADVICE r9 (low): mapInArrow kernel now applies the shared sat()
-    # saturation discipline (NaN→0, ±bound clip) matching the oracle
+    # ADVICE r9 (low): mapInArrow kernel + oracle now share the sat()
+    # saturation discipline (NaN→0, NULL→0, ±1e9 clip before quantize)
     "udf_arrow_map",
 ]
 

@@ -212,6 +212,70 @@ def test_sessionize_strategies_agree(spark):
     assert a == b
 
 
+def test_sessionize_exact_gap_pair_merges(spark):
+    """ADVICE r9 (medium) — resolved by LIVE calibration, against the
+    advisory claim: two events EXACTLY gap (300 s) apart form ONE session.
+    Spark's session_window() merges adjacent ranges in both batch and
+    streaming execution (verified r10 on this engine), so the shared
+    gaps-and-islands predicate stays `diff > gap`. Pinned on a crafted
+    fixture where the exact-gap pair actually occurs (the random corpus
+    never lands one) alongside a just-inside pair (gap - 1 us -> one
+    session) and a just-outside pair (gap + 1 us -> two sessions)."""
+    import os
+
+    import duckdb
+
+    from week3_2_practice_big_data__spark.operators.analytics import _GAP_US
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_sessgap",
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        os.makedirs(out, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+        )
+        t0_us = 1_704_067_200_000_000
+        rows = [
+            (1, 0, 1), (2, _GAP_US, 1),          # exactly gap -> MERGE
+            (3, 0, 2), (4, _GAP_US - 1, 2),      # 1 us inside -> merge
+            (5, 0, 3), (6, _GAP_US + 1, 3),      # 1 us outside -> split
+        ]
+        for eid, us, uid in rows:
+            con.execute(
+                "INSERT INTO e VALUES (?, make_timestamp(?), ?, 'view', "
+                "0e0, NULL)",
+                [eid, t0_us + us, uid],
+            )
+        con.execute(f"COPY e TO '{out}/events.parquet' (FORMAT PARQUET)")
+        with open(stamp, "w") as f:
+            f.write("v1")
+
+    def sessions(key):
+        return sorted(
+            (r["user_id"], r["session_start_us"], r["session_end_us"],
+             r["n_events"])
+            for r in REGISTRY[key].builder(spark, out).collect()
+        )
+
+    gaps, native = sessions("win_sessionize_gaps"), sessions(
+        "stream_session_window"
+    )
+    assert gaps == native, (gaps, native)
+    t0 = 1_704_067_200_000_000
+    assert gaps == [
+        (1, t0, t0 + 2 * _GAP_US, 2),
+        (2, t0, t0 + 2 * _GAP_US - 1, 2),
+        (3, t0, t0 + _GAP_US, 1),
+        (3, t0 + _GAP_US + 1, t0 + 2 * _GAP_US + 1, 1),
+    ], gaps
+
+
 def test_correlated_scalar_decorrelates_to_one_join(spark):
     """The per-customer COUNT subquery must become aggregate + outer join —
     no iterative per-row subquery execution node."""

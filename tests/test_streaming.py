@@ -279,9 +279,16 @@ def test_session_window_native_merge_and_boundary(spark):
     chunk, 200 s < the 5-min gap), (b) the inclusive eviction boundary
     (u1's merged session ends at exactly wm*1000 us and IS emitted),
     (c) microsecond-exact withholding (u4's session ends 500 us past the
-    ms-floored watermark and is NOT emitted), and (d) an open session at
-    end-of-stream (u3, withheld). The fixture is sized so the final
-    watermark (max real ts + 30 min sentinel - 6 h delay) lands at
+    ms-floored watermark and is NOT emitted), (d) an open session at
+    end-of-stream (u3, withheld), and (e) the EXACT-GAP merge (ADVICE
+    r9, resolved by live calibration AGAINST the advisory claim): u5's
+    two events are exactly 300.000000 s apart — streaming session state
+    MERGES the adjacent ranges into one session ending at +600 s, which
+    the watermark (+500 s) withholds entirely; had the engine split
+    them, the first session (end +300 s <= wm) WOULD be emitted, so the
+    absence of any u5 row is the sharp pin. The gaps-and-islands oracle
+    (new session at diff > gap) agrees. The fixture is sized so the
+    final watermark (max real ts + 30 min sentinel - 6 h delay) lands at
     exactly +500 s. Cross-engine compare runs on the same fixture."""
     import os
 
@@ -290,7 +297,7 @@ def test_session_window_native_merge_and_boundary(spark):
         ".tmp",
         "sf_sessfix",
     )
-    stamp = os.path.join(out, "_STAMP_v1")
+    stamp = os.path.join(out, "_STAMP_v2")
     if not os.path.exists(stamp):
         import duckdb
 
@@ -307,6 +314,8 @@ def test_session_window_native_merge_and_boundary(spark):
             (2, 100_000_000, 2),  # u2: single-event session [100, 400)
             (3, 200_000_000, 1),  # u1 extends ACROSS the chunk boundary
             (4, 200_000_500, 4),  # u4: end 500.0005 s — 500 us past wm
+            (6, 0, 5),  # u5: exact-gap pair, first event
+            (7, 300_000_000, 5),  # u5: EXACTLY gap later -> MERGES
             (5, 20_300_000_000, 3),  # u3: open at stream end; also the
             # max-real-ts anchor: wm = 20300 + 1800 (sentinel) - 21600
             # (delay) = exactly +500 s
@@ -328,7 +337,7 @@ def test_session_window_native_merge_and_boundary(spark):
                 f"LIMIT 20) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
             )
         with open(stamp, "w") as f:
-            f.write("v1")
+            f.write("v2")
 
     from .oracle import compare, duck_run
 
@@ -345,6 +354,9 @@ def test_session_window_native_merge_and_boundary(spark):
         (1, t0, t0 + 500_000_000, 2),  # merged across the chunk boundary,
         # end == wm*1000 exactly — inclusive boundary pinned
         (2, t0 + 100_000_000, t0 + 400_000_000, 1),
+        # u5's exact-gap pair MERGED into one session ending +600 s >
+        # wm +500 s: withheld — no u5 row (a split would have emitted
+        # the first half)
     }, sorted(got)
 
 

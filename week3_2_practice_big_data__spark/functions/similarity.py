@@ -1012,7 +1012,8 @@ def _kme_round_sql(cents: list[list[float]]) -> str:
     return f"""
 WITH asg AS (
   SELECT {_kme_amin(cents)} AS am, embedding
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND size(embedding) = {_DIM}
 )
 SELECT am.c AS cell, pos AS d,
   sum({_kme_xu("spark", "CAST(x AS DOUBLE)")}) AS sx_u,
@@ -1029,7 +1030,8 @@ def _kme_final_sql(cents: list[list[float]]) -> str:
     return f"""
 WITH asg AS (
   SELECT {_kme_amin(cents)} AS am
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND size(embedding) = {_DIM}
 ),
 stats AS (
   SELECT am.c AS cell, count(*) AS n,
@@ -1053,10 +1055,11 @@ def _kme_oracle_ctes() -> str:
     """The unrolled 3-round MATERIALIZED Lloyd CTE chain (DuckDB WITH
     body, through asg/stats of every round) — shared by the
     iter_kmeans_embed oracle and the ns_topic_mixture oracle."""
-    d2 = _ivf_d2("duckdb").replace("ct.comps", "ct.comps")
+    d2 = _ivf_d2("duckdb")
     parts = [
         f"""WITH ev AS MATERIALIZED (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}
 ),
 dims AS (SELECT unnest(generate_series(1, {_DIM})) AS j),
 spine AS (SELECT unnest(generate_series(0, {_KME_K - 1})) AS cluster),
@@ -1207,7 +1210,8 @@ def _topic_mixture_live_sql(cents: list[list[float]]) -> str:
     return f"""
 WITH asg AS (
   SELECT vec_id, {_kme_amin(cents)} AS am
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND size(embedding) = {_DIM}
 ),
 docs AS (
   SELECT doc_id,

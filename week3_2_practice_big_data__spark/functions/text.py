@@ -1342,10 +1342,7 @@ _VOCAB_V = 16  # the synthetic corpus has ~31 distinct types; V=16 keeps real OO
 
 
 def _vocab_coverage_sql(dialect: str, tok_ref: str | None = None) -> str:
-    src = (
-        "CAST(doc_id % 20 AS BIGINT)" if dialect == "spark"
-        else "CAST(doc_id % 20 AS BIGINT)"
-    )
+    src = "CAST(doc_id % 20 AS BIGINT)"  # same text in both dialects
     rate = "CAST(sum(oov_occ) AS DOUBLE) / nullif(CAST(sum(n_occ) AS DOUBLE), 0e0)"
     return f"""
 WITH tok AS ({tok_ref or tokens_sql(dialect)}),

@@ -41,6 +41,16 @@ def _view(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _sessionize_sql(dialect: str) -> str:
+    # Exact-gap boundary, LIVE-CALIBRATED r10 (ADVICE r9 claimed the
+    # opposite): Spark's session_window() MERGES two events exactly gap
+    # apart — in BOTH batch and streaming (state-store) execution the
+    # ranges [t, t+gap) and [t+gap, t+2gap) coalesce into one session
+    # [t, t+2gap). The gaps-and-islands predicate must therefore start a
+    # new session only when diff is STRICTLY greater than the gap, or the
+    # three session keys (this one, stream_session_window,
+    # stream_session_window_native) disagree on exact-gap pairs. Pinned
+    # by tests/test_plans.py::test_sessionize_exact_gap_pair_merges and
+    # the u5 pair in test_session_window_native_merge_and_boundary.
     us = _us(dialect)
     return f"""
 WITH ordered AS (

@@ -1591,8 +1591,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     src = _chunked_source(spark, sf_dir, "ckres", dup_first=0)
+    # pid-suffixed scratch (ADVICE r9): the two-life run mutates this
+    # directory across lives, so concurrent invocations on one sf_dir
+    # (pytest-xdist + the driver) must not share — and rmtree — one path.
     base = os.path.join(
-        _REPO_TMP, f"ckres_run_{os.path.basename(sf_dir.rstrip('/'))}"
+        _REPO_TMP,
+        f"ckres_run_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     stage = os.path.join(base, "stage")
     sink, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
@@ -1637,11 +1641,274 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .queryName("w32bd_ckres")
                 .start()
             )
-            query.processAllAvailable()
-            query.stop()
+            # try/finally (ADVICE r9): a processAllAvailable failure
+            # mid-batch must not leave the query holding the checkpoint
+            # and sink while a later invocation rmtree's the scratch.
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
 
     _reveal(chunks[:half])  # life 1: first half of the timeline
     _life()
     _reveal(chunks[half:])  # life 2: restart over the full set
     _life()
     return spark.read.parquet(sink).orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# stream_observe_metrics — observe() on a STREAMING query (r10, VERDICT
+# r9 item 3, streaming twin): the production per-micro-batch metrics
+# surface — a named observe() node rides the source side of a watermarked
+# tumbling aggregation, and each micro-batch's metrics arrive through the
+# progress events (`observedMetrics` in StreamingQueryProgress). The key
+# runs the standard lockstep chunked source (dup_first=0: every event
+# arrives exactly once across batches), sums the per-batch exact-integer
+# metrics, and emits the totals as the output relation.
+#
+# Full-hash oracle by batch-equivalence: per-batch counts/sums of rows
+# that arrive exactly once add up to the table-level metrics, so the
+# totals equal the same relational aggregates DuckDB computes over
+# `events` — the observe() node sees every source row BEFORE any
+# watermark/state filtering, so no late-row caveat applies. Metrics are
+# BIGINT-only (count, null count, saturating micro-unit sum, id extent;
+# min/max merge across batches as min-of-mins / max-of-maxs).
+#
+# The progress buffer holds the last 100 updates and this topology
+# produces exactly one data batch per chunk file (maxFilesPerTrigger=1,
+# _CHUNKS=4) plus at most a trailing no-data batch — far inside the cap,
+# so recentProgress is a complete record (read before stop()).
+# ---------------------------------------------------------------------------
+
+_STREAM_OBS_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_props,
+  CAST(coalesce(sum(CAST(floor({synth.sat("coalesce(value, 0e0)", 1e9)}
+    * 1000000e0 + 0.5e0) AS BIGINT)), 0) AS BIGINT) AS sum_value_u,
+  min(event_id) AS min_event_id,
+  max(event_id) AS max_event_id
+FROM events
+"""
+
+
+@register(
+    "stream_observe_metrics",
+    oracle=_STREAM_OBS_ORACLE,
+    doc="observe() on a streaming query: a named CollectMetrics node on "
+    "the source side of the watermarked tumbling agg, per-micro-batch "
+    "metrics read from the progress events' observedMetrics and summed "
+    "across batches (exact BIGINT terms; min/max merged). Lockstep "
+    "batch-equivalence oracle: exactly-once arrival makes the per-batch "
+    "sums equal the relational table metrics (I: the streaming "
+    "observability surface; twin of dq_observe_metrics).",
+    tags=("streaming", "quality"),
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "obsm", dup_first=0)
+    name = "w32bd_obsm"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    observed = stream.observe(
+        "w32bd_obsm_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(floor("
+                    + synth.sat("coalesce(value, 0e0)", 1e9)
+                    + " * 1000000e0 + 0.5e0) AS BIGINT)"
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("sum_value_u"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    with _stream_shuffle(spark):
+        query = (
+            observed.withWatermark("ts", _WATERMARK)
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            progresses = list(query.recentProgress)
+        finally:
+            query.stop()
+    per_batch = []
+    for p in progresses:
+        om = (p.get("observedMetrics") or {}).get("w32bd_obsm_metrics")
+        if om is not None:
+            per_batch.append(om)
+    n_rows = sum(int(r["n_rows"]) for r in per_batch)
+    # sums over empty batches are NULL — skip them; all-empty => NULL,
+    # matching the oracle's aggregates over an empty table
+    nn = [r["n_null_props"] for r in per_batch if r["n_null_props"] is not None]
+    sv = [r["sum_value_u"] for r in per_batch if r["sum_value_u"] is not None]
+    mins = [r["min_event_id"] for r in per_batch if r["min_event_id"] is not None]
+    maxs = [r["max_event_id"] for r in per_batch if r["max_event_id"] is not None]
+    row = [
+        (
+            n_rows,
+            sum(int(x) for x in nn) if nn else None,
+            sum(int(x) for x in sv) if sv else 0,
+            min(int(x) for x in mins) if mins else None,
+            max(int(x) for x in maxs) if maxs else None,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_rows bigint, n_null_props bigint, sum_value_u bigint, "
+        "min_event_id bigint, max_event_id bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_pipeline_e2e — the composed streaming story (r10, VERDICT r9
+# item 6): every stateful contract proven alone in this module, chained
+# in ONE append-mode topology and run as TWO query lives across one
+# checkpoint — source → withWatermark(6 h) → dropDuplicatesWithinWatermark
+# → observe() → session_window aggregation → parquet sink. Life 1 drains
+# the first half of the ts-ordered chunks and stops; life 2 restarts from
+# the checkpoint and drains the rest PLUS the replayed-duplicates chunk
+# and the far-future sentinels — so file-source offsets, the watermark,
+# dedup state, AND merging session state all provably recover together.
+#
+# Full-hash oracle = the native session key's batch equivalence,
+# unchanged: duplicates are removed on one of the two proven paths
+# (below-watermark → late-dropped before dedup; at-or-above → dedup state
+# live within the 6 h delay — in life 2 that state is the RECOVERED one),
+# so the session input is every event exactly once, and append mode emits
+# sessions with end <= ms-floored final watermark (the calibrated
+# inclusive boundary). Watermark propagation: dedup is filter-shaped —
+# unlike a stream-stream join it does NOT delay the downstream watermark,
+# so the finalization boundary equals the single-operator key's.
+#
+# The observe() node rides between dedup and the session agg: its
+# per-batch counts sum (across BOTH lives) to exactly one per source
+# event plus one per sentinel chunk — pinned in pytest, a cross-restart
+# exactly-once meter the sink hash alone wouldn't give.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_pipeline_e2e",
+    oracle=_SESS_NATIVE_ORACLE,
+    doc="Composed streaming pipeline across a checkpoint restart: "
+    "chunked source → withWatermark(6 h) → dropDuplicatesWithinWatermark "
+    "→ observe() → session_window agg → parquet sink, run as two query "
+    "lives against one checkpoint; life 2 replays duplicates of life-1 "
+    "rows (recovered dedup state or late-drop removes every one) and "
+    "sentinel chunks force final session eviction into data batches. "
+    "Output hash-equals the single-life native session oracle — offsets, "
+    "watermark, dedup state and merging session state all recover "
+    "(I: multi-stateful composition + fault tolerance).",
+    tags=("streaming", "stateful", "sink"),
+)
+def stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "spe2e", dup_first=100, sentinels=2)
+    base = os.path.join(
+        _REPO_TMP,
+        f"spe2e_run_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    stage = os.path.join(base, "stage")
+    sink, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    chunks = sorted(
+        d for d in os.listdir(src) if os.path.isdir(os.path.join(src, d))
+    )
+    main = [d for d in chunks if "_dups" not in d and "_sent" not in d]
+    half = max(1, len(main) // 2)
+    qname = "w32bd_spe2e"
+
+    def _reveal(names):
+        for d in names:
+            dst = os.path.join(stage, d)
+            if not os.path.exists(dst):
+                shutil.copytree(os.path.join(src, d), dst)
+
+    def _life():
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        with _stream_shuffle(spark):
+            query = (
+                _pipeline_e2e_transform(
+                    spark.readStream.schema(ev.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(stage)
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .queryName(qname)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+
+    _reveal(main[:half])  # life 1: first half of the real timeline
+    _life()
+    _reveal(chunks)  # life 2: the rest + replayed dups + sentinels
+    _life()
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+def _pipeline_e2e_transform(s: DataFrame) -> DataFrame:
+    """The composed topology (shared with the crafted-fixture pytest so
+    the cross-restart dedup/session-straddle proof runs the same code
+    path as the registered key)."""
+    return _session_native_transform_post_dedup(
+        s.withWatermark("ts", _SESS_NATIVE_WM)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .observe(
+            "w32bd_spe2e_obs",
+            F.count(F.lit(1)).alias("n_post_dedup"),
+        )
+    )
+
+
+def _session_native_transform_post_dedup(s: DataFrame) -> DataFrame:
+    """Session agg + projection only (the watermark is already attached
+    upstream of the dedup)."""
+    return (
+        s.groupBy(
+            F.session_window("ts", f"{_SESS_GAP_US // 1_000_000} seconds"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
