@@ -147,6 +147,15 @@ HEADLINE = [
     "udf_arrow_map",
     # fn_sql_udf landed after the r9 final bench — first median seeds r10
     "fn_sql_udf",
+    # round-10: observe/CollectMetrics (batch + streaming twin), the
+    # Python streaming data source, applyInArrow, and the composed
+    # streaming pipeline across a checkpoint restart; first medians seed
+    # the r11 baseline.
+    "dq_observe_metrics",
+    "stream_observe_metrics",
+    "src_python_datasource_stream",
+    "udf_arrow_grouped",
+    "stream_pipeline_e2e",
 ]
 
 

@@ -208,6 +208,19 @@ KEYS = [
     # through the Arrow kernel at 100x, sub-linear only in fixed costs.
     "ns_vocab_coverage",
     "ns_topic_mixture",
+    # r10: observe/CollectMetrics rides N x events in ONE pass (the
+    # metrics accumulate beside the rollup pipeline — zero extra scans,
+    # the whole point of the API); the streaming twin and the composed
+    # streaming e2e are NOT laddered (chunked-source per-batch fixed
+    # costs dominate, the r8 streaming posture), and the fixed-N Python
+    # stream source is scale-independent by construction.
+    "dq_observe_metrics",
+    # r10: applyInArrow over N x lineitem — the ladder watches the
+    # per-GROUP Python invocation cost (~4-row l_orderkey groups mean
+    # the group count, and so the kernel call count, grows with N; the
+    # relational window derivation is the registered scale path, this
+    # measures how far the API form carries)
+    "udf_arrow_grouped",
 ]
 # Scratch is keyed by the base dir so switching SPARK_GRAFT_SF_DIR can
 # never reuse scaled data built from a different base.

@@ -961,3 +961,36 @@ def test_kmeans_embed_assignment_is_projection(spark):
     assert plan.count("Scan parquet") == 2  # one scan (tree + details)
     assert "CartesianProduct" not in plan
     assert "Pandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_arrow_grouped_plans_flatmap_groups_in_arrow(spark):
+    """udf_arrow_grouped (r10) must execute the Arrow-native grouped-map
+    operator (FlatMapGroupsInArrow) — not fall back to a pandas layer —
+    and shuffle once on the group key."""
+    df = REGISTRY["udf_arrow_grouped"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInArrow" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_observe_metrics_rides_the_pipeline_plan(spark):
+    """dq_observe_metrics (r10): the metrics node must be CollectMetrics
+    INSIDE the driven pipeline plan (one pass — not a separate scan), and
+    the observed values must equal a relational recomputation on the
+    same session."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from week3_2_practice_big_data__spark.io import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    obs = Observation("w32bd_plan_probe")
+    observed = ev.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    pipeline = observed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    plan = pipeline._jdf.queryExecution().optimizedPlan().toString()
+    assert "CollectMetrics" in plan
+    pipeline.write.format("noop").mode("overwrite").save()
+    assert obs.get["n_rows"] == ev.count()
+    # and the registered key's output equals the one-row metrics relation
+    row = REGISTRY["dq_observe_metrics"].builder(spark, SF_SMALL).collect()
+    assert len(row) == 1 and row[0]["n_rows"] == ev.count()

@@ -283,7 +283,7 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # udf_arrow_grouped — applyInArrow grouped map (r10, VERDICT r9 item 5):
 # the Arrow-native sibling of applyInPandas and the last uncovered
 # Python-extension entry point (the matrix: pandas_udf / applyInPandas /
-# mapInPandas / mapInArrow / applyInArrow / @udtf). Each l_orderkey
+# mapInPandas / mapInArrow / applyInArrow / @udtf). Each l_suppkey
 # group arrives as ONE pyarrow.Table (per-group batch semantics — unlike
 # mapInArrow, whose batches are arbitrary slices of a partition); the
 # kernel computes the group's micro-unit quantity extent and each row's
@@ -293,28 +293,31 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the non-negative operands here, so the oracle's window-function
 # derivation is bit-identical (two derivations, one hash).
 #
-# Scale note: groups are natural entities (~4 rows per order), so the
-# per-group materialization is bounded; the shuffle is the same
-# l_orderkey exchange the relational window form pays. The relational
-# derivation (the oracle text run through Spark) remains the registered
-# scale path for the semantic; this key covers the API surface where a
-# kernel genuinely needs imperative per-group logic.
+# Group-size engineering (MEASURED, r10 ladder): the first cut grouped
+# by l_orderkey (~4-row groups) — applyInArrow makes ONE Python kernel
+# call PER GROUP, so sf0.1's ~150k orders cost 18.6 s and scaled 3.12×
+# at 10× (call count grows with N). Per-supplier groups (~600 rows)
+# amortize the per-call overhead the way a real kernel should; tiny
+# groups are the anti-pattern, and the relational window derivation
+# (the oracle text run through Spark) remains the registered scale path
+# for the semantic. This key covers the API surface where a kernel
+# genuinely needs imperative per-group logic.
 # ---------------------------------------------------------------------------
 
 _ARROW_GROUPED_ORACLE = f"""
 WITH li AS (
-  SELECT l_orderkey, l_linenumber,
+  SELECT l_suppkey, l_orderkey, l_linenumber,
     CAST(floor({synth.sat("coalesce(l_quantity, 0e0)", 1e9)}
       * 1000000e0 + 0.5e0) AS BIGINT) AS qty_u
   FROM lineitem
 ),
 ext AS (
-  SELECT l_orderkey, l_linenumber, qty_u,
-    min(qty_u) OVER (PARTITION BY l_orderkey) AS grp_min_u,
-    max(qty_u) OVER (PARTITION BY l_orderkey) AS grp_max_u
+  SELECT l_suppkey, l_orderkey, l_linenumber, qty_u,
+    min(qty_u) OVER (PARTITION BY l_suppkey) AS grp_min_u,
+    max(qty_u) OVER (PARTITION BY l_suppkey) AS grp_max_u
   FROM li
 )
-SELECT l_orderkey, l_linenumber, qty_u, grp_min_u, grp_max_u,
+SELECT l_suppkey, l_orderkey, l_linenumber, qty_u, grp_min_u, grp_max_u,
   CAST((qty_u - grp_min_u) * 1000000 AS BIGINT)
     // greatest(grp_max_u - grp_min_u, 1) AS pos_ppm
 FROM ext
@@ -325,13 +328,15 @@ ORDER BY l_orderkey, l_linenumber
 @register(
     "udf_arrow_grouped",
     oracle=_ARROW_GROUPED_ORACLE,
-    doc="applyInArrow grouped map: each l_orderkey group arrives as one "
-    "pyarrow.Table and the kernel emits the group's micro-unit quantity "
-    "extent plus each row's exact ppm position — int64-only arithmetic "
-    "(saturating quantize, guarded floor-division), hash-pinned against "
-    "the relational window derivation (J: the Arrow-native grouped-map "
-    "entry point beside applyInPandas; per-group batch semantics vs "
-    "mapInArrow's partition slices).",
+    doc="applyInArrow grouped map: each l_suppkey group (~600 rows — "
+    "per-call overhead amortized; MEASURED: ~4-row l_orderkey groups "
+    "cost 18.6 s / 3.12x at 10x from one Python call per group) arrives "
+    "as one pyarrow.Table and the kernel emits the group's micro-unit "
+    "quantity extent plus each row's exact ppm position — int64-only "
+    "arithmetic (saturating quantize, guarded floor-division), "
+    "hash-pinned against the relational window derivation (J: the "
+    "Arrow-native grouped-map entry point beside applyInPandas; "
+    "per-group batch semantics vs mapInArrow's partition slices).",
     tags=("udf", "function"),
 )
 def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,7 +344,7 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"
     )
 
     def kernel(table):
@@ -357,6 +362,7 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(qty_u)
         return pa.table(
             {
+                "l_suppkey": table.column("l_suppkey"),
                 "l_orderkey": table.column("l_orderkey"),
                 "l_linenumber": table.column("l_linenumber"),
                 "qty_u": pa.array(qty_u, type=pa.int64()),
@@ -367,11 +373,12 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        li.groupBy("l_orderkey")
+        li.groupBy("l_suppkey")
         .applyInArrow(
             kernel,
-            "l_orderkey bigint, l_linenumber int, qty_u bigint, "
-            "grp_min_u bigint, grp_max_u bigint, pos_ppm bigint",
+            "l_suppkey bigint, l_orderkey bigint, l_linenumber int, "
+            "qty_u bigint, grp_min_u bigint, grp_max_u bigint, "
+            "pos_ppm bigint",
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
