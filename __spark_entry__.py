@@ -285,6 +285,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     # dedupWithinWatermark → observe → session_window across a
     # checkpoint restart (two query lives), native-session oracle
     "stream_pipeline_e2e",
+    # NEW r10: Python Data Source BATCH writer — per-task staged jsonl +
+    # driver commit manifest, read-back of committed files only;
+    # relational rollup oracle (completes the DataSource API write side)
+    "sink_python_datasource",
+    # NEW r10: Python Data Source STREAMING writer — per-batch commit
+    # manifests under the stream_watermark_late topology; the shared
+    # lockstep finalized-window oracle
+    "stream_python_datasource_sink",
     # ADVICE r9 (low): k-means chain now filters size(embedding) = 64
     # identically in every Spark pass AND the oracle ev CTE (vector-set
     # alignment; d=0 posexplode undercount + per-dim KeyError closed)

@@ -156,6 +156,8 @@ HEADLINE = [
     "src_python_datasource_stream",
     "udf_arrow_grouped",
     "stream_pipeline_e2e",
+    "sink_python_datasource",
+    "stream_python_datasource_sink",
 ]
 
 

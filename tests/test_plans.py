@@ -994,3 +994,32 @@ def test_observe_metrics_rides_the_pipeline_plan(spark):
     # and the registered key's output equals the one-row metrics relation
     row = REGISTRY["dq_observe_metrics"].builder(spark, SF_SMALL).collect()
     assert len(row) == 1 and row[0]["n_rows"] == ev.count()
+
+
+def test_python_datasource_sink_manifest_isolates_uncommitted(spark):
+    """sink_python_datasource (r10): the two-phase-commit contract — only
+    manifest-listed files are visible to the read-back; a stray staged
+    file (an aborted/speculative task's leftovers) must be invisible.
+    Verified by injecting a stray jsonl AFTER the committed write and
+    re-running the read-back through the registered builder: the result
+    must be unchanged."""
+    import json
+    import os
+
+    a = REGISTRY["sink_python_datasource"].builder(spark, SF_SMALL)
+    rows_before = [tuple(r) for r in a.collect()]
+    # locate the sink scratch (pid-suffixed) and inject a stray file
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(
+        repo, ".tmp", f"pydsw_{os.path.basename(SF_SMALL)}_{os.getpid()}"
+    )
+    assert os.path.isdir(out), out
+    with open(os.path.join(out, "part-deadbeef-stray.jsonl"), "w") as f:
+        f.write(json.dumps(["stray", 999, 999]) + "\n")
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    assert "part-deadbeef-stray.jsonl" not in manifest
+    # a fresh builder run rewrites the scratch and recomputes — results
+    # stay exactly the committed relation
+    b = REGISTRY["sink_python_datasource"].builder(spark, SF_SMALL)
+    assert [tuple(r) for r in b.collect()] == rows_before

@@ -630,3 +630,37 @@ def test_python_datasource_stream_offset_progression(spark):
     assert ends[0] <= _PYDSS_CHUNK, ends[:3]
     n = spark.table(qname).collect()[0]["n"]
     assert n == _PYDSS_N + 2, n
+
+
+def test_python_datasource_stream_sink_commits_per_batch(spark):
+    """stream_python_datasource_sink (r10): the streaming writer must
+    publish one manifest PER committed micro-batch (the exactly-once
+    unit), manifests must reference only existing staged files, and the
+    union of committed rows must equal the memory-sink run of the same
+    topology (stream_watermark_late)."""
+    import json
+    import os
+
+    out_df = REGISTRY["stream_python_datasource_sink"].builder(
+        spark, SF_SMALL
+    )
+    got = sorted(tuple(r) for r in out_df.collect())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(
+        repo, ".tmp", f"pydsk_out_{os.path.basename(SF_SMALL)}_{os.getpid()}"
+    )
+    manifests = sorted(
+        e for e in os.listdir(out) if e.startswith("_MANIFEST_")
+    )
+    assert len(manifests) >= 1, manifests
+    for mf in manifests:
+        with open(os.path.join(out, mf)) as f:
+            for fname in json.load(f):
+                assert os.path.exists(os.path.join(out, fname)), fname
+    ref = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_watermark_late"]
+        .builder(spark, SF_SMALL)
+        .collect()
+    )
+    assert got == ref

@@ -527,3 +527,317 @@ def src_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sensor_id") >= 0)
         .orderBy("win_start", "sensor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_python_datasource — the Python Data Source API's WRITE side (r10):
+# with the r9 batch reader and the r10 stream reader covering reads, this
+# key covers `DataSource.writer()` — a custom Python BATCH sink. The
+# contract under test is the two-phase commit: each task's `write(rows)`
+# stages a uniquely-named jsonl file and returns a WriterCommitMessage;
+# the driver-side `commit(messages)` publishes a manifest listing exactly
+# the committed files — staged files NOT in the manifest (aborted/
+# speculative tasks) are invisible to readers. The key writes the proven
+# per-type rollup through the sink, reads back ONLY manifest-listed
+# files, and hash-checks against the relational oracle — so the driver
+# hash pins the full write → commit → read-back loop.
+#
+# Scale note: write() runs once per input partition on the executors
+# (local mode shares the FS; a real deployment points `path` at shared
+# storage — the plumbing, not the medium, is what the API defines). The
+# relation is repartitioned to 4 so multiple concurrent tasks exercise
+# the commit protocol.
+# ---------------------------------------------------------------------------
+
+_PYDSW_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "sink_python_datasource",
+    oracle=_PYDSW_ORACLE,
+    doc="Python Data Source API batch WRITER: the per-type rollup driven "
+    "through a custom Python sink — per-task write() stages uniquely "
+    "named jsonl files and returns commit messages, driver commit() "
+    "publishes the manifest, and the key reads back ONLY manifest-listed "
+    "files; the driver hash pins the full write->commit->read-back loop "
+    "against the relational oracle (A: the connector API's write side, "
+    "completing reader/writer x batch/streaming).",
+    tags=("sink", "source", "udf"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    from ..common import scratch_dir
+    from ..io import load_table
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    out = scratch_dir(sf_dir, "pydsw") + f"_{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, fname):
+            self.fname = fname
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, rows):
+            import json
+            import os
+            import uuid
+
+            fname = f"part-{uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(self.path, fname), "w") as f:
+                for r in rows:
+                    f.write(
+                        json.dumps(
+                            [r["event_type"], int(r["n"]), int(r["n_users"])]
+                        )
+                        + "\n"
+                    )
+            return _Msg(fname)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = sorted(m.fname for m in messages if m is not None)
+            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.fname))
+                    except OSError:
+                        pass
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "w32bd_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options["path"])
+
+    spark.dataSource.register(_JsonlSink)
+    rollup = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .repartition(4)
+    )
+    rollup.write.format("w32bd_jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = _json.load(f)
+    rows = []
+    for fname in manifest:
+        with open(os.path.join(out, fname)) as f:
+            for line in f:
+                t, n, nu = _json.loads(line)
+                rows.append((t, n, nu))
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, n_users bigint"
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# stream_python_datasource_sink — the Python Data Source API's STREAMING
+# write side (r10): `DataSource.streamWriter()` — a custom Python sink
+# driven by a real watermarked query. Per micro-batch, each task's
+# write(rows) stages a uniquely-named jsonl file; the driver-side
+# commit(messages, batchId) publishes a per-batch manifest — the
+# exactly-once unit the engine replays against on failure (an aborted
+# epoch's staged files never gain a manifest and stay invisible).
+#
+# The topology is stream_watermark_late's, unchanged (same chunked
+# source, same watermark, same append-mode tumbling agg) — only the sink
+# differs — so the SAME lockstep finalized-window oracle applies: the
+# union of manifest-committed rows across batches must hash-equal the
+# batch expression. This closes the Data Source API matrix:
+# reader/writer × batch/streaming, all four value-pinned.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_python_datasource_sink",
+    oracle=None,  # replaced below — reuses streams._WM_LATE_ORACLE
+    doc="Python Data Source API STREAMING writer: the watermarked tumbling "
+    "agg written through a custom Python sink — per-batch per-task "
+    "write() stages jsonl, commit(messages, batchId) publishes a "
+    "per-batch manifest, and the key reads back only manifest-committed "
+    "rows; hash-equals the lockstep finalized-window oracle (A/I: the "
+    "connector API's streaming write side, completing reader/writer x "
+    "batch/streaming).",
+    tags=("sink", "source", "streaming", "udf"),
+)
+def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    from ..common import scratch_dir
+    from ..session import ensure_package_on_workers
+    from ..streaming.streams import (
+        _WATERMARK,
+        _chunked_source,
+        _stream_shuffle,
+    )
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "pydsk", dup_first=0)
+    out = scratch_dir(sf_dir, "pydsk_out") + f"_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, fname):
+            self.fname = fname
+
+    class _JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, rows):
+            import json
+            import os
+            import uuid
+
+            fname = f"stage-{uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(self.path, fname), "w") as f:
+                for r in rows:
+                    f.write(
+                        json.dumps(
+                            [int(r["win_start"]), r["event_type"], int(r["n"])]
+                        )
+                        + "\n"
+                    )
+            return _Msg(fname)
+
+        def commit(self, messages, batchId):
+            import json
+            import os
+
+            manifest = sorted(m.fname for m in messages if m is not None)
+            with open(
+                os.path.join(self.path, f"_MANIFEST_{batchId:06d}"), "w"
+            ) as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages, batchId):
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.fname))
+                    except OSError:
+                        pass
+
+    class _JsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "w32bd_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _JsonlStreamWriter(self.options["path"])
+
+    spark.dataSource.register(_JsonlStreamSink)
+    qname = "w32bd_pydsk"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withWatermark("ts", _WATERMARK)
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("win_start"),
+                "event_type",
+                "n",
+            )
+            .writeStream.format("w32bd_jsonl_stream_sink")
+            .option("path", out)
+            .option(
+                "checkpointLocation", os.path.join(out, "_ckpt")
+            )
+            .outputMode("append")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    rows = []
+    for entry in sorted(os.listdir(out)):
+        if not entry.startswith("_MANIFEST_"):
+            continue
+        with open(os.path.join(out, entry)) as f:
+            manifest = _json.load(f)
+        for fname in manifest:
+            with open(os.path.join(out, fname)) as fh:
+                for line in fh:
+                    w, t, n = _json.loads(line)
+                    rows.append((w, t, n))
+    return spark.createDataFrame(
+        rows, "win_start bigint, event_type string, n bigint"
+    ).orderBy("win_start", "event_type")
+
+
+# the oracle is the shared lockstep finalized-window expression — set it
+# here (streams.py imports this module indirectly; late binding avoids a
+# circular import at module load)
+def _bind_pydsk_oracle() -> None:
+    import dataclasses
+
+    from ..registry import REGISTRY as _REG
+    from ..streaming.streams import _WM_LATE_ORACLE
+
+    q = _REG["stream_python_datasource_sink"]
+    _REG["stream_python_datasource_sink"] = dataclasses.replace(
+        q, oracle=_WM_LATE_ORACLE
+    )
+
+
+_bind_pydsk_oracle()
