@@ -293,6 +293,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     # manifests under the stream_watermark_late topology; the shared
     # lockstep finalized-window oracle
     "stream_python_datasource_sink",
+    # NEW r10: Spark 4 SQL pipe syntax (|> WHERE/AGGREGATE/ORDER BY) —
+    # the flagship Q1 semantic through the new parser, classic-SQL oracle
+    "qry_pipe_syntax",
+    # NEW r10: Spark 4 VARIANT type — parse_json/variant_get/`:` path/
+    # schema_of_variant/to_json round-trip, DuckDB JSON oracle
+    "fn_variant_type",
+    # NEW r10: StreamingQueryListener — async-bus lifecycle + progress
+    # totals for the watermarked query, exactly-once relational oracle
+    "stream_query_listener",
     # ADVICE r9 (low): k-means chain now filters size(embedding) = 64
     # identically in every Spark pass AND the oracle ev CTE (vector-set
     # alignment; d=0 posexplode undercount + per-dim KeyError closed)

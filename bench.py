@@ -158,6 +158,9 @@ HEADLINE = [
     "stream_pipeline_e2e",
     "sink_python_datasource",
     "stream_python_datasource_sink",
+    "qry_pipe_syntax",
+    "fn_variant_type",
+    "stream_query_listener",
 ]
 
 

@@ -393,3 +393,68 @@ FROM events ORDER BY event_id
 def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_json_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_variant_type — the Spark 4 VARIANT type (r10): the semi-structured
+# column type (SPARK-45891) a Spark 4 user stores JSON-shaped data in —
+# parse_json → VariantVal, typed path access via variant_get and the
+# `:` path operator, schema_of_variant introspection, to_json
+# round-trip, and try_parse_json's NULL-on-malformed contract. Every
+# output column is projected back to a scalar (BIGINT/STRING) so the
+# driver hash applies; the oracle recomputes each via DuckDB's JSON
+# functions — the hash pins the variant binary encode/decode loop as
+# value-preserving.
+#
+# Scale note: VARIANT is a binary columnar encoding evaluated inside
+# codegen (no Python); at 100 TB it replaces repeated get_json_object
+# string re-parses with one parse into a navigable binary — the typed
+# successor of fn_json_extract's string path.
+# ---------------------------------------------------------------------------
+
+
+def _variant_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+SELECT event_id,
+  variant_get(parse_json(props), '$.k', 'bigint') AS k,
+  CAST(parse_json(props):k AS BIGINT) AS k_colon,
+  variant_get(parse_json(props), '$.missing', 'bigint') AS k_missing,
+  schema_of_variant(parse_json(props)) AS vschema,
+  to_json(parse_json(props)) AS roundtrip,
+  CAST(try_parse_json(repeat('{', 1)) IS NULL AS BOOLEAN) AS malformed_is_null
+FROM events ORDER BY event_id
+"""
+    # NULL- and empty-object-safe (calibrated live: parse_json(NULL) →
+    # NULL variant; '{}' → schema 'OBJECT<>', round-trip '{}')
+    return """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_colon,
+  CAST(NULL AS BIGINT) AS k_missing,
+  CASE WHEN props IS NULL THEN NULL
+       WHEN json_extract_string(props, '$.k') IS NULL THEN 'OBJECT<>'
+       ELSE 'OBJECT<k: BIGINT>' END AS vschema,
+  CASE WHEN props IS NULL THEN NULL
+       WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
+       ELSE '{"k":' || json_extract_string(props, '$.k') || '}' END
+    AS roundtrip,
+  CAST(TRUE AS BOOLEAN) AS malformed_is_null
+FROM events ORDER BY event_id
+"""
+
+
+@register(
+    "fn_variant_type",
+    oracle=_variant_sql("duckdb"),
+    doc="Spark 4 VARIANT type: parse_json into the binary variant "
+    "encoding, typed variant_get + `:` path access, schema_of_variant "
+    "introspection, to_json round-trip, try_parse_json NULL-on-malformed "
+    "— all projected to scalars and hash-pinned against DuckDB's JSON "
+    "derivation (B: the semi-structured column type succeeding "
+    "fn_json_extract's string path; NS ingestion surface).",
+    tags=("function", "ns"),
+)
+def fn_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_variant_sql("spark"))

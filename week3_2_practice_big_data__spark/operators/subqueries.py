@@ -229,3 +229,55 @@ ORDER BY depth
 def qry_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("part",))
     return spark.sql(_recursive_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# qry_pipe_syntax — Spark 4 SQL PIPE syntax (r10): the |>-chained query
+# form (SPARK-49555) — FROM ... |> WHERE ... |> AGGREGATE ... GROUP BY
+# ... |> ORDER BY — is a genuinely new public parser surface a Spark 4
+# user reaches for. The key re-expresses the flagship Q1 semantic in
+# pipe form with the IDENTICAL decimal-exact aggregate expressions and
+# aliases; the oracle is the standard-SQL Q1 text, so the hash pins the
+# pipe parser as semantics-preserving against the classic form (two
+# parsers, one relation — the fn_sql_udf pattern applied to syntax).
+# ---------------------------------------------------------------------------
+
+_PIPE_CUTOFF = "1998-09-02 00:00:00"
+
+_PIPE_SPARK = f"""
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '{_PIPE_CUTOFF}'
+|> AGGREGATE
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+  GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _pipe_oracle() -> str:
+    from .aggregations import _Q1_ORACLE
+
+    return _Q1_ORACLE
+
+
+@register(
+    "qry_pipe_syntax",
+    oracle=_pipe_oracle(),
+    doc="Spark 4 SQL pipe syntax (|> WHERE / AGGREGATE..GROUP BY / ORDER "
+    "BY): the flagship Q1 semantic re-expressed through the pipe parser "
+    "with identical decimal-exact expressions; oracle is the classic-SQL "
+    "text, so the hash pins the new parser surface as semantics-"
+    "preserving (REF-ANALOG: the declarative query surface beside "
+    "DataFrame and classic SQL).",
+    tags=("subquery", "function"),
+)
+def qry_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_PIPE_SPARK)

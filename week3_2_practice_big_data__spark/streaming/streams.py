@@ -1912,3 +1912,118 @@ def _session_native_transform_post_dedup(s: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_query_listener — StreamingQueryListener (r10): the session-wide
+# observability hook (onQueryStarted / onQueryProgress / onQueryIdle /
+# onQueryTerminated) a production deployment wires into its metrics
+# system — the PUSH counterpart of stream_observe_metrics' progress
+# polling. The listener bus is ASYNC: events arrive on a separate
+# delivery thread after the calls that caused them, so the key waits for
+# the QueryTerminatedEvent of ITS query id (the bus is ordered — once
+# terminated arrives, every prior progress event for the query has been
+# delivered) before reading the totals, and filters events by query id
+# (the bus is session-global; other keys' queries must not leak in).
+#
+# Full-hash oracle by the lockstep exactly-once argument: the summed
+# numInputRows across the query's progress events equals the table count
+# (dup_first=0), and exactly one started + one terminated event carry
+# the query's id.
+# ---------------------------------------------------------------------------
+
+_QL_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(1 AS BIGINT) AS n_started,
+  CAST(1 AS BIGINT) AS n_terminated
+FROM events
+"""
+
+
+@register(
+    "stream_query_listener",
+    oracle=_QL_ORACLE,
+    doc="StreamingQueryListener: started/progress/terminated events "
+    "collected for the watermarked topology's query id off the async "
+    "listener bus (termination-ordered read: once the terminated event "
+    "arrives, all prior progress was delivered); summed numInputRows "
+    "hash-equals the relational row count, exactly one started + one "
+    "terminated event (I: the push observability surface beside "
+    "observe()/progress polling).",
+    tags=("streaming", "quality"),
+)
+def stream_query_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "qlist", dup_first=0)
+
+    class _Collector(StreamingQueryListener):
+        def __init__(self):
+            self.started = []
+            self.progress = []
+            self.terminated = []
+
+        def onQueryStarted(self, event):
+            self.started.append(str(event.id))
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            self.progress.append((str(p.id), int(p.numInputRows)))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            self.terminated.append(str(event.id))
+
+    collector = _Collector()
+    spark.streams.addListener(collector)
+    name = "w32bd_qlist"
+    try:
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        with _stream_shuffle(spark):
+            query = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+                .withWatermark("ts", _WATERMARK)
+                .groupBy(F.window("ts", "600 seconds"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            qid = str(query.id)
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+        # the bus is async: wait for OUR terminated event — ordering
+        # guarantees every prior progress event has been delivered
+        deadline = time.monotonic() + 30
+        while qid not in collector.terminated:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    "QueryTerminatedEvent not delivered within 30 s"
+                )
+            time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(collector)
+    n_rows = sum(n for pid, n in collector.progress if pid == qid)
+    row = [
+        (
+            n_rows,
+            collector.started.count(qid),
+            collector.terminated.count(qid),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "n_rows bigint, n_started bigint, n_terminated bigint"
+    )
