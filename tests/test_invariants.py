@@ -586,6 +586,18 @@ def test_adversarial_input_parity(spark):
         "ns_vocab_coverage", "stream_session_window_native",
         "udf_arrow_map", "stream_dedup_within_watermark", "fn_sql_udf",
         "stream_checkpoint_restart",
+        # r10: NaN/Inf/±1e300 values through the observe() micro-sum sat
+        # gates (batch and per-micro-batch streaming totals); the weird
+        # lineitem through the applyInArrow kernel's sat + guarded
+        # floor-div; NULL/empty-object props through the VARIANT
+        # parse/typed-get/round-trip; the composed streaming pipeline,
+        # the Python stream source/sinks, and the listener totals over
+        # the dirty event stream
+        "dq_observe_metrics", "stream_observe_metrics",
+        "udf_arrow_grouped", "fn_variant_type", "qry_pipe_syntax",
+        "stream_pipeline_e2e", "sink_python_datasource",
+        "stream_python_datasource_sink", "src_python_datasource_stream",
+        "stream_query_listener",
     ]
     for key in keys:
         q = REGISTRY[key]
