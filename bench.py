@@ -179,12 +179,29 @@ HEADLINE = [
 # render-cache mm timing and all new keys) and therefore carry that
 # ~+10% ambient slack — a slightly loose FIRST baseline for brand-new
 # keys, never a loosened one for existing keys.
-PREV_ROUND = "r08+r09new"
+PREV_ROUND = "r08+r09new+r10new"
 BASELINE_SRC = ("r8 keys: BENCH_full_r08.json (quiet r8 final validation, "
                 "62/76 <15% spread; re-validated by the quiet 14:00 r9 run "
-                "at geomean 1.004x). r9-new keys: the 17:55 final-code r9 "
-                "run (~+10% ambient drift, zero min-based regressions)")
+                "at geomean 1.004x AND by the r10 final run at geomean "
+                "1.031x). r9-new keys: the 17:55 final-code r9 run (~+10% "
+                "ambient drift). r10-new keys: BENCH_full_r10.json (final "
+                "r10 validation, geomean 1.031x vs the r8 epoch, "
+                "regressions: [])")
 PREV_MEDIANS = {
+    # r10-new keys (BENCH_full_r10.json — the 22:50 final validation;
+    # the standing epoch for OLD keys stays r8-quiet, which that run
+    # re-measured at geomean 1.031x / worst 1.25x / zero regressions,
+    # so no old-key entry is rolled — the r9 precedent applied again)
+    "dq_observe_metrics": 0.7701,
+    "stream_observe_metrics": 3.0315,
+    "src_python_datasource_stream": 6.3908,
+    "udf_arrow_grouped": 1.409,
+    "stream_pipeline_e2e": 6.6727,
+    "sink_python_datasource": 1.7062,
+    "stream_python_datasource_sink": 5.7179,
+    "qry_pipe_syntax": 0.9518,
+    "fn_variant_type": 1.4345,
+    "stream_query_listener": 2.8429,
     # r9-new keys (17:55 final-code run; fn_sql_udf + the committed
     # BENCH_full_r09.json from the 18:55 run — same ambient-drift family,
     # tighter 9/85 spread)
