@@ -302,6 +302,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r10: StreamingQueryListener — async-bus lifecycle + progress
     # totals for the watermarked query, exactly-once relational oracle
     "stream_query_listener",
+    # NEW r10: DataSourceArrowWriter — the Arrow-native batch write path
+    # (RecordBatches through the two-phase commit), relational oracle
+    "sink_python_datasource_arrow",
+    # NEW r10: Python reader filter pushdown (Spark 4.1 pushFilters) —
+    # consumed filters prune GENERATION (accumulator-pinned), DuckDB
+    # WHERE-over-full-series oracle
+    "src_python_datasource_pushdown",
     # ADVICE r9 (low): k-means chain now filters size(embedding) = 64
     # identically in every Spark pass AND the oracle ev CTE (vector-set
     # alignment; d=0 posexplode undercount + per-dim KeyError closed)

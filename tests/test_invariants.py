@@ -597,7 +597,8 @@ def test_adversarial_input_parity(spark):
         "udf_arrow_grouped", "fn_variant_type", "qry_pipe_syntax",
         "stream_pipeline_e2e", "sink_python_datasource",
         "stream_python_datasource_sink", "src_python_datasource_stream",
-        "stream_query_listener",
+        "stream_query_listener", "sink_python_datasource_arrow",
+        "src_python_datasource_pushdown",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -1023,3 +1023,87 @@ def test_python_datasource_sink_manifest_isolates_uncommitted(spark):
     # stay exactly the committed relation
     b = REGISTRY["sink_python_datasource"].builder(spark, SF_SMALL)
     assert [tuple(r) for r in b.collect()] == rows_before
+
+
+def test_python_datasource_pushdown_prunes_generation(spark):
+    """src_python_datasource_pushdown (r10): the pushFilters hook must
+    actually PRUNE the reader's generation, not just agree on values —
+    an executor-side accumulator counts generated rows: 192 (the
+    matching index set) proves the consumed filters reached read();
+    4096 would mean Spark post-filtered a full scan. (pushFilters runs
+    in a separate planning worker, so the accumulator — not a captured
+    list — is the observable.)"""
+    from week3_2_practice_big_data__spark.sources.generators import (
+        _PYDSF_MIN_I,
+        _PYDSF_N,
+        _PYDSF_SENSOR,
+        _pydsf_source,
+    )
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    acc = spark.sparkContext.accumulator(0)
+    spark.dataSource.register(_pydsf_source(row_counter=acc))
+    rows = (
+        spark.read.format("w32bd_lcg_pushdown")
+        .load()
+        .filter(
+            (F.col("sensor_id") == _PYDSF_SENSOR)
+            & (F.col("i") >= _PYDSF_MIN_I)
+        )
+        .collect()
+    )
+    expected = sum(
+        1
+        for i in range(_PYDSF_MIN_I, _PYDSF_N)
+        if i % 16 == _PYDSF_SENSOR
+    )
+    assert len(rows) == expected == 192
+    assert acc.value == expected, (
+        f"reader generated {acc.value} rows — pushdown did not prune"
+    )
+
+
+def test_python_datasource_arrow_writer_received_batches(spark):
+    """sink_python_datasource_arrow (r10): the manifest must show every
+    committed task received its data as Arrow RecordBatches (n_batches
+    recorded per staged file; at least one file with >= 1 batch), and
+    the committed union equals the relational rollup."""
+    import json
+    import os
+
+    df = REGISTRY["sink_python_datasource_arrow"].builder(spark, SF_SMALL)
+    got = sorted(tuple(r) for r in df.collect())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(
+        repo, ".tmp", f"pydswa_{os.path.basename(SF_SMALL)}_{os.getpid()}"
+    )
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    assert all(e["n_batches"] >= 0 for e in manifest)
+    assert sum(e["n_batches"] for e in manifest) >= 1
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark.io import load_table
+    from week3_2_practice_big_data__spark import synth
+
+    ref = sorted(
+        tuple(r)
+        for r in load_table(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(floor("
+                        + synth.sat("coalesce(l_quantity, 0e0)", 1e9)
+                        + " * 1000000e0 + 0.5e0) AS BIGINT)"
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sum_qty_u"),
+        )
+        .collect()
+    )
+    assert got == ref

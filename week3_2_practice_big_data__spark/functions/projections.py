@@ -447,12 +447,12 @@ FROM events ORDER BY event_id
 @register(
     "fn_variant_type",
     oracle=_variant_sql("duckdb"),
-    doc="Spark 4 VARIANT type: parse_json into the binary variant "
-    "encoding, typed variant_get + `:` path access, schema_of_variant "
-    "introspection, to_json round-trip, try_parse_json NULL-on-malformed "
-    "— all projected to scalars and hash-pinned against DuckDB's JSON "
-    "derivation (B: the semi-structured column type succeeding "
-    "fn_json_extract's string path; NS ingestion surface).",
+    doc="Spark 4 VARIANT surface COMPLETION (fn_variant_json covers the "
+    "parse_json + variant_get access path since r5): the `:` path "
+    "operator, schema_of_variant introspection, to_json round-trip and "
+    "try_parse_json's NULL-on-malformed contract, per-row beside the "
+    "typed get — all projected to scalars, hash-pinned against DuckDB's "
+    "JSON derivation, NULL/empty-object boundary calibrated live (B).",
     tags=("function", "ns"),
 )
 def fn_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:

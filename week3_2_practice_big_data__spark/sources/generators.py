@@ -841,3 +841,300 @@ def _bind_pydsk_oracle() -> None:
 
 
 _bind_pydsk_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sink_python_datasource_arrow — DataSourceArrowWriter (r10): the
+# Arrow-native variant of the batch writer — write() receives pyarrow
+# RecordBatches instead of Rows (the zero-copy bulk path a columnar sink
+# actually wants; the udf_arrow_map argument applied to the connector
+# write side). Same two-phase commit contract as the row writer; each
+# staged file additionally records how many RecordBatches the task
+# received, so the manifest proves the Arrow path (not a row fallback)
+# carried the data.
+# ---------------------------------------------------------------------------
+
+_PYDSWA_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+  CAST(coalesce(sum(CAST(floor({synth.sat("coalesce(l_quantity, 0e0)", 1e9)}
+    * 1000000e0 + 0.5e0) AS BIGINT)), 0) AS BIGINT) AS sum_qty_u
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sink_python_datasource_arrow",
+    oracle=_PYDSWA_ORACLE,
+    doc="DataSourceArrowWriter: the Arrow-native batch write path — "
+    "write() receives pyarrow RecordBatches (no Row materialization), "
+    "stages jsonl per task with the received-batch count recorded, "
+    "driver commit() publishes the manifest, read-back of committed "
+    "files only; hash-pinned against the relational rollup and the "
+    "batch count pinned >0 in pytest (A/J: the columnar write hook "
+    "beside the Row writer).",
+    tags=("sink", "source", "udf"),
+)
+def sink_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    from ..common import scratch_dir
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    out = scratch_dir(sf_dir, "pydswa") + f"_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, fname, n_batches):
+            self.fname = fname
+            self.n_batches = n_batches
+
+    class _ArrowJsonlWriter(DataSourceArrowWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, batches):
+            import json
+            import os
+            import uuid
+
+            fname = f"part-{uuid.uuid4().hex}.jsonl"
+            n_batches = 0
+            with open(os.path.join(self.path, fname), "w") as f:
+                for batch in batches:
+                    n_batches += 1
+                    cols = {
+                        name: batch.column(name).to_pylist()
+                        for name in batch.schema.names
+                    }
+                    for i in range(batch.num_rows):
+                        f.write(
+                            json.dumps(
+                                [
+                                    cols["l_returnflag"][i],
+                                    cols["l_linestatus"][i],
+                                    int(cols["n"][i]),
+                                    int(cols["sum_qty_u"][i]),
+                                ]
+                            )
+                            + "\n"
+                        )
+            return _Msg(fname, n_batches)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            entries = [
+                {"file": m.fname, "n_batches": m.n_batches}
+                for m in messages
+                if m is not None
+            ]
+            entries.sort(key=lambda e: e["file"])
+            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+                json.dump(entries, f)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.fname))
+                    except OSError:
+                        pass
+
+    class _ArrowJsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "w32bd_jsonl_arrow_sink"
+
+        def writer(self, schema, overwrite):
+            return _ArrowJsonlWriter(self.options["path"])
+
+    spark.dataSource.register(_ArrowJsonlSink)
+    rollup = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(floor("
+                        + synth.sat("coalesce(l_quantity, 0e0)", 1e9)
+                        + " * 1000000e0 + 0.5e0) AS BIGINT)"
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sum_qty_u"),
+        )
+        .repartition(4)
+    )
+    rollup.write.format("w32bd_jsonl_arrow_sink").option("path", out).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = _json.load(f)
+    rows = []
+    for entry in manifest:
+        with open(os.path.join(out, entry["file"])) as f:
+            for line in f:
+                rf, ls, n, squ = _json.loads(line)
+                rows.append((rf, ls, n, squ))
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, n bigint, "
+        "sum_qty_u bigint",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# src_python_datasource_pushdown — Python reader FILTER PUSHDOWN (r10,
+# Spark 4.1 `pushFilters`): the planner hands the reader the query's
+# conjunctive filters; the reader CONSUMES the ones its storage can
+# evaluate natively (here: EqualTo on sensor_id, GreaterThanOrEqual on
+# i — the LCG domain is index-addressable, so consuming them prunes
+# GENERATION, the Python twin of a parquet scan's PushedFilters) and
+# yields back the rest for Spark to evaluate post-scan. The repo's
+# pushdown story applied to the connector API: "filters should reach
+# the scan" is now pinned on the Python source too.
+#
+# The driver hash proves value identity (pruned generation ≡ DuckDB's
+# WHERE over the full series); pytest pins that pushdown actually
+# HAPPENED — pushFilters runs driver-side at planning (captured filter
+# list) and a SparkContext accumulator counts executor-side generated
+# rows (== matching rows, not the full domain).
+# ---------------------------------------------------------------------------
+
+_PYDSF_N = 4096
+_PYDSF_SEED = 9001
+_PYDSF_SENSOR = 3
+_PYDSF_MIN_I = 1024
+
+
+def _pydsf_oracle() -> str:
+    u = synth.lcg_u("i", _PYDSF_SEED)
+    return f"""
+SELECT i, CAST(i % {_PYDS_SENSORS} AS INT) AS sensor_id, {u} AS u
+FROM {synth.series_sql(_PYDSF_N, "i", "duckdb")}
+WHERE i % {_PYDS_SENSORS} = {_PYDSF_SENSOR} AND i >= {_PYDSF_MIN_I}
+ORDER BY i
+"""
+
+
+def _pydsf_source(row_counter=None):
+    """Build the pushdown-capable DataSource class. `row_counter` (a
+    SparkContext accumulator) counts executor-side GENERATED rows — the
+    sharp pushdown pin: pushFilters executes in a separate planning
+    worker process (plan_data_source_read.py), so a driver-side capture
+    list would never see it; the accumulator distinguishes a pruned
+    generation (192 rows) from the full domain (4096) regardless of
+    where planning ran."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThanOrEqual,
+        InputPartition,
+    )
+
+    n, seed, sensors = _PYDSF_N, _PYDSF_SEED, _PYDS_SENSORS
+
+    class _PushdownReader(DataSourceReader):
+        def __init__(self):
+            self.eq_sensor = None
+            self.min_i = 0
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and f.attribute == ("sensor_id",)
+                ):
+                    self.eq_sensor = int(f.value)
+                elif (
+                    isinstance(f, GreaterThanOrEqual)
+                    and f.attribute == ("i",)
+                ):
+                    self.min_i = max(self.min_i, int(f.value))
+                else:
+                    yield f  # unsupported: Spark evaluates it post-scan
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(4)]
+
+        def read(self, partition):
+            m31, a, c = 2_147_483_648, 1_103_515_245, 12_345
+            per = (n + 3) // 4
+            p = partition.value
+            lo, hi = p * per, min((p + 1) * per, n)
+            # native pruning: jump straight to the consumed filters'
+            # index set instead of generating the full range
+            start = max(lo, self.min_i)
+            for i in range(start, hi):
+                if self.eq_sensor is not None and i % sensors != self.eq_sensor:
+                    continue
+                if row_counter is not None:
+                    row_counter.add(1)
+                x = (i * 1000003 + seed * 7919 + c) % m31
+                x = (a * x + c) % m31
+                yield (i, i % sensors, x / m31)
+
+    class _PushdownSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "w32bd_lcg_pushdown"
+
+        def schema(self):
+            return "i bigint, sensor_id int, u double"
+
+        def reader(self, schema):
+            return _PushdownReader()
+
+    return _PushdownSource
+
+
+@register(
+    "src_python_datasource_pushdown",
+    oracle=_pydsf_oracle(),
+    doc="Python Data Source filter pushdown (Spark 4.1 pushFilters): the "
+    "reader consumes EqualTo(sensor_id)/GreaterThanOrEqual(i) at "
+    "planning and prunes GENERATION to the matching index set, yielding "
+    "unsupported filters back to Spark — the PushedFilters discipline "
+    "extended to the connector API; hash-pinned against DuckDB's WHERE "
+    "over the full series, pushdown itself pinned in pytest via the "
+    "planning capture + an executor-side row accumulator (A: the "
+    "predicate-pushdown hook of the Python reader).",
+    tags=("source", "udf", "scale"),
+)
+def src_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    # the pushFilters hook is gated off by default (Spark 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(_pydsf_source())
+    return (
+        spark.read.format("w32bd_lcg_pushdown")
+        .load()
+        .filter(
+            (F.col("sensor_id") == _PYDSF_SENSOR)
+            & (F.col("i") >= _PYDSF_MIN_I)
+        )
+        .orderBy("i")
+    )
