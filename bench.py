@@ -161,6 +161,9 @@ HEADLINE = [
     "qry_pipe_syntax",
     "fn_variant_type",
     "stream_query_listener",
+    # landed after the r10 final bench — first medians seed r11
+    "sink_python_datasource_arrow",
+    "src_python_datasource_pushdown",
 ]
 
 
