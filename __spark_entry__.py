@@ -309,6 +309,18 @@ _CHANGED_THIS_ROUND: list[str] = [
     # consumed filters prune GENERATION (accumulator-pinned), DuckDB
     # WHERE-over-full-series oracle
     "src_python_datasource_pushdown",
+    # NEW r10: parameterized spark.sql() — named + positional binding
+    # cross-checked in the builder, inlined-literal oracle
+    "qry_parameterized_sql",
+    # NEW r10: GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT — the
+    # resolution rules pinned against the fully explicit form
+    "qry_modern_sql_sugar",
+    # NEW r10: SQL session variables (DECLARE / SET VAR from subquery,
+    # consumed by a later statement), integer-exact threshold
+    "qry_session_variables",
+    # NEW r10: SQL scripting (BEGIN..END, WHILE loop, IF/ELSE, last
+    # statement is the result), closed-form oracle
+    "qry_sql_scripting",
     # ADVICE r9 (low): k-means chain now filters size(embedding) = 64
     # identically in every Spark pass AND the oracle ev CTE (vector-set
     # alignment; d=0 posexplode undercount + per-dim KeyError closed)

@@ -164,6 +164,10 @@ HEADLINE = [
     # landed after the r10 final bench — first medians seed r11
     "sink_python_datasource_arrow",
     "src_python_datasource_pushdown",
+    "qry_parameterized_sql",
+    "qry_modern_sql_sugar",
+    "qry_session_variables",
+    "qry_sql_scripting",
 ]
 
 

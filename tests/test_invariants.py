@@ -598,7 +598,9 @@ def test_adversarial_input_parity(spark):
         "stream_pipeline_e2e", "sink_python_datasource",
         "stream_python_datasource_sink", "src_python_datasource_stream",
         "stream_query_listener", "sink_python_datasource_arrow",
-        "src_python_datasource_pushdown",
+        "src_python_datasource_pushdown", "qry_parameterized_sql",
+        "qry_modern_sql_sugar", "qry_session_variables",
+        "qry_sql_scripting",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -281,3 +281,215 @@ def _pipe_oracle() -> str:
 def qry_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("lineitem",))
     return spark.sql(_PIPE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# qry_parameterized_sql — parameterized spark.sql() (r10): the
+# injection-safe query parametrization API (named AND positional args,
+# Spark 3.4+/4) — parameters bind as typed literals at parse time, not
+# string splices. The key runs the same revenue filter twice (named
+# args, then positional) and cross-checks the two forms in one output;
+# the oracle inlines the identical literals.
+# ---------------------------------------------------------------------------
+
+_PARAM_CUTOFF = "1995-03-15 00:00:00"
+_PARAM_DISC = 0.05
+
+
+def _param_oracle() -> str:
+    return f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '{_PARAM_CUTOFF}' AND l_discount >= {_PARAM_DISC}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "qry_parameterized_sql",
+    oracle=_param_oracle(),
+    doc="Parameterized spark.sql(): named-arg (:cutoff/:mind) and "
+    "positional-arg (?) forms of the same revenue filter, cross-checked "
+    "row-for-row inside the builder and hash-pinned against the oracle "
+    "with inlined literals — the injection-safe parametrization surface "
+    "(REF-ANALOG: the programmatic query API beside literals).",
+    tags=("subquery", "function"),
+)
+def qry_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem",))
+    body = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+FROM lineitem
+WHERE l_shipdate > {cut} AND l_discount >= {d}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+    named = spark.sql(
+        body.format(cut="CAST(:cutoff AS TIMESTAMP)", d=":mind"),
+        args={"cutoff": _PARAM_CUTOFF, "mind": _PARAM_DISC},
+    )
+    positional = spark.sql(
+        body.format(cut="CAST(? AS TIMESTAMP)", d="?"),
+        args=[_PARAM_CUTOFF, _PARAM_DISC],
+    )
+    # both binding forms must agree exactly before either is returned
+    n = named.collect()
+    p = positional.collect()
+    if [tuple(r) for r in n] != [tuple(r) for r in p]:
+        raise AssertionError("named vs positional parameter binding diverged")
+    return named
+
+
+# ---------------------------------------------------------------------------
+# qry_modern_sql_sugar — GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT
+# (r10): the modern-SQL ergonomics surface — ALL resolves the grouping
+# set from the non-aggregate select items, ORDER BY ALL orders by every
+# output column left-to-right, and * EXCEPT projects away a column
+# without enumerating the rest. The oracle is the fully explicit form —
+# the hash pins the resolution rules.
+# ---------------------------------------------------------------------------
+
+
+def _sugar_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+SELECT * EXCEPT (dropme) FROM (
+  SELECT o_orderpriority, o_orderstatus,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(max(o_orderkey) AS BIGINT) AS max_key,
+    'x' AS dropme
+  FROM orders
+  WHERE o_orderkey % 3 = 0
+  GROUP BY ALL
+) t
+ORDER BY ALL
+"""
+    return """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus, n, max_key
+"""
+
+
+@register(
+    "qry_modern_sql_sugar",
+    oracle=_sugar_sql("duckdb"),
+    doc="Modern SQL ergonomics: GROUP BY ALL (grouping set resolved from "
+    "the non-aggregate select items), ORDER BY ALL (every output column "
+    "left-to-right), SELECT * EXCEPT (column-subtracting projection) — "
+    "hash-pinned against the fully explicit form, so the resolution "
+    "rules themselves are what the oracle checks (REF-ANALOG).",
+    tags=("subquery", "function"),
+)
+def qry_modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("orders",))
+    return spark.sql(_sugar_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# qry_session_variables — SQL session variables (r10, Spark 4 DECLARE /
+# SET VAR): typed session-scoped scalars that parametrize later
+# statements — the SQL-native configuration surface beside
+# parameterized queries (variables persist across statements and can be
+# SET from a subquery). The threshold is integer-exact (max key DIV 2),
+# so no float boundary crosses engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qry_session_variables",
+    oracle="""
+WITH thr AS (SELECT CAST(max(o_orderkey) // 2 AS BIGINT) AS v FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_above,
+  CAST(min(o_orderkey) AS BIGINT) AS min_above,
+  (SELECT v FROM thr) AS threshold
+FROM orders CROSS JOIN thr
+WHERE o_orderkey > thr.v
+""",
+    doc="SQL session variables (DECLARE ... DEFAULT / SET VAR ... = "
+    "(subquery)): an integer-exact threshold declared once, assigned "
+    "from an aggregate subquery, and consumed by a later independent "
+    "statement — variables outlive the statement that set them; oracle "
+    "recomputes the same relation with a CTE (REF-ANALOG: the stateful "
+    "SQL-session surface).",
+    tags=("subquery", "function"),
+)
+def qry_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("orders",))
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE w32bd_thr BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        "SET VAR w32bd_thr = (SELECT CAST(max(o_orderkey) DIV 2 AS BIGINT) "
+        "FROM orders)"
+    )
+    return spark.sql(
+        """
+SELECT CAST(count(*) AS BIGINT) AS n_above,
+  CAST(min(o_orderkey) AS BIGINT) AS min_above,
+  w32bd_thr AS threshold
+FROM orders WHERE o_orderkey > w32bd_thr
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# qry_sql_scripting — SQL scripting (r10, Spark 4 BEGIN ... END): the
+# procedural SQL surface — DECLARE'd locals, SET from expressions, a
+# WHILE loop, and an IF/ELSE branch, with the script's LAST statement as
+# the result relation. Control state is integer-exact throughout; the
+# oracle computes the loop sum and branch in closed form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qry_sql_scripting",
+    oracle="""
+WITH thr AS (SELECT CAST(max(o_orderkey) // 2 AS BIGINT) AS v FROM orders)
+SELECT CAST(45 AS BIGINT) AS loop_sum,
+  CAST(count(*) AS BIGINT) AS n_above,
+  'big' AS branch
+FROM orders CROSS JOIN thr WHERE o_orderkey > thr.v
+""",
+    doc="Spark 4 SQL scripting (BEGIN..END): DECLARE'd locals, a WHILE "
+    "loop accumulating an integer (0..9 -> 45), SET from an aggregate "
+    "subquery, and an IF/ELSE branch choosing the result statement — "
+    "the script's last statement is the returned relation, hash-pinned "
+    "against the closed-form oracle (REF-ANALOG: the procedural SQL "
+    "surface beside pipe syntax and session variables).",
+    tags=("subquery", "function", "iterative"),
+)
+def qry_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+BEGIN
+  DECLARE i INT DEFAULT 0;
+  DECLARE acc BIGINT DEFAULT 0;
+  DECLARE thr BIGINT DEFAULT 0;
+  WHILE i < 10 DO
+    SET acc = acc + i;
+    SET i = i + 1;
+  END WHILE;
+  SET thr = (SELECT CAST(max(o_orderkey) DIV 2 AS BIGINT) FROM orders);
+  IF acc = 45 THEN
+    SELECT acc AS loop_sum,
+      CAST(count(*) AS BIGINT) AS n_above,
+      'big' AS branch
+    FROM orders WHERE o_orderkey > thr;
+  ELSE
+    SELECT CAST(-1 AS BIGINT) AS loop_sum,
+      CAST(0 AS BIGINT) AS n_above, 'small' AS branch;
+  END IF;
+END
+"""
+    )
