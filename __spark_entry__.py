@@ -321,6 +321,18 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r10: SQL scripting (BEGIN..END, WHILE loop, IF/ELSE, last
     # statement is the result), closed-form oracle
     "qry_sql_scripting",
+    # NEW r10: spark.udf.register — the SQL-callable vectorized
+    # pandas_udf (catalog-named Python logic), inlined-sat oracle
+    "fn_udf_sql_register",
+    # NEW r10: SCALAR_ITER pandas_udf — Iterator[Series]->Iterator[
+    # Series], one-time per-partition init reused across Arrow batches
+    "udf_pandas_iter",
+    # NEW r10: foreach ROW sink — open/process/close writer contract on
+    # the watermarked topology, finalized-window oracle
+    "stream_sink_foreach_rows",
+    # NEW r10: DataSourceStreamArrowWriter — the 4th writer quadrant
+    # (Row/Arrow x batch/streaming), per-batch manifests, same oracle
+    "stream_python_datasource_sink_arrow",
     # ADVICE r9 (low): k-means chain now filters size(embedding) = 64
     # identically in every Spark pass AND the oracle ev CTE (vector-set
     # alignment; d=0 posexplode undercount + per-dim KeyError closed)
@@ -463,9 +475,12 @@ _R08_CHANGED: list[str] = [
 # ROUND-10 REFRESH (VERDICT r9 item 2): lead with the 7 keys whose
 # newest green row is still CORRECTNESS_r02 (the planned r9 window tail
 # that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
-# 34-key r03 cohort (the next-oldest attestations). With the r10 changed
-# block leading, the TAIL of the r03 cohort spills past the 50-key
-# window by design — never the r02 block; spill leads r11's refresh.
+# 34-key r03 cohort (the next-oldest attestations). r10 grew the changed
+# block to 24 keys (the ADVICE closures + 15 NEW never-verified keys,
+# which MUST take window slots ahead of re-attestation), so the TAIL of
+# the r03 cohort spills past the 50-key window — never the r02 block;
+# the spilled r03 keys lead r11's refresh. Every key in this list is
+# pytest-replayed and sf0.01-swept this round regardless.
 _REFRESH_THIS_ROUND: list[str] = [
     # r02-attestation block (VERDICT r9 item 2 — carry these first)
     "fn_bitwise_ops", "gen_poster_param", "gen_poster_shadow",

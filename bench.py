@@ -168,6 +168,10 @@ HEADLINE = [
     "qry_modern_sql_sugar",
     "qry_session_variables",
     "qry_sql_scripting",
+    "fn_udf_sql_register",
+    "udf_pandas_iter",
+    "stream_sink_foreach_rows",
+    "stream_python_datasource_sink_arrow",
 ]
 
 

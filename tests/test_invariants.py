@@ -600,7 +600,8 @@ def test_adversarial_input_parity(spark):
         "stream_query_listener", "sink_python_datasource_arrow",
         "src_python_datasource_pushdown", "qry_parameterized_sql",
         "qry_modern_sql_sugar", "qry_session_variables",
-        "qry_sql_scripting",
+        "qry_sql_scripting", "fn_udf_sql_register", "udf_pandas_iter",
+        "stream_sink_foreach_rows", "stream_python_datasource_sink_arrow",
     ]
     for key in keys:
         q = REGISTRY[key]

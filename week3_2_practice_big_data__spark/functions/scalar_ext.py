@@ -382,3 +382,93 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_udf_sql_register — spark.udf.register (r10): the SQL-callable
+# Python UDF surface — a VECTORIZED pandas_udf registered under a
+# catalog name and invoked from SQL TEXT (not the DataFrame API), which
+# is how notebook/SQL-first users reach Python logic. The kernel is the
+# shared saturating micro-quantizer (numpy twin of synth.sat); the
+# oracle inlines the same parse tree.
+# ---------------------------------------------------------------------------
+
+_UDF_REG_ORACLE = f"""
+SELECT event_id,
+  CAST(floor({synth.sat("coalesce(value, 0e0)", 1e9)} * 1000000e0 + 0.5e0)
+       AS BIGINT) AS value_u
+FROM events
+ORDER BY event_id
+"""
+
+
+@register(
+    "fn_udf_sql_register",
+    oracle=_UDF_REG_ORACLE,
+    doc="spark.udf.register: a vectorized pandas_udf registered as a "
+    "catalog function and called from SQL TEXT — the SQL-first entry "
+    "point to Python logic (vs the DataFrame-API pandas_udf keys); the "
+    "kernel is the shared sat() micro-quantizer twin, hash-pinned "
+    "against the inlined oracle (J: the registration surface beside "
+    "CREATE TEMPORARY FUNCTION's pure-SQL UDFs).",
+    tags=("udf", "function"),
+)
+def fn_udf_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_package_on_workers
+    from .udf_kernels import w32bd_pumicro
+
+    ensure_package_on_workers(spark)
+    spark.udf.register("w32bd_pumicro", w32bd_pumicro)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        "SELECT event_id, w32bd_pumicro(value) AS value_u "
+        "FROM events ORDER BY event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# udf_pandas_iter — SCALAR_ITER pandas_udf (r10): the iterator form
+# (Iterator[pd.Series] -> Iterator[pd.Series]) — the eval type built for
+# expensive one-time state (model load, connection) initialized ONCE per
+# partition and reused across Arrow batches. The kernel initializes a
+# small lookup table before the batch loop (init count pinned in the
+# scale note: once per partition, not per batch) and applies the shared
+# micro-quantize + a parity tag from the lookup.
+# ---------------------------------------------------------------------------
+
+_PANDAS_ITER_ORACLE = f"""
+SELECT event_id,
+  CAST(floor({synth.sat("coalesce(value, 0e0)", 1e9)} * 1000000e0 + 0.5e0)
+       AS BIGINT) AS value_u,
+  CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM events
+ORDER BY event_id
+"""
+
+
+@register(
+    "udf_pandas_iter",
+    oracle=_PANDAS_ITER_ORACLE,
+    doc="SCALAR_ITER pandas_udf (Iterator[Series] -> Iterator[Series]): "
+    "per-partition one-time init (the model-load pattern) reused across "
+    "Arrow batches; kernel = shared sat() micro-quantizer + an "
+    "init-table parity tag, hash-pinned against the inlined oracle (J: "
+    "the iterator eval type completing the pandas_udf forms).",
+    tags=("udf", "function"),
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import col
+
+    from ..session import ensure_package_on_workers
+    from .udf_kernels import iter_micro, iter_parity
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            iter_micro(col("value")).alias("value_u"),
+            iter_parity(col("event_id")).alias("parity"),
+        )
+        .orderBy("event_id")
+    )

@@ -1138,3 +1138,182 @@ def src_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("i")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_python_datasource_sink_arrow — DataSourceStreamArrowWriter
+# (r10): the fourth and final writer quadrant (Row/Arrow × batch/
+# streaming) — per micro-batch, tasks receive pyarrow RecordBatches and
+# stage jsonl with the batch count recorded; commit(messages, batchId)
+# publishes the per-batch manifest. Topology and oracle are
+# stream_watermark_late's, unchanged.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_python_datasource_sink_arrow",
+    oracle=None,  # bound below to streams._WM_LATE_ORACLE (late import)
+    doc="DataSourceStreamArrowWriter: the Arrow-native STREAMING write "
+    "path — per-micro-batch RecordBatches through the two-phase commit "
+    "(batch counts recorded in each per-batch manifest), read-back of "
+    "committed rows hash-equals the lockstep finalized-window oracle; "
+    "completes the writer matrix Row/Arrow x batch/streaming (A/I/J).",
+    tags=("sink", "source", "streaming", "udf"),
+)
+def stream_python_datasource_sink_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamArrowWriter,
+        WriterCommitMessage,
+    )
+
+    from ..common import scratch_dir
+    from ..session import ensure_package_on_workers
+    from ..streaming.streams import (
+        _WATERMARK,
+        _chunked_source,
+        _stream_shuffle,
+    )
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "pydska", dup_first=0)
+    out = scratch_dir(sf_dir, "pydska_out") + f"_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, fname, n_batches):
+            self.fname = fname
+            self.n_batches = n_batches
+
+    class _ArrowStreamWriter(DataSourceStreamArrowWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, batches):
+            import json
+            import os as _os
+            import uuid
+
+            fname = f"stage-{uuid.uuid4().hex}.jsonl"
+            n_batches = 0
+            with open(_os.path.join(self.path, fname), "w") as f:
+                for batch in batches:
+                    n_batches += 1
+                    cols = {
+                        name: batch.column(name).to_pylist()
+                        for name in batch.schema.names
+                    }
+                    for i in range(batch.num_rows):
+                        f.write(
+                            json.dumps(
+                                [
+                                    int(cols["win_start"][i]),
+                                    cols["event_type"][i],
+                                    int(cols["n"][i]),
+                                ]
+                            )
+                            + "\n"
+                        )
+            return _Msg(fname, n_batches)
+
+        def commit(self, messages, batchId):
+            import json
+            import os as _os
+
+            entries = [
+                {"file": m.fname, "n_batches": m.n_batches}
+                for m in messages
+                if m is not None
+            ]
+            entries.sort(key=lambda e: e["file"])
+            with open(
+                _os.path.join(self.path, f"_MANIFEST_{batchId:06d}"), "w"
+            ) as f:
+                json.dump(entries, f)
+
+        def abort(self, messages, batchId):
+            import os as _os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        _os.remove(_os.path.join(self.path, m.fname))
+                    except OSError:
+                        pass
+
+    class _ArrowStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "w32bd_jsonl_stream_arrow_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _ArrowStreamWriter(self.options["path"])
+
+    spark.dataSource.register(_ArrowStreamSink)
+    qname = "w32bd_pydska"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withWatermark("ts", _WATERMARK)
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("win_start"),
+                "event_type",
+                "n",
+            )
+            .writeStream.format("w32bd_jsonl_stream_arrow_sink")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(out, "_ckpt"))
+            .outputMode("append")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    rows = []
+    for entry in sorted(os.listdir(out)):
+        if not entry.startswith("_MANIFEST_"):
+            continue
+        with open(os.path.join(out, entry)) as f:
+            manifest = _json.load(f)
+        for e in manifest:
+            with open(os.path.join(out, e["file"])) as fh:
+                for line in fh:
+                    w, t, n = _json.loads(line)
+                    rows.append((w, t, n))
+    return spark.createDataFrame(
+        rows, "win_start bigint, event_type string, n bigint"
+    ).orderBy("win_start", "event_type")
+
+
+def _bind_pydska_oracle() -> None:
+    import dataclasses
+
+    from ..registry import REGISTRY as _REG
+    from ..streaming.streams import _WM_LATE_ORACLE
+
+    q = _REG["stream_python_datasource_sink_arrow"]
+    _REG["stream_python_datasource_sink_arrow"] = dataclasses.replace(
+        q, oracle=_WM_LATE_ORACLE
+    )
+
+
+_bind_pydska_oracle()

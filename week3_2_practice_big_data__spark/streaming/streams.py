@@ -2027,3 +2027,113 @@ def stream_query_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         row, "n_rows bigint, n_started bigint, n_terminated bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_sink_foreach_rows — the foreach ROW sink (r10): writeStream
+# .foreach(writer) with the open(partition, epoch) / process(row) /
+# close(error) contract — the per-row custom sink beside foreachBatch's
+# per-batch DataFrame hook (stream_foreachbatch) and the Data Source
+# stream writers. Each (epoch, partition) opens its own uniquely-named
+# file; open() returning True accepts the partition-epoch. foreach is
+# an AT-LEAST-ONCE sink under retries — the deterministic lockstep run
+# has none, and the oracle is the same finalized-window expression the
+# memory-sink topology satisfies.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sink_foreach_rows",
+    oracle=_WM_LATE_ORACLE,
+    doc="foreach row sink: the open(partition,epoch)/process(row)/"
+    "close(err) writer contract on the watermarked tumbling topology — "
+    "per-(epoch,partition) staged files read back and hash-checked "
+    "against the lockstep finalized-window oracle; the per-row custom "
+    "sink beside foreachBatch and the Data Source stream writers "
+    "(I: sink surface; documented at-least-once under retries).",
+    tags=("streaming", "sink"),
+)
+def stream_sink_foreach_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..common import scratch_dir
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "fesink", dup_first=0)
+    out = scratch_dir(sf_dir, "fesink_out") + f"_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    class _RowWriter:
+        def __init__(self, path):
+            self.path = path
+            self._f = None
+
+        def open(self, partition_id, epoch_id):
+            import os as _os
+            import uuid
+
+            self._f = open(
+                _os.path.join(
+                    self.path,
+                    f"fe-{epoch_id:06d}-{partition_id:04d}-"
+                    f"{uuid.uuid4().hex}.jsonl",
+                ),
+                "w",
+            )
+            return True
+
+        def process(self, row):
+            import json
+
+            self._f.write(
+                json.dumps(
+                    [int(row["win_start"]), row["event_type"], int(row["n"])]
+                )
+                + "\n"
+            )
+
+        def close(self, error):
+            if self._f is not None:
+                self._f.close()
+
+    qname = "w32bd_fesink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withWatermark("ts", _WATERMARK)
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("win_start"),
+                "event_type",
+                "n",
+            )
+            .writeStream.foreach(_RowWriter(out))
+            .outputMode("append")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    rows = []
+    for entry in sorted(os.listdir(out)):
+        if not entry.startswith("fe-"):
+            continue
+        with open(os.path.join(out, entry)) as f:
+            for line in f:
+                w, t, n = _json.loads(line)
+                rows.append((w, t, n))
+    return spark.createDataFrame(
+        rows, "win_start bigint, event_type string, n bigint"
+    ).orderBy("win_start", "event_type")
