@@ -345,6 +345,25 @@ _CHANGED_THIS_ROUND: list[str] = [
     # ADVICE r9 (low): mapInArrow kernel + oracle now share the sat()
     # saturation discipline (NaN→0, NULL→0, ±1e9 clip before quantize)
     "udf_arrow_map",
+    # NEW r10 (second session): native XML sink+source round trip —
+    # decimal money through text, entity escaping pinned via a crafted
+    # `<&"` marker column; relational oracle on the parquet original
+    "src_xml_roundtrip",
+    # NEW r10 (second session): scalar XML surface — to_xml → from_xml
+    # typed parse-back + xpath_string/xpath_long with entity decode;
+    # identity oracle recomputed from source columns
+    "fn_xml_funcs",
+    # NEW r10 (second session): Spark 4 UTF8_LCASE collation — case-
+    # insensitive GROUP BY merges synthesized casings (n_casings pins
+    # the merge), collation-aware startswith; lower()-explicit oracle
+    "fn_collation",
+    # NEW r10 (second session): df.transpose() over the domain-spined
+    # returnflag rollup; scalar-subquery-per-cell oracle
+    "reshape_transpose",
+    # NEW r10 (second session): the State Data Source — a stateful
+    # query's checkpointed state read back as a batch relation and
+    # hash-checked against the relational GROUP BY (associative merge)
+    "src_statestore_read",
 ]
 
 # Round-9 changed list, kept for the record (all 13 hold green r09 rows).
@@ -476,7 +495,7 @@ _R08_CHANGED: list[str] = [
 # newest green row is still CORRECTNESS_r02 (the planned r9 window tail
 # that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
 # 34-key r03 cohort (the next-oldest attestations). r10 grew the changed
-# block to 24 keys (the ADVICE closures + 15 NEW never-verified keys,
+# block to 29 keys (the ADVICE closures + 25 NEW never-verified keys,
 # which MUST take window slots ahead of re-attestation), so the TAIL of
 # the r03 cohort spills past the 50-key window — never the r02 block;
 # the spilled r03 keys lead r11's refresh. Every key in this list is

@@ -172,6 +172,14 @@ HEADLINE = [
     "udf_pandas_iter",
     "stream_sink_foreach_rows",
     "stream_python_datasource_sink_arrow",
+    # round-10 second session: native XML round trip, scalar XML surface,
+    # UTF8_LCASE collation, domain-spined transpose, and the State Data
+    # Source read-back — first medians seed r11.
+    "src_xml_roundtrip",
+    "fn_xml_funcs",
+    "fn_collation",
+    "reshape_transpose",
+    "src_statestore_read",
 ]
 
 

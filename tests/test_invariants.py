@@ -385,6 +385,12 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         "udf_arrow_map", "src_python_datasource",
         "stream_dedup_within_watermark", "fn_sql_udf",
         "stream_checkpoint_restart",
+        # r10 second session: XML serialize/parse over empty/one rows,
+        # collated grouping with 0/1 casings, the domain-spined transpose
+        # (columns must stay A/N/R with NULL cells), and the state store
+        # of an empty/one-event checkpoint
+        "src_xml_roundtrip", "fn_xml_funcs", "fn_collation",
+        "reshape_transpose", "src_statestore_read",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -602,6 +608,13 @@ def test_adversarial_input_parity(spark):
         "qry_modern_sql_sugar", "qry_session_variables",
         "qry_sql_scripting", "fn_udf_sql_register", "udf_pandas_iter",
         "stream_sink_foreach_rows", "stream_python_datasource_sink_arrow",
+        # r10 second session: NaN/Inf/±1e300 values through the state-
+        # store key's sat gate before the checkpointed sum (the state
+        # dump must equal the saturated relational aggregate); the weird
+        # 20-row slices through the XML entity/decimal round trips, the
+        # collated merge, and the spined transpose's NULL cells
+        "src_statestore_read", "src_xml_roundtrip", "fn_xml_funcs",
+        "fn_collation", "reshape_transpose",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -801,3 +814,107 @@ def test_python_datasource_partition_contract(spark):
         x = (r["i"] * 1000003 + _PYDS_SEED * 7919 + c) % m31
         x = (a * x + c) % m31
         assert r["u"] == x / m31
+
+
+def test_statestore_metadata_and_row_inventory(spark):
+    """src_statestore_read (r10): beyond the value hash, the state-
+    metadata reader must inventory exactly one stateful operator
+    (stateStoreSave, default store, batch 0 committed) for the
+    checkpoint the key built, and the state row count must equal the
+    distinct grouping-key count — one state row per group, the contract
+    that makes state inspection a usable ops surface."""
+    import os
+
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.streaming.streams import _REPO_TMP
+
+    out = REGISTRY["src_statestore_read"].builder(spark, SF_SMALL)
+    n_state = out.count()
+    n_types = (
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert n_state == n_types
+    ck = os.path.join(_REPO_TMP, "ssread_ck_sf0.001")
+    meta = spark.read.format("state-metadata").load(ck).collect()
+    assert len(meta) == 1
+    m = meta[0]
+    assert m["operatorName"] == "stateStoreSave"
+    assert m["stateStoreName"] == "default"
+    assert m["minBatchId"] == 0
+    assert m["numPartitions"] > 0
+
+
+def test_collation_merges_casings_binary_splits_them(spark):
+    """fn_collation (r10): the UTF8_LCASE group-by must merge exactly the
+    3 synthesized casings per segment (n_casings == 3 everywhere at
+    sf0.001), the binary group-by over the same variant column must keep
+    them apart (3× the groups), collation-aware equality must hold for a
+    crafted cross-case pair, and the BU prefix must match only the
+    building segment (case-insensitively, all its casings)."""
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.functions.semantics import (
+        _COLLATE_VARIANT,
+    )
+
+    rows = REGISTRY["fn_collation"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 5  # the c_mktsegment domain, case-merged
+    assert all(r["n_casings"] == 3 for r in rows)
+    for r in rows:
+        assert r["n_bu_pfx"] == (r["n"] if r["segment"] == "building" else 0)
+
+    spark.read.parquet(f"{SF_SMALL}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    n_binary = spark.sql(
+        f"SELECT count(DISTINCT {_COLLATE_VARIANT}) AS n FROM customer"
+    ).first()["n"]
+    assert n_binary == 15  # 5 segments x 3 casings under UTF8_BINARY
+
+    eq = spark.sql(
+        "SELECT collate('MiXeD', 'UTF8_LCASE') = 'mIxEd' AS a, "
+        "startswith(collate('BuIlDiNg', 'UTF8_LCASE'), 'bU') AS b, "
+        "collate('MiXeD', 'UTF8_BINARY') = 'mIxEd' AS c"
+    ).first()
+    assert eq["a"] is True and eq["b"] is True and eq["c"] is False
+
+
+def test_transpose_schema_is_domain_stable(spark):
+    """reshape_transpose (r10): the transposed summary must expose the
+    index column first ('key') then one DOUBLE column per returnflag
+    domain value in sorted order — on full data AND regardless of which
+    flags a slice happens to contain (the domain spine's job)."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    out = REGISTRY["reshape_transpose"].builder(spark, SF_SMALL)
+    assert [f.name for f in out.schema.fields] == ["key", "A", "N", "R"]
+    assert all(
+        f.dataType.simpleString() == "double"
+        for f in out.schema.fields[1:]
+    )
+    assert {r["key"] for r in out.collect()} == {
+        "sum_qty", "sum_price", "n_rows"
+    }
+
+
+def test_xml_entities_escape_on_write_and_schema_inference(spark):
+    """fn_xml_funcs / src_xml_roundtrip (r10): to_xml must entity-escape
+    markup characters (the raw serialized text carries &lt;/&amp;, never
+    a bare `<`/`&` inside a value), xpath must decode them back, and
+    schema_of_xml must infer the typed struct the round-trip keys
+    declare explicitly."""
+    row = spark.sql(
+        "SELECT to_xml(named_struct('e', 'a<&>b')) AS x"
+    ).first()
+    assert "&lt;" in row["x"] and "&amp;" in row["x"]
+    assert "<&" not in row["x"].replace("&lt;", "").replace("&amp;", "")
+    back = spark.sql(
+        "SELECT xpath_string(to_xml(named_struct('e', 'a<&>b')), '/ROW/e') AS v"
+    ).first()
+    assert back["v"] == "a<&>b"
+    sch = spark.sql(
+        "SELECT schema_of_xml('<ROW><ck>1</ck><nm>x</nm></ROW>') AS s"
+    ).first()["s"]
+    assert sch == "STRUCT<ck: BIGINT, nm: STRING>"

@@ -317,3 +317,132 @@ FROM orders
 def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "orders")
     return spark.sql(_try_arith_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_xml_funcs — the scalar XML surface (Spark 4 to_xml / from_xml /
+# xpath_*): serialize a struct per row, parse it back, and extract fields
+# via XPath, including an entity round trip (`<`, `&` escape on write,
+# decode on xpath read). Two derivations, one hash (the udtf_python_native
+# pattern): the oracle recomputes every output straight from the source
+# columns, so any corruption in serialize→parse→extract breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def _xml_funcs_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+WITH x AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+    to_xml(named_struct(
+      'ck', c_custkey, 'nm', c_name, 'seg', c_mktsegment,
+      'esc', concat(c_name, '<&>'))) AS xml
+  FROM customer
+)
+SELECT c_custkey,
+  from_xml(xml, 'ck BIGINT, nm STRING, seg STRING, esc STRING').nm AS name_rt,
+  from_xml(xml, 'ck BIGINT, nm STRING, seg STRING, esc STRING').esc AS esc_rt,
+  xpath_string(xml, '/ROW/seg') AS seg_xp,
+  xpath_string(xml, '/ROW/esc') AS esc_xp,
+  xpath_long(xml, '/ROW/ck') AS key_xp
+FROM x
+ORDER BY c_custkey
+"""
+    return """
+SELECT c_custkey,
+  c_name AS name_rt,
+  c_name || '<&>' AS esc_rt,
+  c_mktsegment AS seg_xp,
+  c_name || '<&>' AS esc_xp,
+  c_custkey AS key_xp
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "fn_xml_funcs",
+    oracle=_xml_funcs_sql("duckdb"),
+    doc="Scalar XML functions (Spark 4 native): to_xml(struct) per row → "
+    "from_xml typed parse-back + xpath_string/xpath_long extraction, with "
+    "a crafted `<&>` marker proving entity escape on serialize and decode "
+    "on XPath read. Oracle recomputes all outputs relationally from the "
+    "source columns — serialize→parse→extract must be the identity "
+    "(REF-ANALOG sibling of fn_json_extract/fn_variant_type). Map-side "
+    "projection only: no shuffle, scales embarrassingly.",
+    tags=("scalar", "semantics", "xml"),
+)
+def fn_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_xml_funcs_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_collation — Spark 4 string collation: grouping, prefix predicates and
+# equality under UTF8_LCASE merge case variants that UTF8_BINARY keeps
+# apart. Case variants are synthesized deterministically (keyed on
+# c_custkey % 3: UPPER / lower / Title) so the collated group-by provably
+# merges 3 distinct casings per segment (n_casings pins exactly that); the
+# oracle lowers explicitly. Outputs project lower() of the collated key —
+# the group REPRESENTATIVE casing Spark surfaces is arrival-order-
+# dependent, so it must never reach a hashed column.
+# ---------------------------------------------------------------------------
+
+_COLLATE_VARIANT = (
+    "CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN c_mktsegment "
+    "WHEN 1 THEN lower(c_mktsegment) "
+    "ELSE concat(upper(substr(c_mktsegment, 1, 1)), "
+    "lower(substr(c_mktsegment, 2))) END"
+)
+
+
+def _collation_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return f"""
+SELECT lower(seg_c) AS segment,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT seg_raw) AS BIGINT) AS n_casings,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+  CAST(sum(CASE WHEN startswith(seg_c, 'BU') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bu_pfx
+FROM (
+  SELECT {_COLLATE_VARIANT} AS seg_raw,
+    collate({_COLLATE_VARIANT}, 'UTF8_LCASE') AS seg_c,
+    c_acctbal
+  FROM customer
+) v
+GROUP BY seg_c
+ORDER BY segment
+"""
+    return f"""
+SELECT lower(seg_raw) AS segment,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT seg_raw) AS BIGINT) AS n_casings,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+  CAST(sum(CASE WHEN lower(seg_raw) LIKE 'bu%' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bu_pfx
+FROM (
+  SELECT {_COLLATE_VARIANT} AS seg_raw, c_acctbal FROM customer
+) v
+GROUP BY lower(seg_raw)
+ORDER BY segment
+"""
+
+
+@register(
+    "fn_collation",
+    oracle=_collation_sql("duckdb"),
+    doc="Spark 4 string collation (UTF8_LCASE): case-insensitive GROUP BY "
+    "merges 3 synthesized casings per segment (n_casings = the distinct "
+    "raw forms inside each merged group), collation-aware startswith "
+    "matches a mixed-case prefix, and money sums stay decimal-exact "
+    "across the merge. Oracle lowers explicitly; outputs project lower() "
+    "— never the arrival-order group representative. ASCII-only domain "
+    "by construction (ICU vs libc case folding agree). Scale: collation "
+    "is a comparator property — the group-by shuffles on the collation "
+    "key exactly like any agg; no extra pass.",
+    tags=("scalar", "semantics", "collation"),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_collation_sql("spark"))

@@ -187,3 +187,68 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("update"))
         .alias("action"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# reshape_transpose — df.transpose() (Spark 4): rows ↔ columns over a
+# SUMMARY relation. Transpose is definitionally driver-bounded (the output
+# column set comes from the index column's values), so the engine offers it
+# only downstream of an aggregation whose row count is domain-bounded —
+# here the 3-row per-returnflag rollup; at 100 TB the heavy lifting is the
+# shuffle-partial groupBy, and the transpose flips a 3×4 summary.
+# ---------------------------------------------------------------------------
+
+
+def _transpose_cell(rf: str, metric: str) -> str:
+    return f"(SELECT {metric} FROM s WHERE rf = '{rf}')"
+
+
+_TRANSPOSE_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag AS rf,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+    CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'sum_qty' AS key, {_transpose_cell('A', 'sum_qty')} AS "A",
+  {_transpose_cell('N', 'sum_qty')} AS "N", {_transpose_cell('R', 'sum_qty')} AS "R"
+UNION ALL
+SELECT 'sum_price', {_transpose_cell('A', 'sum_price')},
+  {_transpose_cell('N', 'sum_price')}, {_transpose_cell('R', 'sum_price')}
+UNION ALL
+SELECT 'n_rows', {_transpose_cell('A', 'n_rows')},
+  {_transpose_cell('N', 'n_rows')}, {_transpose_cell('R', 'n_rows')}
+"""
+
+
+@register(
+    "reshape_transpose",
+    oracle=_TRANSPOSE_ORACLE,
+    doc="df.transpose() (Spark 4): the 3-row per-returnflag decimal-exact "
+    "rollup flipped so metrics become rows and the returnflag domain "
+    "(A/N/R) becomes columns — the summary-matrix orientation a report "
+    "expects. Oracle hand-builds the transposed relation with scalar "
+    "subqueries per cell. All cells cast DOUBLE (transpose requires one "
+    "common value type); index column first by the transpose contract. "
+    "A 3-row domain spine (left join) keeps the output COLUMN SET stable "
+    "when a slice lacks a flag — transpose's columns come from the index "
+    "values present, and a data-dependent schema would break the oracle "
+    "on degenerate inputs (absent flags surface as NULL cells, exactly "
+    "like the oracle's empty scalar subqueries). Scale: transpose is "
+    "domain-bounded by design — it consumes the aggregated summary, "
+    "never the fact table.",
+    tags=("reshape",),
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    spine = spark.createDataFrame(
+        [("A",), ("N",), ("R",)], "l_returnflag string"
+    )
+    aggd = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    summ = spine.join(aggd, "l_returnflag", "left").orderBy("l_returnflag")
+    return summ.transpose()

@@ -394,3 +394,67 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
     AS sum_priced
 FROM orders_evolved
 """)
+
+
+_XML_ORACLE = """
+SELECT s_nationkey,
+  COUNT(*) AS n_sup,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+  COUNT(*) AS n_esc_ok
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+@register(
+    "src_xml_roundtrip",
+    oracle=_XML_ORACLE,
+    doc="Native XML sink + source round trip (Spark 4 built-in `xml` "
+    "format, rowTag/explicit schema — no inference pass): supplier rows "
+    "travel as XML elements with money as DECIMAL(18,2) (decimal→text→"
+    "decimal is exact where double→text could drift), plus a crafted "
+    "column containing `<`, `&` and `\"` proving entity escaping "
+    "round-trips; n_esc_ok counts rows whose marker survived byte-exact "
+    "(= COUNT(*) in the oracle). REF-ANALOG source family sibling of "
+    "src_csv/json/orc_roundtrip.",
+    tags=("source", "sink"),
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "xmlsrc")
+    sup = load_table(spark, sf_dir, "supplier")
+    (
+        sup.select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.col("s_acctbal").cast("decimal(18,2)").alias("s_acctbal"),
+            F.concat(F.lit('<&"'), F.col("s_name")).alias("x_esc"),
+        )
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "sup")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "sup")
+        .schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, "
+            "s_acctbal DECIMAL(18,2), x_esc STRING"
+        )
+        .load(out)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sup"),
+            F.sum("s_acctbal").cast("double").alias("sum_bal"),
+            F.sum(
+                F.when(
+                    F.col("x_esc") == F.concat(F.lit('<&"'), F.col("s_name")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_esc_ok"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -2137,3 +2137,110 @@ def stream_sink_foreach_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "win_start bigint, event_type string, n bigint"
     ).orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# src_statestore_read — the State Data Source (Spark 4): read a stateful
+# query's checkpointed STATE back as a batch DataFrame. This is the ops/
+# debugging surface a production streaming deployment relies on (inspect a
+# wedged aggregation's live state without touching the query). A complete-
+# mode groupBy(sum, count) runs once against the shared chunked source and
+# is then torn down; `spark.read.format("statestore")` re-opens its
+# checkpoint. Because sum/count merge associatively, the final state equals
+# the full-table GROUP BY no matter how the micro-batches sliced the input
+# — which upgrades the state dump to a full-hash oracle key.
+# Scale: state lives in one store per shuffle partition; the reader emits
+# one task per store, so a 200-partition production checkpoint reads back
+# 200-way parallel with no shuffle (partition_id is exposed but excluded
+# here — it hashes by shuffle width, not by data).
+# ---------------------------------------------------------------------------
+
+_SS_MICRO = (
+    f"CAST(floor({synth.sat('coalesce(value, 0e0)', 1e6)}"
+    " * 1000000e0 + 0.5e0) AS BIGINT)"
+)
+
+_STATESTORE_ORACLE = f"""
+SELECT event_type,
+  CAST(sum({_SS_MICRO}) AS BIGINT) AS state_sum_micro,
+  CAST(count(*) AS BIGINT) AS state_n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "src_statestore_read",
+    oracle=_STATESTORE_ORACLE,
+    doc="State Data Source reader (Spark 4, format 'statestore'): a "
+    "complete-mode streaming groupBy (saturating micro-unit sum + count "
+    "per event_type) checkpoints across the chunked source, then its "
+    "state store is read back as a batch relation — key struct, value "
+    "struct {sum, count} — and hash-checked against the relational GROUP "
+    "BY (associative merge ⇒ final state = batch aggregate regardless of "
+    "micro-batch slicing). The checkpoint builds once per sf via the "
+    "race-safe build_once; pytest additionally pins the state-metadata "
+    "reader's operator inventory (NS — production state inspection).",
+    tags=("source", "streaming", "stateful"),
+)
+def src_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _chunked_source(spark, sf_dir, "wm", dup_first=0)
+    ck = os.path.join(
+        _REPO_TMP, f"ssread_ck_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+    def build(tmp: str) -> None:
+        name = "w32bd_ssread"
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        ev = load_table(spark, sf_dir, "events")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.selectExpr("event_type", f"{_SS_MICRO} AS v_micro")
+            .groupBy("event_type")
+            .agg(
+                F.sum("v_micro").alias("state_sum_micro"),
+                F.count(F.lit(1)).alias("state_n"),
+            )
+        )
+        with _stream_shuffle(spark):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tmp)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+
+    build_once(ck, build, stamp=f"chunks={_CHUNKS},micro=1e6,v1")
+    # The statestore reader resolves the session's StateStoreCoordinator
+    # RPC endpoint, which Spark creates lazily on the FIRST streaming
+    # query — a cold session hitting a cached checkpoint (build_once
+    # cache-hit) has none and fails with RpcEndpointNotFoundException
+    # (observed live, r10). Touch the StreamingQueryManager's lazy
+    # coordinator ref so the read works without ever starting a query;
+    # if the internal accessor moves, the build path (which runs a real
+    # query) still initializes it.
+    try:
+        (
+            spark._jsparkSession.sessionState()
+            .streamingQueryManager()
+            .stateStoreCoordinator()
+        )
+    except Exception:
+        pass
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.sum").alias("state_sum_micro"),
+        F.col("value.count").alias("state_n"),
+    ).orderBy("event_type")
