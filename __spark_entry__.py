@@ -364,6 +364,23 @@ _CHANGED_THIS_ROUND: list[str] = [
     # query's checkpointed state read back as a batch relation and
     # hash-checked against the relational GROUP BY (associative merge)
     "src_statestore_read",
+    # NEW r10 (second session): dynamic SQL — EXECUTE IMMEDIATE over a
+    # session-variable statement with IDENTIFIER()-resolved object names
+    # and USING params; statically-written oracle
+    "qry_dynamic_sql",
+    # NEW r10 (second session): the TIME type (4.1 preview flag) —
+    # to_time/hour/compare/min-max against DuckDB's native TIME
+    "fn_time_type",
+    # NEW r10 (second session): DataFrame lateralJoin API — per-customer
+    # top-2 via F.col(...).outer() correlation; window-derivation oracle
+    "join_lateral_df",
+    # NEW r10 (second session): the _metadata hidden file column —
+    # row_index/file_path vs the relational write-rank derivation
+    "src_file_metadata",
+    # NEW r10 (second session): RocksDB state store provider (changelog
+    # checkpointing) under the watermark topology; provider-independence
+    # pinned by the shared lockstep oracle
+    "stream_rocksdb_state",
 ]
 
 # Round-9 changed list, kept for the record (all 13 hold green r09 rows).
@@ -495,7 +512,7 @@ _R08_CHANGED: list[str] = [
 # newest green row is still CORRECTNESS_r02 (the planned r9 window tail
 # that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
 # 34-key r03 cohort (the next-oldest attestations). r10 grew the changed
-# block to 29 keys (the ADVICE closures + 25 NEW never-verified keys,
+# block to 34 keys (the ADVICE closures + 30 NEW never-verified keys,
 # which MUST take window slots ahead of re-attestation), so the TAIL of
 # the r03 cohort spills past the 50-key window — never the r02 block;
 # the spilled r03 keys lead r11's refresh. Every key in this list is

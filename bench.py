@@ -180,6 +180,13 @@ HEADLINE = [
     "fn_collation",
     "reshape_transpose",
     "src_statestore_read",
+    # batch 2: dynamic SQL, TIME type, DataFrame lateral join, file
+    # metadata provenance, RocksDB-backed streaming state.
+    "qry_dynamic_sql",
+    "fn_time_type",
+    "join_lateral_df",
+    "src_file_metadata",
+    "stream_rocksdb_state",
 ]
 
 

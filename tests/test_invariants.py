@@ -391,6 +391,12 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # of an empty/one-event checkpoint
         "src_xml_roundtrip", "fn_xml_funcs", "fn_collation",
         "reshape_transpose", "src_statestore_read",
+        # r10 second session (batch 2): dynamic SQL over empty/one-row
+        # orders, TIME grouping with no/one timestamps, lateral top-2
+        # with no matches, _metadata over an empty file, RocksDB state
+        # on an empty/one-event stream
+        "qry_dynamic_sql", "fn_time_type", "join_lateral_df",
+        "src_file_metadata", "stream_rocksdb_state",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -615,6 +621,13 @@ def test_adversarial_input_parity(spark):
         # collated merge, and the spined transpose's NULL cells
         "src_statestore_read", "src_xml_roundtrip", "fn_xml_funcs",
         "fn_collation", "reshape_transpose",
+        # r10 second session (batch 2): NULL ts through the TIME
+        # projection's hour(NULL) group and the RocksDB-backed window
+        # agg (tied timestamps exercise the state path under the
+        # production provider); the weird 20-row slices through dynamic
+        # SQL, the lateral rank tiebreak, and the _metadata write rank
+        "qry_dynamic_sql", "fn_time_type", "join_lateral_df",
+        "src_file_metadata", "stream_rocksdb_state",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -918,3 +931,127 @@ def test_xml_entities_escape_on_write_and_schema_inference(spark):
         "SELECT schema_of_xml('<ROW><ck>1</ck><nm>x</nm></ROW>') AS s"
     ).first()["s"]
     assert sch == "STRUCT<ck: BIGINT, nm: STRING>"
+
+
+def test_rocksdb_provider_actually_backs_the_state(spark):
+    """stream_rocksdb_state (r10): beyond hash parity, prove the RocksDB
+    provider really ran — a query under the scoped conf must report
+    rocksdb custom metrics in its progress stateOperators, and the
+    session conf must be restored to the pre-key provider afterwards."""
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark.streaming.streams import (
+        _ROCKSDB_PROVIDER,
+        _chunked_source,
+        _scoped_conf,
+    )
+    from week3_2_practice_big_data__spark.io import load_table
+
+    before = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "DEFAULT"
+    )
+    src = _chunked_source(spark, SF_SMALL, "wm", dup_first=0)
+    ev = load_table(spark, SF_SMALL, "events")
+    with _scoped_conf(
+        spark,
+        {"spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER},
+    ):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName("w32bd_rdbpin")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+    ops = progress["stateOperators"]
+    assert ops, "no stateful operator in progress"
+    custom = ops[0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in custom), sorted(custom)[:5]
+    after = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "DEFAULT"
+    )
+    assert after == before
+
+
+def test_dynamic_sql_identifier_rejects_injection(spark):
+    """qry_dynamic_sql (r10): IDENTIFIER() must treat its argument as ONE
+    object name — a classic injection payload must raise, never execute.
+    (The reason the key routes dynamic names through IDENTIFIER instead
+    of string splicing.)"""
+    import pytest as _pytest
+
+    from week3_2_practice_big_data__spark.io import load_table
+
+    load_table(spark, SF_SMALL, "orders").createOrReplaceTempView("orders")
+    with _pytest.raises(Exception):
+        spark.sql(
+            "SELECT count(*) FROM IDENTIFIER(:tbl)",
+            args={"tbl": "orders WHERE o_orderkey = 1; DROP VIEW orders"},
+        ).collect()
+    # the view must still exist after the failed attempt
+    assert spark.sql("SELECT count(*) AS n FROM orders").first()["n"] > 0
+
+
+def test_file_metadata_row_index_spans_each_file(spark):
+    """src_file_metadata (r10): row_index must be a dense 0..n-1 sequence
+    WITHIN each physical file (two files here, one per parity), and the
+    two files must be distinct paths."""
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.common import scratch_dir
+
+    REGISTRY["src_file_metadata"].builder(spark, SF_SMALL)  # builds scratch
+    import os
+
+    out = scratch_dir(SF_SMALL, "filemeta")
+    back = spark.read.parquet(
+        os.path.join(out, "parity=0"), os.path.join(out, "parity=1")
+    ).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("rix"),
+    )
+    rows = back.collect()
+    files = {}
+    for r in rows:
+        files.setdefault(r["fp"], []).append(r["rix"])
+    assert len(files) == 2
+    for fp, rixs in files.items():
+        assert sorted(rixs) == list(range(len(rixs))), fp
+
+
+def test_lateral_join_plan_is_not_cartesian(spark):
+    """join_lateral_df (r10): Catalyst must decorrelate the per-row LIMIT
+    subquery — the physical plan may use a window rank or a join on the
+    correlation key, but never a cartesian/nested-loop over the full
+    orders table."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    df = REGISTRY["join_lateral_df"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_type_flag_unlocks_functions(spark):
+    """fn_time_type (r10): the builder enables the 4.1 preview flag for
+    the session; TIME functions must work afterwards and agree with the
+    literal forms."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    REGISTRY["fn_time_type"].builder(spark, SF_SMALL)
+    r = spark.sql(
+        "SELECT hour(to_time('23:59:58')) AS h, "
+        "to_time('07:08:09') = TIME'07:08:09' AS eq"
+    ).first()
+    assert r["h"] == 23 and r["eq"] is True

@@ -446,3 +446,58 @@ ORDER BY segment
 def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "customer")
     return spark.sql(_collation_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_time_type — the TIME type (Spark 4.1, behind the documented
+# spark.sql.timeType.enabled preview flag): time-of-day values detached
+# from any date — literals, to_time parsing, hour() extraction,
+# comparison and min/max aggregation. DuckDB has a native TIME type, so
+# the oracle exercises the SAME type on its side (ts truncated to whole
+# seconds first: to_time parses a second-precision string while DuckDB's
+# CAST keeps microseconds). The builder leaves the flag enabled for the
+# session — it unlocks a type, it does not alter other semantics.
+# ---------------------------------------------------------------------------
+
+
+def _time_type_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+SELECT hour(t) AS hr,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(t) AS STRING) AS min_t,
+  CAST(max(t) AS STRING) AS max_t,
+  CAST(sum(CASE WHEN t >= TIME'12:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pm
+FROM (SELECT to_time(date_format(ts, 'HH:mm:ss')) AS t FROM events) v
+GROUP BY hour(t)
+ORDER BY hr
+"""
+    return """
+SELECT hour(t) AS hr,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(min(t) AS VARCHAR) AS VARCHAR) AS min_t,
+  CAST(CAST(max(t) AS VARCHAR) AS VARCHAR) AS max_t,
+  CAST(sum(CASE WHEN t >= TIME '12:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pm
+FROM (SELECT CAST(date_trunc('second', ts) AS TIME) AS t FROM events) v
+GROUP BY hour(t)
+ORDER BY hr
+"""
+
+
+@register(
+    "fn_time_type",
+    oracle=_time_type_sql("duckdb"),
+    doc="TIME type (Spark 4.1 preview, spark.sql.timeType.enabled): "
+    "time-of-day extracted from event timestamps via to_time, grouped "
+    "by hour(t), with TIME comparison (>= TIME'12:00:00'), min/max TIME "
+    "aggregation and string round-trip — against DuckDB's NATIVE TIME "
+    "type doing the identical derivation (both engines run the type, "
+    "not a string emulation). Map-side projection + one bounded-key agg.",
+    tags=("scalar", "semantics", "datetime"),
+)
+def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    _view(spark, sf_dir, "events")
+    return spark.sql(_time_type_sql("spark"))

@@ -510,3 +510,58 @@ def join_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q5_SQL)
+
+
+# ---------------------------------------------------------------------------
+# join_lateral_df — DataFrame lateralJoin API (Spark 4): the programmatic
+# LATERAL correlated-subquery surface (SQL LATERAL is qry_lateral_topk;
+# this is its DataFrame twin). The subquery references the outer side via
+# F.col(...).outer() — the name-based marker; a bound attribute
+# (df.col.outer()) does NOT resolve (probed live, r10:
+# MISSING_ATTRIBUTES). Top-2 orders by price per customer, deterministic
+# tiebreak on o_orderkey; raw doubles pass through untouched (bit-exact
+# cross-engine). Oracle: the classic row_number window derivation — two
+# semantics, one hash. Scale: Catalyst decorrelates the per-row LIMIT
+# into a partitioned rank, so the plan shuffles once on the join key —
+# same posture as any top-k-per-group.
+# ---------------------------------------------------------------------------
+
+_LATERAL_DF_ORACLE = """
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+    row_number() OVER (
+      PARTITION BY c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+    ) AS rk
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+) t
+WHERE rk <= 2
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+@register(
+    "join_lateral_df",
+    oracle=_LATERAL_DF_ORACLE,
+    doc="DataFrame lateralJoin (Spark 4): per-customer top-2 orders by "
+    "price via a correlated subquery referencing the outer side with "
+    "F.col('c_custkey').outer(), inner lateral semantics (customers "
+    "without orders drop). Hash-pinned against the row_number window "
+    "derivation (REF-ANALOG: the programmatic twin of qry_lateral_topk).",
+    tags=("join", "subquery"),
+)
+def join_lateral_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    sub = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return (
+        cust.lateralJoin(sub)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )

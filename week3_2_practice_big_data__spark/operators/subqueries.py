@@ -493,3 +493,57 @@ BEGIN
 END
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# qry_dynamic_sql — EXECUTE IMMEDIATE + IDENTIFIER (Spark 4): the dynamic-
+# SQL surface. The statement TEXT lives in a session variable, table and
+# column names arrive as STRING parameters resolved through IDENTIFIER()
+# (the injection-safe way to template object names — a raw format-string
+# splice is the anti-pattern this exists to kill), and scalar parameters
+# bind via USING. The oracle is the same query written statically: the
+# hash pins that dynamic resolution changes nothing.
+# ---------------------------------------------------------------------------
+
+_DYNAMIC_ORACLE = """
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 4 = 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "qry_dynamic_sql",
+    oracle=_DYNAMIC_ORACLE,
+    doc="Dynamic SQL (Spark 4 EXECUTE IMMEDIATE + IDENTIFIER): the "
+    "statement text is a session variable, the table and key-column "
+    "names are STRING parameters resolved via IDENTIFIER() — never "
+    "string-spliced — and the modulus binds via USING. Hash-pinned "
+    "against the statically written oracle, so the dynamic path must "
+    "resolve to the identical relation (REF-ANALOG: the SQL-native "
+    "templating surface beside qry_parameterized_sql).",
+    tags=("subquery", "function"),
+)
+def qry_dynamic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE w32bd_dyn_stmt STRING")
+    spark.sql("""
+SET VAR w32bd_dyn_stmt =
+  'SELECT o_orderpriority,
+     CAST(count(*) AS BIGINT) AS n,
+     CAST(max(IDENTIFIER(:keycol)) AS BIGINT) AS max_key,
+     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+   FROM IDENTIFIER(:tbl)
+   WHERE IDENTIFIER(:keycol) % :m = 0
+   GROUP BY o_orderpriority
+   ORDER BY o_orderpriority'
+""")
+    return spark.sql(
+        "EXECUTE IMMEDIATE w32bd_dyn_stmt "
+        "USING 'o_orderkey' AS keycol, 'orders' AS tbl, 4 AS m"
+    )

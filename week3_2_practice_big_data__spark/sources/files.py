@@ -458,3 +458,68 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# src_file_metadata — the hidden _metadata file column (Spark 3.5+/4):
+# per-row file provenance (file_path, row_index) a 100 TB lineage or
+# debugging pass relies on (the modern replacement for
+# input_file_name()). Two single-partition files are written in a KNOWN
+# order (sorted by key within each parity class), so the physical
+# row_index is derivable relationally: row_number within the file − 1.
+# The file NAME is uuid-suffixed by the writer — only its stable
+# 'part-NNNNN' prefix is projected.
+# ---------------------------------------------------------------------------
+
+_FILEMETA_ORACLE = """
+SELECT o_orderkey,
+  CAST(o_orderkey % 2 AS BIGINT) AS parity,
+  CAST(row_number() OVER (
+    PARTITION BY o_orderkey % 2 ORDER BY o_orderkey
+  ) - 1 AS BIGINT) AS rix,
+  'part-00000' AS part_prefix
+FROM orders
+ORDER BY parity, rix
+"""
+
+
+@register(
+    "src_file_metadata",
+    oracle=_FILEMETA_ORACLE,
+    doc="_metadata hidden file column: orders split into two "
+    "single-partition parquet files (one per key parity, each written "
+    "sorted by key), read back with _metadata.row_index + "
+    "_metadata.file_path — row_index must equal the within-file write "
+    "rank (single-partition sorted writes preserve order), and the "
+    "file-path tail is the stable part-00000 prefix. Oracle rebuilds "
+    "the physical positions with a window over the same write order "
+    "(REF-ANALOG: per-row provenance for lineage/debugging at scale; "
+    "the _metadata column is populated by the scan, never a join).",
+    tags=("source", "scale"),
+)
+def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "filemeta")
+    orders = load_table(spark, sf_dir, "orders")
+    for parity in (0, 1):
+        (
+            orders.filter(F.col("o_orderkey") % 2 == parity)
+            .select("o_orderkey")
+            .orderBy("o_orderkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"parity={parity}"))
+        )
+    back = spark.read.parquet(
+        os.path.join(out, "parity=0"), os.path.join(out, "parity=1")
+    )
+    return (
+        back.select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 2).cast("bigint").alias("parity"),
+            F.col("_metadata.row_index").cast("bigint").alias("rix"),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"(part-\d{5})", 1
+            ).alias("part_prefix"),
+        )
+        .orderBy("parity", "rix")
+    )

@@ -2244,3 +2244,90 @@ def src_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.sum").alias("state_sum_micro"),
         F.col("value.count").alias("state_n"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# stream_rocksdb_state — the RocksDB state store provider (the production
+# backend for large state: state lives off-heap/on-disk per partition
+# with changelog checkpointing, vs the default HDFS-backed in-memory
+# map). Same topology, watermark and lockstep oracle as
+# stream_watermark_late — the key pins that swapping the provider
+# changes NOTHING about results, which is exactly the guarantee a
+# deployment relies on when its state outgrows executor heap. Conf is
+# scoped: provider class is captured at query start, so the override is
+# restored immediately after the run (the batch keys never see it).
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+class _scoped_conf:
+    """Set session confs for a streaming query's lifetime, restore after
+    (unset keys are restored by unsetting — conf.get default sentinel)."""
+
+    def __init__(self, spark: SparkSession, confs: dict):
+        self._spark = spark
+        self._confs = confs
+
+    def __enter__(self):
+        self._old = {}
+        for k, v in self._confs.items():
+            # conf.get(k) would return the DEFAULT value for an unset key
+            # and the restore would then SET it explicitly — a visible
+            # hygiene change (and a wrong restore if the default ever
+            # differs per-cluster). get(k, None) distinguishes unset.
+            self._old[k] = self._spark.conf.get(k, None)
+            self._spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._old.items():
+            if old is None:
+                self._spark.conf.unset(k)
+            else:
+                self._spark.conf.set(k, old)
+        return False
+
+
+@register(
+    "stream_rocksdb_state",
+    oracle=_WM_LATE_ORACLE,
+    doc="RocksDB state store provider with changelog checkpointing: the "
+    "stream_watermark_late topology (watermarked tumbling agg, append "
+    "mode) run with spark.sql.streaming.stateStore.providerClass = "
+    "RocksDBStateStoreProvider — results must hash-equal the same "
+    "lockstep finalized-window oracle, pinning provider-independence of "
+    "the state contract. Scale: RocksDB is the backend that keeps "
+    "100 GB+ of keyed state off-heap with incremental (changelog) "
+    "checkpoints; provider conf is scoped to this query only.",
+    tags=("streaming", "stateful", "scale"),
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _chunked_source(spark, sf_dir, "wm", dup_first=0)
+
+    def transform(s):
+        return (
+            s.withWatermark("ts", _WATERMARK)
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("win_start"),
+                "event_type",
+                "n",
+            )
+        )
+
+    with _scoped_conf(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER,
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        },
+    ):
+        out = _run_stream(spark, src, ev.schema, transform, "w32bd_rocksdb")
+    return out.orderBy("win_start", "event_type")
