@@ -381,6 +381,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # checkpointing) under the watermark topology; provider-independence
     # pinned by the shared lockstep oracle
     "stream_rocksdb_state",
+    # NEW r10 (second session): the state CHANGE FEED — per-batch state
+    # deltas replayed from RocksDB changelogs, prefix-aggregate oracle
+    "src_statestore_changefeed",
+    # NEW r10 (second session): df.groupingSets API twin of the SQL
+    # grouping-sets key, same oracle
+    "agg_grouping_sets_df",
 ]
 
 # Round-9 changed list, kept for the record (all 13 hold green r09 rows).
@@ -512,7 +518,7 @@ _R08_CHANGED: list[str] = [
 # newest green row is still CORRECTNESS_r02 (the planned r9 window tail
 # that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
 # 34-key r03 cohort (the next-oldest attestations). r10 grew the changed
-# block to 34 keys (the ADVICE closures + 30 NEW never-verified keys,
+# block to 36 keys (the ADVICE closures + 32 NEW never-verified keys,
 # which MUST take window slots ahead of re-attestation), so the TAIL of
 # the r03 cohort spills past the 50-key window — never the r02 block;
 # the spilled r03 keys lead r11's refresh. Every key in this list is

@@ -187,6 +187,9 @@ HEADLINE = [
     "join_lateral_df",
     "src_file_metadata",
     "stream_rocksdb_state",
+    # batch 3: the state change feed and the groupingSets API twin.
+    "src_statestore_changefeed",
+    "agg_grouping_sets_df",
 ]
 
 

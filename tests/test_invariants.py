@@ -397,6 +397,12 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # on an empty/one-event stream
         "qry_dynamic_sql", "fn_time_type", "join_lateral_df",
         "src_file_metadata", "stream_rocksdb_state",
+        # r10 second session (batch 3): the change feed over an
+        # empty/one-event checkpoint (agg_grouping_sets_df is EXCLUDED
+        # here by the documented cube/rollup/grouping-sets exemption —
+        # DuckDB emits the grand-total grouping row on an empty
+        # relation, Spark emits none; it runs in the adversarial gate)
+        "src_statestore_changefeed",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -628,6 +634,10 @@ def test_adversarial_input_parity(spark):
         # SQL, the lateral rank tiebreak, and the _metadata write rank
         "qry_dynamic_sql", "fn_time_type", "join_lateral_df",
         "src_file_metadata", "stream_rocksdb_state",
+        # r10 second session (batch 3): tied timestamps through the
+        # change feed's write-rank batching; the weird join through the
+        # grouping-sets Expand
+        "src_statestore_changefeed", "agg_grouping_sets_df",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -1055,3 +1065,24 @@ def test_time_type_flag_unlocks_functions(spark):
         "to_time('07:08:09') = TIME'07:08:09' AS eq"
     ).first()
     assert r["h"] == 23 and r["eq"] is True
+
+
+def test_changefeed_final_state_equals_snapshot(spark):
+    """src_statestore_changefeed (r10): cross-key consistency — each
+    key's LAST change-feed row must carry exactly the cumulative state
+    that src_statestore_read's snapshot reports (same aggregation, two
+    checkpoints, two read APIs), the feed must span exactly batches
+    {0, 1} at sf0.001 (4 chunk files, maxFilesPerTrigger=2), and every
+    change_type must be 'update' (a complete-mode agg never deletes)."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    feed = REGISTRY["src_statestore_changefeed"].builder(spark, SF_SMALL).collect()
+    snap = REGISTRY["src_statestore_read"].builder(spark, SF_SMALL).collect()
+    assert {r["batch_id"] for r in feed} == {0, 1}
+    assert all(r["change_type"] == "update" for r in feed)
+    last = {}
+    for r in feed:  # ordered by batch_id — later overwrites earlier
+        last[r["event_type"]] = (r["state_sum_micro"], r["state_n"])
+    assert last == {
+        r["event_type"]: (r["state_sum_micro"], r["state_n"]) for r in snap
+    }

@@ -1019,3 +1019,49 @@ def agg_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: spark.sql(_KMV_D_SQL).coalesce(8),
     ).createOrReplaceTempView("kmv_d")
     return spark.sql(_kmv_sql("spark", d_ref="SELECT t, u FROM kmv_d"))
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_sets_df — the DataFrame groupingSets API (Spark 4): the
+# programmatic twin of agg_grouping_sets (SQL GROUP BY GROUPING SETS).
+# Same sets, same grouping-flag combination, same oracle — the hash pins
+# that the API path expands to the identical Expand+hash-agg relation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_sets_df",
+    oracle=_GSETS_SQL,
+    doc="df.groupingSets(...) (Spark 4 DataFrame API): per-(segment, "
+    "priority), per-segment, and grand total in one pass via the "
+    "programmatic grouping-sets entry point, with F.expr grouping() "
+    "flags — hash-pinned against the same oracle as the SQL form "
+    "(REF-ANALOG: API twin of agg_grouping_sets; one Expand + one "
+    "shuffle regardless of set count).",
+    tags=("agg",),
+)
+def agg_grouping_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupingSets(
+            [["c_mktsegment", "o_orderpriority"], ["c_mktsegment"], []],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.expr(
+                "grouping(c_mktsegment) + 2 * grouping(o_orderpriority)"
+            ).alias("grp"),
+        )
+        .orderBy(
+            "grp",
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

@@ -2331,3 +2331,133 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = _run_stream(spark, src, ev.schema, transform, "w32bd_rocksdb")
     return out.orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# src_statestore_changefeed — the state CHANGE FEED (Spark 4,
+# readChangeFeed): per-micro-batch state deltas replayed from the RocksDB
+# CHANGELOG files — the CDC view of a stateful operator (audit "when did
+# this key's state change and to what", without snapshots per batch).
+# Requires RocksDB + changelog checkpointing at WRITE time, composing the
+# r10 provider key. maxFilesPerTrigger=2 over the 4 time-ordered chunks
+# gives exactly batches {0: chunks 0-1, 1: chunks 2-3} (coalesce(1) wrote
+# one file per chunk; the file source lists them in path/mtime order —
+# the same lockstep discipline every streaming oracle here relies on).
+# The feed emits one 'update' row per (batch, key touched in that batch)
+# carrying the CUMULATIVE aggregate — which is exactly SQL-expressible:
+# batch of a row = its write-rank chunk < 2 ? 0 : 1, then a correlated
+# prefix aggregate per touched (key, batch). Untouched keys emit nothing.
+# ---------------------------------------------------------------------------
+
+_CHANGEFEED_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (ORDER BY ts NULLS FIRST, event_id) - 1 AS rn,
+    count(*) OVER () AS n
+  FROM events
+),
+batched AS (
+  SELECT event_type, value,
+    CASE WHEN CAST(floor(rn / ceil(n / 4.0)) AS INT) < 2 THEN 0 ELSE 1 END
+      AS batch_id
+  FROM ranked
+),
+touched AS (SELECT DISTINCT event_type, batch_id FROM batched)
+SELECT CAST(t.batch_id AS BIGINT) AS batch_id,
+  'update' AS change_type,
+  t.event_type,
+  CAST((SELECT sum({_SS_MICRO}) FROM batched x
+        WHERE x.event_type = t.event_type AND x.batch_id <= t.batch_id)
+    AS BIGINT) AS state_sum_micro,
+  CAST((SELECT count(*) FROM batched x
+        WHERE x.event_type = t.event_type AND x.batch_id <= t.batch_id)
+    AS BIGINT) AS state_n
+FROM touched t
+ORDER BY batch_id, event_type
+"""
+
+
+@register(
+    "src_statestore_changefeed",
+    oracle=_CHANGEFEED_ORACLE,
+    doc="State change feed (readChangeFeed over a RocksDB-changelog "
+    "checkpoint): the same complete-mode micro-unit aggregation as "
+    "src_statestore_read, but read back as per-batch state DELTAS — one "
+    "'update' per (micro-batch, key touched in it) carrying the "
+    "cumulative {sum, count}. Oracle derives each row's batch from its "
+    "lockstep write-rank chunk and replays the prefix aggregates "
+    "relationally — the CDC contract (which batch changed which key to "
+    "what) is fully hash-checked. Scale: the feed replays changelog "
+    "files only (no snapshot load), partition-parallel, sized by deltas "
+    "not by state.",
+    tags=("source", "streaming", "stateful"),
+)
+def src_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _chunked_source(spark, sf_dir, "wm", dup_first=0)
+    ck = os.path.join(
+        _REPO_TMP, f"ssreadcf_ck_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+    def build(tmp: str) -> None:
+        name = "w32bd_ssreadcf"
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        ev = load_table(spark, sf_dir, "events")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.selectExpr("event_type", f"{_SS_MICRO} AS v_micro")
+            .groupBy("event_type")
+            .agg(
+                F.sum("v_micro").alias("state_sum_micro"),
+                F.count(F.lit(1)).alias("state_n"),
+            )
+        )
+        with _stream_shuffle(spark), _scoped_conf(
+            spark,
+            {
+                "spark.sql.streaming.stateStore.providerClass":
+                    _ROCKSDB_PROVIDER,
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled": "true",
+            },
+        ):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tmp)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+
+    build_once(ck, build, stamp=f"chunks={_CHUNKS},micro=1e6,rocksdb,v1")
+    try:
+        (
+            spark._jsparkSession.sessionState()
+            .streamingQueryManager()
+            .stateStoreCoordinator()
+        )
+    except Exception:
+        pass
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ck)
+    )
+    return feed.select(
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        "change_type",
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.sum").alias("state_sum_micro"),
+        F.col("value.count").alias("state_n"),
+    ).orderBy("batch_id", "event_type")
