@@ -387,6 +387,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r10 (second session): df.groupingSets API twin of the SQL
     # grouping-sets key, same oracle
     "agg_grouping_sets_df",
+    # NEW r10 (second session): ANSI day-time intervals as aggregated
+    # columns (sum/max/scale of the TYPE); native-INTERVAL DuckDB oracle
+    "fn_interval_agg",
+    # NEW r10 (second session): toArrow → createDataFrame(pa.Table)
+    # round trip on a bounded rollup; relational oracle
+    "src_arrow_roundtrip",
 ]
 
 # Round-9 changed list, kept for the record (all 13 hold green r09 rows).
@@ -518,7 +524,7 @@ _R08_CHANGED: list[str] = [
 # newest green row is still CORRECTNESS_r02 (the planned r9 window tail
 # that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
 # 34-key r03 cohort (the next-oldest attestations). r10 grew the changed
-# block to 36 keys (the ADVICE closures + 32 NEW never-verified keys,
+# block to 38 keys (the ADVICE closures + 34 NEW never-verified keys,
 # which MUST take window slots ahead of re-attestation), so the TAIL of
 # the r03 cohort spills past the 50-key window — never the r02 block;
 # the spilled r03 keys lead r11's refresh. Every key in this list is

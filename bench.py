@@ -190,6 +190,9 @@ HEADLINE = [
     # batch 3: the state change feed and the groupingSets API twin.
     "src_statestore_changefeed",
     "agg_grouping_sets_df",
+    # batch 4: interval-typed aggregation and the Arrow interchange.
+    "fn_interval_agg",
+    "src_arrow_roundtrip",
 ]
 
 

@@ -403,6 +403,10 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # DuckDB emits the grand-total grouping row on an empty
         # relation, Spark emits none; it runs in the adversarial gate)
         "src_statestore_changefeed",
+        # r10 second session (batch 4): interval aggregation over
+        # zero/one gaps (count(gap)=0 with a NULL-gap single row), and
+        # the Arrow round trip of an empty/one-row rollup
+        "fn_interval_agg", "src_arrow_roundtrip",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -638,6 +642,10 @@ def test_adversarial_input_parity(spark):
         # change feed's write-rank batching; the weird join through the
         # grouping-sets Expand
         "src_statestore_changefeed", "agg_grouping_sets_df",
+        # r10 second session (batch 4): tied timestamps → zero-second
+        # intervals through the gap window; the weird supplier slice
+        # through the Arrow type round trip
+        "fn_interval_agg", "src_arrow_roundtrip",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -501,3 +501,71 @@ def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.timeType.enabled", "true")
     _view(spark, sf_dir, "events")
     return spark.sql(_time_type_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_interval_agg — ANSI day-time INTERVAL as a first-class COLUMN type:
+# per-user event gaps built as intervals (make_dt_interval), then
+# aggregated AS intervals — count/sum/max and interval×int scaling —
+# before converting to seconds only at the output boundary
+# (CAST(interval AS BIGINT) = total seconds in Spark; epoch() in
+# DuckDB). Gaps are truncated to WHOLE seconds on both sides before the
+# interval is built: integer-exact interval arithmetic end-to-end, no
+# fractional-second cast ambiguity crosses engines. ts NULLS excluded
+# explicitly (Spark orders NULLS FIRST, DuckDB NULLS LAST — the one
+# window-order divergence this key would otherwise inherit).
+# ---------------------------------------------------------------------------
+
+
+def _interval_agg_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+WITH gaps AS (
+  SELECT user_id,
+    make_dt_interval(0, 0, 0, CAST(
+      (unix_micros(ts) - lag(unix_micros(ts)) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      )) DIV 1000000 AS DOUBLE)) AS gap
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id,
+  CAST(count(gap) AS BIGINT) AS n_gaps,
+  CAST(CAST(sum(gap) AS BIGINT) AS BIGINT) AS total_gap_s,
+  CAST(CAST(max(gap) AS BIGINT) AS BIGINT) AS max_gap_s,
+  CAST(CAST(sum(gap) * 2 AS BIGINT) AS BIGINT) AS dbl_gap_s
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+    return """
+WITH gaps AS (
+  SELECT user_id,
+    to_seconds(CAST(
+      (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      )) // 1000000 AS BIGINT)) AS gap
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id,
+  CAST(count(gap) AS BIGINT) AS n_gaps,
+  CAST(sum(epoch(gap)) AS BIGINT) AS total_gap_s,
+  CAST(epoch(max(gap)) AS BIGINT) AS max_gap_s,
+  CAST(sum(epoch(gap * 2)) AS BIGINT) AS dbl_gap_s
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "fn_interval_agg",
+    oracle=_interval_agg_sql("duckdb"),
+    doc="ANSI day-time intervals as aggregated columns: whole-second "
+    "per-user event gaps built with make_dt_interval, summed / maxed / "
+    "scaled (interval × 2) AS INTERVALS, seconds extracted only at the "
+    "output boundary — DuckDB builds/compares/scales its native "
+    "INTERVAL through the same derivation (it lacks sum(INTERVAL), so "
+    "its sums run over epoch seconds of the identical intervals). "
+    "One window + one bounded-key agg; NULL ts excluded on both sides "
+    "(documented NULLS FIRST/LAST window-order divergence).",
+    tags=("scalar", "semantics", "datetime"),
+)
+def fn_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_interval_agg_sql("spark"))

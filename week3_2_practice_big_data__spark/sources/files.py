@@ -523,3 +523,38 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("parity", "rix")
     )
+
+
+_ARROW_RT_ORACLE = """
+SELECT s_nationkey,
+  COUNT(*) AS n_sup,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+@register(
+    "src_arrow_roundtrip",
+    oracle=_ARROW_RT_ORACLE,
+    doc="df.toArrow() → spark.createDataFrame(pyarrow.Table) round trip "
+    "(Spark 4): the public Arrow interchange surface — a BOUNDED "
+    "per-nation rollup exported as an Arrow table on the driver and "
+    "re-ingested, hash-pinned against the relational oracle (types and "
+    "values must survive both hops). Driver-bounded BY CONTRACT: "
+    "toArrow materializes on the driver, so the engine only offers it "
+    "downstream of a domain-bounded aggregation — the 100 TB analogue "
+    "is toArrow on the final summary, never on a fact table.",
+    tags=("source", "sink"),
+)
+def src_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summ = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sup"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("sum_bal"),
+        )
+    )
+    pa_table = summ.toArrow()
+    back = spark.createDataFrame(pa_table)
+    return back.orderBy("s_nationkey")
