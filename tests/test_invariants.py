@@ -1094,3 +1094,74 @@ def test_changefeed_final_state_equals_snapshot(spark):
     assert last == {
         r["event_type"]: (r["state_sum_micro"], r["state_n"]) for r in snap
     }
+
+
+def test_statestore_joinside_reads_both_buffers(spark):
+    """State Data Source over a STREAM-STREAM JOIN checkpoint (r10): the
+    joinSide option exposes each side's buffered-row state. With every
+    row inside the watermark (no eviction), the left buffer must hold
+    exactly the click rows and the right buffer the view rows — the ops
+    view of 'what is this join still holding' that sizes state memory."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        f"joinside_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, ck = os.path.join(base, "src"), os.path.join(base, "ck")
+    os.makedirs(src)
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click"),
+        (2, "2024-01-01 00:01:00", 7, "click"),
+        (3, "2024-01-01 00:00:30", 7, "view"),
+        (4, "2024-01-01 00:02:00", 7, "view"),
+        (5, "2024-01-01 00:03:00", 8, "view"),
+    ]
+    (
+        spark.createDataFrame(rows, "id bigint, ts string, uid bigint, kind string")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .coalesce(1)
+        .write.parquet(os.path.join(src, "c0"))
+    )
+
+    def side():
+        return (
+            spark.readStream.schema("id bigint, ts timestamp, uid bigint, kind string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    clicks = (
+        side().filter(F.col("kind") == "click").withWatermark("ts", "1 hour")
+        .select(F.col("id").alias("cid"), F.col("uid").alias("cuid"), F.col("ts").alias("cts"))
+    )
+    views = (
+        side().filter(F.col("kind") == "view").withWatermark("ts", "1 hour")
+        .select(F.col("id").alias("vid"), "uid", F.col("ts").alias("vts"))
+    )
+    q = (
+        clicks.join(
+            views,
+            F.expr("cuid = uid AND vts >= cts AND vts <= cts + interval 10 minutes"),
+        )
+        .writeStream.format("memory")
+        .queryName("w32bd_joinside")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    left = spark.read.format("statestore").option("joinSide", "left").load(ck)
+    right = spark.read.format("statestore").option("joinSide", "right").load(ck)
+    lv = [r["value"] for r in left.collect()]
+    rv = [r["value"] for r in right.collect()]
+    assert sorted(x["cid"] for x in lv) == [1, 2]
+    assert sorted(x["vid"] for x in rv) == [3, 4, 5]
+    shutil.rmtree(base, ignore_errors=True)

@@ -471,15 +471,31 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 'part-NNNNN' prefix is projected.
 # ---------------------------------------------------------------------------
 
-_FILEMETA_ORACLE = """
-SELECT o_orderkey,
-  CAST(o_orderkey % 2 AS BIGINT) AS parity,
-  CAST(row_number() OVER (
-    PARTITION BY o_orderkey % 2 ORDER BY o_orderkey
-  ) - 1 AS BIGINT) AS rix,
-  'part-00000' AS part_prefix
-FROM orders
-ORDER BY parity, rix
+# Per-file BOUNDED summary with an order-sensitive checksum: chk folds
+# every row's (key, row_index) pair, so one transposed index anywhere in
+# a 150 M-row file breaks the hash — without shipping 150 M provenance
+# rows through a global sort (the first cut did, and the 100× ladder
+# measured the 45× cliff that bought). Modular factors keep the int64
+# sum overflow-free: n · 1e6 · 998 ≤ 1.5e17 at 100× (bound documented).
+_FILEMETA_CHK = (
+    "(o_orderkey % 1000003) * ((rix % 997) + 1)"
+)
+
+_FILEMETA_ORACLE = f"""
+WITH pos AS (
+  SELECT o_orderkey,
+    CAST(o_orderkey % 2 AS BIGINT) AS parity,
+    CAST(row_number() OVER (
+      PARTITION BY o_orderkey % 2 ORDER BY o_orderkey
+    ) - 1 AS BIGINT) AS rix
+  FROM orders
+)
+SELECT parity,
+  'part-00000' AS part_prefix,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(max(rix) AS BIGINT) AS max_rix,
+  CAST(sum({_FILEMETA_CHK}) AS BIGINT) AS chk
+FROM pos GROUP BY parity ORDER BY parity
 """
 
 
@@ -488,40 +504,55 @@ ORDER BY parity, rix
     oracle=_FILEMETA_ORACLE,
     doc="_metadata hidden file column: orders split into two "
     "single-partition parquet files (one per key parity, each written "
-    "sorted by key), read back with _metadata.row_index + "
-    "_metadata.file_path — row_index must equal the within-file write "
-    "rank (single-partition sorted writes preserve order), and the "
-    "file-path tail is the stable part-00000 prefix. Oracle rebuilds "
-    "the physical positions with a window over the same write order "
-    "(REF-ANALOG: per-row provenance for lineage/debugging at scale; "
-    "the _metadata column is populated by the scan, never a join).",
+    "sorted by key — a build_once fixture), read back with "
+    "_metadata.row_index + _metadata.file_path. The per-file summary "
+    "carries an order-sensitive (key × row_index) checksum, so every "
+    "physical position is pinned against the relational write-rank "
+    "derivation while the output stays file-bounded — no data-sized "
+    "provenance relation crosses the driver (the 100 TB posture; "
+    "per-row density is additionally pytest-pinned at sf0.001). The "
+    "_metadata columns are populated by the scan itself, never a join.",
     tags=("source", "scale"),
 )
 def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch(sf_dir, "filemeta")
-    orders = load_table(spark, sf_dir, "orders")
-    for parity in (0, 1):
-        (
-            orders.filter(F.col("o_orderkey") % 2 == parity)
-            .select("o_orderkey")
-            .orderBy("o_orderkey")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"parity={parity}"))
-        )
+
+    def build(tmp: str) -> None:
+        # The known-order fixture is a FIXTURE: built once per sf (the
+        # single-partition sorted write is the price of a provably
+        # derivable row_index, not part of the measured read path — the
+        # _metadata columns themselves are scan-populated and free).
+        orders = load_table(spark, sf_dir, "orders")
+        for parity in (0, 1):
+            (
+                orders.filter(F.col("o_orderkey") % 2 == parity)
+                .select("o_orderkey")
+                .orderBy("o_orderkey")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"parity={parity}"))
+            )
+
+    build_once(out, build, stamp="parity2,sorted,v1")
     back = spark.read.parquet(
         os.path.join(out, "parity=0"), os.path.join(out, "parity=1")
     )
+    pos = back.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 2).cast("bigint").alias("parity"),
+        F.col("_metadata.row_index").cast("bigint").alias("rix"),
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"(part-\d{5})", 1
+        ).alias("part_prefix"),
+    )
     return (
-        back.select(
-            "o_orderkey",
-            (F.col("o_orderkey") % 2).cast("bigint").alias("parity"),
-            F.col("_metadata.row_index").cast("bigint").alias("rix"),
-            F.regexp_extract(
-                F.col("_metadata.file_path"), r"(part-\d{5})", 1
-            ).alias("part_prefix"),
+        pos.groupBy("parity", "part_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("rix").alias("max_rix"),
+            F.sum(F.expr(_FILEMETA_CHK)).alias("chk"),
         )
-        .orderBy("parity", "rix")
+        .orderBy("parity")
     )
 
 
