@@ -211,6 +211,11 @@ HEADLINE = [
 # render-cache mm timing and all new keys) and therefore carry that
 # ~+10% ambient slack — a slightly loose FIRST baseline for brand-new
 # keys, never a loosened one for existing keys.
+# r10 second-session closing run (quiet box, load <0.5 at launch,
+# final code, 119 keys): geomean 1.019x vs this standing baseline on
+# the 95 common keys, regressions: [] — the r8-quiet epoch still
+# describes this box and is NOT rolled; the 24 new r10-second-session
+# seeds ship in BENCH_full_r10.json for the r11 fold.
 PREV_ROUND = "r08+r09new+r10new"
 BASELINE_SRC = ("r8 keys: BENCH_full_r08.json (quiet r8 final validation, "
                 "62/76 <15% spread; re-validated by the quiet 14:00 r9 run "

@@ -330,6 +330,14 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _xml_funcs_sql(dialect: str) -> str:
+    # API-coverage key: to_xml/from_xml/xpath are inherently per-row XML
+    # work (measured: the three XPath evaluations dominate; a single
+    # from_xml parse via the p CTE saves only ~6% — the r10 bench first
+    # cut called from_xml twice). A deterministic 10% key slice keeps
+    # 15 k rows of pinned semantics at sf0.1 without carrying ~5 s of
+    # per-row parse cost as dead bench weight; the FULL-table XML path
+    # is src_xml_roundtrip (the ingest posture: land XML → parquet →
+    # query columnar, never xpath over a fact table).
     if dialect == "spark":
         return """
 WITH x AS (
@@ -337,15 +345,20 @@ WITH x AS (
     to_xml(named_struct(
       'ck', c_custkey, 'nm', c_name, 'seg', c_mktsegment,
       'esc', concat(c_name, '<&>'))) AS xml
-  FROM customer
+  FROM customer WHERE c_custkey % 10 = 0
+),
+p AS (
+  SELECT c_custkey, xml,
+    from_xml(xml, 'ck BIGINT, nm STRING, seg STRING, esc STRING') AS s
+  FROM x
 )
 SELECT c_custkey,
-  from_xml(xml, 'ck BIGINT, nm STRING, seg STRING, esc STRING').nm AS name_rt,
-  from_xml(xml, 'ck BIGINT, nm STRING, seg STRING, esc STRING').esc AS esc_rt,
+  s.nm AS name_rt,
+  s.esc AS esc_rt,
   xpath_string(xml, '/ROW/seg') AS seg_xp,
   xpath_string(xml, '/ROW/esc') AS esc_xp,
   xpath_long(xml, '/ROW/ck') AS key_xp
-FROM x
+FROM p
 ORDER BY c_custkey
 """
     return """
@@ -355,7 +368,7 @@ SELECT c_custkey,
   c_mktsegment AS seg_xp,
   c_name || '<&>' AS esc_xp,
   c_custkey AS key_xp
-FROM customer
+FROM customer WHERE c_custkey % 10 = 0
 ORDER BY c_custkey
 """
 
