@@ -322,6 +322,9 @@ _SKEW_KEYS = [
     "win_attribution",
     # lead() is a 1-row frame; the hot user costs one in-partition sort
     "win_markov_transitions",
+    # r10 second session: lag() gap window — the same incremental 1-row
+    # frame class; the hot user is one long sorted partition
+    "fn_interval_agg",
 ]
 
 
@@ -372,7 +375,11 @@ def skew_ladder(spark) -> dict:
     uniform = build_scaled(spark)
     skewed = build_skewed(spark)
     report = {}
-    for key in _SKEW_KEYS:
+    subset = os.environ.get("SPARK_GRAFT_SCALE_KEYS")
+    keys = (
+        [k for k in subset.split(",") if k in REGISTRY] if subset else _SKEW_KEYS
+    )
+    for key in keys:
         for sf_dir in (uniform, skewed):  # warm both paths
             run_once(spark, key, sf_dir)
         u = statistics.median(run_once(spark, key, uniform) for _ in range(RUNS))
