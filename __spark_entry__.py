@@ -393,6 +393,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r10 (second session): toArrow → createDataFrame(pa.Table)
     # round trip on a bounded rollup; relational oracle
     "src_arrow_roundtrip",
+    # NEW r10 (second session): df.stat.crosstab contingency table;
+    # CASE-sum pivot oracle
+    "agg_crosstab",
+    # NEW r10 (second session): unionByName(allowMissingColumns=True)
+    # NULL-fill semantics; CASE-reconstructed oracle
+    "set_union_byname_missing",
 ]
 
 # Round-9 changed list, kept for the record (all 13 hold green r09 rows).
@@ -524,7 +530,7 @@ _R08_CHANGED: list[str] = [
 # newest green row is still CORRECTNESS_r02 (the planned r9 window tail
 # that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
 # 34-key r03 cohort (the next-oldest attestations). r10 grew the changed
-# block to 38 keys (the ADVICE closures + 34 NEW never-verified keys,
+# block to 40 keys (the ADVICE closures + 36 NEW never-verified keys,
 # which MUST take window slots ahead of re-attestation), so the TAIL of
 # the r03 cohort spills past the 50-key window — never the r02 block;
 # the spilled r03 keys lead r11's refresh. Every key in this list is

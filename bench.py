@@ -193,6 +193,9 @@ HEADLINE = [
     # batch 4: interval-typed aggregation and the Arrow interchange.
     "fn_interval_agg",
     "src_arrow_roundtrip",
+    # batch 5: the contingency table and the NULL-fill union.
+    "agg_crosstab",
+    "set_union_byname_missing",
 ]
 
 

@@ -407,6 +407,11 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # zero/one gaps (count(gap)=0 with a NULL-gap single row), and
         # the Arrow round trip of an empty/one-row rollup
         "fn_interval_agg", "src_arrow_roundtrip",
+        # r10 second session (batch 5): the NULL-fill union on
+        # empty/one-row orders (agg_crosstab is EXCLUDED here — its
+        # column set comes from the data domain, the grouping-sets/
+        # transpose-pre-spine exemption class; it runs adversarially)
+        "set_union_byname_missing",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -646,6 +651,10 @@ def test_adversarial_input_parity(spark):
         # intervals through the gap window; the weird supplier slice
         # through the Arrow type round trip
         "fn_interval_agg", "src_arrow_roundtrip",
+        # r10 second session (batch 5): the weird 20-row lineitem slice
+        # through the contingency pivot (both statuses present) and the
+        # NULL-fill union
+        "agg_crosstab", "set_union_byname_missing",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -1065,3 +1065,39 @@ def agg_grouping_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_crosstab — df.stat.crosstab (the DataFrame contingency-table API):
+# exact pairwise counts, one column per second-key value. Column set
+# comes from the DATA domain (like transpose pre-spine — but here the
+# spine cannot be injected without bypassing the API under test), so the
+# key runs on the real tables where the l_linestatus domain {F, O} is
+# always present and stays out of the empty/slice gates (documented
+# domain-dependence, the grouping-sets-exemption class).
+# ---------------------------------------------------------------------------
+
+_CROSSTAB_ORACLE = """
+SELECT l_returnflag AS l_returnflag_l_linestatus,
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O"
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag_l_linestatus
+"""
+
+
+@register(
+    "agg_crosstab",
+    oracle=_CROSSTAB_ORACLE,
+    doc="df.stat.crosstab('l_returnflag', 'l_linestatus'): the exact "
+    "contingency table (pairwise counts, one column per linestatus "
+    "value) hash-pinned against the CASE-sum pivot. Scale: crosstab is "
+    "one hash-agg over the pair domain — bounded output; Spark "
+    "implements it as a single pass, no per-cell scan.",
+    tags=("agg",),
+)
+def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    cols = [ct.columns[0]] + sorted(ct.columns[1:])
+    return ct.select(*cols).orderBy(ct.columns[0])

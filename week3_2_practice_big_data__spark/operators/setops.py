@@ -132,3 +132,62 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.exceptAll(b).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# set_union_byname_missing — unionByName(allowMissingColumns=True): the
+# schema-evolution union (each side contributes NULL for columns it
+# lacks) — the in-memory twin of src_schema_evolution's mergeSchema
+# read. Aggregate output so the NULL-fill semantics, not row order, are
+# what the hash pins.
+# ---------------------------------------------------------------------------
+
+_UBN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(p) AS BIGINT) AS n_priced,
+  CAST(count(pr) AS BIGINT) AS n_prioritized,
+  CAST(coalesce(sum(CAST(coalesce(p, 0) AS DECIMAL(18,2))), 0) AS DOUBLE)
+    AS sum_priced
+FROM (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS p,
+    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pr
+  FROM orders
+) t
+"""
+
+
+@register(
+    "set_union_byname_missing",
+    oracle=_UBN_ORACLE,
+    doc="unionByName(allowMissingColumns=True): two projections with "
+    "disjoint extra columns unioned by NAME — each side surfaces NULL "
+    "for the column it lacks; counts + decimal-exact sum pin the "
+    "NULL-fill semantics against a CASE-reconstructed oracle "
+    "(REF-ANALOG: the in-memory twin of src_schema_evolution). "
+    "Zero-shuffle narrow union feeding one partial agg.",
+    tags=("setop",),
+)
+def set_union_byname_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_priced"),
+        F.count("o_orderpriority").alias("n_prioritized"),
+        F.coalesce(
+            F.sum(
+                F.coalesce(F.col("o_totalprice"), F.lit(0)).cast(
+                    "decimal(18,2)"
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("sum_priced"),
+    )
