@@ -399,6 +399,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r10 (second session): unionByName(allowMissingColumns=True)
     # NULL-fill semantics; CASE-reconstructed oracle
     "set_union_byname_missing",
+    # NEW r10 (second session): built-in mask() redaction (default +
+    # custom replacement chars); chained-regex oracle
+    "fn_mask_redact",
+    # NEW r10 (second session): AES-128-ECB encrypt/decrypt round trip
+    # + PKCS7 length law + sha2-256 vs DuckDB sha256
+    "fn_crypto_aes",
 ]
 
 # Round-9 changed list, kept for the record (all 13 hold green r09 rows).
@@ -530,7 +536,7 @@ _R08_CHANGED: list[str] = [
 # newest green row is still CORRECTNESS_r02 (the planned r9 window tail
 # that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
 # 34-key r03 cohort (the next-oldest attestations). r10 grew the changed
-# block to 40 keys (the ADVICE closures + 36 NEW never-verified keys,
+# block to 42 keys (the ADVICE closures + 38 NEW never-verified keys,
 # which MUST take window slots ahead of re-attestation), so the TAIL of
 # the r03 cohort spills past the 50-key window — never the r02 block;
 # the spilled r03 keys lead r11's refresh. Every key in this list is

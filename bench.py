@@ -196,6 +196,10 @@ HEADLINE = [
     # batch 5: the contingency table and the NULL-fill union.
     "agg_crosstab",
     "set_union_byname_missing",
+    # batch 6 (landed after the r10 closing bench, like the r9/r10
+    # precedent) — first medians seed r11.
+    "fn_mask_redact",
+    "fn_crypto_aes",
 ]
 
 

@@ -412,6 +412,9 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # column set comes from the data domain, the grouping-sets/
         # transpose-pre-spine exemption class; it runs adversarially)
         "set_union_byname_missing",
+        # r10 second session (batch 6): mask classes and the AES round
+        # trip over empty/one-row customers
+        "fn_mask_redact", "fn_crypto_aes",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -655,6 +658,9 @@ def test_adversarial_input_parity(spark):
         # through the contingency pivot (both statuses present) and the
         # NULL-fill union
         "agg_crosstab", "set_union_byname_missing",
+        # r10 second session (batch 6): the weird customer slice through
+        # the mask char classes and the AES round trip
+        "fn_mask_redact", "fn_crypto_aes",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -1174,3 +1180,20 @@ def test_statestore_joinside_reads_both_buffers(spark):
     assert sorted(x["cid"] for x in lv) == [1, 2]
     assert sorted(x["vid"] for x in rv) == [3, 4, 5]
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_aes_ciphertext_deterministic_and_known_vector(spark):
+    """fn_crypto_aes (r10): ECB mode is deterministic — the same
+    plaintext+key must yield a byte-identical ciphertext across calls
+    (GCM's random IV would not), and the fixture key must reproduce the
+    known test vector recorded when the key was built."""
+    r = spark.sql(
+        "SELECT base64(aes_encrypt('secret-text', '0123456789abcdef', 'ECB')) AS a, "
+        "base64(aes_encrypt('secret-text', '0123456789abcdef', 'ECB')) AS b"
+    ).first()
+    assert r["a"] == r["b"] == "1YMLuRcCTvDvc1WXH6CSnQ=="
+    bad = spark.sql(
+        "SELECT CAST(try_aes_decrypt(aes_encrypt('x', '0123456789abcdef', 'ECB'), "
+        "'another-16b-key!', 'ECB') AS STRING) AS d"
+    ).first()
+    assert bad["d"] is None  # wrong key -> NULL, never garbage

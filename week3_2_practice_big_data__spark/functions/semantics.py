@@ -582,3 +582,102 @@ FROM gaps GROUP BY user_id ORDER BY user_id
 def fn_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "events")
     return spark.sql(_interval_agg_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_mask_redact — the built-in mask() data-redaction function (the
+# governed-warehouse sibling of ns_pii_scrub's regex pipeline): default
+# class replacement (upper→X, lower→x, digit→n, other kept) and fully
+# custom replacement chars. The oracle emulates the class mapping with
+# chained global regexes — replacement order chosen so no pass's output
+# chars are in a later pass's class (other → upper → lower → digit).
+# ASCII domain by construction (customer names).
+# ---------------------------------------------------------------------------
+
+
+def _mask_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+SELECT c_custkey,
+  mask(c_name) AS masked_default,
+  mask(c_name, 'U', 'l', '#', '*') AS masked_custom,
+  mask(c_name, 'A', 'a', '0') AS masked_digits
+FROM customer ORDER BY c_custkey
+"""
+    return """
+SELECT c_custkey,
+  regexp_replace(regexp_replace(regexp_replace(c_name,
+    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+    AS masked_default,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+    '[^A-Za-z0-9]', '*', 'g'), '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'),
+    '[0-9]', '#', 'g') AS masked_custom,
+  regexp_replace(regexp_replace(regexp_replace(c_name,
+    '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '0', 'g')
+    AS masked_digits
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register(
+    "fn_mask_redact",
+    oracle=_mask_sql("duckdb"),
+    doc="Built-in mask() redaction: default char-class replacement, "
+    "fully custom replacement chars, and a digits-only phone mask — "
+    "each hash-pinned against a chained-regex emulation (replacement "
+    "order keeps every pass's output outside later passes' classes). "
+    "Map-side projection; the governed-warehouse twin of ns_pii_scrub.",
+    tags=("scalar", "semantics"),
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_mask_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fn_crypto_aes — column encryption: aes_encrypt/aes_decrypt (AES-128,
+# deterministic ECB mode — GCM's random IV would break the value hash)
+# plus sha2-256 content hashing. DuckDB cannot run AES, so the checked
+# contract is the round-trip identity (decrypt∘encrypt = id), the PKCS7
+# ciphertext LENGTH law ((len DIV 16 + 1)·16 — real AES, not a stub),
+# and the sha256 hex against DuckDB's native sha256; ciphertext
+# determinism + a known test vector are pytest-pinned.
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"
+
+
+def _crypto_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return f"""
+SELECT c_custkey,
+  CAST(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB'),
+    '{_AES_KEY}', 'ECB') AS STRING) AS name_rt,
+  CAST(length(aes_encrypt(c_name, '{_AES_KEY}', 'ECB')) AS BIGINT)
+    AS ct_len,
+  sha2(c_name, 256) AS name_sha
+FROM customer ORDER BY c_custkey
+"""
+    return """
+SELECT c_custkey,
+  c_name AS name_rt,
+  CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS ct_len,
+  sha256(c_name) AS name_sha
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register(
+    "fn_crypto_aes",
+    oracle=_crypto_sql("duckdb"),
+    doc="Column encryption surface: AES-128-ECB encrypt→decrypt "
+    "round-trip identity, the PKCS7 ciphertext-length law, and sha2-256 "
+    "hex pinned against DuckDB's native sha256. ECB chosen for "
+    "determinism (mode choice documented: production favors GCM, whose "
+    "random IV is exactly why it cannot be value-hashed); key literal "
+    "is a test fixture. Map-side projection, JVM cipher per batch.",
+    tags=("scalar", "semantics"),
+)
+def fn_crypto_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_crypto_sql("spark"))
