@@ -246,10 +246,33 @@ _R09_VERIFIED = frozenset({
     "win_running_agg", "win_sessionize_gaps",
 })
 
+_R10_VERIFIED = frozenset({
+    "agg_crosstab", "agg_grouping_sets_df", "dq_observe_metrics",
+    "fn_bitwise_ops", "fn_collation", "fn_crypto_aes",
+    "fn_interval_agg", "fn_mask_redact", "fn_time_type",
+    "fn_udf_sql_register", "fn_variant_type", "fn_xml_funcs",
+    "gen_poster_param", "gen_poster_shadow", "iter_kmeans_embed",
+    "join_lateral_df", "ns_topic_mixture", "proj_resample_bilinear",
+    "qry_dynamic_sql", "qry_modern_sql_sugar", "qry_parameterized_sql",
+    "qry_pipe_syntax", "qry_session_variables", "qry_sql_scripting",
+    "reshape_transpose", "set_union_byname_missing",
+    "sink_display", "sink_python_datasource",
+    "sink_python_datasource_arrow", "sort_composite_order",
+    "src_arrow_roundtrip", "src_file_metadata", "src_orc_roundtrip",
+    "src_python_datasource_pushdown", "src_python_datasource_stream",
+    "src_range_gen", "src_statestore_changefeed", "src_statestore_read",
+    "src_xml_roundtrip", "stream_checkpoint_restart",
+    "stream_observe_metrics", "stream_pipeline_e2e",
+    "stream_python_datasource_sink", "stream_python_datasource_sink_arrow",
+    "stream_query_listener", "stream_rocksdb_state",
+    "stream_sink_foreach_rows", "udf_arrow_grouped", "udf_arrow_map",
+    "udf_pandas_iter",
+})
+
 _VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
-    | _R09_VERIFIED
+    | _R09_VERIFIED | _R10_VERIFIED
 )
 
 

@@ -221,16 +221,24 @@ HEADLINE = [
 # r10 second-session closing run (quiet box, load <0.5 at launch,
 # final code, 119 keys): geomean 1.019x vs this standing baseline on
 # the 95 common keys, regressions: [] — the r8-quiet epoch still
-# describes this box and is NOT rolled; the 24 new r10-second-session
-# seeds ship in BENCH_full_r10.json for the r11 fold.
-PREV_ROUND = "r08+r09new+r10new"
+# describes this box and is NOT rolled.
+# r11 fold: the committed BENCH_full_r10.json is the DRIVER's
+# post-commit re-run (123 keys — all 26 r10-second-session keys
+# including the two batch-6 keys fn_mask_redact/fn_crypto_aes that
+# landed after the builder's closing bench; geomean 0.993x vs the
+# builder's closing artifact, so content-equivalent). The 28
+# previously-unseeded headline keys below take their first medians
+# from it; old-key entries stay on the r8-quiet epoch (r9/r10
+# precedent — three consecutive rounds have re-measured that epoch at
+# geomean 1.00-1.03x, so rolling would only loosen it).
+PREV_ROUND = "r08+r09new+r10new+r11fold"
 BASELINE_SRC = ("r8 keys: BENCH_full_r08.json (quiet r8 final validation, "
                 "62/76 <15% spread; re-validated by the quiet 14:00 r9 run "
                 "at geomean 1.004x AND by the r10 final run at geomean "
                 "1.031x). r9-new keys: the 17:55 final-code r9 run (~+10% "
-                "ambient drift). r10-new keys: BENCH_full_r10.json (final "
-                "r10 validation, geomean 1.031x vs the r8 epoch, "
-                "regressions: [])")
+                "ambient drift). r10-new keys: BENCH_full_r10.json (the "
+                "driver's post-commit re-run, geomean 0.993x vs the "
+                "builder's closing artifact, regressions: [])")
 PREV_MEDIANS = {
     # r10-new keys (BENCH_full_r10.json — the 22:50 final validation;
     # the standing epoch for OLD keys stays r8-quiet, which that run
@@ -249,6 +257,37 @@ PREV_MEDIANS = {
     # r9-new keys (17:55 final-code run; fn_sql_udf + the committed
     # BENCH_full_r09.json from the 18:55 run — same ambient-drift family,
     # tighter 9/85 spread)
+    # r11 fold: the 28 r10-second-session headline keys, seeded from the
+    # committed BENCH_full_r10.json (driver post-commit re-run — the only
+    # artifact containing all 28, incl. the two batch-6 keys)
+    "sink_python_datasource_arrow": 1.5568,
+    "src_python_datasource_pushdown": 0.9702,
+    "qry_parameterized_sql": 1.6573,
+    "qry_modern_sql_sugar": 0.2805,
+    "qry_session_variables": 0.3239,
+    "qry_sql_scripting": 1.1204,
+    "fn_udf_sql_register": 0.7953,
+    "udf_pandas_iter": 0.9915,
+    "stream_sink_foreach_rows": 4.6578,
+    "stream_python_datasource_sink_arrow": 6.2973,
+    "src_xml_roundtrip": 0.4375,
+    "fn_xml_funcs": 0.8167,
+    "fn_collation": 0.4329,
+    "reshape_transpose": 1.3464,
+    "src_statestore_read": 0.3116,
+    "qry_dynamic_sql": 0.3818,
+    "fn_time_type": 0.3582,
+    "join_lateral_df": 0.7843,
+    "src_file_metadata": 0.4457,
+    "stream_rocksdb_state": 2.8818,
+    "src_statestore_changefeed": 0.3189,
+    "agg_grouping_sets_df": 0.8519,
+    "fn_interval_agg": 0.7539,
+    "src_arrow_roundtrip": 0.3321,
+    "agg_crosstab": 1.3288,
+    "set_union_byname_missing": 0.4024,
+    "fn_mask_redact": 0.2936,
+    "fn_crypto_aes": 0.6504,
     "fn_sql_udf": 0.431,
     "iter_kmeans_embed": 2.1809,
     "ns_mm_pipeline_e2e": 1.189,
@@ -421,12 +460,26 @@ def main() -> None:
     # which has twice truncated away medians/queries_min the next
     # round's standing baseline needed. Best-effort: benching from a
     # read-only checkout must not break the stdout contract.
-    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r10")
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r11")
     try:
-        full = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_full_{round_tag}.json",
+        repo = os.path.dirname(os.path.abspath(__file__))
+        full = os.path.join(repo, f"BENCH_full_{round_tag}.json")
+        # Never clobber a committed round artifact (VERDICT r10 item 1:
+        # the driver's post-commit re-run silently overwrote the r10
+        # closing artifact in the worktree). Unless --force / env force
+        # is given, an existing BENCH_full_{tag}.json is left intact and
+        # this run lands on the first free _runN suffix.
+        force = (
+            "--force" in sys.argv
+            or os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
         )
+        if os.path.exists(full) and not force:
+            n = 2
+            while os.path.exists(
+                os.path.join(repo, f"BENCH_full_{round_tag}_run{n}.json")
+            ):
+                n += 1
+            full = os.path.join(repo, f"BENCH_full_{round_tag}_run{n}.json")
         with open(full, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
             f.write("\n")

@@ -376,9 +376,27 @@ def skew_ladder(spark) -> dict:
     skewed = build_skewed(spark)
     report = {}
     subset = os.environ.get("SPARK_GRAFT_SCALE_KEYS")
-    keys = (
-        [k for k in subset.split(",") if k in REGISTRY] if subset else _SKEW_KEYS
-    )
+    if subset:
+        requested = [k for k in subset.split(",") if k]
+        unknown = [k for k in requested if k not in REGISTRY]
+        if unknown:
+            # A typo must be loud, not a silently-shrunk ladder that
+            # still reports success (ADVICE r10).
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALE_KEYS contains unregistered keys: "
+                f"{unknown}"
+            )
+        keys = requested
+        extra = [k for k in keys if k not in _SKEW_KEYS]
+        if extra:
+            print(
+                f"note: {len(extra)} requested keys are outside _SKEW_KEYS "
+                f"(no established skew semantics): {extra}",
+                file=sys.stderr,
+            )
+    else:
+        keys = _SKEW_KEYS
+    print(f"skew_ladder keys: {keys}", file=sys.stderr)
     for key in keys:
         for sf_dir in (uniform, skewed):  # warm both paths
             run_once(spark, key, sf_dir)

@@ -872,7 +872,9 @@ def test_statestore_metadata_and_row_inventory(spark):
     import os
 
     from week3_2_practice_big_data__spark import REGISTRY
-    from week3_2_practice_big_data__spark.streaming.streams import _REPO_TMP
+    from week3_2_practice_big_data__spark.streaming.streams import (
+        _ssread_checkpoint,
+    )
 
     out = REGISTRY["src_statestore_read"].builder(spark, SF_SMALL)
     n_state = out.count()
@@ -883,7 +885,7 @@ def test_statestore_metadata_and_row_inventory(spark):
         .count()
     )
     assert n_state == n_types
-    ck = os.path.join(_REPO_TMP, "ssread_ck_sf0.001")
+    ck = _ssread_checkpoint(SF_SMALL)
     meta = spark.read.format("state-metadata").load(ck).collect()
     assert len(meta) == 1
     m = meta[0]
@@ -1076,17 +1078,28 @@ def test_lateral_join_plan_is_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_time_type_flag_unlocks_functions(spark):
-    """fn_time_type (r10): the builder enables the 4.1 preview flag for
-    the session; TIME functions must work afterwards and agree with the
-    literal forms."""
+def test_time_type_flag_scoped(spark):
+    """fn_time_type (r11, ADVICE r10): the 4.1 preview flag is scoped to
+    the builder's spark.sql() parse — the session must NOT carry it
+    afterwards (later registry keys never see a preview flag), yet the
+    returned lazy DataFrame must still execute (the flag gates analysis
+    only, probed r11), and TIME semantics inside the scope must agree
+    with the literal forms."""
     from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.streaming.streams import (
+        _scoped_conf,
+    )
 
-    REGISTRY["fn_time_type"].builder(spark, SF_SMALL)
-    r = spark.sql(
-        "SELECT hour(to_time('23:59:58')) AS h, "
-        "to_time('07:08:09') = TIME'07:08:09' AS eq"
-    ).first()
+    before = spark.conf.get("spark.sql.timeType.enabled", None)
+    df = REGISTRY["fn_time_type"].builder(spark, SF_SMALL)
+    assert spark.conf.get("spark.sql.timeType.enabled", None) == before
+    rows = df.collect()  # analyzed plan executes with the flag restored
+    assert len(rows) > 0
+    with _scoped_conf(spark, {"spark.sql.timeType.enabled": "true"}):
+        r = spark.sql(
+            "SELECT hour(to_time('23:59:58')) AS h, "
+            "to_time('07:08:09') = TIME'07:08:09' AS eq"
+        ).first()
     assert r["h"] == 23 and r["eq"] is True
 
 

@@ -664,3 +664,28 @@ def test_python_datasource_stream_sink_commits_per_batch(spark):
         .collect()
     )
     assert got == ref
+
+
+def test_scoped_conf_rolls_back_on_partial_failure(spark):
+    """_scoped_conf (r11, ADVICE r10): if a later set() raises (static
+    conf on an active session), the keys already applied must be rolled
+    back before the exception propagates — the session is never left
+    half-modified. Also pins the restore-by-unset path for keys that
+    were unset before entry."""
+    import pytest
+
+    from week3_2_practice_big_data__spark.streaming.streams import (
+        _scoped_conf,
+    )
+
+    probe = "spark.w32bd.test.scopedconf.probe"
+    static = "spark.sql.warehouse.dir"  # static: set() raises when active
+    assert spark.conf.get(probe, None) is None
+    with pytest.raises(Exception):
+        with _scoped_conf(spark, {probe: "set-me", static: "/nope"}):
+            raise AssertionError("enter must fail before the body runs")
+    assert spark.conf.get(probe, None) is None  # rolled back
+    # normal path still restores unset keys by unsetting
+    with _scoped_conf(spark, {probe: "scoped"}):
+        assert spark.conf.get(probe) == "scoped"
+    assert spark.conf.get(probe, None) is None

@@ -511,9 +511,16 @@ ORDER BY hr
     tags=("scalar", "semantics", "datetime"),
 )
 def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.timeType.enabled", "true")
+    # The preview flag gates ANALYSIS only (probed: an analyzed TIME plan
+    # executes fine after the flag is unset — pinned in
+    # tests/test_invariants.py::test_time_type_flag_scoped), so scope it
+    # around the spark.sql() parse and restore immediately: later keys on
+    # the shared session never see the preview flag (ADVICE r10).
+    from ..streaming.streams import _scoped_conf
+
     _view(spark, sf_dir, "events")
-    return spark.sql(_time_type_sql("spark"))
+    with _scoped_conf(spark, {"spark.sql.timeType.enabled": "true"}):
+        return spark.sql(_time_type_sql("spark"))
 
 
 # ---------------------------------------------------------------------------

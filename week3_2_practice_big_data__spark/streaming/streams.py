@@ -2168,6 +2168,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _ssread_checkpoint(sf_dir: str) -> str:
+    """Canonical checkpoint path for src_statestore_read's one-per-sf
+    state build — shared with tests so the naming logic lives in exactly
+    one place (ADVICE r10: the pytest inventory check used to duplicate
+    this derivation and would silently read a stale checkpoint if the
+    naming ever changed)."""
+    return os.path.join(
+        _REPO_TMP, f"ssread_ck_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
 @register(
     "src_statestore_read",
     oracle=_STATESTORE_ORACLE,
@@ -2184,9 +2195,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 )
 def src_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _chunked_source(spark, sf_dir, "wm", dup_first=0)
-    ck = os.path.join(
-        _REPO_TMP, f"ssread_ck_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    ck = _ssread_checkpoint(sf_dir)
 
     def build(tmp: str) -> None:
         name = "w32bd_ssread"
@@ -2273,14 +2282,28 @@ class _scoped_conf:
         self._confs = confs
 
     def __enter__(self):
-        self._old = {}
-        for k, v in self._confs.items():
-            # conf.get(k) would return the DEFAULT value for an unset key
-            # and the restore would then SET it explicitly — a visible
-            # hygiene change (and a wrong restore if the default ever
-            # differs per-cluster). get(k, None) distinguishes unset.
-            self._old[k] = self._spark.conf.get(k, None)
-            self._spark.conf.set(k, v)
+        # Snapshot ALL old values before setting ANY (ADVICE r10): if a
+        # later set() raises (invalid/static conf), the except rolls back
+        # the keys already applied so the session is never left half-set.
+        #
+        # conf.get(k) would return the DEFAULT value for an unset key
+        # and the restore would then SET it explicitly — a visible
+        # hygiene change (and a wrong restore if the default ever
+        # differs per-cluster). get(k, None) distinguishes unset.
+        self._old = {k: self._spark.conf.get(k, None) for k in self._confs}
+        applied = []
+        try:
+            for k, v in self._confs.items():
+                self._spark.conf.set(k, v)
+                applied.append(k)
+        except Exception:
+            for k in applied:
+                old = self._old[k]
+                if old is None:
+                    self._spark.conf.unset(k)
+                else:
+                    self._spark.conf.set(k, old)
+            raise
         return self
 
     def __exit__(self, *exc):
