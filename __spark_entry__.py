@@ -278,7 +278,32 @@ _VERIFIED = (
 
 # Keys whose implementation changed in ROUND 10 (or new in r10): they
 # lead the window, highest behavior-change risk first.
+# Keys whose implementation changed in ROUND 11 (or new in r11): they
+# lead the window, highest behavior-change risk first.
 _CHANGED_THIS_ROUND: list[str] = [
+    # NEW r11 (VERDICT r10 item 5 — the df.stat completion sweep):
+    # freqItems (KPS candidates ∩ exact counts = the true frequent set),
+    # approxQuantile (GK estimates, exact-rank-interval bound),
+    # cov/corr (exact BIGINT component sums + 1e-6 closed-form check),
+    # sampleBy (per-stratum 6σ binomial bounds, zero-fraction pinned)
+    "agg_freq_items",
+    "agg_approx_quantile",
+    "agg_cov_corr",
+    "agg_sample_by",
+    # ADVICE r10: the TIME preview flag is now SCOPED to the builder's
+    # parse (flag gates analysis only — probed and pytest-pinned); the
+    # session the driver hands us stays clean afterwards
+    "fn_time_type",
+    # ADVICE r10: checkpoint naming extracted to _ssread_checkpoint
+    # (shared with the pytest inventory check); SQL/results unchanged
+    "src_statestore_read",
+    # ADVICE r10: _scoped_conf now rolls back already-applied confs if a
+    # later set() raises; this key is _scoped_conf's heaviest user
+    "stream_rocksdb_state",
+]
+
+# Round-10 changed list, kept for the record (all hold green r10 rows).
+_R10_CHANGED: list[str] = [
     # NOTE on ADVICE r9 (medium, session exact-gap boundary): resolved
     # by LIVE calibration AGAINST the advisory claim — Spark's
     # session_window() MERGES events exactly gap apart in both batch and
@@ -555,23 +580,17 @@ _R08_CHANGED: list[str] = [
     "stream_sink_parquet",
 ]
 
-# ROUND-10 REFRESH (VERDICT r9 item 2): lead with the 7 keys whose
-# newest green row is still CORRECTNESS_r02 (the planned r9 window tail
-# that spilled, judge-rerun MATCH at sf0.01 in the r9 session), then the
-# 34-key r03 cohort (the next-oldest attestations). r10 grew the changed
-# block to 42 keys (the ADVICE closures + 38 NEW never-verified keys,
-# which MUST take window slots ahead of re-attestation), so the TAIL of
-# the r03 cohort spills past the 50-key window — never the r02 block;
-# the spilled r03 keys lead r11's refresh. Every key in this list is
-# pytest-replayed and sf0.01-swept this round regardless.
+# ROUND-11 REFRESH (VERDICT r10 item 2): the r02 block cleared in r10,
+# so this rotation leads with the full 33-key r03 cohort (the stalest
+# attestations — the r10 window re-attested only src_range_gen before
+# spilling), then the 35-key r04 cohort. With 7 changed keys leading,
+# the 50-key window covers all of r03 plus the head of r04; the spilled
+# r04 tail leads r12's refresh. Every key here is pytest-replayed and
+# sf0.01-swept this round regardless.
 _REFRESH_THIS_ROUND: list[str] = [
-    # r02-attestation block (VERDICT r9 item 2 — carry these first)
-    "fn_bitwise_ops", "gen_poster_param", "gen_poster_shadow",
-    "proj_resample_bilinear", "sink_display", "sort_composite_order",
-    "src_orc_roundtrip",
-    # r03 cohort (oldest-green after the r02 block; registration-ish
-    # order, sources first so the scan/readers re-attest early)
-    "src_range_gen", "src_sequence", "src_param_lookup",
+    # r03 cohort (oldest-green; registration-ish order, sources first
+    # so the scan/readers re-attest early)
+    "src_sequence", "src_param_lookup",
     "src_parquet_scan", "src_text_lines", "udf_rowwise_lambda",
     "udtf_explode_gen", "stream_session_window", "ts_resample_fill",
     "agg_histogram", "agg_corr_moments", "agg_anova_oneway",
@@ -585,6 +604,21 @@ _REFRESH_THIS_ROUND: list[str] = [
     "qry_lateral_topk", "qry_recursive_cte", "iter_bpe_merges",
     "ns_pii_scrub", "ns_sample_reservoir", "win_conv2d_separable",
     "gen_poster_shadow_blur",
+    # r04 cohort (next-oldest; sources/sinks first, then the ns/stat
+    # families, generative tail last)
+    "src_csv_roundtrip", "src_json_roundtrip",
+    "src_partition_prune_static", "src_table_stats",
+    "sink_partitioned_write", "merge_scd2", "dq_constraint_check",
+    "agg_bitmap_distinct", "agg_entropy", "agg_gini_revenue",
+    "agg_mad_robust", "agg_market_basket", "agg_ohlc_bars",
+    "agg_skew_kurt", "agg_zorder_clustering", "ml_linreg_closed",
+    "join_spatial_grid", "win_islands_ranges", "udf_geom_contains",
+    "ns_ann_knn_join", "ns_bpe_pair_stats", "ns_decontaminate_ngram",
+    "ns_dedup_embed_cosine", "ns_dedup_incremental",
+    "ns_dedup_paragraph", "ns_embed_quantize", "ns_repetition_filter",
+    "ns_semdedup", "ns_sim_ann_ivf", "ns_sim_ann_lsh", "ns_sim_topk",
+    "ns_text_fingerprint", "ns_text_quality",
+    "gen_poster_aspect", "gen_poster_bg_colormap",
 ]
 
 # Round-7 changed list, kept for the record (all hold green r07 rows —

@@ -200,6 +200,13 @@ HEADLINE = [
     # precedent) — first medians seed r11.
     "fn_mask_redact",
     "fn_crypto_aes",
+    # round-11: the df.stat completion sweep (freqItems, approxQuantile,
+    # cov/corr, sampleBy — each wraps the driver-side API in a
+    # distributed exact-verification plan); first medians seed r12.
+    "agg_freq_items",
+    "agg_approx_quantile",
+    "agg_cov_corr",
+    "agg_sample_by",
 ]
 
 

@@ -415,6 +415,13 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # r10 second session (batch 6): mask classes and the AES round
         # trip over empty/one-row customers
         "fn_mask_redact", "fn_crypto_aes",
+        # r11 df.stat sweep: freqItems' empty-array candidates on an
+        # empty corpus / singleton frequent item at n=1; approxQuantile's
+        # []-return guard on empty events and the 1/n tolerance floor at
+        # n=1; cov/corr's n<2 vacuous branch with NULL sums; sampleBy's
+        # empty-stratum and single-row-stratum bounds
+        "agg_freq_items", "agg_approx_quantile", "agg_cov_corr",
+        "agg_sample_by",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -661,6 +668,14 @@ def test_adversarial_input_parity(spark):
         # r10 second session (batch 6): the weird customer slice through
         # the mask char classes and the AES round trip
         "fn_mask_redact", "fn_crypto_aes",
+        # r11: NaN/Inf/±1e300 event values through the approxQuantile
+        # finite-value gate (the rank check runs on 5 finite rows); the
+        # dirty 12-doc corpus through the KPS candidate intersection;
+        # the weird 20-row lineitem through the cov/corr closed form
+        # (n=20, possible zero-variance vacuous branch) and the 6σ
+        # sampleBy bounds at tiny n
+        "agg_approx_quantile", "agg_freq_items", "agg_cov_corr",
+        "agg_sample_by",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -1210,3 +1225,77 @@ def test_aes_ciphertext_deterministic_and_known_vector(spark):
         "'another-16b-key!', 'ECB') AS STRING) AS d"
     ).first()
     assert bad["d"] is None  # wrong key -> NULL, never garbage
+
+
+def test_freq_items_superset_and_exact_intersection(spark):
+    """agg_freq_items (r11): the raw KPS candidate arrays must be a
+    SUPERSET of the truly frequent items (the guarantee the key's
+    intersection relies on), and the key's output must be exactly the
+    items with exact count > support·n — 'en' alone at sf0.001 (43% of
+    docs; every source sits at ~5%)."""
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.io import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    n = docs.count()
+    row = docs.stat.freqItems(["lang", "source"], support=0.2).first()
+    exact_lang = {
+        r["lang"]
+        for r in docs.groupBy("lang").count().collect()
+        if r["count"] > 0.2 * n
+    }
+    assert exact_lang <= set(row["lang_freqItems"])
+    out = REGISTRY["agg_freq_items"].builder(spark, SF_SMALL).collect()
+    assert {(r["col"], r["item"]) for r in out} == {
+        ("lang", lang) for lang in exact_lang
+    }
+    assert exact_lang == {"en"}
+
+
+def test_approx_quantile_estimates_are_data_values(spark):
+    """agg_approx_quantile (r11): beyond the rank-bound oracle, the GK
+    estimates must be actual data values (the sketch samples, never
+    interpolates) and must be non-decreasing across p."""
+    from week3_2_practice_big_data__spark.io import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").where(
+        "value IS NOT NULL AND NOT isnan(value) "
+        "AND value BETWEEN -1e300 AND 1e300"
+    )
+    qs = ev.stat.approxQuantile("value", [0.25, 0.5, 0.75], 0.01)
+    assert qs == sorted(qs)
+    vals = {r["value"] for r in ev.select("value").distinct().collect()}
+    assert all(q in vals for q in qs)
+
+
+def test_sample_by_zero_fraction_and_determinism(spark):
+    """agg_sample_by (r11): the zero-fraction stratum ('R') must yield
+    exactly 0 sampled rows, strata absent from the fractions map are
+    dropped entirely, and the same seed reproduces the same sample."""
+    from week3_2_practice_big_data__spark.io import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    fr = {"A": 0.1, "N": 0.3, "R": 0.0}
+    s1 = li.stat.sampleBy("l_returnflag", fr, seed=7)
+    assert s1.where("l_returnflag = 'R'").count() == 0
+    assert set(
+        r["l_returnflag"] for r in s1.select("l_returnflag").distinct().collect()
+    ) <= {"A", "N"}
+    n1 = s1.count()
+    n2 = li.stat.sampleBy("l_returnflag", fr, seed=7).count()
+    assert n1 == n2
+    # the partial map {A only}: N and R rows must not leak through
+    s3 = li.stat.sampleBy("l_returnflag", {"A": 0.2}, seed=7)
+    assert s3.where("l_returnflag != 'A'").count() == 0
+
+
+def test_cov_corr_api_agrees_with_closed_form(spark):
+    """agg_cov_corr (r11): the key's two ok-booleans are the actual
+    assertion — re-derive them here so a silent False would fail pytest
+    even if a future oracle edit loosened the hash."""
+    from week3_2_practice_big_data__spark import REGISTRY
+
+    row = REGISTRY["agg_cov_corr"].builder(spark, SF_SMALL).first()
+    assert row["cov_api_ok"] is True
+    assert row["corr_api_ok"] is True
+    assert row["n_rows"] > 0

@@ -1101,3 +1101,300 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = li.stat.crosstab("l_returnflag", "l_linestatus")
     cols = [ct.columns[0]] + sorted(ct.columns[1:])
     return ct.select(*cols).orderBy(ct.columns[0])
+
+
+# ---------------------------------------------------------------------------
+# df.stat completion sweep (r11, VERDICT r10 item 5) — the remaining
+# DataFrameStatFunctions surface: freqItems, approxQuantile, cov/corr,
+# sampleBy. All four APIs are driver-side by contract (they return
+# arrays/scalars/bounded samples, not distributed relations), so each
+# key wraps the API call in a DISTRIBUTED verification plan whose output
+# is exact-hashable against DuckDB:
+#   - freqItems: the KPS candidate set is a guaranteed SUPERSET of the
+#     truly-frequent items (possible false positives, never false
+#     negatives) — intersecting candidates with exact counts > support·n
+#     therefore yields EXACTLY the frequent-item set, which DuckDB
+#     derives independently. A freqItems that dropped a frequent item
+#     shows up as a missing row.
+#   - approxQuantile: the KLL-key rank-bound pattern — the estimate's
+#     exact rank interval [count(<est), count(<=est)]/n must intersect
+#     [p − err − 1/n, p + err + 1/n] (the GK contract), emitted as a
+#     boolean DuckDB states as literal TRUE.
+#   - cov/corr: exact BIGINT component sums (quantity × discount-cents —
+#     magnitudes safe in int64 beyond sf100) are the hashed payload; the
+#     streaming-co-moment API values are checked against the
+#     closed-form derivation at 1e-6 relative, vacuous on n < 2 or
+#     zero variance (both engines yield NaN).
+#   - sampleBy: per-stratum sampled counts within 6σ binomial bounds
+#     (a fixed seed makes the count deterministic; the bound keeps the
+#     check partition-layout-robust), with a zero-fraction stratum
+#     pinned to exactly 0 rows.
+# ---------------------------------------------------------------------------
+
+_FREQ_SUPPORT = 0.2
+
+_FREQ_ORACLE = f"""
+WITH tot AS (SELECT count(*) AS n FROM documents),
+freq AS (
+  SELECT 'lang' AS col, lang AS item, count(*) AS n_item
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'source' AS col, source AS item, count(*) AS n_item
+  FROM documents GROUP BY source
+)
+SELECT col, item, CAST(n_item AS BIGINT) AS n_item
+FROM freq, tot WHERE n_item > {_FREQ_SUPPORT} * tot.n
+ORDER BY col, item
+"""
+
+
+@register(
+    "agg_freq_items",
+    oracle=_FREQ_ORACLE,
+    doc="df.stat.freqItems(['lang','source'], 0.2): KPS single-pass "
+    "frequent-items candidates (bounded driver action: ≤ 1/support "
+    "items per column), verified exactly — candidates ∩ {exact count > "
+    "support·n} = the true frequent-item set because KPS never misses a "
+    "frequent item. At sf0.01 'en' (43%) is frequent, every 5% source "
+    "is not. Scale: KPS is one map-side pass with a 1/support-bounded "
+    "summary per partition — no shuffle of the item domain.",
+    tags=("agg", "sketch", "scale"),
+)
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    row = docs.stat.freqItems(["lang", "source"], support=_FREQ_SUPPORT).first()
+    cand = [("lang", i) for i in row["lang_freqItems"]] + [
+        ("source", i) for i in row["source_freqItems"]
+    ]
+    cand_df = spark.createDataFrame(cand, "col string, item string")
+    exact = (
+        docs.groupBy(F.col("lang").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .select(F.lit("lang").alias("col"), "item", "n_item")
+        .unionAll(
+            docs.groupBy(F.col("source").alias("item"))
+            .agg(F.count(F.lit(1)).alias("n_item"))
+            .select(F.lit("source").alias("col"), "item", "n_item")
+        )
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        exact.join(F.broadcast(cand_df), ["col", "item"])
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n_item") > _FREQ_SUPPORT * F.col("n_total"))
+        .select("col", "item", F.col("n_item").cast("bigint").alias("n_item"))
+        .orderBy("col", "item")
+    )
+
+
+_AQ_PS = [0.25, 0.5, 0.75]
+_AQ_ERR = 0.01
+# Finite-value gate shared by both sides: the adversarial fixture feeds
+# ±1e300/Inf/NaN event values, and rank arithmetic over non-finite
+# values is not a defined quantile contract in either engine.
+_AQ_FILTER = (
+    "value IS NOT NULL AND NOT isnan(value) "
+    "AND value BETWEEN -1e300 AND 1e300"
+)
+
+_AQ_ORACLE = f"""
+SELECT CAST(p AS DOUBLE) AS p, CAST(n AS BIGINT) AS n_vals, TRUE AS rank_ok
+FROM (SELECT count(*) AS n FROM events WHERE {_AQ_FILTER}) t,
+     (VALUES (0.25), (0.5), (0.75)) AS v(p)
+WHERE n > 0
+ORDER BY p
+"""
+
+
+@register(
+    "agg_approx_quantile",
+    oracle=_AQ_ORACLE,
+    doc="df.stat.approxQuantile('value', [.25,.5,.75], 0.01): the "
+    "Greenwald-Khanna sketch (bounded driver action: 3 floats), "
+    "verified by the KLL-key rank-bound pattern — each estimate's exact "
+    "rank interval [count(<est), count(<=est)]/n must intersect "
+    "[p−err−1/n, p+err+1/n], the documented GK guarantee. Scale: GK "
+    "keeps an O(1/err·log(err·n)) summary per partition and merges on "
+    "the driver — quantiles without a global sort.",
+    tags=("agg", "sketch", "scale"),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(_AQ_FILTER)
+        .select(F.col("value").cast("double").alias("v"))
+    )
+    qs = ev.stat.approxQuantile("v", _AQ_PS, _AQ_ERR)
+    if len(qs) < len(_AQ_PS):  # empty/all-null input: API returns []
+        return spark.createDataFrame(
+            [], "p double, n_vals bigint, rank_ok boolean"
+        )
+    est = spark.createDataFrame(
+        list(zip(_AQ_PS, qs)), "p double, est double"
+    )
+    ranked = (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.avg(
+                F.when(F.col("v") < F.col("est"), 1.0).otherwise(0.0)
+            ).alias("rank_lo"),
+            F.avg(
+                F.when(F.col("v") <= F.col("est"), 1.0).otherwise(0.0)
+            ).alias("rank_hi"),
+        )
+    )
+    tol = F.lit(_AQ_ERR) + 1.0 / F.col("n_vals")
+    return ranked.select(
+        "p",
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+        (
+            (F.col("rank_lo") <= F.col("p") + tol)
+            & (F.col("rank_hi") >= F.col("p") - tol)
+        ).alias("rank_ok"),
+    ).orderBy("p")
+
+
+_COV_SUMS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+  CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_disc_c,
+  CAST(sum(CAST(l_quantity AS BIGINT)
+    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_q_disc_c,
+  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+    AS BIGINT) AS sum_qq,
+  CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_dd
+FROM lineitem
+"""
+
+_COV_ORACLE = f"""
+SELECT n_rows, sum_q, sum_disc_c, sum_q_disc_c, sum_qq, sum_dd,
+  TRUE AS cov_api_ok, TRUE AS corr_api_ok
+FROM ({_COV_SUMS}) s
+"""
+
+
+@register(
+    "agg_cov_corr",
+    oracle=_COV_ORACLE,
+    doc="df.stat.cov / df.stat.corr (quantity vs discount): the "
+    "streaming-co-moment API scalars (bounded driver actions) checked "
+    "at 1e-6 relative against the closed-form derivation from exact "
+    "BIGINT component sums (discount in cents: magnitudes safe in int64 "
+    "beyond sf100), which are the hashed payload. Vacuous-TRUE on n<2 "
+    "or zero variance (both engines yield NaN there). Scale: one "
+    "map-side-combine agg — six int64 cells cross the shuffle.",
+    tags=("agg", "stats"),
+)
+def agg_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    sums = spark.sql(_COV_SUMS).first()
+    n = sums["n_rows"]
+    api_cov = li.stat.cov("l_quantity", "l_discount")
+    api_corr = li.stat.corr("l_quantity", "l_discount")
+
+    def _close(a: float, b: float) -> bool:
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return abs(a - b) <= 1e-6 * max(1.0, abs(a), abs(b))
+
+    if n < 2:
+        cov_ok = corr_ok = True  # covar_samp/corr undefined — vacuous
+    else:
+        sq, sd = sums["sum_q"], sums["sum_disc_c"]
+        sqd, sqq, sdd = sums["sum_q_disc_c"], sums["sum_qq"], sums["sum_dd"]
+        # discount-cents → discount: divide one factor by 100
+        exp_cov = (sqd - sq * sd / n) / 100.0 / (n - 1)
+        var_q = n * sqq - sq * sq
+        var_d = n * sdd - sd * sd
+        exp_corr = (
+            float("nan")
+            if var_q == 0 or var_d == 0
+            else (n * sqd - sq * sd) / math.sqrt(var_q) / math.sqrt(var_d)
+        )
+        cov_ok = _close(api_cov, exp_cov)
+        corr_ok = _close(api_corr, exp_corr)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                sums["sum_q"],
+                sums["sum_disc_c"],
+                sums["sum_q_disc_c"],
+                sums["sum_qq"],
+                sums["sum_dd"],
+                cov_ok,
+                corr_ok,
+            )
+        ],
+        "n_rows bigint, sum_q bigint, sum_disc_c bigint, "
+        "sum_q_disc_c bigint, sum_qq bigint, sum_dd bigint, "
+        "cov_api_ok boolean, corr_api_ok boolean",
+    )
+
+
+_SAMPLEBY_FRACS = {"A": 0.1, "N": 0.3, "R": 0.0}
+
+_SAMPLEBY_ORACLE = """
+SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(CASE l_returnflag WHEN 'A' THEN 0.1 WHEN 'N' THEN 0.3
+       ELSE 0.0 END AS DOUBLE) AS frac,
+  TRUE AS within_6sigma
+FROM lineitem
+WHERE l_returnflag IN ('A', 'N', 'R')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_sample_by",
+    oracle=_SAMPLEBY_ORACLE,
+    doc="df.stat.sampleBy('l_returnflag', {A:0.1, N:0.3, R:0.0}, seed=7): "
+    "per-stratum Bernoulli sampling, verified by exact per-stratum "
+    "totals (the hashed payload) plus a 6σ binomial bound on each "
+    "sampled count — layout-robust despite the fixed seed — with the "
+    "zero-fraction stratum pinned to exactly 0 sampled rows. Scale: "
+    "sampleBy is one stateless map-side filter, no shuffle; the "
+    "verification aggs shuffle only the 3-key stratum domain.",
+    tags=("agg", "sampling"),
+)
+def agg_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag").where(
+        F.col("l_returnflag").isin(list(_SAMPLEBY_FRACS))
+    )
+    sampled = li.stat.sampleBy("l_returnflag", _SAMPLEBY_FRACS, seed=7)
+    n_samp = sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_samp")
+    )
+    tot = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_total"))
+    frac_df = spark.createDataFrame(
+        list(_SAMPLEBY_FRACS.items()), "l_returnflag string, frac double"
+    )
+    bound = 6.0 * F.sqrt(
+        F.col("n_total") * F.col("frac") * (1.0 - F.col("frac"))
+    )
+    return (
+        tot.join(F.broadcast(frac_df), "l_returnflag")
+        .join(n_samp, "l_returnflag", "left")
+        .na.fill({"n_samp": 0})
+        .select(
+            "l_returnflag",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            "frac",
+            (
+                F.abs(F.col("n_samp") - F.col("frac") * F.col("n_total"))
+                <= bound
+            ).alias("within_6sigma"),
+        )
+        .orderBy("l_returnflag")
+    )
