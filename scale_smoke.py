@@ -371,32 +371,36 @@ def build_skewed(spark) -> str:
     return scratch
 
 
+def _resolve_keys(default: list[str], ladder: str) -> list[str]:
+    """Resolve the SPARK_GRAFT_SCALE_KEYS override. A typo must be loud,
+    not a silently-shrunk ladder that still reports success (ADVICE
+    r10); keys outside the ladder's default set run but are announced —
+    they may not carry the ladder's established semantics."""
+    subset = os.environ.get("SPARK_GRAFT_SCALE_KEYS")
+    if not subset:
+        return default
+    requested = [k for k in subset.split(",") if k]
+    unknown = [k for k in requested if k not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALE_KEYS contains unregistered keys: {unknown}"
+        )
+    extra = [k for k in requested if k not in default]
+    if extra:
+        print(
+            f"note: {len(extra)} requested keys are outside {ladder}'s "
+            f"default set: {extra}",
+            file=sys.stderr,
+        )
+    print(f"{ladder} keys: {requested}", file=sys.stderr)
+    return requested
+
+
 def skew_ladder(spark) -> dict:
     uniform = build_scaled(spark)
     skewed = build_skewed(spark)
     report = {}
-    subset = os.environ.get("SPARK_GRAFT_SCALE_KEYS")
-    if subset:
-        requested = [k for k in subset.split(",") if k]
-        unknown = [k for k in requested if k not in REGISTRY]
-        if unknown:
-            # A typo must be loud, not a silently-shrunk ladder that
-            # still reports success (ADVICE r10).
-            raise SystemExit(
-                f"SPARK_GRAFT_SCALE_KEYS contains unregistered keys: "
-                f"{unknown}"
-            )
-        keys = requested
-        extra = [k for k in keys if k not in _SKEW_KEYS]
-        if extra:
-            print(
-                f"note: {len(extra)} requested keys are outside _SKEW_KEYS "
-                f"(no established skew semantics): {extra}",
-                file=sys.stderr,
-            )
-    else:
-        keys = _SKEW_KEYS
-    print(f"skew_ladder keys: {keys}", file=sys.stderr)
+    keys = _resolve_keys(_SKEW_KEYS, "skew_ladder")
     for key in keys:
         for sf_dir in (uniform, skewed):  # warm both paths
             run_once(spark, key, sf_dir)
@@ -476,6 +480,102 @@ def mm_ladder(spark) -> dict:
     return report
 
 
+_STREAM_LADDER_KEYS = ["stream_watermark_late", "stream_pipeline_e2e"]
+
+
+def streaming_ladder(spark) -> dict:
+    """VERDICT r10 item 6: drive the REAL streaming topologies (not the
+    batch twins) at FACTOR× events and record throughput and state size.
+
+    - Both keys run their registered builders against the scaled events
+      (chunked file source → watermarked stateful query →
+      processAllAvailable), timed on the SECOND run so the one-time
+      chunk-source build is excluded; rows/s = source events / wall.
+    - State evidence: an instrumented run of the watermark-late topology
+      captures the final progress's stateOperators (rows in the store,
+      memory used) — the tumbling-window state is bounded by the TIME
+      SPAN × event-type domain, not by row count, so it must stay flat
+      at any FACTOR, while the session-window pipeline's state scales
+      with the user population (disjoint per replica). The pipeline
+      key's on-disk checkpoint (its pid-keyed run dir) sizes the
+      RocksDB/HDFS state files a deployment would provision for.
+    """
+    from week3_2_practice_big_data__spark.streaming import streams as st
+
+    scaled = build_scaled(spark)
+    report = {}
+    for key in _resolve_keys(_STREAM_LADDER_KEYS, "streaming_ladder"):
+        report[key] = {}
+        for tag, sf_dir in (("base", BASE_SF), (f"x{FACTOR}", scaled)):
+            n_events = load_table(spark, sf_dir, "events").count()
+            run_once(spark, key, sf_dir)  # build chunk source + warm
+            wall = run_once(spark, key, sf_dir)
+            report[key][tag] = {
+                "events": n_events,
+                "wall_s": round(wall, 2),
+                "events_per_s": int(n_events / wall),
+            }
+            if key == "stream_pipeline_e2e":
+                run_dir = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    ".tmp",
+                    f"spe2e_run_{os.path.basename(sf_dir.rstrip('/'))}"
+                    f"_{os.getpid()}",
+                )
+                state_dir = os.path.join(run_dir, "ckpt", "state")
+                size = 0
+                for root, _dirs, files in os.walk(state_dir):
+                    size += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+                report[key][tag]["ckpt_state_bytes"] = size
+        b = report[key]["base"]
+        x = report[key][f"x{FACTOR}"]
+        report[key]["wall_ratio"] = round(x["wall_s"] / b["wall_s"], 2)
+        report[key]["throughput_ratio"] = round(
+            x["events_per_s"] / b["events_per_s"], 2
+        )
+    # Instrumented wm topology: hold the query handle to read the final
+    # state-operator metrics at both scales.
+    for tag, sf_dir in (("base", BASE_SF), (f"x{FACTOR}", scaled)):
+        ev = load_table(spark, sf_dir, "events")
+        src = st._chunked_source(spark, sf_dir, "wm", dup_first=0)
+        name = f"w32bd_ladder_wm_{tag}"
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        with st._stream_shuffle(spark):
+            query = (
+                stream.withWatermark("ts", st._WATERMARK)
+                .groupBy(F.window("ts", "600 seconds"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+                ops = (query.lastProgress or {}).get("stateOperators", [])
+                report.setdefault("wm_state_metrics", {})[tag] = [
+                    {
+                        "operator": op.get("operatorName"),
+                        "state_rows": op.get("numRowsTotal"),
+                        "state_mem_bytes": op.get("memoryUsedBytes"),
+                    }
+                    for op in ops
+                ]
+            finally:
+                query.stop()
+    return report
+
+
 def main() -> None:
     spark = get_spark("w32bd-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -497,6 +597,18 @@ def main() -> None:
             )
         )
         return
+    if os.environ.get("SPARK_GRAFT_SCALE_STREAMING"):
+        report = streaming_ladder(spark)
+        print(
+            json.dumps(
+                {
+                    "metric": f"streaming_scale{FACTOR}",
+                    "factor": FACTOR,
+                    "queries": report,
+                }
+            )
+        )
+        return
     if os.environ.get("SPARK_GRAFT_SCALE_MM"):
         report = mm_ladder(spark)
         print(
@@ -513,8 +625,7 @@ def main() -> None:
     scaled = build_scaled(spark)
     # Optional subset (comma-separated keys): the 100× ladder runs in
     # chunks to fit session timeouts.
-    subset = os.environ.get("SPARK_GRAFT_SCALE_KEYS")
-    keys = [k for k in subset.split(",") if k in REGISTRY] if subset else KEYS
+    keys = _resolve_keys(KEYS, "scale_ladder")
     report = {}
     for key in keys:
         for sf_dir in (BASE_SF, scaled):  # warm both paths

@@ -228,6 +228,15 @@ ORDER BY depth
 )
 def qry_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("part",))
+    # The walk materializes ~n·log2(max key) rows in total, which is the
+    # genuine work of the query — Spark's default 1M-row recursion safety
+    # valve trips at sf1 (200k parts × ~18 levels ≈ 3.6M rows; found by
+    # the r11 sf1 bench). The limit is semantics-neutral by construction
+    # (it only ABORTS queries, never changes rows), and it is checked at
+    # EXECUTION time, so a parse-scoped restore would not cover the
+    # driver's later collect — size it session-wide to the engine's
+    # bench envelope (sf100: 20M parts × ~25 levels ≈ 5e8).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     return spark.sql(_recursive_sql("spark"))
 
 
