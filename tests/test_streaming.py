@@ -689,3 +689,23 @@ def test_scoped_conf_rolls_back_on_partial_failure(spark):
     with _scoped_conf(spark, {probe: "scoped"}):
         assert spark.conf.get(probe) == "scoped"
     assert spark.conf.get(probe, None) is None
+
+
+def test_pid_run_dir_reaps_dead_siblings(tmp_path, monkeypatch):
+    """_pid_run_dir (r11): scratch dirs left by dead pids of the same
+    (prefix, sf) tag are reaped; the caller's own dir name is returned;
+    unrelated prefixes and non-pid suffixes are left alone."""
+    import os
+
+    from week3_2_practice_big_data__spark.streaming import streams as st
+
+    monkeypatch.setattr(st, "_REPO_TMP", str(tmp_path))
+    dead_pid = 2**22 + 1  # beyond pid_max defaults — never a live process
+    (tmp_path / f"x_run_sf9_{dead_pid}").mkdir()
+    (tmp_path / "x_run_sf9_notapid").mkdir()
+    (tmp_path / f"other_run_sf9_{dead_pid}").mkdir()
+    mine = st._pid_run_dir("x_run", "/data/sf9")
+    assert mine == str(tmp_path / f"x_run_sf9_{os.getpid()}")
+    assert not (tmp_path / f"x_run_sf9_{dead_pid}").exists()  # reaped
+    assert (tmp_path / "x_run_sf9_notapid").exists()  # suffix not a pid
+    assert (tmp_path / f"other_run_sf9_{dead_pid}").exists()  # other prefix

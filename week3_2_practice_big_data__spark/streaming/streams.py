@@ -155,6 +155,34 @@ FROM VALUES ('click'), ('view') AS t(event_type)
     return build_once(out, build, stamp=stamp)
 
 
+def _pid_run_dir(prefix: str, sf_dir: str) -> str:
+    """Per-(prefix, sf, pid) scratch for two-life checkpoint keys, with
+    stale-sibling reaping: dirs left by DEAD pids of the same
+    (prefix, sf) are removed before this run creates its own — pid
+    suffixes keep concurrent invocations apart (ADVICE r9) but used to
+    accumulate ~100 MB/round of dead checkpoints in .tmp (r11). Live
+    pids' dirs are never touched (os.kill(pid, 0) probe)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    mine = os.path.join(_REPO_TMP, f"{prefix}_{tag}_{os.getpid()}")
+    want = f"{prefix}_{tag}_"
+    try:
+        for d in os.listdir(_REPO_TMP):
+            if not d.startswith(want):
+                continue
+            pid_s = d[len(want):]
+            if not pid_s.isdigit() or int(pid_s) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_s), 0)  # raises if the owner is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(_REPO_TMP, d), ignore_errors=True)
+            except PermissionError:
+                pass  # live process owned elsewhere — leave it
+    except OSError:
+        pass
+    return mine
+
+
 def _run_stream(spark: SparkSession, src_dir: str, schema, transform, name: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
@@ -1594,10 +1622,7 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pid-suffixed scratch (ADVICE r9): the two-life run mutates this
     # directory across lives, so concurrent invocations on one sf_dir
     # (pytest-xdist + the driver) must not share — and rmtree — one path.
-    base = os.path.join(
-        _REPO_TMP,
-        f"ckres_run_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
-    )
+    base = _pid_run_dir("ckres_run", sf_dir)
     stage = os.path.join(base, "stage")
     sink, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
@@ -1822,10 +1847,7 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     src = _chunked_source(spark, sf_dir, "spe2e", dup_first=100, sentinels=2)
-    base = os.path.join(
-        _REPO_TMP,
-        f"spe2e_run_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
-    )
+    base = _pid_run_dir("spe2e_run", sf_dir)
     stage = os.path.join(base, "stage")
     sink, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
