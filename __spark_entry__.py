@@ -290,6 +290,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     "agg_approx_quantile",
     "agg_cov_corr",
     "agg_sample_by",
+    # NEW r11 (second batch): the native Datasketches theta set algebra
+    # (theta_sketch_agg/union/intersection/difference/estimate) — exact
+    # counts hashed, estimates held to the union-relative theta envelope
+    "agg_sketch_theta_ops",
     # ADVICE r10: the TIME preview flag is now SCOPED to the builder's
     # parse (flag gates analysis only — probed and pytest-pinned); the
     # session the driver hands us stays clean afterwards

@@ -207,6 +207,8 @@ HEADLINE = [
     "agg_approx_quantile",
     "agg_cov_corr",
     "agg_sample_by",
+    # round-11 second batch: the native Datasketches theta set algebra.
+    "agg_sketch_theta_ops",
 ]
 
 

@@ -1398,3 +1398,95 @@ def agg_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_sketch_theta_ops — the NATIVE Datasketches theta surface (Spark 4.1:
+# theta_sketch_agg / theta_union / theta_intersection / theta_difference /
+# theta_sketch_estimate), the built-in sibling of the hand-rolled KMV key
+# (agg_sketch_kmv_intersect). Two customer sets (urgent-priority orderers
+# vs finished-status orderers) are sketched once each, then all three set
+# algebra results are estimated FROM THE SKETCHES. Verification follows
+# the KLL rank-bound pattern: the exact distinct counts are the hashed
+# payload (DuckDB derives them independently), and each estimate must sit
+# within the theta error envelope — relative to the UNION size for the
+# derived set ops, since intersection/difference error is bounded by the
+# union's theta, not their own magnitude (Datasketches' documented
+# behavior). At lgK=12 the sketches are in exact mode below 4096 entries
+# (estimates equal exact counts through sf0.1); the bound is what makes
+# the key scale-stable into estimation mode at sf1+. Scale: each sketch
+# is one map-side-combine agg; 4 KB crosses the shuffle per sketch
+# regardless of input size — the distinct-set-algebra path at 100 TB.
+# ---------------------------------------------------------------------------
+
+_THETA_EXACT = """
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+SELECT
+  CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+  CAST((SELECT count(*) FROM
+        (SELECT k FROM a UNION SELECT k FROM b) u) AS BIGINT) AS n_union,
+  CAST((SELECT count(*) FROM
+        (SELECT k FROM a INTERSECT SELECT k FROM b) i) AS BIGINT)
+    AS n_inter,
+  CAST((SELECT count(*) FROM
+        (SELECT k FROM a EXCEPT SELECT k FROM b) d) AS BIGINT) AS n_diff
+"""
+
+_THETA_ORACLE = f"""
+SELECT n_a, n_b, n_union, n_inter, n_diff,
+  TRUE AS est_a_ok, TRUE AS est_b_ok, TRUE AS est_union_ok,
+  TRUE AS est_inter_ok, TRUE AS est_diff_ok
+FROM ({_THETA_EXACT}) x
+"""
+
+_THETA_SPARK = f"""
+WITH ska AS (SELECT theta_sketch_agg(o_custkey) AS sk FROM orders
+             WHERE o_orderpriority = '1-URGENT'),
+skb AS (SELECT theta_sketch_agg(o_custkey) AS sk FROM orders
+        WHERE o_orderstatus = 'F'),
+est AS (
+  SELECT
+    coalesce(CAST(theta_sketch_estimate(ska.sk) AS BIGINT), 0) AS est_a,
+    coalesce(CAST(theta_sketch_estimate(skb.sk) AS BIGINT), 0) AS est_b,
+    coalesce(CAST(theta_sketch_estimate(theta_union(ska.sk, skb.sk))
+      AS BIGINT), 0) AS est_u,
+    coalesce(CAST(theta_sketch_estimate(theta_intersection(ska.sk, skb.sk))
+      AS BIGINT), 0) AS est_i,
+    coalesce(CAST(theta_sketch_estimate(theta_difference(ska.sk, skb.sk))
+      AS BIGINT), 0) AS est_d
+  FROM ska CROSS JOIN skb
+),
+exact AS ({_THETA_EXACT})
+SELECT exact.n_a, exact.n_b, exact.n_union, exact.n_inter, exact.n_diff,
+  abs(est.est_a - exact.n_a) <= greatest(2, CAST(0.05 * exact.n_a AS BIGINT))
+    AS est_a_ok,
+  abs(est.est_b - exact.n_b) <= greatest(2, CAST(0.05 * exact.n_b AS BIGINT))
+    AS est_b_ok,
+  abs(est.est_u - exact.n_union)
+    <= greatest(2, CAST(0.05 * exact.n_union AS BIGINT)) AS est_union_ok,
+  abs(est.est_i - exact.n_inter)
+    <= greatest(2, CAST(0.05 * exact.n_union AS BIGINT)) AS est_inter_ok,
+  abs(est.est_d - exact.n_diff)
+    <= greatest(2, CAST(0.05 * exact.n_union AS BIGINT)) AS est_diff_ok
+FROM est CROSS JOIN exact
+"""
+
+
+@register(
+    "agg_sketch_theta_ops",
+    oracle=_THETA_ORACLE,
+    doc="Native Datasketches theta set algebra (Spark 4.1): two customer "
+    "sets sketched via theta_sketch_agg, union/intersection/difference "
+    "estimated from the SKETCHES (theta_union/theta_intersection/"
+    "theta_difference + theta_sketch_estimate), hash-pinned on the exact "
+    "distinct counts with estimates held to the theta error envelope "
+    "(union-relative for the derived ops). One map-side-combine agg per "
+    "sketch — constant bytes cross the shuffle at any input size.",
+    tags=("agg", "scale", "sketch"),
+)
+def agg_sketch_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_THETA_SPARK)
