@@ -294,6 +294,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # (theta_sketch_agg/union/intersection/difference/estimate) — exact
     # counts hashed, estimates held to the union-relative theta envelope
     "agg_sketch_theta_ops",
+    # NEW r11 (second batch): ANSI regression aggregates
+    # (regr_slope/intercept/r2/count) — exact component sums hashed,
+    # native co-moment values checked in-plan at 1e-6
+    "agg_regr_native",
     # ADVICE r10: the TIME preview flag is now SCOPED to the builder's
     # parse (flag gates analysis only — probed and pytest-pinned); the
     # session the driver hands us stays clean afterwards

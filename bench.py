@@ -207,8 +207,10 @@ HEADLINE = [
     "agg_approx_quantile",
     "agg_cov_corr",
     "agg_sample_by",
-    # round-11 second batch: the native Datasketches theta set algebra.
+    # round-11 second batch: the native Datasketches theta set algebra
+    # and the ANSI regression aggregate family.
     "agg_sketch_theta_ops",
+    "agg_regr_native",
 ]
 
 

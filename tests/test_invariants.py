@@ -425,6 +425,10 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # r11 native theta: NULL sketches on empty orders (coalesce-0
         # estimates vs zero exact counts), singleton sets at n=1
         "agg_sketch_theta_ops",
+        # r11 ANSI regression aggregates: empty relation (no groups) and
+        # the n=1 group where regr_slope is NULL in both engines and the
+        # vacuous-TRUE branch must engage
+        "agg_regr_native",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -682,6 +686,9 @@ def test_adversarial_input_parity(spark):
         # r11 native theta over the weird 20-row orders slice (tiny sets
         # in exact mode; the greatest(2, …) floor absorbs ±1 edges)
         "agg_sketch_theta_ops",
+        # r11 regression aggregates over the weird 20-row lineitem slice
+        # (possible zero-variance groups → vacuous branch)
+        "agg_regr_native",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -1305,3 +1312,26 @@ def test_cov_corr_api_agrees_with_closed_form(spark):
     assert row["cov_api_ok"] is True
     assert row["corr_api_ok"] is True
     assert row["n_rows"] > 0
+
+
+def test_r11_stat_keys_plan_shapes(spark):
+    """r11 plan pins: sampleBy lowers to a stateless Filter over the scan
+    (no shuffle, no sample exchange); the freqItems verification joins
+    broadcast the bounded candidate/total sides (no shuffled join); the
+    theta sketch plan carries no join at all on its sketch legs."""
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.io import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_returnflag")
+    s = li.stat.sampleBy("l_returnflag", {"A": 0.1, "N": 0.3}, seed=7)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side filter, nothing moves
+
+    fi = REGISTRY["agg_freq_items"].builder(spark, SF_SMALL)
+    plan = fi._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    th = REGISTRY["agg_sketch_theta_ops"].builder(spark, SF_SMALL)
+    plan = th._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -1490,3 +1490,92 @@ FROM est CROSS JOIN exact
 def agg_sketch_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_THETA_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# agg_regr_native — the ANSI linear-regression aggregate family (Spark 4:
+# regr_slope / regr_intercept / regr_r2 / regr_count), per l_returnflag,
+# price regressed on quantity. Native co-moment streams are float-order-
+# dependent, so the cross-engine contract is the cov/corr pattern: exact
+# BIGINT component sums (price in cents) are the hashed payload, and each
+# native aggregate is compared IN-PLAN against the closed-form derivation
+# at 1e-6 relative (vacuous-TRUE on n<2 or zero x-variance, where both
+# engines yield NULL). sum(y²) needs DECIMAL(38,0) (cents² × 6M rows
+# exceeds int64 by sf1) but feeds only the r2 boolean, never the hash.
+# Scale: one map-side-combine hash agg, 3 groups — nothing else moves.
+# ---------------------------------------------------------------------------
+
+_REGR_EXACT_COLS = """
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_p_cents,
+  CAST(sum(CAST(l_quantity AS BIGINT)
+    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_qp_cents,
+  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+    AS BIGINT) AS sum_qq
+"""
+
+_REGR_ORACLE = f"""
+SELECT l_returnflag, {_REGR_EXACT_COLS},
+  TRUE AS slope_ok, TRUE AS intercept_ok, TRUE AS r2_ok, TRUE AS count_ok
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# Derived values: x = quantity, y = price dollars = cents/100. The exact
+# integer sums scale out of the cents unit at the comparison boundary.
+_REGR_SPARK = f"""
+WITH g AS (
+  SELECT l_returnflag, {_REGR_EXACT_COLS},
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0))
+      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      AS sum_pp_cents2,
+    regr_count(l_extendedprice, l_quantity) AS api_n,
+    regr_slope(l_extendedprice, l_quantity) AS api_slope,
+    regr_intercept(l_extendedprice, l_quantity) AS api_intercept,
+    regr_r2(l_extendedprice, l_quantity) AS api_r2
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT *,
+    CAST(n_rows * sum_qq - sum_q * sum_q AS DOUBLE) AS var_x,
+    (n_rows * CAST(sum_qp_cents AS DOUBLE)
+      - CAST(sum_q AS DOUBLE) * CAST(sum_p_cents AS DOUBLE)) / 100e0
+      AS cov_xy_n,
+    n_rows * sum_pp_cents2 / 10000e0
+      - (CAST(sum_p_cents AS DOUBLE) / 100e0)
+      * (CAST(sum_p_cents AS DOUBLE) / 100e0) AS var_y
+  FROM g
+)
+SELECT l_returnflag, n_rows, sum_q, sum_p_cents, sum_qp_cents, sum_qq,
+  CASE WHEN n_rows < 2 OR var_x = 0e0 THEN TRUE
+    ELSE abs(api_slope - cov_xy_n / var_x)
+      <= 1e-6 * greatest(1e0, abs(api_slope)) END AS slope_ok,
+  CASE WHEN n_rows < 2 OR var_x = 0e0 THEN TRUE
+    ELSE abs(api_intercept - (CAST(sum_p_cents AS DOUBLE) / 100e0
+        - (cov_xy_n / var_x) * sum_q) / n_rows)
+      <= 1e-6 * greatest(1e0, abs(api_intercept)) END AS intercept_ok,
+  CASE WHEN n_rows < 2 OR var_x = 0e0 OR var_y <= 0e0 THEN TRUE
+    ELSE abs(api_r2 - cov_xy_n * cov_xy_n / (var_x * var_y))
+      <= 1e-6 * greatest(1e0, abs(api_r2)) END AS r2_ok,
+  api_n = n_rows AS count_ok
+FROM d ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_regr_native",
+    oracle=_REGR_ORACLE,
+    doc="ANSI regression aggregates (regr_slope/intercept/r2/count), "
+    "price on quantity per returnflag: native co-moment values checked "
+    "in-plan at 1e-6 relative against the closed form from exact BIGINT "
+    "component sums (the hashed payload), vacuous on n<2 / zero "
+    "variance. One hash agg, 3 groups — the regression-on-a-fact-table "
+    "shape at any scale.",
+    tags=("agg", "stats"),
+)
+def agg_regr_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_REGR_SPARK)
