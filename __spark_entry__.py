@@ -298,6 +298,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # (regr_slope/intercept/r2/count) — exact component sums hashed,
     # native co-moment values checked in-plan at 1e-6
     "agg_regr_native",
+    # NEW r11 (second batch): native bitmap aggregates — EXACT distinct
+    # via bucketed bitmaps, hashed directly against count(DISTINCT)
+    "agg_bitmap_native",
     # ADVICE r10: the TIME preview flag is now SCOPED to the builder's
     # parse (flag gates analysis only — probed and pytest-pinned); the
     # session the driver hands us stays clean afterwards

@@ -211,6 +211,7 @@ HEADLINE = [
     # and the ANSI regression aggregate family.
     "agg_sketch_theta_ops",
     "agg_regr_native",
+    "agg_bitmap_native",
 ]
 
 

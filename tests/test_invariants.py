@@ -429,6 +429,8 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # the n=1 group where regr_slope is NULL in both engines and the
         # vacuous-TRUE branch must engage
         "agg_regr_native",
+        # r11 native bitmap: empty relation (no groups), singleton bitmap
+        "agg_bitmap_native",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -689,6 +691,8 @@ def test_adversarial_input_parity(spark):
         # r11 regression aggregates over the weird 20-row lineitem slice
         # (possible zero-variance groups → vacuous branch)
         "agg_regr_native",
+        # r11 native bitmap over the weird 20-row orders slice
+        "agg_bitmap_native",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -1579,3 +1579,47 @@ FROM d ORDER BY l_returnflag
 def agg_regr_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_REGR_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_native — the NATIVE bitmap aggregate surface (Spark 4:
+# bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+# bitmap_count), the built-in sibling of agg_bitmap_distinct's hand-rolled
+# 62-ids-per-word bit_or. EXACT distinct counting, so the result hashes
+# directly against DuckDB's count(DISTINCT) — no error envelope needed.
+# Scale: ids fold into one 4 KB bitmap per (group, 32k-id bucket) at the
+# map side; the shuffle carries bitmaps instead of every id — the exact-
+# distinct path when the sketch answer (HLL/theta) isn't acceptable.
+# ---------------------------------------------------------------------------
+
+_BITMAP_NATIVE_ORACLE = """
+SELECT o_orderpriority,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_BITMAP_NATIVE_SPARK = """
+SELECT o_orderpriority,
+  CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust
+FROM (
+  SELECT o_orderpriority, bitmap_bucket_number(o_custkey) AS bucket,
+         bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+  FROM orders GROUP BY o_orderpriority, bucket
+) g GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "agg_bitmap_native",
+    oracle=_BITMAP_NATIVE_ORACLE,
+    doc="Native bitmap aggregates (bitmap_bucket_number/bit_position/"
+    "construct_agg/count): exact per-priority distinct customers via "
+    "bucketed bitmaps, hash-pinned directly against count(DISTINCT) — "
+    "the built-in sibling of the hand-rolled word-packed key "
+    "(agg_bitmap_distinct). Map-side bitmap fold; the shuffle carries "
+    "one 4 KB bitmap per (group, 32k bucket) instead of every id.",
+    tags=("agg", "scale"),
+)
+def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BITMAP_NATIVE_SPARK)
