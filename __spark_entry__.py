@@ -301,6 +301,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r11 (second batch): native bitmap aggregates — EXACT distinct
     # via bucketed bitmaps, hashed directly against count(DISTINCT)
     "agg_bitmap_native",
+    # NEW r11 (second batch): the NGT streaming histogram
+    # (histogram_numeric) — mass/bounds/order/cap verified in-plan
+    "agg_histogram_numeric",
     # ADVICE r10: the TIME preview flag is now SCOPED to the builder's
     # parse (flag gates analysis only — probed and pytest-pinned); the
     # session the driver hands us stays clean afterwards

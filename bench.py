@@ -212,6 +212,7 @@ HEADLINE = [
     "agg_sketch_theta_ops",
     "agg_regr_native",
     "agg_bitmap_native",
+    "agg_histogram_numeric",
 ]
 
 

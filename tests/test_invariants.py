@@ -431,6 +431,9 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         "agg_regr_native",
         # r11 native bitmap: empty relation (no groups), singleton bitmap
         "agg_bitmap_native",
+        # r11 NGT histogram: empty (0-row output both sides) and the
+        # single-centroid n=1 case
+        "agg_histogram_numeric",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -693,6 +696,9 @@ def test_adversarial_input_parity(spark):
         "agg_regr_native",
         # r11 native bitmap over the weird 20-row orders slice
         "agg_bitmap_native",
+        # r11 NGT histogram: NaN/Inf/±1e300 through the finite gate; the
+        # 5 surviving finite values land in ≤5 centroids
+        "agg_histogram_numeric",
     ]
     for key in keys:
         q = REGISTRY[key]

@@ -1623,3 +1623,79 @@ FROM (
 def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_BITMAP_NATIVE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_numeric — the native NGT streaming histogram (Spark:
+# histogram_numeric(col, nb), the Ben-Haim/Tom-Tov sketch behind Hive's
+# adaptive histograms), the approximate sibling of the exact fixed-bin key
+# (agg_histogram). The sketch's contract, verified in-plan over the
+# exploded (x, y) centroids: mass conservation (Σy = n exactly — bin
+# merges ADD integer counts), centroid bounds (min ≤ x ≤ max), strict
+# centroid order, and the bin-count cap. Exact n/min/max (cents) are the
+# hashed payload; the same finite-value gate as approxQuantile keeps
+# NaN/Inf out on both sides. Scale: per-partition NGT summaries of nb
+# centroids merge associatively — constant state at any input size.
+# ---------------------------------------------------------------------------
+
+_HISTN_NB = 16
+
+# The quantile gate's ±1e300 window still admits values whose CENTS cast
+# overflows int64 (±1e300 · 100 = 1e302 — both engines raise); the
+# histogram key's hashed min/max are cents, so its gate caps magnitude at
+# 1e15 (cents ≤ 1e17, inside int64 at any later widening).
+_HISTN_FILTER = f"{_AQ_FILTER} AND abs(value) <= 1e15"
+
+_HISTN_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vals,
+  CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_c,
+  CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_c,
+  TRUE AS mass_ok, TRUE AS bounds_ok, TRUE AS sorted_ok, TRUE AS nbins_ok
+FROM events WHERE {_HISTN_FILTER}
+HAVING count(*) > 0
+"""
+
+_HISTN_SPARK = f"""
+WITH src AS (SELECT value FROM events WHERE {_HISTN_FILTER}),
+h AS (SELECT histogram_numeric(value, {_HISTN_NB}) AS hist FROM src),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vals,
+    CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_c,
+    CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_c
+  FROM src
+),
+flat AS (
+  SELECT b.x AS x, b.y AS y, pos
+  FROM h LATERAL VIEW posexplode(h.hist) t AS pos, b
+),
+checks AS (
+  SELECT sum(y) AS mass, count(*) AS nbins,
+    min(x) AS x_lo, max(x) AS x_hi,
+    sum(CASE WHEN nxt IS NOT NULL AND nxt <= x THEN 1 ELSE 0 END) AS inv
+  FROM (SELECT x, y, pos, lead(x) OVER (ORDER BY pos) AS nxt FROM flat) o
+)
+SELECT s.n_vals, s.min_c, s.max_c,
+  c.mass = CAST(s.n_vals AS DOUBLE) AS mass_ok,
+  c.x_lo >= s.min_c / 100e0 - 1e-9 AND c.x_hi <= s.max_c / 100e0 + 1e-9
+    AS bounds_ok,
+  c.inv = 0 AS sorted_ok,
+  c.nbins <= {_HISTN_NB} AND c.nbins > 0 AS nbins_ok
+FROM stats s CROSS JOIN checks c
+WHERE s.n_vals > 0
+"""
+
+
+@register(
+    "agg_histogram_numeric",
+    oracle=_HISTN_ORACLE,
+    doc="Native NGT streaming histogram (histogram_numeric, the "
+    "Ben-Haim/Tom-Tov sketch): centroids verified in-plan for mass "
+    "conservation (Σy = n exactly), [min,max] bounds, strict order and "
+    "the bin cap; exact n/min/max cents hashed. Per-partition constant-"
+    "size summaries merge associatively — the distribution-profile path "
+    "at any scale.",
+    tags=("agg", "sketch", "scale"),
+)
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_HISTN_SPARK)
