@@ -304,6 +304,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # NEW r11 (second batch): the NGT streaming histogram
     # (histogram_numeric) — mass/bounds/order/cap verified in-plan
     "agg_histogram_numeric",
+    # NEW r11 (third batch): randomSplit (exact partition checks + 6σ
+    # multinomial bounds) and df.summary() (8 statistics parsed back and
+    # verified against exact derivations)
+    "agg_random_split",
+    "agg_describe_summary",
     # ADVICE r10: the TIME preview flag is now SCOPED to the builder's
     # parse (flag gates analysis only — probed and pytest-pinned); the
     # session the driver hands us stays clean afterwards

@@ -213,6 +213,8 @@ HEADLINE = [
     "agg_regr_native",
     "agg_bitmap_native",
     "agg_histogram_numeric",
+    "agg_random_split",
+    "agg_describe_summary",
 ]
 
 

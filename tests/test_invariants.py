@@ -434,6 +434,10 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # r11 NGT histogram: empty (0-row output both sides) and the
         # single-centroid n=1 case
         "agg_histogram_numeric",
+        # r11 randomSplit (empty → three zero-count splits, n=1 → the
+        # row lands in exactly one split) and summary() (empty → 0-row
+        # output both sides; n=1 → sample-stddev-undefined branch)
+        "agg_random_split", "agg_describe_summary",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -699,6 +703,8 @@ def test_adversarial_input_parity(spark):
         # r11 NGT histogram: NaN/Inf/±1e300 through the finite gate; the
         # 5 surviving finite values land in ≤5 centroids
         "agg_histogram_numeric",
+        # r11 randomSplit/summary over the weird 20-row customer slice
+        "agg_random_split", "agg_describe_summary",
     ]
     for key in keys:
         q = REGISTRY[key]

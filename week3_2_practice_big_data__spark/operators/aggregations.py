@@ -1699,3 +1699,173 @@ WHERE s.n_vals > 0
 def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_HISTN_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# agg_random_split — df.randomSplit([0.7, 0.2, 0.1], seed): the train/val/
+# test partitioner every ML pipeline calls. Spark implements it as one
+# rand(seed) draw per row against cumulative weight boundaries (with a
+# per-partition sort for determinism), so the splits PARTITION the input:
+# completeness (Σ counts = n) and disjointness (distinct keys across
+# splits = n, custkey is unique) are EXACT checks, and each split size is
+# held to a 6σ multinomial bound like sampleBy. n_total is the hashed
+# payload. Scale: three stateless map-side filters over one scan — the
+# sort is per-partition, nothing shuffles.
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = [0.7, 0.2, 0.1]
+
+_SPLIT_ORACLE = """
+SELECT s.split_id,
+  CAST(s.w AS DOUBLE) AS weight,
+  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+  TRUE AS within_6sigma, TRUE AS complete_ok, TRUE AS disjoint_ok
+FROM (VALUES (0, 0.7), (1, 0.2), (2, 0.1)) AS s(split_id, w)
+ORDER BY s.split_id
+"""
+
+
+@register(
+    "agg_random_split",
+    oracle=_SPLIT_ORACLE,
+    doc="df.randomSplit([.7,.2,.1], seed=11) over customer: completeness "
+    "(split counts sum to n) and disjointness (distinct custkeys across "
+    "splits = n) checked EXACTLY — randomSplit partitions its input — "
+    "plus a 6σ multinomial bound per split size; n_total hashed. Three "
+    "map-side filters over one scan, per-partition sort, no shuffle.",
+    tags=("agg", "sampling"),
+)
+def agg_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    splits = cust.randomSplit(_SPLIT_WEIGHTS, seed=11)
+    n_total = cust.count()
+    counts = [s.count() for s in splits]
+    distinct_union = (
+        splits[0].unionAll(splits[1]).unionAll(splits[2]).distinct().count()
+    )
+    complete_ok = sum(counts) == n_total
+    disjoint_ok = distinct_union == n_total
+    wsum = sum(_SPLIT_WEIGHTS)
+    rows = []
+    for i, (w, c) in enumerate(zip(_SPLIT_WEIGHTS, counts)):
+        p = w / wsum
+        bound = 6.0 * math.sqrt(max(n_total, 1) * p * (1 - p))
+        rows.append(
+            (i, p * wsum, n_total, abs(c - p * n_total) <= bound,
+             complete_ok, disjoint_ok)
+        )
+    return spark.createDataFrame(
+        rows,
+        "split_id int, weight double, n_total bigint, "
+        "within_6sigma boolean, complete_ok boolean, disjoint_ok boolean",
+    ).orderBy("split_id")
+
+
+# ---------------------------------------------------------------------------
+# agg_describe_summary — df.summary(): the 8-statistic profile (count,
+# mean, stddev, min, 25/50/75%, max) every exploration starts with. The
+# API returns STRINGS, so the key parses them back and verifies each
+# against its exact relational derivation: count/min/max exactly, mean at
+# 1e-9 relative of the DECIMAL-exact mean, stddev at 1e-6 of the exact
+# power sums, and the three percentiles by the approxQuantile rank-bound
+# (summary uses approx_percentile at err=0.01). Exact n/min/max cents are
+# the hashed payload. Bounded driver action (8 strings) by API contract.
+# ---------------------------------------------------------------------------
+
+_DESCRIBE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS min_c,
+  CAST(max(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS max_c,
+  TRUE AS count_ok, TRUE AS min_ok, TRUE AS max_ok, TRUE AS mean_ok,
+  TRUE AS stddev_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+FROM customer
+HAVING count(*) > 0
+"""
+
+
+@register(
+    "agg_describe_summary",
+    oracle=_DESCRIBE_ORACLE,
+    doc="df.summary() over c_acctbal: the stringly 8-statistic profile "
+    "parsed back and verified — count/min/max exactly, mean vs the "
+    "DECIMAL-exact mean at 1e-9, stddev vs exact power sums at 1e-6, "
+    "and the 25/50/75 percentiles by their approx_percentile rank "
+    "bound (err 0.01 + 1/n floor). Exact n and cents extrema hashed. "
+    "Scale: summary is one pass of mergeable aggregates.",
+    tags=("agg", "stats"),
+)
+def agg_describe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    cust = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    stats = {
+        r["summary"]: r["c_acctbal"] for r in cust.summary().collect()
+    }
+    cust.createOrReplaceTempView("customer_bal")
+    ex = spark.sql(
+        """
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(min(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mn,
+  CAST(max(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mx,
+  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s1,
+  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS DECIMAL(38,0))
+    * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s2
+FROM customer_bal
+"""
+    ).first()
+    n = ex["n"]
+    if n == 0:  # summary() on empty: count='0', others NULL — oracle empty
+        return spark.createDataFrame(
+            [],
+            "n_rows bigint, min_c bigint, max_c bigint, count_ok boolean, "
+            "min_ok boolean, max_ok boolean, mean_ok boolean, "
+            "stddev_ok boolean, q25_ok boolean, q50_ok boolean, "
+            "q75_ok boolean",
+        )
+
+    def close(a: float, b: float, rel: float) -> bool:
+        return abs(a - b) <= rel * max(1.0, abs(a), abs(b))
+
+    count_ok = int(stats["count"]) == n
+    min_ok = close(float(stats["min"]), ex["mn"] / 100.0, 1e-12)
+    max_ok = close(float(stats["max"]), ex["mx"] / 100.0, 1e-12)
+    mean_ok = close(float(stats["mean"]), ex["s1"] / 100.0 / n, 1e-9)
+    if n < 2:
+        stddev_ok = stats["stddev"] in (None, "NaN")  # sample stddev undef
+    else:
+        var = (ex["s2"] - ex["s1"] * ex["s1"] / n) / 10000.0 / (n - 1)
+        stddev_ok = close(float(stats["stddev"]), math.sqrt(max(var, 0.0)), 1e-6)
+    # percentile rank bounds (summary uses approx_percentile, err 0.01)
+    qs = {p: float(stats[f"{p}%"]) for p in (25, 50, 75)}
+    est = spark.createDataFrame(
+        [(p / 100.0, v) for p, v in qs.items()], "p double, est double"
+    )
+    ranked = {
+        r["p"]: (r["lo"], r["hi"])
+        for r in cust.crossJoin(F.broadcast(est))
+        .groupBy("p")
+        .agg(
+            F.avg(F.when(F.col("c_acctbal") < F.col("est"), 1.0).otherwise(0.0)).alias("lo"),
+            F.avg(F.when(F.col("c_acctbal") <= F.col("est"), 1.0).otherwise(0.0)).alias("hi"),
+        )
+        .collect()
+    }
+    tol = 0.01 + 1.0 / n
+    q_ok = {
+        p: ranked[p / 100.0][0] <= p / 100.0 + tol
+        and ranked[p / 100.0][1] >= p / 100.0 - tol
+        for p in (25, 50, 75)
+    }
+    return spark.createDataFrame(
+        [
+            (n, ex["mn"], ex["mx"], count_ok, min_ok, max_ok, mean_ok,
+             stddev_ok, q_ok[25], q_ok[50], q_ok[75])
+        ],
+        "n_rows bigint, min_c bigint, max_c bigint, count_ok boolean, "
+        "min_ok boolean, max_ok boolean, mean_ok boolean, "
+        "stddev_ok boolean, q25_ok boolean, q50_ok boolean, q75_ok boolean",
+    )
