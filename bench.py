@@ -213,6 +213,8 @@ HEADLINE = [
     "agg_regr_native",
     "agg_bitmap_native",
     "agg_histogram_numeric",
+    # landed after the r11 closing bench (r9/r10 batch-6 precedent) —
+    # first medians seed r12.
     "agg_random_split",
     "agg_describe_summary",
 ]
