@@ -309,6 +309,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # verified against exact derivations)
     "agg_random_split",
     "agg_describe_summary",
+    # NEW r11 (third batch): df.offset() pagination —
+    # TakeOrderedAndProject plan, keyset equivalence pytest-pinned
+    "limit_offset_page",
     # ADVICE r10: the TIME preview flag is now SCOPED to the builder's
     # parse (flag gates analysis only — probed and pytest-pinned); the
     # session the driver hands us stays clean afterwards

@@ -217,6 +217,7 @@ HEADLINE = [
     # first medians seed r12.
     "agg_random_split",
     "agg_describe_summary",
+    "limit_offset_page",
 ]
 
 

@@ -438,6 +438,8 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         # row lands in exactly one split) and summary() (empty → 0-row
         # output both sides; n=1 → sample-stddev-undefined branch)
         "agg_random_split", "agg_describe_summary",
+        # r11 OFFSET pagination past the end of a tiny relation → empty
+        "limit_offset_page",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -705,6 +707,8 @@ def test_adversarial_input_parity(spark):
         "agg_histogram_numeric",
         # r11 randomSplit/summary over the weird 20-row customer slice
         "agg_random_split", "agg_describe_summary",
+        # r11 OFFSET 40 past the 20-row weird orders slice → empty page
+        "limit_offset_page",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -1351,3 +1355,44 @@ def test_r11_stat_keys_plan_shapes(spark):
     th = REGISTRY["agg_sketch_theta_ops"].builder(spark, SF_SMALL)
     plan = th._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_offset_page_equals_keyset_page(spark):
+    """limit_offset_page (r11): the OFFSET page must be row-identical to
+    the keyset-pagination derivation (WHERE (price, key) strictly after
+    the last row of page 2, same order, LIMIT n) — the deep-pagination
+    scale path the key's docstring prescribes."""
+    import pyspark.sql.functions as F
+
+    from week3_2_practice_big_data__spark import REGISTRY
+    from week3_2_practice_big_data__spark.io import load_table
+    from week3_2_practice_big_data__spark.operators.sorts import (
+        _PAGE_N,
+        _PAGE_OFFSET,
+    )
+
+    page = REGISTRY["limit_offset_page"].builder(spark, SF_SMALL).collect()
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    last = (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(_PAGE_OFFSET)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .first()
+    )
+    keyset = (
+        orders.where(
+            (F.col("o_totalprice") < last["o_totalprice"])
+            | (
+                (F.col("o_totalprice") == last["o_totalprice"])
+                & (F.col("o_orderkey") > last["o_orderkey"])
+            )
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(_PAGE_N)
+        .collect()
+    )
+    assert [tuple(r) for r in page] == [tuple(r) for r in keyset]

@@ -117,3 +117,52 @@ def limit_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# limit_offset_page — DataFrame pagination: df.offset(k).limit(n) after a
+# deterministic total order (totalprice DESC, orderkey ASC tiebreak) —
+# page 3 of the order book, rows 41–60. Exercises the df.offset() API
+# (Spark 3.4+) and the SQL LIMIT/OFFSET contract. Scale note: OFFSET is
+# the CORRECT tool only at shallow depth — Spark plans it as
+# TakeOrderedAndProject(limit = offset + n) (top-60 here, partial per
+# partition, no global sort), but the cost grows with depth; deep
+# pagination should switch to keyset predicates (WHERE (price, key) <
+# last_seen ORDER BY … LIMIT n), which pytest pins as row-identical to
+# this page.
+# ---------------------------------------------------------------------------
+
+_PAGE_N = 20
+_PAGE_OFFSET = 40
+
+_PAGE_ORACLE = f"""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {_PAGE_N} OFFSET {_PAGE_OFFSET}
+"""
+
+
+@register(
+    "limit_offset_page",
+    oracle=_PAGE_ORACLE,
+    doc="df.offset(40).limit(20) after a deterministic total order — "
+    "page 3 of the order book. Planned as TakeOrderedAndProject"
+    "(limit=60): per-partition top-60 + single merge, no global sort. "
+    "The keyset-pagination equivalence (the deep-page scale path) is "
+    "pytest-pinned.",
+    tags=("sort", "limit"),
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(_PAGE_OFFSET)
+        .limit(_PAGE_N)
+    )
