@@ -269,18 +269,29 @@ _R10_VERIFIED = frozenset({
     "udf_pandas_iter",
 })
 
+_R11_VERIFIED = frozenset({
+    "agg_approx_quantile", "agg_bitmap_native", "agg_cov_corr",
+    "agg_describe_summary", "agg_freq_items", "agg_histogram_numeric",
+    "agg_random_split", "agg_regr_native", "agg_sample_by",
+    "agg_sketch_theta_ops", "limit_offset_page",
+})
+
 _VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
-    | _R09_VERIFIED | _R10_VERIFIED
+    | _R09_VERIFIED | _R10_VERIFIED | _R11_VERIFIED
 )
 
 
-# Keys whose implementation changed in ROUND 10 (or new in r10): they
-# lead the window, highest behavior-change risk first.
-# Keys whose implementation changed in ROUND 11 (or new in r11): they
+# Keys whose implementation changed in ROUND 12 (or new in r12): they
 # lead the window, highest behavior-change risk first.
 _CHANGED_THIS_ROUND: list[str] = [
+]
+
+# Round-11 changed list, kept for the record (all hold green r11 rows;
+# CORRECTNESS_r11.json 50/50 green, judge r11 independently MATCHed all
+# 11 new keys).
+_R11_CHANGED: list[str] = [
     # NEW r11 (VERDICT r10 item 5 — the df.stat completion sweep):
     # freqItems (KPS candidates ∩ exact counts = the true frequent set),
     # approxQuantile (GK estimates, exact-rank-interval bound),
@@ -602,32 +613,16 @@ _R08_CHANGED: list[str] = [
     "stream_sink_parquet",
 ]
 
-# ROUND-11 REFRESH (VERDICT r10 item 2): the r02 block cleared in r10,
-# so this rotation leads with the full 33-key r03 cohort (the stalest
-# attestations — the r10 window re-attested only src_range_gen before
-# spilling), then the 35-key r04 cohort. With 7 changed keys leading,
-# the 50-key window covers all of r03 plus the head of r04; the spilled
-# r04 tail leads r12's refresh. Every key here is pytest-replayed and
-# sf0.01-swept this round regardless.
+# ROUND-12 REFRESH (VERDICT r11 item 3): the r03 cohort cleared in r11,
+# so this rotation leads with the full 32-key r04 cohort (the stalest
+# attestations — last green driver row 8 rounds ago) followed by the
+# full 25-key r05 cohort. With few changed keys leading, the 50-key
+# window covers all of r04 plus the head of r05; any spilled r05 tail
+# (and the 29-key r06 cohort) leads r13's refresh. Every key here is
+# pytest-replayed and sf0.01-swept this round regardless.
 _REFRESH_THIS_ROUND: list[str] = [
-    # r03 cohort (oldest-green; registration-ish order, sources first
-    # so the scan/readers re-attest early)
-    "src_sequence", "src_param_lookup",
-    "src_parquet_scan", "src_text_lines", "udf_rowwise_lambda",
-    "udtf_explode_gen", "stream_session_window", "ts_resample_fill",
-    "agg_histogram", "agg_corr_moments", "agg_anova_oneway",
-    "agg_bootstrap_poisson", "agg_chi2_independence", "agg_t_test",
-    "agg_sketch_kll_quantile", "agg_q14_promo_share",
-    "agg_q16_supplier_cnt", "agg_q18_large_orders",
-    "join_q4_order_priority", "join_q7_volume_shipping",
-    "join_q10_returned_item", "join_dpp_partitioned",
-    "qry_scalar_subquery", "qry_correlated_scalar",
-    "qry_exists_correlated", "qry_in_null_semantics",
-    "qry_lateral_topk", "qry_recursive_cte", "iter_bpe_merges",
-    "ns_pii_scrub", "ns_sample_reservoir", "win_conv2d_separable",
-    "gen_poster_shadow_blur",
-    # r04 cohort (next-oldest; sources/sinks first, then the ns/stat
-    # families, generative tail last)
+    # r04 cohort (oldest-green; sources/sinks first, then the agg/join/
+    # ml families, ns_* block, generative tail last)
     "src_csv_roundtrip", "src_json_roundtrip",
     "src_partition_prune_static", "src_table_stats",
     "sink_partitioned_write", "merge_scd2", "dq_constraint_check",
@@ -641,6 +636,17 @@ _REFRESH_THIS_ROUND: list[str] = [
     "ns_semdedup", "ns_sim_ann_ivf", "ns_sim_ann_lsh", "ns_sim_topk",
     "ns_text_fingerprint", "ns_text_quality",
     "gen_poster_aspect", "gen_poster_bg_colormap",
+    # r05 cohort (next-oldest; scalar-fn families first, then the
+    # iterative/graph block, windows tail)
+    "agg_conditional", "agg_string_listagg", "fn_array_ops",
+    "fn_map_ops", "fn_null_semantics", "fn_regex_extract",
+    "fn_string_similarity", "fn_try_arith", "fn_url_parse",
+    "fn_variant_json", "src_csv_malformed", "src_range_gen_numpy",
+    "iter_connected_components", "iter_gd_logreg", "iter_kcore",
+    "iter_kmeans_points", "iter_pagerank_tokens", "ns_dedup_substring",
+    "stream_foreachbatch", "win_distinct_rolling", "win_ewma_smooth",
+    "win_islands_blocked", "win_moving_zscore", "win_ntile_blocked",
+    "win_rolling_corr",
 ]
 
 # Round-7 changed list, kept for the record (all hold green r07 rows —
