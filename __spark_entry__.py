@@ -622,9 +622,10 @@ _R08_CHANGED: list[str] = [
 # pytest-replayed and sf0.01-swept this round regardless.
 _REFRESH_THIS_ROUND: list[str] = [
     # r04 cohort (oldest-green; sources/sinks first, then the agg/join/
-    # ml families, ns_* block, generative tail last)
-    "src_csv_roundtrip", "src_json_roundtrip",
-    "src_partition_prune_static", "src_table_stats",
+    # ml families, ns_* block, generative tail last; the three r04 keys
+    # the r11 window head already re-attested — src_csv_roundtrip,
+    # src_json_roundtrip, src_partition_prune_static — are NOT repeated)
+    "src_table_stats",
     "sink_partitioned_write", "merge_scd2", "dq_constraint_check",
     "agg_bitmap_distinct", "agg_entropy", "agg_gini_revenue",
     "agg_mad_robust", "agg_market_basket", "agg_ohlc_bars",

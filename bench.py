@@ -395,6 +395,16 @@ PREV_MEDIANS = {
 }
 
 
+# Standing sf1 baseline (VERDICT r11 item 2): the regression-JUDGING
+# scale moves to sf1, where the same keys are multi-second and the box's
+# ±30% sub-second ambient band stops dominating the medians. Seeded from
+# the r12 round-open quiet run (BENCH_full_sf1_r12open.json); rolled only
+# from a QUIET sf1 run per the same protocol as PREV_MEDIANS. The sf0.1
+# medians stay for the driver contract + headline total only.
+PREV_MEDIANS_SF1: dict[str, float] = {}
+BASELINE_SRC_SF1 = "unseeded — pending the r12 round-open quiet sf1 run"
+
+
 # Keys whose ratio vs the standing median reflects deliberate FUNCTIONAL
 # GROWTH, not a plan regression — carried in the output so a >1.3× entry
 # is read with its cause (VERDICT r2 §What's wrong).
@@ -464,6 +474,13 @@ def main() -> None:
             if k in PREV_MEDIANS and PREV_MEDIANS[k] > 0
         }
         regressions = sorted(k for k, r in vs_prev.items() if r > 2.0)
+    elif sf == 1.0 and PREV_MEDIANS_SF1:
+        vs_prev = {
+            k: round(per_query[k] / PREV_MEDIANS_SF1[k], 2)
+            for k in per_query
+            if k in PREV_MEDIANS_SF1 and PREV_MEDIANS_SF1[k] > 0
+        }
+        regressions = sorted(k for k, r in vs_prev.items() if r > 2.0)
     else:
         vs_prev = {}
         regressions = []
@@ -476,7 +493,7 @@ def main() -> None:
         "queries_min": per_query_min,
         "sf": sf,
         "prev_round": PREV_ROUND,
-        "baseline_src": BASELINE_SRC,
+        "baseline_src": BASELINE_SRC if sf != 1.0 else BASELINE_SRC_SF1,
         "vs_prev": vs_prev,
         "regressions": regressions,
         "growth_notes": {
@@ -488,7 +505,7 @@ def main() -> None:
     # which has twice truncated away medians/queries_min the next
     # round's standing baseline needed. Best-effort: benching from a
     # read-only checkout must not break the stdout contract.
-    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r11")
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r12")
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         full = os.path.join(repo, f"BENCH_full_{round_tag}.json")
