@@ -401,8 +401,148 @@ PREV_MEDIANS = {
 # the r12 round-open quiet run (BENCH_full_sf1_r12open.json); rolled only
 # from a QUIET sf1 run per the same protocol as PREV_MEDIANS. The sf0.1
 # medians stay for the driver contract + headline total only.
-PREV_MEDIANS_SF1: dict[str, float] = {}
-BASELINE_SRC_SF1 = "unseeded — pending the r12 round-open quiet sf1 run"
+PREV_MEDIANS_SF1: dict[str, float] = {
+    "agg_approx_quantile": 1.386,
+    "agg_bitmap_native": 0.7999,
+    "agg_cov_corr": 1.5172,
+    "agg_crosstab": 2.2179,
+    "agg_describe_summary": 1.8506,
+    "agg_freq_items": 1.0436,
+    "agg_groupby_multi": 1.9697,
+    "agg_grouping_sets_df": 1.464,
+    "agg_histogram_numeric": 0.6673,
+    "agg_q6_forecast_revenue": 0.5099,
+    "agg_random_split": 1.7864,
+    "agg_regr_native": 1.2832,
+    "agg_sample_by": 1.3273,
+    "agg_sketch_cms_heavy": 4.8259,
+    "agg_sketch_kmv_intersect": 1.4435,
+    "agg_sketch_theta_ops": 1.7602,
+    "dq_distribution_drift": 0.3862,
+    "dq_freshness": 0.7378,
+    "dq_observe_metrics": 3.1005,
+    "dq_rowcount_anomaly": 0.361,
+    "filt_pip_scanline": 1.3274,
+    "filt_point_in_polygon": 1.789,
+    "fn_collation": 0.7121,
+    "fn_crypto_aes": 1.8429,
+    "fn_interval_agg": 1.2385,
+    "fn_mask_redact": 0.4878,
+    "fn_sql_udf": 0.7007,
+    "fn_time_type": 0.6076,
+    "fn_udf_sql_register": 0.9648,
+    "fn_variant_type": 2.3842,
+    "fn_xml_funcs": 1.2015,
+    "gen_poster_aspect": 2.336,
+    "gen_poster_caption": 0.2432,
+    "gen_poster_full": 3.7861,
+    "gen_poster_shadow": 2.2933,
+    "graph_bipartite_jaccard": 12.9867,
+    "graph_clustering_coeff": 0.4829,
+    "graph_degree_distribution": 0.4689,
+    "graph_resource_alloc": 14.4229,
+    "iter_als_rank2": 3.6718,
+    "iter_bfs_sssp": 7.3496,
+    "iter_kmeans_embed": 3.5164,
+    "iter_pagerank_tokens": 2.3699,
+    "join_bucketed_colocated": 2.1276,
+    "join_inner_equi": 1.881,
+    "join_lateral_df": 1.2444,
+    "join_q3_shipping_priority": 1.6528,
+    "join_q5_region_volume": 2.3738,
+    "join_q7_volume_shipping": 2.0161,
+    "join_q8_market_share": 2.4339,
+    "join_q9_product_profit": 2.2982,
+    "join_range_theta": 1.1655,
+    "limit_offset_page": 0.4351,
+    "ml_decision_stump": 0.6419,
+    "ml_gbt_boost2": 2.5427,
+    "ml_knn_classify": 27.9808,
+    "ml_lift_gains": 1.2349,
+    "ns_ann_knn_join": 31.0523,
+    "ns_bpe_encode": 3.1959,
+    "ns_curriculum_order": 0.8953,
+    "ns_decontaminate_bloom": 1.4051,
+    "ns_dedup_cluster": 4.0416,
+    "ns_dedup_embed_cosine": 3.2905,
+    "ns_dedup_exact": 0.5744,
+    "ns_dedup_incremental_persist": 1.5661,
+    "ns_dedup_minhash": 1.4463,
+    "ns_dedup_ngram_jaccard": 2.2078,
+    "ns_dedup_simhash": 1.2952,
+    "ns_dedup_substring": 1.3605,
+    "ns_global_shuffle": 1.1449,
+    "ns_mm_pipeline_e2e": 1.9312,
+    "ns_pipeline_e2e": 1.0141,
+    "ns_sample_importance": 0.7957,
+    "ns_semdedup": 3.7801,
+    "ns_sim_ann_lsh": 0.5528,
+    "ns_sim_topk": 0.5622,
+    "ns_text_bm25": 3.1552,
+    "ns_text_perplexity": 1.0205,
+    "ns_text_tfidf": 2.3155,
+    "ns_topic_mixture": 3.1514,
+    "ns_vocab_coverage": 2.5881,
+    "proj_resample_bilinear": 0.5535,
+    "qry_dynamic_sql": 0.5196,
+    "qry_modern_sql_sugar": 0.6032,
+    "qry_parameterized_sql": 2.6604,
+    "qry_pipe_syntax": 1.8398,
+    "qry_recursive_cte": 6.028,
+    "qry_session_variables": 0.5345,
+    "qry_sql_scripting": 1.3058,
+    "reshape_transpose": 1.8561,
+    "set_union_byname_missing": 0.722,
+    "sink_python_datasource": 2.305,
+    "sink_python_datasource_arrow": 1.9951,
+    "sort_composite_order": 2.4155,
+    "sort_orderby": 1.0474,
+    "src_arrow_roundtrip": 0.4221,
+    "src_file_metadata": 1.1405,
+    "src_python_datasource": 1.1484,
+    "src_python_datasource_pushdown": 1.2756,
+    "src_python_datasource_stream": 8.1599,
+    "src_statestore_changefeed": 0.4167,
+    "src_statestore_read": 0.3572,
+    "src_xml_roundtrip": 0.5953,
+    "stream_chained_join_agg": 10.3531,
+    "stream_custom_state": 31.0634,
+    "stream_observe_metrics": 4.243,
+    "stream_pipeline_e2e": 11.4691,
+    "stream_python_datasource_sink": 7.0363,
+    "stream_python_datasource_sink_arrow": 6.5827,
+    "stream_query_listener": 3.5872,
+    "stream_rocksdb_state": 3.7319,
+    "stream_session_window": 1.6959,
+    "stream_session_window_native": 8.8722,
+    "stream_sink_foreach_rows": 4.8755,
+    "stream_tumbling_agg": 0.9421,
+    "stream_watermark_late": 3.4283,
+    "ts_autocorr": 0.4582,
+    "ts_cross_corr": 0.4738,
+    "ts_max_drawdown": 1.2244,
+    "ts_rollup_multires": 1.1082,
+    "udf_arrow_grouped": 7.947,
+    "udf_arrow_map": 8.7896,
+    "udf_pandas_iter": 1.0819,
+    "udtf_python_native": 4.6463,
+    "win_attribution": 1.2103,
+    "win_budget_allocation": 2.0522,
+    "win_conv1d_frame": 1.6834,
+    "win_conv2d_separable": 2.2489,
+    "win_event_pattern_cep": 2.1632,
+    "win_islands_blocked": 0.5112,
+    "win_markov_transitions": 1.2739,
+    "win_ntile_blocked": 2.1417,
+    "win_pareto_abc": 1.3096,
+    "win_survival_km": 0.945,
+}
+BASELINE_SRC_SF1 = (
+    "BENCH_full_sf1_r12open.json — r12 round-open, 3 passes, 134 keys, "
+    "24/134 keys over the 15% median/min spread bar (82% under; the "
+    "r11 close-day sf1 artifact had 48/131 over), median-geomean "
+    "1.029x vs BENCH_full_sf1_r11.json"
+)
 
 
 # Keys whose ratio vs the standing median reflects deliberate FUNCTIONAL
