@@ -576,6 +576,151 @@ def streaming_ladder(spark) -> dict:
     return report
 
 
+def rocksdb_ladder(spark) -> dict:
+    """VERDICT r11 item 5: size the composed pipeline's state story at
+    FACTOR× under the RocksDB state store provider.
+
+    The r11 streaming ladder measured stream_pipeline_e2e's on-disk
+    checkpoint state growing ~linearly with the user population (6.6 MB
+    base → 649 MB at 100× — expected for session+dedup state). The 100 TB
+    mitigation is the state BACKEND, not the topology: with the default
+    HDFS-backed provider every state row is an executor-heap object, so
+    provisioning tracks total state; with RocksDBStateStoreProvider the
+    full state lives in native RocksDB (memtable + SST files on local
+    disk) and only a bounded block-cache/memtable working set is
+    memory-resident, with changelog checkpointing shipping per-batch
+    deltas instead of full snapshots.
+
+    This ladder runs ONE life of the stream_pipeline_e2e topology
+    (watermark → dropDuplicatesWithinWatermark → observe → session_window
+    → parquet sink; the state-heaviest composition in the registry) over
+    base and FACTOR× events under BOTH providers and records, per run:
+      - wall seconds and events/s;
+      - per stateful operator (dedup + session agg), from the final
+        progress: numRowsTotal, memoryUsedBytes, and the RocksDB
+        customMetrics that split memory-resident from on-disk state
+        (rocksdbTotalMemoryUsage vs rocksdbSstFileSize / pinned-block
+        usage);
+      - the watermark-eviction curve: per-batch numRowsTotal across the
+        run (peak vs final — eviction bounds steady-state rows while
+        input volume grows 100×);
+      - on-disk checkpoint state bytes (walked from ckpt/state).
+    """
+    from week3_2_practice_big_data__spark.streaming import streams as st
+
+    scaled = build_scaled(spark)
+    report = {}
+    for tag, sf_dir in (("base", BASE_SF), (f"x{FACTOR}", scaled)):
+        ev = load_table(spark, sf_dir, "events")
+        n_events = ev.count()
+        src = st._chunked_source(spark, sf_dir, "spe2e", dup_first=100, sentinels=2)
+        for provider, confs in (
+            ("hdfs", {}),
+            (
+                "rocksdb",
+                {
+                    "spark.sql.streaming.stateStore.providerClass": st._ROCKSDB_PROVIDER,
+                    "spark.sql.streaming.stateStore.rocksdb."
+                    "changelogCheckpointing.enabled": "true",
+                },
+            ),
+        ):
+            base_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".tmp",
+                f"rdbladder_{provider}_{os.path.basename(sf_dir.rstrip('/'))}"
+                f"_{os.getpid()}",
+            )
+            import shutil
+
+            shutil.rmtree(base_dir, ignore_errors=True)
+            sink = os.path.join(base_dir, "data")
+            ckpt = os.path.join(base_dir, "ckpt")
+            qname = f"w32bd_rdbladder_{provider}_{tag}"
+            for q in spark.streams.active:
+                if q.name == qname:
+                    q.stop()
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            start = time.perf_counter()
+            with st._scoped_conf(spark, confs), st._stream_shuffle(spark):
+                query = (
+                    st._pipeline_e2e_transform(stream)
+                    .writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .queryName(qname)
+                    .start()
+                )
+                try:
+                    query.processAllAvailable()
+                    wall = time.perf_counter() - start
+                    progresses = [p for p in query.recentProgress if p]
+                finally:
+                    query.stop()
+            # Per-batch state-row curve (watermark eviction evidence) and
+            # the final batch's full operator metrics.
+            curve = []
+            for p in progresses:
+                ops = p.get("stateOperators") or []
+                if ops:
+                    curve.append(
+                        {
+                            "batch": p.get("batchId"),
+                            "rows_per_op": [op.get("numRowsTotal") for op in ops],
+                            "mem_per_op": [op.get("memoryUsedBytes") for op in ops],
+                        }
+                    )
+            final_ops = []
+            for p in reversed(progresses):
+                ops = p.get("stateOperators") or []
+                if ops:
+                    for op in ops:
+                        custom = op.get("customMetrics") or {}
+                        final_ops.append(
+                            {
+                                "operator": op.get("operatorName"),
+                                "state_rows": op.get("numRowsTotal"),
+                                "state_mem_bytes": op.get("memoryUsedBytes"),
+                                "custom": {
+                                    k: v
+                                    for k, v in custom.items()
+                                    if not k.startswith("SnapshotLastUploaded")
+                                    and (
+                                        "Memory" in k
+                                        or "Size" in k
+                                        or "Bytes" in k
+                                        or "Changelog" in k
+                                    )
+                                },
+                            }
+                        )
+                    break
+            state_dir = os.path.join(ckpt, "state")
+            disk = 0
+            for root, _dirs, files in os.walk(state_dir):
+                disk += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            peak = max((max(c["rows_per_op"]) for c in curve), default=0)
+            final_rows = curve[-1]["rows_per_op"] if curve else []
+            report.setdefault(tag, {})[provider] = {
+                "events": n_events,
+                "wall_s": round(wall, 2),
+                "events_per_s": int(n_events / wall),
+                "ckpt_state_bytes": disk,
+                "state_rows_peak": peak,
+                "state_rows_final_per_op": final_rows,
+                "final_operators": final_ops,
+                "rows_curve": curve,
+            }
+            shutil.rmtree(base_dir, ignore_errors=True)
+    return report
+
+
 def main() -> None:
     spark = get_spark("w32bd-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -593,6 +738,18 @@ def main() -> None:
                     "hot_fraction": max(1, FACTOR // 10) / FACTOR,
                     "queries": report,
                     "max_ratio": max(r["ratio"] for r in report.values()),
+                }
+            )
+        )
+        return
+    if os.environ.get("SPARK_GRAFT_SCALE_ROCKSDB"):
+        report = rocksdb_ladder(spark)
+        print(
+            json.dumps(
+                {
+                    "metric": f"rocksdb_state_scale{FACTOR}",
+                    "factor": FACTOR,
+                    "queries": {"stream_pipeline_e2e": report},
                 }
             )
         )
