@@ -24,8 +24,13 @@ from week3_2_practice_big_data__spark.io import TABLES  # noqa: E402
 def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table (a DIRECTORY of part files, e.g. the
+            # .tmp/sf1 fixture): DuckDB needs the part glob.
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con.execute(sql).fetch_df()
 
