@@ -315,6 +315,24 @@ PREV_MEDIANS = {
     "stream_session_window_native": 3.9825,
     "udf_arrow_map": 1.9204,
     "udtf_python_native": 2.925,
+    # r12 fold: the eleven r11-new headline keys — eight seeded from
+    # BENCH_full_r11_run2.json (the quieter of the two r11 closing runs,
+    # min-geomean 1.007x vs the r8 epoch), the three batch-3 keys that
+    # landed after it (random_split / describe_summary / offset_page)
+    # from BENCH_full_r12.json (first run containing them). sf0.1 seeds
+    # are continuity-only from r12 on — regressions are judged at sf1
+    # via PREV_MEDIANS_SF1.
+    "agg_approx_quantile": 1.103,
+    "agg_bitmap_native": 0.5549,
+    "agg_cov_corr": 0.8947,
+    "agg_freq_items": 0.766,
+    "agg_histogram_numeric": 0.3994,
+    "agg_regr_native": 0.9064,
+    "agg_sample_by": 0.8496,
+    "agg_sketch_theta_ops": 0.7424,
+    "agg_random_split": 1.6631,
+    "agg_describe_summary": 1.349,
+    "limit_offset_page": 0.2196,
     # r8 quiet baseline
     "agg_groupby_multi": 1.0031,
     "agg_q6_forecast_revenue": 0.248,
