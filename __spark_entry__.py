@@ -286,6 +286,11 @@ _VERIFIED = (
 # Keys whose implementation changed in ROUND 12 (or new in r12): they
 # lead the window, highest behavior-change risk first.
 _CHANGED_THIS_ROUND: list[str] = [
+    # NEW r12: the pandas API on Spark (pyspark.pandas) dialect bridge —
+    # mask/groupby-agg/sort_values via pandas_api(index_col=...),
+    # pure-Catalyst plan pinned (no AttachDistributedSequence, zero
+    # Python eval nodes, pre-bridge filter pushed to parquet)
+    "qry_pandas_on_spark",
 ]
 
 # Round-11 changed list, kept for the record (all hold green r11 rows;

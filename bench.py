@@ -218,6 +218,10 @@ HEADLINE = [
     "agg_random_split",
     "agg_describe_summary",
     "limit_offset_page",
+    # round-12: the pandas-on-Spark dialect bridge — first median seeds
+    # r13 (sf0.1 continuity) and the sf1 seed comes from the next quiet
+    # sf1 run.
+    "qry_pandas_on_spark",
 ]
 
 

@@ -1107,3 +1107,30 @@ def test_python_datasource_arrow_writer_received_batches(spark):
         .collect()
     )
     assert got == ref
+
+
+def test_pandas_on_spark_plan_pure_catalyst(spark):
+    """qry_pandas_on_spark (r12): the ps bridge must compile to pure
+    JVM-side Catalyst — (1) no AttachDistributedSequence (the default-
+    index full pass; index_col= suppresses it), (2) zero Python eval
+    nodes (ps is a plan builder, not a UDF layer), (3) the pre-bridge
+    time cut reaches the parquet scan as a pushed filter."""
+    df = REGISTRY["qry_pandas_on_spark"].builder(spark, SF_SMALL)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "AttachDistributedSequence" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected Python boundary: {node}"
+    full = qe.toString()
+    assert "GreaterThanOrEqual(l_shipdate" in full.split("PushedFilters")[1].split("]")[0]
+
+
+def test_pandas_on_spark_default_index_is_the_antipattern(spark):
+    """The docstring's scale claim, proven live: bridging WITHOUT
+    index_col plants AttachDistributedSequence in the plan (the node the
+    registered key must avoid)."""
+    from week3_2_practice_big_data__spark.operators.subqueries import _ps_prepared
+
+    naive = _ps_prepared(spark, SF_SMALL).pandas_api()  # no index_col
+    plan = naive._internal.spark_frame._jdf.queryExecution().toString()
+    assert "AttachDistributedSequence" in plan

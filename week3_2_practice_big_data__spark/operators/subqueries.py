@@ -556,3 +556,124 @@ SET VAR w32bd_dyn_stmt =
         "EXECUTE IMMEDIATE w32bd_dyn_stmt "
         "USING 'o_orderkey' AS keycol, 'orders' AS tbl, 4 AS m"
     )
+
+
+# ---------------------------------------------------------------------------
+# qry_pandas_on_spark — the pandas API on Spark (pyspark.pandas, r12): the
+# third query dialect beside SQL and the DataFrame API. A ps.DataFrame is
+# a thin plan-builder over the same Catalyst frame — boolean masks,
+# assign, groupby().agg(), sort_values all compile to the identical
+# logical operators the SQL text would produce, so the whole chain stays
+# JVM-side whole-stage-codegen with ZERO Python row traffic (unlike
+# to_pandas/apply). The reference (app.py) drives NumPy arrays
+# imperatively; this key is the REF-ANALOG for users who want that
+# imperative dataframe feel on the relational engine.
+#
+# Scale discipline (both probed live, pinned in test_plans.py):
+#   1. NEVER bridge without an index: `pandas_api()` with the default
+#      index plants an AttachDistributedSequence node (a full
+#      zipWithIndex-style pass + implied single-stream ordering) before
+#      any real work. `index_col=` reuses an existing column and the
+#      node vanishes.
+#   2. Selective filters go SPARK-SIDE before the bridge: ps masks wrap
+#      predicates in pandas NULL-semantics CASE WHEN chains that defeat
+#      parquet pushdown (probed: PushedFilters goes empty). The
+#      time-range cut here pushes down pre-bridge; the ps-side mask then
+#      demonstrates the API on already-pruned data.
+#
+# Money/quantity are quantized to exact BIGINT units pre-bridge (the
+# floor(x·s + 0.5) shared-text discipline — synth.q6's formula), so every
+# aggregate is order-free integer arithmetic and the oracle hash is
+# bit-exact.
+# ---------------------------------------------------------------------------
+
+_PS_CUT = "1998-01-01 00:00:00"
+
+_PS_UNITS = (
+    ("qty_centi", "l_quantity", "1e2"),
+    ("price_cents", "l_extendedprice", "1e2"),
+    ("disc_bp", "l_discount", "1e4"),
+)
+
+
+def _ps_unit_expr(col: str, scale: str) -> str:
+    return f"CAST(floor({col} * {scale} + 0.5e0) AS BIGINT)"
+
+
+_PS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(qty_centi) AS BIGINT) AS sum_qty_centi,
+  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+  CAST(max(disc_bp) AS BIGINT) AS max_disc_bp
+FROM (
+  SELECT l_returnflag, l_linestatus,
+    {_ps_unit_expr('l_quantity', '1e2')} AS qty_centi,
+    {_ps_unit_expr('l_extendedprice', '1e2')} AS price_cents,
+    {_ps_unit_expr('l_discount', '1e4')} AS disc_bp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_PS_CUT}'
+) t
+WHERE qty_centi < 2500
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _ps_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side pre-bridge stage: pushed-down time cut + exact units."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit(_PS_CUT).cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_linestatus",
+            *[
+                F.expr(_ps_unit_expr(col, scale)).alias(name)
+                for name, col, scale in _PS_UNITS
+            ],
+        )
+    )
+
+
+@register(
+    "qry_pandas_on_spark",
+    oracle=_PS_ORACLE,
+    doc="pandas API on Spark (pyspark.pandas): the imperative-dataframe "
+    "dialect bridged via pandas_api(index_col=...) — boolean mask, "
+    "groupby().agg(named aggs), sort_values, reset_index, to_spark() — "
+    "compiling to the same Catalyst plan the SQL form produces (no "
+    "AttachDistributedSequence, no Python row traffic; both pinned). "
+    "Selective filter + exact BIGINT unit quantization run Spark-side "
+    "pre-bridge (ps masks defeat parquet pushdown — probed); hash-exact "
+    "vs the plain-SQL oracle (REF-ANALOG: the third query dialect).",
+    tags=("subquery", "function", "scale"),
+)
+def qry_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    psdf = _ps_prepared(spark, sf_dir).pandas_api(index_col="l_orderkey")
+    masked = psdf[psdf.qty_centi < 2500]
+    agg = (
+        masked.groupby(["l_returnflag", "l_linestatus"])
+        .agg(
+            n=("qty_centi", "count"),
+            sum_qty_centi=("qty_centi", "sum"),
+            sum_price_cents=("price_cents", "sum"),
+            max_disc_bp=("disc_bp", "max"),
+        )
+        .reset_index()
+        .sort_values(["l_returnflag", "l_linestatus"])
+    )
+    out = agg.to_spark()
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_qty_centi").cast("long").alias("sum_qty_centi"),
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+        F.col("max_disc_bp").cast("long").alias("max_disc_bp"),
+    ).orderBy("l_returnflag", "l_linestatus")
