@@ -653,22 +653,30 @@ def _ps_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery", "function", "scale"),
 )
 def qry_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import warnings
+
+    from pyspark.pandas.utils import PandasAPIOnSparkAdviceWarning
     from pyspark.sql import functions as F
 
-    psdf = _ps_prepared(spark, sf_dir).pandas_api(index_col="l_orderkey")
-    masked = psdf[psdf.qty_centi < 2500]
-    agg = (
-        masked.groupby(["l_returnflag", "l_linestatus"])
-        .agg(
-            n=("qty_centi", "count"),
-            sum_qty_centi=("qty_centi", "sum"),
-            sum_price_cents=("price_cents", "sum"),
-            max_disc_bp=("disc_bp", "max"),
+    with warnings.catch_warnings():
+        # to_spark() advises that the (deliberately dropped) post-agg
+        # positional index is lost — intended here, so keep driver runs
+        # quiet without touching global warning state.
+        warnings.simplefilter("ignore", PandasAPIOnSparkAdviceWarning)
+        psdf = _ps_prepared(spark, sf_dir).pandas_api(index_col="l_orderkey")
+        masked = psdf[psdf.qty_centi < 2500]
+        agg = (
+            masked.groupby(["l_returnflag", "l_linestatus"])
+            .agg(
+                n=("qty_centi", "count"),
+                sum_qty_centi=("qty_centi", "sum"),
+                sum_price_cents=("price_cents", "sum"),
+                max_disc_bp=("disc_bp", "max"),
+            )
+            .reset_index()
+            .sort_values(["l_returnflag", "l_linestatus"])
         )
-        .reset_index()
-        .sort_values(["l_returnflag", "l_linestatus"])
-    )
-    out = agg.to_spark()
+        out = agg.to_spark()
     return out.select(
         "l_returnflag",
         "l_linestatus",
