@@ -424,6 +424,9 @@ PREV_MEDIANS = {
 # from a QUIET sf1 run per the same protocol as PREV_MEDIANS. The sf0.1
 # medians stay for the driver contract + headline total only.
 PREV_MEDIANS_SF1: dict[str, float] = {
+    # qry_pandas_on_spark landed after the r12open run: seeded from a
+    # dedicated quiet 7-run probe (load 0.41, median 0.8717 / min 0.8479)
+    "qry_pandas_on_spark": 0.8717,
     "agg_approx_quantile": 1.386,
     "agg_bitmap_native": 0.7999,
     "agg_cov_corr": 1.5172,

@@ -580,6 +580,13 @@ SET VAR w32bd_dyn_stmt =
 #      parquet pushdown (probed: PushedFilters goes empty). The
 #      time-range cut here pushes down pre-bridge; the ps-side mask then
 #      demonstrates the API on already-pruned data.
+#   3. Bare `.rolling()` compiles to a Spark Window whose partition spec
+#      is EMPTY (ordered only by ps's __natural_order__ column) — the
+#      single-task global-window cliff this repo's win_*_blocked keys
+#      exist to avoid. `groupby(...).rolling()` partitions the window by
+#      the group key (probed: windowspecdefinition gains the key), so
+#      per-entity rolling is safe; corpus-wide rolling belongs on the
+#      blocked decompositions, not the ps sugar.
 #
 # Money/quantity are quantized to exact BIGINT units pre-bridge (the
 # floor(x·s + 0.5) shared-text discipline — synth.q6's formula), so every
