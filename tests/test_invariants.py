@@ -440,6 +440,9 @@ def test_degenerate_input_parity_representatives(spark, limit, tag):
         "agg_random_split", "agg_describe_summary",
         # r11 OFFSET pagination past the end of a tiny relation → empty
         "limit_offset_page",
+        # r12 pandas-on-Spark bridge on empty/one-row lineitem (empty
+        # groupby → empty frame through to_spark)
+        "qry_pandas_on_spark",
     ]
     for key in keys:
         q = REGISTRY[key]
@@ -709,6 +712,10 @@ def test_adversarial_input_parity(spark):
         "agg_random_split", "agg_describe_summary",
         # r11 OFFSET 40 past the 20-row weird orders slice → empty page
         "limit_offset_page",
+        # r12 pandas-on-Spark bridge: the weird 20-row lineitem slice
+        # through the pre-bridge floor-cast micro-unit quantize, the ps
+        # NULL-semantics mask, and the named-agg groupby
+        "qry_pandas_on_spark",
     ]
     for key in keys:
         q = REGISTRY[key]
