@@ -276,16 +276,50 @@ _R11_VERIFIED = frozenset({
     "agg_sketch_theta_ops", "limit_offset_page",
 })
 
+# CORRECTNESS_r12.json: 50/50 green (rows + schema + hash on every
+# row, zero err, zero rows-only). Executed the r12 rotation exactly:
+# the r12-new key, the full r04 attestation cohort, and the r05 head
+# through iter_pagerank_tokens.
+_R12_VERIFIED = frozenset({
+    "qry_pandas_on_spark", "src_table_stats", "sink_partitioned_write",
+    "merge_scd2", "dq_constraint_check", "agg_bitmap_distinct",
+    "agg_entropy", "agg_gini_revenue", "agg_mad_robust",
+    "agg_market_basket", "agg_ohlc_bars", "agg_skew_kurt",
+    "agg_zorder_clustering", "ml_linreg_closed", "join_spatial_grid",
+    "win_islands_ranges", "udf_geom_contains", "ns_ann_knn_join",
+    "ns_bpe_pair_stats", "ns_decontaminate_ngram",
+    "ns_dedup_embed_cosine", "ns_dedup_incremental",
+    "ns_dedup_paragraph", "ns_embed_quantize", "ns_repetition_filter",
+    "ns_semdedup", "ns_sim_ann_ivf", "ns_sim_ann_lsh", "ns_sim_topk",
+    "ns_text_fingerprint", "ns_text_quality", "gen_poster_aspect",
+    "gen_poster_bg_colormap", "agg_conditional", "agg_string_listagg",
+    "fn_array_ops", "fn_map_ops", "fn_null_semantics",
+    "fn_regex_extract", "fn_string_similarity", "fn_try_arith",
+    "fn_url_parse", "fn_variant_json", "src_csv_malformed",
+    "src_range_gen_numpy", "iter_connected_components", "iter_gd_logreg",
+    "iter_kcore", "iter_kmeans_points", "iter_pagerank_tokens",
+})
+
 _VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
-    | _R09_VERIFIED | _R10_VERIFIED | _R11_VERIFIED
+    | _R09_VERIFIED | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED
 )
 
 
-# Keys whose implementation changed in ROUND 12 (or new in r12): they
+# Keys whose implementation changed in ROUND 13 (or new in r13): they
 # lead the window, highest behavior-change risk first.
 _CHANGED_THIS_ROUND: list[str] = [
+    # ADVICE r12: the ps groupby leg now passes dropna=False so the
+    # pandas-API bridge keeps NULL group keys exactly like the SQL
+    # oracle's GROUP BY (latent divergence on NULL-keyed data; TPC-H
+    # flag columns are non-null so values are unchanged here)
+    "qry_pandas_on_spark",
+]
+
+# Round-12 changed list, kept for the record (green r12 row + judge
+# r12 MATCH).
+_R12_CHANGED: list[str] = [
     # NEW r12: the pandas API on Spark (pyspark.pandas) dialect bridge —
     # mask/groupby-agg/sort_values via pandas_api(index_col=...),
     # pure-Catalyst plan pinned (no AttachDistributedSequence, zero
@@ -618,41 +652,45 @@ _R08_CHANGED: list[str] = [
     "stream_sink_parquet",
 ]
 
-# ROUND-12 REFRESH (VERDICT r11 item 3): the r03 cohort cleared in r11,
-# so this rotation leads with the full 32-key r04 cohort (the stalest
-# attestations — last green driver row 8 rounds ago) followed by the
-# full 25-key r05 cohort. With few changed keys leading, the 50-key
-# window covers all of r04 plus the head of r05; any spilled r05 tail
-# (and the 29-key r06 cohort) leads r13's refresh. Every key here is
-# pytest-replayed and sf0.01-swept this round regardless.
+# ROUND-13 REFRESH (VERDICT r12 items 1+2): the r04 cohort cleared in
+# r12, so this rotation leads with the 13-key r05-stale remainder (the
+# 8 oracle keys that spilled past r12's window plus the 5 rows-only
+# keys whose last driver attestation is r05 — VERDICT r12 item 2 asks
+# the driver to re-attest the long-unattested rows-only family on
+# current code), followed by the full 39-key r06 cohort. With one
+# changed key leading, the 50-key window covers everything except the
+# last 3 entries (pytest-golden-pinned binary-export variants + the
+# scalar mm stub — lowest-risk spill, leads r14's refresh). Every key
+# here is pytest-replayed and sf0.01-swept this round regardless.
 _REFRESH_THIS_ROUND: list[str] = [
-    # r04 cohort (oldest-green; sources/sinks first, then the agg/join/
-    # ml families, ns_* block, generative tail last; the three r04 keys
-    # the r11 window head already re-attested — src_csv_roundtrip,
-    # src_json_roundtrip, src_partition_prune_static — are NOT repeated)
-    "src_table_stats",
-    "sink_partitioned_write", "merge_scd2", "dq_constraint_check",
-    "agg_bitmap_distinct", "agg_entropy", "agg_gini_revenue",
-    "agg_mad_robust", "agg_market_basket", "agg_ohlc_bars",
-    "agg_skew_kurt", "agg_zorder_clustering", "ml_linreg_closed",
-    "join_spatial_grid", "win_islands_ranges", "udf_geom_contains",
-    "ns_ann_knn_join", "ns_bpe_pair_stats", "ns_decontaminate_ngram",
-    "ns_dedup_embed_cosine", "ns_dedup_incremental",
-    "ns_dedup_paragraph", "ns_embed_quantize", "ns_repetition_filter",
-    "ns_semdedup", "ns_sim_ann_ivf", "ns_sim_ann_lsh", "ns_sim_topk",
-    "ns_text_fingerprint", "ns_text_quality",
-    "gen_poster_aspect", "gen_poster_bg_colormap",
-    # r05 cohort (next-oldest; scalar-fn families first, then the
-    # iterative/graph block, windows tail)
-    "agg_conditional", "agg_string_listagg", "fn_array_ops",
-    "fn_map_ops", "fn_null_semantics", "fn_regex_extract",
-    "fn_string_similarity", "fn_try_arith", "fn_url_parse",
-    "fn_variant_json", "src_csv_malformed", "src_range_gen_numpy",
-    "iter_connected_components", "iter_gd_logreg", "iter_kcore",
-    "iter_kmeans_points", "iter_pagerank_tokens", "ns_dedup_substring",
-    "stream_foreachbatch", "win_distinct_rolling", "win_ewma_smooth",
-    "win_islands_blocked", "win_moving_zscore", "win_ntile_blocked",
-    "win_rolling_corr",
+    # r05-stale oracle spill (oldest attestations in the registry)
+    "ns_dedup_substring", "stream_foreachbatch", "win_distinct_rolling",
+    "win_ewma_smooth", "win_islands_blocked", "win_moving_zscore",
+    "win_ntile_blocked", "win_rolling_corr",
+    # r05-stale rows-only (driver re-attests spark_rows > 0 on current
+    # code; all pytest-pinned every session)
+    "udf_grouped_map_render", "gen_poster_full", "ns_multimodal_cols",
+    "src_binary_files", "stream_rate_source",
+    # r06 cohort (next-oldest; dedup/text families first, then
+    # streaming, sketch/ml, windows/ts, mm rows-only block, generative
+    # and binary-export tail last)
+    "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_cluster",
+    "ns_dedup_ngram_jaccard", "ns_dedup_url", "ns_text_tfidf",
+    "ns_text_langid", "ns_text_pmi", "ns_kn_bigram",
+    "ns_domain_mix", "ns_domain_temperature", "ns_chunk_overlap",
+    "ns_sample_importance", "stream_tumbling_agg", "stream_sliding_agg",
+    "stream_trigger_availablenow", "agg_count_distinct",
+    "agg_approx_distinct", "agg_cube", "agg_rollup_cube",
+    "agg_sketch_cms_heavy", "graph_triangle_count", "ml_naive_bayes",
+    "ml_pca_power", "win_cusum_changepoint", "win_funnel_conversion",
+    "ts_downsample_lttb", "src_schema_evolution", "gen_poster_caption",
+    "ns_mm_decode_meta", "ns_mm_resize", "ns_mm_frame_sample",
+    "ns_mm_audio_window", "ns_mm_image_phash", "ns_mm_scene_cut",
+    "sink_binary_export",
+    # lowest-risk spill tail (expected to fall past the 50-key window;
+    # leads r14)
+    "sink_binary_export_hires", "sink_binary_export_tiled",
+    "ns_mm_feature_stub",
 ]
 
 # Round-7 changed list, kept for the record (all hold green r07 rows —

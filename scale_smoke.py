@@ -612,8 +612,17 @@ def rocksdb_ladder(spark) -> dict:
     report = {}
     for tag, sf_dir in (("base", BASE_SF), (f"x{FACTOR}", scaled)):
         ev = load_table(spark, sf_dir, "events")
-        n_events = ev.count()
         src = st._chunked_source(spark, sf_dir, "spe2e", dup_first=100, sentinels=2)
+        # ADVICE r12: the throughput denominator counts the rows the
+        # query ACTUALLY processes — the chunked replay adds dup_first
+        # duplicates + sentinel rows on top of the base table, so count
+        # the source dir, not the base table.
+        n_events = (
+            spark.read.schema(ev.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .count()
+        )
         for provider, confs in (
             ("hdfs", {}),
             (

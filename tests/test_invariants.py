@@ -1403,3 +1403,70 @@ def test_offset_page_equals_keyset_page(spark):
         .collect()
     )
     assert [tuple(r) for r in page] == [tuple(r) for r in keyset]
+
+
+def test_pandas_on_spark_null_group_keys_match_sql(spark):
+    """ADVICE r12: ps groupby defaults to dropna=True (pandas semantics
+    — NULL group keys silently dropped) while SQL GROUP BY retains
+    them. The registered key passes dropna=False; this fixture is the
+    first input that would catch a regression: a lineitem slice with
+    NULL l_returnflag / l_linestatus rows that pass both the pushed
+    time cut and the ps-side qty mask, compared against the unchanged
+    SQL oracle."""
+    import os
+
+    import duckdb
+
+    from week3_2_practice_big_data__spark.io import TABLES
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "sf_nullkey",
+    )
+    stamp = os.path.join(out, "_STAMP_v1")
+    if not os.path.exists(stamp):
+        os.makedirs(out, exist_ok=True)
+        con0 = duckdb.connect()
+        # base slice passing the 1998 cut, then rows with NULL group
+        # keys (one both-NULL, one flag-only, one status-only) with
+        # l_quantity < 25 so the ps mask keeps them
+        con0.execute(
+            f"""
+            COPY (
+              SELECT * FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01' LIMIT 40
+            ) TO '{out}/_base.parquet' (FORMAT PARQUET)
+            """
+        )
+        con0.execute(f"CREATE TABLE li AS SELECT * FROM read_parquet('{out}/_base.parquet')")
+        for flag, status in ((None, None), (None, "O"), ("N", None)):
+            con0.execute(
+                """
+                INSERT INTO li SELECT
+                  999900 + row_number() OVER (), l_partkey, l_suppkey,
+                  l_linenumber, 7.0, 700.0, 0.05, l_tax, ?, ?, l_shipdate
+                FROM li LIMIT 1
+                """,
+                [flag, status],
+            )
+        con0.execute(f"COPY li TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+        for t in TABLES:
+            if t == "lineitem":
+                continue
+            con0.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet') LIMIT 5) "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        with open(stamp, "w") as f:
+            f.write("v1")
+
+    from .oracle import compare, duck_run
+
+    q = REGISTRY["qry_pandas_on_spark"]
+    got = q.builder(spark, out)
+    # the NULL-keyed groups must actually be present in the answer —
+    # otherwise this fixture isn't testing what it claims
+    flags = [(r["l_returnflag"], r["l_linestatus"]) for r in got.collect()]
+    assert (None, None) in flags and (None, "O") in flags and ("N", None) in flags
+    compare(got, duck_run(q.oracle, out), "qry_pandas_on_spark:nullkey")

@@ -1122,7 +1122,14 @@ def test_pandas_on_spark_plan_pure_catalyst(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected Python boundary: {node}"
     full = qe.toString()
-    assert "GreaterThanOrEqual(l_shipdate" in full.split("PushedFilters")[1].split("]")[0]
+    # ADVICE r12: assert the section exists first (a bare split()[1]
+    # raises IndexError instead of a readable failure), and check every
+    # scan's pushed-filter list, not just the first.
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", full)
+    assert pushed, f"no PushedFilters section in plan:\n{full}"
+    assert any("GreaterThanOrEqual(l_shipdate" in p for p in pushed), pushed
 
 
 def test_pandas_on_spark_default_index_is_the_antipattern(spark):

@@ -673,7 +673,12 @@ def qry_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         psdf = _ps_prepared(spark, sf_dir).pandas_api(index_col="l_orderkey")
         masked = psdf[psdf.qty_centi < 2500]
         agg = (
-            masked.groupby(["l_returnflag", "l_linestatus"])
+            # dropna=False: ps groupby defaults to pandas semantics
+            # (NULL group keys dropped); SQL GROUP BY retains them.
+            # TPC-H flag columns are non-null so values are unchanged
+            # here, but the bridge must match the oracle on any input
+            # (ADVICE r12; NULL-key case pinned in tests).
+            masked.groupby(["l_returnflag", "l_linestatus"], dropna=False)
             .agg(
                 n=("qty_centi", "count"),
                 sum_qty_centi=("qty_centi", "sum"),
