@@ -226,194 +226,162 @@ HEADLINE = [
 
 
 # Standing per-query baseline: rolled each round from the latest QUIET
-# run only (r6 discipline — a noisy shared-VM artifact would compound
+# run only (r6 discipline - a noisy shared-VM artifact would compound
 # drift into the baseline).
 #
-# r9 roll decision (mixed provenance, per-entry honest): the r8 keys
-# KEEP their quiet r08 medians — the one quiet r9 window (14:00,
-# 14/80 keys >15% spread) re-measured them at geomean 1.004×, i.e. the
-# r08 values still describe this box, while every later r9 window
-# carried a uniform +10-12% ambient drift (21-31/84 spread; zero
-# min-based regressions) that would have loosened the whole baseline
-# had it been rolled (the banned compounding). The EIGHT r9-new keys are
-# seeded from the final-code 17:55 run (the only run containing the
-# render-cache mm timing and all new keys) and therefore carry that
-# ~+10% ambient slack — a slightly loose FIRST baseline for brand-new
-# keys, never a loosened one for existing keys.
-# r10 second-session closing run (quiet box, load <0.5 at launch,
-# final code, 119 keys): geomean 1.019x vs this standing baseline on
-# the 95 common keys, regressions: [] — the r8-quiet epoch still
-# describes this box and is NOT rolled.
-# r11 fold: the committed BENCH_full_r10.json is the DRIVER's
-# post-commit re-run (123 keys — all 26 r10-second-session keys
-# including the two batch-6 keys fn_mask_redact/fn_crypto_aes that
-# landed after the builder's closing bench; geomean 0.993x vs the
-# builder's closing artifact, so content-equivalent). The 28
-# previously-unseeded headline keys below take their first medians
-# from it; old-key entries stay on the r8-quiet epoch (r9/r10
-# precedent — three consecutive rounds have re-measured that epoch at
-# geomean 1.00-1.03x, so rolling would only loosen it).
-PREV_ROUND = "r08+r09new+r10new+r11fold"
-BASELINE_SRC = ("r8 keys: BENCH_full_r08.json (quiet r8 final validation, "
-                "62/76 <15% spread; re-validated by the quiet 14:00 r9 run "
-                "at geomean 1.004x AND by the r10 final run at geomean "
-                "1.031x). r9-new keys: the 17:55 final-code r9 run (~+10% "
-                "ambient drift). r10-new keys: BENCH_full_r10.json (the "
-                "driver's post-commit re-run, geomean 0.993x vs the "
-                "builder's closing artifact, regressions: [])")
+# r13 EPOCH ROLL (VERDICT r12 item 3): BENCH_full_r13.json - the r13
+# round-open run (load 0.31 at launch, 5 interleaved passes, final
+# r13-open code) is the quietest artifact of the project: 6/135 keys
+# (4%) over the 15% median/min spread bar (quiet criterion <~25%;
+# every prior close-day run sat at 24-46%), median-geomean 0.891x /
+# min-geomean 0.838x vs the r8-quiet epoch, regressions: [], worst
+# key 1.14x. That meets BASELINE.md's roll rule decisively, so ALL
+# entries re-seed from this one artifact - retiring the
+# r08+r09new+r10new+r11fold split epoch whose per-entry provenance
+# bookkeeping (three rounds of it) existed only because no single
+# quiet run had covered every key since r8. History: see BASELINE.md
+# and git for the r9/r10/r11 per-epoch notes this replaces.
+PREV_ROUND = "r13"
+BASELINE_SRC = ("BENCH_full_r13.json - r13 round-open, load 0.31, 5 passes, "
+                "135 keys, 4% over the 15% spread bar (quietest run of the "
+                "project); median-geomean 0.891x / min-geomean 0.838x vs the "
+                "retired r8-quiet split epoch, regressions: [] on both")
 PREV_MEDIANS = {
-    # r10-new keys (BENCH_full_r10.json — the 22:50 final validation;
-    # the standing epoch for OLD keys stays r8-quiet, which that run
-    # re-measured at geomean 1.031x / worst 1.25x / zero regressions,
-    # so no old-key entry is rolled — the r9 precedent applied again)
-    "dq_observe_metrics": 0.7701,
-    "stream_observe_metrics": 3.0315,
-    "src_python_datasource_stream": 6.3908,
-    "udf_arrow_grouped": 1.409,
-    "stream_pipeline_e2e": 6.6727,
-    "sink_python_datasource": 1.7062,
-    "stream_python_datasource_sink": 5.7179,
-    "qry_pipe_syntax": 0.9518,
-    "fn_variant_type": 1.4345,
-    "stream_query_listener": 2.8429,
-    # r9-new keys (17:55 final-code run; fn_sql_udf + the committed
-    # BENCH_full_r09.json from the 18:55 run — same ambient-drift family,
-    # tighter 9/85 spread)
-    # r11 fold: the 28 r10-second-session headline keys, seeded from the
-    # committed BENCH_full_r10.json (driver post-commit re-run — the only
-    # artifact containing all 28, incl. the two batch-6 keys)
-    "sink_python_datasource_arrow": 1.5568,
-    "src_python_datasource_pushdown": 0.9702,
-    "qry_parameterized_sql": 1.6573,
-    "qry_modern_sql_sugar": 0.2805,
-    "qry_session_variables": 0.3239,
-    "qry_sql_scripting": 1.1204,
-    "fn_udf_sql_register": 0.7953,
-    "udf_pandas_iter": 0.9915,
-    "stream_sink_foreach_rows": 4.6578,
-    "stream_python_datasource_sink_arrow": 6.2973,
-    "src_xml_roundtrip": 0.4375,
-    "fn_xml_funcs": 0.8167,
-    "fn_collation": 0.4329,
-    "reshape_transpose": 1.3464,
-    "src_statestore_read": 0.3116,
-    "qry_dynamic_sql": 0.3818,
-    "fn_time_type": 0.3582,
-    "join_lateral_df": 0.7843,
-    "src_file_metadata": 0.4457,
-    "stream_rocksdb_state": 2.8818,
-    "src_statestore_changefeed": 0.3189,
-    "agg_grouping_sets_df": 0.8519,
-    "fn_interval_agg": 0.7539,
-    "src_arrow_roundtrip": 0.3321,
-    "agg_crosstab": 1.3288,
-    "set_union_byname_missing": 0.4024,
-    "fn_mask_redact": 0.2936,
-    "fn_crypto_aes": 0.6504,
-    "fn_sql_udf": 0.431,
-    "iter_kmeans_embed": 2.1809,
-    "ns_mm_pipeline_e2e": 1.189,
-    "ns_topic_mixture": 2.177,
-    "ns_vocab_coverage": 1.1002,
-    "src_python_datasource": 1.0749,
-    "stream_session_window_native": 3.9825,
-    "udf_arrow_map": 1.9204,
-    "udtf_python_native": 2.925,
-    # r12 fold: the eleven r11-new headline keys — eight seeded from
-    # BENCH_full_r11_run2.json (the quieter of the two r11 closing runs,
-    # min-geomean 1.007x vs the r8 epoch), the three batch-3 keys that
-    # landed after it (random_split / describe_summary / offset_page)
-    # from BENCH_full_r12.json (first run containing them). sf0.1 seeds
-    # are continuity-only from r12 on — regressions are judged at sf1
-    # via PREV_MEDIANS_SF1.
-    "agg_approx_quantile": 1.103,
-    "agg_bitmap_native": 0.5549,
-    "agg_cov_corr": 0.8947,
-    "agg_freq_items": 0.766,
-    "agg_histogram_numeric": 0.3994,
-    "agg_regr_native": 0.9064,
-    "agg_sample_by": 0.8496,
-    "agg_sketch_theta_ops": 0.7424,
-    "agg_random_split": 1.6631,
-    "agg_describe_summary": 1.349,
-    "limit_offset_page": 0.2196,
-    # r8 quiet baseline
-    "agg_groupby_multi": 1.0031,
-    "agg_q6_forecast_revenue": 0.248,
-    "agg_sketch_cms_heavy": 1.0162,
-    "agg_sketch_kmv_intersect": 1.0255,
-    "dq_distribution_drift": 0.3416,
-    "dq_freshness": 0.3968,
-    "dq_rowcount_anomaly": 0.3025,
-    "filt_pip_scanline": 1.1359,
-    "filt_point_in_polygon": 1.4827,
-    "gen_poster_aspect": 1.8738,
-    "gen_poster_caption": 0.1963,
-    "gen_poster_full": 2.6565,
-    "gen_poster_shadow": 1.8484,
-    "graph_bipartite_jaccard": 2.2241,
-    "graph_clustering_coeff": 0.4636,
-    "graph_degree_distribution": 0.3696,
-    "graph_resource_alloc": 2.6237,
-    "iter_als_rank2": 1.291,
-    "iter_bfs_sssp": 3.2382,
-    "iter_pagerank_tokens": 1.7306,
-    "join_bucketed_colocated": 0.7038,
-    "join_inner_equi": 0.8359,
-    "join_q3_shipping_priority": 0.7796,
-    "join_q5_region_volume": 1.179,
-    "join_q7_volume_shipping": 0.8744,
-    "join_q8_market_share": 0.9967,
-    "join_q9_product_profit": 0.9809,
-    "join_range_theta": 0.4482,
-    "ml_decision_stump": 0.4956,
-    "ml_gbt_boost2": 1.9594,
-    "ml_knn_classify": 1.0982,
-    "ml_lift_gains": 0.5831,
-    "ns_ann_knn_join": 0.9054,
-    "ns_bpe_encode": 1.9498,
-    "ns_curriculum_order": 0.4708,
-    "ns_decontaminate_bloom": 0.9022,
-    "ns_dedup_cluster": 1.2495,
-    "ns_dedup_embed_cosine": 1.9407,
-    "ns_dedup_exact": 0.3047,
-    "ns_dedup_incremental_persist": 0.7199,
-    "ns_dedup_minhash": 0.8044,
-    "ns_dedup_ngram_jaccard": 1.7965,
-    "ns_dedup_simhash": 0.9367,
-    "ns_dedup_substring": 0.7575,
-    "ns_global_shuffle": 0.6058,
-    "ns_pipeline_e2e": 0.8035,
-    "ns_sample_importance": 0.4349,
-    "ns_semdedup": 2.5157,
-    "ns_sim_ann_lsh": 0.2297,
-    "ns_sim_topk": 0.3401,
-    "ns_text_bm25": 1.1156,
-    "ns_text_perplexity": 0.4803,
-    "ns_text_tfidf": 0.7479,
-    "proj_resample_bilinear": 0.4024,
-    "qry_recursive_cte": 1.6293,
-    "sort_composite_order": 1.9026,
-    "sort_orderby": 0.6255,
-    "stream_chained_join_agg": 8.7732,
-    "stream_custom_state": 5.1809,
-    "stream_session_window": 0.7895,
-    "stream_tumbling_agg": 0.5046,
-    "stream_watermark_late": 2.8187,
-    "ts_autocorr": 0.3707,
-    "ts_cross_corr": 0.3579,
-    "ts_max_drawdown": 0.5402,
-    "ts_rollup_multires": 0.5258,
-    "win_attribution": 0.5936,
-    "win_budget_allocation": 0.785,
-    "win_conv1d_frame": 0.9291,
-    "win_conv2d_separable": 1.8231,
-    "win_event_pattern_cep": 1.128,
-    "win_islands_blocked": 0.339,
-    "win_markov_transitions": 0.6668,
-    "win_ntile_blocked": 0.9183,
-    "win_pareto_abc": 0.575,
-    "win_survival_km": 0.5537,
+    "agg_approx_quantile": 0.898,
+    "agg_bitmap_native": 0.4549,
+    "agg_cov_corr": 0.7478,
+    "agg_crosstab": 1.066,
+    "agg_describe_summary": 1.1731,
+    "agg_freq_items": 0.6115,
+    "agg_groupby_multi": 1.0112,
+    "agg_grouping_sets_df": 0.7834,
+    "agg_histogram_numeric": 0.3063,
+    "agg_q6_forecast_revenue": 0.2219,
+    "agg_random_split": 1.3522,
+    "agg_regr_native": 0.7047,
+    "agg_sample_by": 0.6721,
+    "agg_sketch_cms_heavy": 1.0266,
+    "agg_sketch_kmv_intersect": 0.9459,
+    "agg_sketch_theta_ops": 0.6035,
+    "dq_distribution_drift": 0.298,
+    "dq_freshness": 0.4219,
+    "dq_observe_metrics": 0.6579,
+    "dq_rowcount_anomaly": 0.2877,
+    "filt_pip_scanline": 0.9859,
+    "filt_point_in_polygon": 1.4275,
+    "fn_collation": 0.374,
+    "fn_crypto_aes": 0.4774,
+    "fn_interval_agg": 0.6564,
+    "fn_mask_redact": 0.2236,
+    "fn_sql_udf": 0.3738,
+    "fn_time_type": 0.3456,
+    "fn_udf_sql_register": 0.6021,
+    "fn_variant_type": 1.2603,
+    "fn_xml_funcs": 0.7418,
+    "gen_poster_aspect": 1.7519,
+    "gen_poster_caption": 0.1615,
+    "gen_poster_full": 2.684,
+    "gen_poster_shadow": 1.7458,
+    "graph_bipartite_jaccard": 2.1637,
+    "graph_clustering_coeff": 0.3445,
+    "graph_degree_distribution": 0.2893,
+    "graph_resource_alloc": 2.4301,
+    "iter_als_rank2": 1.2845,
+    "iter_bfs_sssp": 2.9259,
+    "iter_kmeans_embed": 1.9987,
+    "iter_pagerank_tokens": 1.5444,
+    "join_bucketed_colocated": 0.5979,
+    "join_inner_equi": 0.8021,
+    "join_lateral_df": 0.6352,
+    "join_q3_shipping_priority": 0.7721,
+    "join_q5_region_volume": 1.1504,
+    "join_q7_volume_shipping": 0.8897,
+    "join_q8_market_share": 0.9952,
+    "join_q9_product_profit": 1.0311,
+    "join_range_theta": 0.3769,
+    "limit_offset_page": 0.1642,
+    "ml_decision_stump": 0.4319,
+    "ml_gbt_boost2": 1.8069,
+    "ml_knn_classify": 1.1206,
+    "ml_lift_gains": 0.6036,
+    "ns_ann_knn_join": 0.9379,
+    "ns_bpe_encode": 1.8967,
+    "ns_curriculum_order": 0.4131,
+    "ns_decontaminate_bloom": 0.7199,
+    "ns_dedup_cluster": 1.1512,
+    "ns_dedup_embed_cosine": 1.9261,
+    "ns_dedup_exact": 0.3192,
+    "ns_dedup_incremental_persist": 0.6533,
+    "ns_dedup_minhash": 0.7082,
+    "ns_dedup_ngram_jaccard": 1.658,
+    "ns_dedup_simhash": 0.8843,
+    "ns_dedup_substring": 0.6847,
+    "ns_global_shuffle": 0.4821,
+    "ns_mm_pipeline_e2e": 1.0914,
+    "ns_pipeline_e2e": 0.7536,
+    "ns_sample_importance": 0.4384,
+    "ns_semdedup": 2.8169,
+    "ns_sim_ann_lsh": 0.2155,
+    "ns_sim_topk": 0.2934,
+    "ns_text_bm25": 1.0975,
+    "ns_text_perplexity": 0.4682,
+    "ns_text_tfidf": 0.7748,
+    "ns_topic_mixture": 1.9175,
+    "ns_vocab_coverage": 0.9902,
+    "proj_resample_bilinear": 0.4096,
+    "qry_dynamic_sql": 0.3211,
+    "qry_modern_sql_sugar": 0.2557,
+    "qry_pandas_on_spark": 0.5881,
+    "qry_parameterized_sql": 1.4705,
+    "qry_pipe_syntax": 0.9601,
+    "qry_recursive_cte": 1.4499,
+    "qry_session_variables": 0.2596,
+    "qry_sql_scripting": 0.8928,
+    "reshape_transpose": 1.191,
+    "set_union_byname_missing": 0.3203,
+    "sink_python_datasource": 1.4877,
+    "sink_python_datasource_arrow": 1.3316,
+    "sort_composite_order": 1.9434,
+    "sort_orderby": 0.6061,
+    "src_arrow_roundtrip": 0.2595,
+    "src_file_metadata": 0.3858,
+    "src_python_datasource": 0.8703,
+    "src_python_datasource_pushdown": 0.7409,
+    "src_python_datasource_stream": 4.9623,
+    "src_statestore_changefeed": 0.2733,
+    "src_statestore_read": 0.2513,
+    "src_xml_roundtrip": 0.4342,
+    "stream_chained_join_agg": 7.099,
+    "stream_custom_state": 4.6305,
+    "stream_observe_metrics": 2.5809,
+    "stream_pipeline_e2e": 5.4732,
+    "stream_python_datasource_sink": 5.1026,
+    "stream_python_datasource_sink_arrow": 4.7814,
+    "stream_query_listener": 2.3186,
+    "stream_rocksdb_state": 2.4147,
+    "stream_session_window": 0.8215,
+    "stream_session_window_native": 3.1368,
+    "stream_sink_foreach_rows": 3.4221,
+    "stream_tumbling_agg": 0.5048,
+    "stream_watermark_late": 2.2355,
+    "ts_autocorr": 0.319,
+    "ts_cross_corr": 0.3025,
+    "ts_max_drawdown": 0.5214,
+    "ts_rollup_multires": 0.5066,
+    "udf_arrow_grouped": 1.2335,
+    "udf_arrow_map": 1.8346,
+    "udf_pandas_iter": 0.6919,
+    "udtf_python_native": 2.3105,
+    "win_attribution": 0.5329,
+    "win_budget_allocation": 0.7803,
+    "win_conv1d_frame": 0.8294,
+    "win_conv2d_separable": 1.7749,
+    "win_event_pattern_cep": 1.2847,
+    "win_islands_blocked": 0.2896,
+    "win_markov_transitions": 0.6184,
+    "win_ntile_blocked": 0.8565,
+    "win_pareto_abc": 0.5421,
+    "win_survival_km": 0.53,
 }
 
 
