@@ -78,6 +78,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("w32bd-skew-sweep")
+        # Heap is machine capacity, not a SQL conf: the vanilla-session
+        # point is catching SQL-conf dependencies, but the 1g default
+        # driver heap OOMs on the first 6M-row aggregation at this scale.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -96,7 +102,16 @@ def main() -> None:
     keys = only if only else sorted(qs)
     report: dict[str, dict] = {}
     bad = 0
+    import faulthandler
+
     for key in keys:
+        # Watchdog: a key that sits >10 min dumps all stacks to stderr
+        # (run continues) — the r13 first run burned 15 min inside a
+        # DuckDB CROSS_PRODUCT misplan with nothing in the log to show
+        # which statement was stuck.
+        faulthandler.cancel_dump_traceback_later()
+        faulthandler.dump_traceback_later(600, exit=False)
+        print("RUN", key, flush=True)
         t0 = time.perf_counter()
         row: dict = {}
         try:

@@ -1081,7 +1081,9 @@ _CROSSTAB_ORACLE = """
 SELECT l_returnflag AS l_returnflag_l_linestatus,
   CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
   CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O"
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+GROUP BY l_returnflag
 ORDER BY l_returnflag_l_linestatus
 """
 
@@ -1097,7 +1099,18 @@ ORDER BY l_returnflag_l_linestatus
     tags=("agg",),
 )
 def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Non-null pair domain on both sides: crosstab STRINGIFIES NULL keys
+    # as 'null' rows/columns (colliding with a genuine 'null' string —
+    # a documented API wart), and the static oracle can't grow a NULL
+    # column only on NULL-bearing fixtures (the r13 skew regime). On
+    # null-free fixtures the filter is a no-op.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_linestatus").isNotNull()
+        )
+    )
     ct = li.stat.crosstab("l_returnflag", "l_linestatus")
     cols = [ct.columns[0]] + sorted(ct.columns[1:])
     return ct.select(*cols).orderBy(ct.columns[0])
@@ -1178,8 +1191,21 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    # eqNullSafe on item: freqItems counts NULL as a value and emits it
+    # as a candidate (probed), and SQL GROUP BY retains the NULL group —
+    # a null-unsafe join would silently drop a NULL frequent item (the
+    # r13 skew fixture's 90%-NULL lang/source made NULL the ONLY
+    # frequent item and exposed exactly that).
+    cand2 = cand_df.select(
+        F.col("col").alias("c_col"), F.col("item").alias("c_item")
+    )
     return (
-        exact.join(F.broadcast(cand_df), ["col", "item"])
+        exact.join(
+            F.broadcast(cand2),
+            (F.col("col") == F.col("c_col"))
+            & F.col("item").eqNullSafe(F.col("c_item")),
+        )
+        .drop("c_col", "c_item")
         .crossJoin(F.broadcast(tot))
         .where(F.col("n_item") > _FREQ_SUPPORT * F.col("n_total"))
         .select("col", "item", F.col("n_item").cast("bigint").alias("n_item"))
@@ -1775,7 +1801,7 @@ def agg_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DESCRIBE_ORACLE = """
-SELECT CAST(count(*) AS BIGINT) AS n_rows,
+SELECT CAST(count(c_acctbal) AS BIGINT) AS n_rows,
   CAST(min(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
     AS min_c,
   CAST(max(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -1783,7 +1809,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
   TRUE AS count_ok, TRUE AS min_ok, TRUE AS max_ok, TRUE AS mean_ok,
   TRUE AS stddev_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
 FROM customer
-HAVING count(*) > 0
+HAVING count(c_acctbal) > 0
 """
 
 
@@ -1801,7 +1827,16 @@ HAVING count(*) > 0
 def agg_describe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    cust = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    # summary()'s statistics are all over NON-NULL values (count included)
+    # — the exact derivation and the rank denominators must be too, or a
+    # NULL-heavy column deflates every check (the r13 skew fixture's
+    # 90%-NULL c_acctbal exposed this; on a null-free column the filter
+    # is a no-op).
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_acctbal")
+        .where(F.col("c_acctbal").isNotNull())
+    )
     stats = {
         r["summary"]: r["c_acctbal"] for r in cust.summary().collect()
     }

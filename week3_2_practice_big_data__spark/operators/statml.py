@@ -280,18 +280,24 @@ _MB_MIN_PAIR = 3  # minimum pair support
 
 
 def _market_basket_sql(dialect: str) -> str:
-    del dialect  # shared text
+    # MATERIALIZED (DuckDB only; Spark has no such hint and plans this
+    # fine): with inlined CTEs DuckDB's join-order optimizer loses the
+    # pair_counts/item_counts cardinalities and plans the part_a/part_b
+    # equality joins as CROSS_PRODUCT+FILTER — ~4×10^10 filtered pairs on
+    # the r13 skew fixture (>400 s vs 4 s materialized). Materializing
+    # pins the hash joins; results are identical.
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     conf = "pc.n_pair / (ia.n_orders + 0e0)"
     lift = f"({conf}) / (ib.n_orders / (t.n + 0e0))"
     return f"""
-WITH baskets AS (
+WITH baskets AS {mat}(
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
-item_counts AS (
+item_counts AS {mat}(
   SELECT l_partkey, count(*) AS n_orders FROM baskets GROUP BY l_partkey
 ),
 t AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
-pair_counts AS (
+pair_counts AS {mat}(
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_pair
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
