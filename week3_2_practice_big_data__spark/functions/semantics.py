@@ -201,10 +201,18 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _url_parse_sql(dialect: str) -> str:
+    # coalesce the nullable inputs BEFORE formatting: Spark's
+    # format_string renders a NULL arg as the string 'null' while
+    # DuckDB's printf propagates NULL to the whole URL — on the r13
+    # skew fixture (90%-NULL source/lang) the two sides diverged on
+    # every nulled row. A shared sentinel makes the synthesized URL
+    # deterministic in both engines; no-op on null-free fixtures.
+    src = "coalesce(source, 'na')"
+    lng = "coalesce(lang, 'na')"
     if dialect == "spark":
         fmt = (
             "format_string('https://%s.example.com/docs/%d?lang=%s', "
-            "source, doc_id, lang)"
+            f"{src}, doc_id, {lng})"
         )
         host = "parse_url(url, 'HOST')"
         path = "parse_url(url, 'PATH')"
@@ -212,7 +220,7 @@ def _url_parse_sql(dialect: str) -> str:
     else:
         fmt = (
             "printf('https://%s.example.com/docs/%d?lang=%s', "
-            "source, doc_id, lang)"
+            f"{src}, doc_id, {lng})"
         )
         host = "regexp_extract(url, 'https://([^/]+)', 1)"
         path = "regexp_extract(url, 'https://[^/]+(/[^?]*)', 1)"

@@ -796,8 +796,14 @@ def _langid_sql(dialect: str, tok_ref: str | None = None) -> str:
     return f"""
 WITH tok AS ({tok_ref or tokens_sql(dialect)}),
 freq AS (
+  -- lang IS NOT NULL: unlabeled docs can't contribute a language
+  -- profile, and a NULL-lang profile row makes the argmax tie-break
+  -- (ORDER BY score DESC, lang) engine-dependent — Spark sorts NULL
+  -- first ASC, DuckDB NULL last (diverged on the r13 90%-NULL-lang
+  -- skew fixture). No-op on fully-labeled corpora.
   SELECT d.lang, t.token, count(*) AS cnt
   FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE d.lang IS NOT NULL
   GROUP BY d.lang, t.token
 ),
 profile AS (

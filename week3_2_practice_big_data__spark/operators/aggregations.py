@@ -660,7 +660,8 @@ def agg_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
   COUNT(*) AS n_events,
   TRUE AS median_rank_within_5pct
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """,
     doc="KLL quantile sketch: per-event_type kll_sketch_agg_double over "
     "`value`, median estimated from the sketch, then VERIFIED by computing "
@@ -670,8 +671,14 @@ FROM events GROUP BY event_type ORDER BY event_type
     tags=("agg", "scale", "sketch"),
 )
 def agg_sketch_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("double").alias("v")
+    # Non-null domain on both sides: the sketch ignores NULLs, but the
+    # rank-verification denominator counted them — on a 90%-NULL value
+    # column (r13 skew fixture) the exact rank deflated to ~0.05 and the
+    # 5% band check failed spuriously. NaN/Inf stay in (not NULL).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("double").alias("v"))
     )
     est = ev.groupBy("event_type").agg(
         F.kll_sketch_get_quantile_double(

@@ -380,9 +380,15 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PCTRANK_SQL)
 
 
+# NULLS FIRST pinned (r13 skew fixture, 90%-NULL value): Spark's window
+# ORDER BY defaults ASC NULLS FIRST, DuckDB NULLS LAST — every row's
+# cumulative fraction shifts when the engines place the NULL block at
+# opposite ends. cd stays an exact rational either way; only the order
+# needed pinning.
 _CUME_DIST_ORACLE = """
 SELECT event_id, event_type,
-  cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id)
+  cume_dist() OVER (
+    PARTITION BY event_type ORDER BY value NULLS FIRST, event_id)
     AS cd
 FROM events WHERE event_id < 3000
 ORDER BY event_type, cd, event_id
@@ -400,7 +406,9 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     return (
         ev.filter(F.col("event_id") < 3000)
         .select(
