@@ -414,6 +414,118 @@ def skew_ladder(spark) -> dict:
     return report
 
 
+def skewjoin_ladder(spark) -> dict:
+    """AQE skew-join split, measured on the standing r13 skew fixture
+    (gen_skew: one part key holds ~10% of 6M lineitems — a ~600k-row hot
+    shuffle partition). The same hot-key sort-merge join (lineitem ⋈
+    part on l_partkey → revenue per brand; broadcast disabled to pin the
+    SMJ shape) runs with AQE's skewJoin ON vs OFF and the split is
+    confirmed in the final adaptive plan ("skew=true" on the SMJ node).
+    Thresholds are scaled to fixture size (4 MB skewed-partition
+    threshold / 2 MB advisory target vs the 256 MB / 64 MB production
+    defaults): at the 100 TB target the hot partition is hundreds of GB
+    and the DEFAULTS fire; at 6 M rows nothing reaches 256 MB, so the
+    scaled thresholds exercise the identical code path at fixture scale.
+    The registry's manual-salting twin (join_salted_skew) is timed on
+    the same fixture for reference — AQE-off vs AQE-skew-split vs
+    pre-salted is exactly the decision a 100 TB deployment tunes."""
+    import gen_skew
+
+    skew_dir = gen_skew.build(spark)
+    # Wide projection through the shuffle (all the money columns + dates)
+    # so the hot partition is tens of MB at fixture scale; and 200
+    # shuffle partitions, NOT the tuned 32: with 32 partitions the hot
+    # key lands at ~4.5x the median partition — BELOW the skew factor
+    # (5x) — and the splitter correctly stays off. That is itself the
+    # measured lesson: coarse partitioning hides skew from AQE's
+    # detector (hot/median ≈ (h + (1-h)/P) / ((1-h)/P) grows with P).
+    q = (
+        "SELECT p.p_brand, "
+        "CAST(sum(CAST(l.l_extendedprice * 100 AS BIGINT)) AS BIGINT) "
+        "AS rev_c, "
+        "CAST(sum(CAST(l.l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c, "
+        "CAST(sum(CAST(l.l_discount * 100 AS BIGINT)) AS BIGINT) AS disc_c, "
+        "CAST(sum(CAST(l.l_tax * 100 AS BIGINT)) AS BIGINT) AS tax_c, "
+        "min(l.l_shipdate) AS d0, max(l.l_shipdate) AS d1, "
+        "count(*) AS n "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "GROUP BY p.p_brand"
+    )
+
+    def run_joined() -> float:
+        for t in ("lineitem", "part"):
+            spark.read.parquet(
+                os.path.join(skew_dir, f"{t}.parquet")
+            ).createOrReplaceTempView(t)
+        df = spark.sql(q)
+        start = time.perf_counter()
+        df.collect()  # ~25 brand groups — bounded; and unlike the noop
+        # write sink, collect executes THIS Dataset's QueryExecution, so
+        # the inspected plan is the final adaptive one (isFinalPlan=true
+        # with the skew=true SMJ marker; the write path runs a separate
+        # execution whose plan the Dataset handle never sees).
+        wall = time.perf_counter() - start
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return wall, "skew=true" in plan
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "200",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", "true"
+    )
+    report = {}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for mode, enabled in (("skewjoin_on", "true"), ("skewjoin_off", "false")):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+            run_joined()  # warm
+            samples = [run_joined() for _ in range(RUNS)]
+            report[mode] = {
+                "wall_s": round(statistics.median(w for w, _ in samples), 3),
+                "skew_split_in_plan": any(s for _, s in samples),
+            }
+        # manual-salting twin on the same fixture, default confs
+        for k, v in confs.items():
+            if saved[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, saved[k])
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            saved["spark.sql.adaptive.skewJoin.enabled"],
+        )
+        run_once(spark, "join_salted_skew", skew_dir)  # warm
+        report["join_salted_skew"] = {
+            "wall_s": round(
+                statistics.median(
+                    run_once(spark, "join_salted_skew", skew_dir)
+                    for _ in range(RUNS)
+                ),
+                3,
+            )
+        }
+    finally:
+        for k in confs:
+            if saved[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, saved[k])
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            saved["spark.sql.adaptive.skewJoin.enabled"],
+        )
+    report["ratio_off_over_on"] = round(
+        report["skewjoin_off"]["wall_s"] / report["skewjoin_on"]["wall_s"], 2
+    )
+    return report
+
+
 def run_once(spark, key: str, sf_dir: str) -> float:
     start = time.perf_counter()
     REGISTRY[key].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -737,6 +849,10 @@ def main() -> None:
     # ladder instead of the sf-table ladder.
     # Skew mode: SPARK_GRAFT_SCALE_SKEW=1 runs the hot-user ladder
     # (uniform N× vs one-user-holds-10% N×, same total rows).
+    if os.environ.get("SPARK_GRAFT_SCALE_SKEWJOIN"):
+        report = skewjoin_ladder(spark)
+        print(json.dumps({"metric": "skewjoin_aqe", "queries": report}))
+        return
     if os.environ.get("SPARK_GRAFT_SCALE_SKEW"):
         report = skew_ladder(spark)
         print(
