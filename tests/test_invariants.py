@@ -468,8 +468,18 @@ def test_adversarial_input_parity(spark):
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "sf_weird"
     )
-    stamp = os.path.join(out, "_STAMP_v1")
+    stamp = os.path.join(out, "_STAMP_v2")
     if not os.path.exists(stamp):
+        # Rebuilding under a new stamp: purge DERIVED caches keyed on this
+        # fixture (streaming chunk dirs, band/bucket/IVF indexes...) —
+        # their build_once stamps don't encode the source fixture version,
+        # so stale v1-derived data would masquerade as 10 spurious
+        # streaming mismatches (observed at the v1->v2 bump, r13).
+        import glob
+        import shutil
+
+        for d in glob.glob(os.path.join(os.path.dirname(out), "*sf_weird*")):
+            shutil.rmtree(d, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         con0 = duckdb.connect()
         docs = [
@@ -485,12 +495,21 @@ def test_adversarial_input_parity(spark):
             (9, "copy me twice and again exactly verbatim", "en", "src3"),
             (10, "copy me twice and again exactly verbatim", "en", "src3"),
             (11, "normal sentence with seven plain ascii tokens", "en", "src3"),
+            # v2 (r13 skew campaign follow-through): the NULL classes the
+            # skew fixture does NOT null — NULL text itself, and NULL
+            # lang/source in the ALWAYS-RUN gate (the opt-in skew gate
+            # covers them at corpus scale only).
+            (12, None, "en", "src4"),
+            (13, "plain text with null metadata", None, None),
         ]
         con0.execute(
             "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)"
         )
         for i, t, lang, src in docs:
-            con0.execute("INSERT INTO d VALUES (?, ?, ?, ?, ?)", [i, t, lang, src, len(t)])
+            con0.execute(
+                "INSERT INTO d VALUES (?, ?, ?, ?, ?)",
+                [i, t, lang, src, len(t) if t is not None else None],
+            )
         con0.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
 
         con0.execute(
@@ -505,6 +524,17 @@ def test_adversarial_input_parity(spark):
             con0.execute(
                 f"INSERT INTO e VALUES (?, TIMESTAMP '{base}' + INTERVAL ({mins}) MINUTE, ?, ?, ?, ?)",
                 [i, i % 3, "click" if i % 2 else "view", v, "{}"],
+            )
+        # v2: NULL value / NULL event_type (group key) / NULL user_id
+        # (window partition key) — the NULL placements the r13 skew sweep
+        # proved divergence-prone, pinned into the always-run gate
+        for i, (uid, etype, v) in enumerate(
+            [(0, "click", None), (1, None, 1.0), (None, "view", 3.0)],
+            start=len(vals),
+        ):
+            con0.execute(
+                f"INSERT INTO e VALUES (?, TIMESTAMP '{base}' + INTERVAL ({i}) MINUTE, ?, ?, ?, ?)",
+                [i, uid, etype, v, "{}"],
             )
         con0.execute(f"COPY e TO '{out}/events.parquet' (FORMAT PARQUET)")
 
@@ -521,6 +551,7 @@ def test_adversarial_input_parity(spark):
             (4, [1e-40] * 64, 2),                  # float32 denormal
             (5, [(-1.0) ** j * 0.5 for j in range(64)], 3),
             (6, [-0.0] * 64, 0),                   # negative zero
+            (7, None, 1),                          # v2: NULL embedding
         ]
         for i, v, lab in embs:
             con0.execute("INSERT INTO emb VALUES (?, ?, ?)", [i, v, lab])
@@ -535,7 +566,7 @@ def test_adversarial_input_parity(spark):
                 f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
             )
         with open(stamp, "w") as f:
-            f.write("v1")
+            f.write("v2")
 
     from .oracle import compare, duck_run
 
@@ -1424,8 +1455,18 @@ def test_pandas_on_spark_null_group_keys_match_sql(spark):
         ".tmp",
         "sf_nullkey",
     )
-    stamp = os.path.join(out, "_STAMP_v1")
+    stamp = os.path.join(out, "_STAMP_v2")
     if not os.path.exists(stamp):
+        # Rebuilding under a new stamp: purge DERIVED caches keyed on this
+        # fixture (streaming chunk dirs, band/bucket/IVF indexes...) —
+        # their build_once stamps don't encode the source fixture version,
+        # so stale v1-derived data would masquerade as 10 spurious
+        # streaming mismatches (observed at the v1->v2 bump, r13).
+        import glob
+        import shutil
+
+        for d in glob.glob(os.path.join(os.path.dirname(out), "*sf_weird*")):
+            shutil.rmtree(d, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         con0 = duckdb.connect()
         # base slice passing the 1998 cut, then rows with NULL group
@@ -1459,7 +1500,7 @@ def test_pandas_on_spark_null_group_keys_match_sql(spark):
                 f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
             )
         with open(stamp, "w") as f:
-            f.write("v1")
+            f.write("v2")
 
     from .oracle import compare, duck_run
 

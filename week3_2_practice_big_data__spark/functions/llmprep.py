@@ -786,8 +786,12 @@ def _quantize_sql(dialect: str) -> str:
     qmax = _fold(dialect, qv, f"-{_QLEVELS}e0", "greatest(acc, v)")
     return f"""
 WITH scaled AS (
+  -- embedding IS NOT NULL: a NULL vector has no quantized form, and the
+  -- engines' fold skeletons disagree on it (Spark's aggregate(NULL...)
+  -- is NULL; DuckDB's generate_series fold sees 64 NULL elements and
+  -- its greatest/least skip them) — r13 weird-fixture v2 finding.
   SELECT vec_id, label, embedding, {amax} / {_QLEVELS}e0 AS scale
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT s.vec_id, s.label,
   {synth.q6("s.scale")} AS scale_q6,

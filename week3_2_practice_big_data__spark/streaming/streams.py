@@ -2411,11 +2411,17 @@ touched AS (SELECT DISTINCT event_type, batch_id FROM batched)
 SELECT CAST(t.batch_id AS BIGINT) AS batch_id,
   'update' AS change_type,
   t.event_type,
+  -- IS NOT DISTINCT FROM: the state store keys NULL event_type like any
+  -- other value, but a correlated '=' never matches NULL to itself — the
+  -- r13 weird-fixture-v2 NULL-group row made the oracle's prefix
+  -- aggregates read 0 for a key Spark correctly tracked at n=1.
   CAST((SELECT sum({_SS_MICRO}) FROM batched x
-        WHERE x.event_type = t.event_type AND x.batch_id <= t.batch_id)
+        WHERE x.event_type IS NOT DISTINCT FROM t.event_type
+          AND x.batch_id <= t.batch_id)
     AS BIGINT) AS state_sum_micro,
   CAST((SELECT count(*) FROM batched x
-        WHERE x.event_type = t.event_type AND x.batch_id <= t.batch_id)
+        WHERE x.event_type IS NOT DISTINCT FROM t.event_type
+          AND x.batch_id <= t.batch_id)
     AS BIGINT) AS state_n
 FROM touched t
 ORDER BY batch_id, event_type
