@@ -966,11 +966,25 @@ def test_kmeans_embed_assignment_is_projection(spark):
 def test_arrow_grouped_plans_flatmap_groups_in_arrow(spark):
     """udf_arrow_grouped (r10) must execute the Arrow-native grouped-map
     operator (FlatMapGroupsInArrow) — not fall back to a pandas layer —
-    and shuffle once on the group key."""
-    df = REGISTRY["udf_arrow_grouped"].builder(spark, SF_SMALL)
+    and shuffle once on the group key. Since r13 the registered builder
+    checkpoints the kernel output below the deterministic-output sort (so
+    range sampling cannot re-run the Python pass), which hides the
+    operator behind an ExistingRDD in the FINAL plan — the pin moves to
+    the kernel stage the builder checkpoints."""
+    from week3_2_practice_big_data__spark.functions.scalar_ext import (
+        _arrow_grouped_kernel_df,
+    )
+
+    df = _arrow_grouped_kernel_df(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInArrow" in plan
     assert "FlatMapGroupsInPandas" not in plan
+    # and the registered builder (checkpoint + sort) still returns the
+    # kernel relation ordered by (l_orderkey, l_linenumber)
+    out = REGISTRY["udf_arrow_grouped"].builder(spark, SF_SMALL)
+    head = out.limit(3).collect()
+    keys = [(r["l_orderkey"], r["l_linenumber"]) for r in head]
+    assert keys == sorted(keys)
 
 
 def test_observe_metrics_rides_the_pipeline_plan(spark):

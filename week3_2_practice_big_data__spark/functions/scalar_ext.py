@@ -175,18 +175,28 @@ ORDER BY l_orderkey, l_linenumber
     "per lineitem — the bulk-columnar Python hook beside mapInPandas, "
     "hash-pinned against the SQL derivation (J: UDF surface). Output-"
     "linear by construction (bijective per-row map; measured ~1.4M "
-    "rows/s through the Arrow kernel at the 100x ladder — the orderBy "
-    "exists only for deterministic driver output).",
+    "rows/s through the Arrow kernel at the 100x ladder — the input-side "
+    "sort exists only for deterministic driver output and keeps the "
+    "kernel to ONE pass, r13).",
     tags=("udf", "function"),
 )
 def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
+    # Deterministic output order comes from sorting the NARROW INPUT below
+    # the kernel (r13, guide §4.4 class): a post-map orderBy plants a range
+    # Exchange ABOVE MapInArrow, and RangePartitioner's bounds sampling
+    # re-executes the child — the whole Python pass ran TWICE (measured
+    # 2.01 s → 0.92 s without the top sort at sf0.1). mapInArrow preserves
+    # intra-partition row order and partitioning, and the sort keys pass
+    # through the kernel unchanged, so sorting the 5-column scan first
+    # yields byte-identical output rows in the identical order with ONE
+    # kernel pass; the range sampling now re-reads only the parquet scan.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
         "l_quantity",
-    )
+    ).orderBy("l_orderkey", "l_linenumber")
 
     def kernel(batches):
         import numpy as np
@@ -218,7 +228,7 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         kernel,
         "l_orderkey bigint, l_linenumber int, tag string, qty_u bigint",
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +350,23 @@ ORDER BY l_orderkey, l_linenumber
     tags=("udf", "function"),
 )
 def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _arrow_grouped_kernel_df(spark, sf_dir)
+        # The output order keys (l_orderkey) differ from the grouping key,
+        # so a pre-sort cannot carry through the group shuffle; instead the
+        # lazy localCheckpoint materializes the kernel output ONCE and the
+        # range sort's bounds sampling reads the checkpointed partitions —
+        # without it the sampling re-executed shuffle+Sort+applyInArrow, a
+        # second full Python pass (r13, guide §4.4 class). Same rows, same
+        # order; recomputed from parquet on every invocation.
+        .localCheckpoint(eager=False)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def _arrow_grouped_kernel_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInArrow kernel relation (pre-sort, pre-checkpoint) — the
+    plan-visible stage tests/test_plans.py pins FlatMapGroupsInArrow on."""
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
@@ -372,15 +399,11 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        li.groupBy("l_suppkey")
-        .applyInArrow(
-            kernel,
-            "l_suppkey bigint, l_orderkey bigint, l_linenumber int, "
-            "qty_u bigint, grp_min_u bigint, grp_max_u bigint, "
-            "pos_ppm bigint",
-        )
-        .orderBy("l_orderkey", "l_linenumber")
+    return li.groupBy("l_suppkey").applyInArrow(
+        kernel,
+        "l_suppkey bigint, l_orderkey bigint, l_linenumber int, "
+        "qty_u bigint, grp_min_u bigint, grp_max_u bigint, "
+        "pos_ppm bigint",
     )
 
 
@@ -420,9 +443,14 @@ def fn_udf_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)
     spark.udf.register("w32bd_pumicro", w32bd_pumicro)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # Pre-sorted subquery (r13): a top-level ORDER BY above the
+    # ArrowEvalPython node makes the range sampling re-execute the UDF —
+    # sorting the 2-column input below it keeps one UDF pass (the pandas
+    # UDF is a per-partition order-preserving map, so the emitted order is
+    # identical; Catalyst keeps the subquery sort below the Python node).
     return spark.sql(
         "SELECT event_id, w32bd_pumicro(value) AS value_u "
-        "FROM events ORDER BY event_id"
+        "FROM (SELECT event_id, value FROM events ORDER BY event_id)"
     )
 
 
@@ -464,11 +492,17 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     ev = load_table(spark, sf_dir, "events")
+    # Pre-sort the input below the Python nodes (r13): a post-UDF orderBy
+    # puts the range sampling above the two ArrowEvalPython nodes and
+    # re-executes them; pandas UDF projection preserves per-partition row
+    # order, so sorting first emits the identical rows in the identical
+    # order with one UDF pass.
     return (
-        ev.select(
+        ev.select("event_id", "value")
+        .orderBy("event_id")
+        .select(
             "event_id",
             iter_micro(col("value")).alias("value_u"),
             iter_parity(col("event_id")).alias("parity"),
         )
-        .orderBy("event_id")
     )

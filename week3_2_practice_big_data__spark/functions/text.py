@@ -1321,10 +1321,17 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                 off += len(tok) + 1
 
     spark.udtf.register("w32bd_tokenize_spans", TokenizeSpans)
+    # Pre-sorted subquery (r13): the old top-level ORDER BY planted a range
+    # Exchange above ArrowEvalPythonUDTF, and the partition-bounds sampling
+    # re-executed the whole UDTF pass (guide §4.4 class — the Python stage
+    # ran twice). The UDTF emits pos ascending per input row and preserves
+    # input order, so sorting documents by doc_id BELOW the lateral join
+    # yields the identical rows in the identical (doc_id, pos) order with
+    # one UDTF pass; sampling now re-reads only the 2-column parquet scan.
     return spark.sql("""
 SELECT d.doc_id, t.pos, t.token, t.start_off, t.end_off
-FROM documents d, LATERAL w32bd_tokenize_spans(d.text) t
-ORDER BY doc_id, pos
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id) d,
+     LATERAL w32bd_tokenize_spans(d.text) t
 """)
 
 

@@ -1238,7 +1238,12 @@ def iter_bfs_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = _bfs_expand(und, frontier, visited).localCheckpoint(
             eager=True
         )
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        # visited is a union of ALREADY-checkpointed frontiers: its plan
+        # stays O(rounds) shallow and every leg is materialized, so its own
+        # eager checkpoint was one redundant full pass + copy per round
+        # (4 eager jobs dropped, r13; the frontier checkpoint — the one
+        # that actually bounds lineage — stays).
+        visited = visited.unionAll(frontier)
         levels.append((r, frontier))
     levels.append((-1, nodes.join(visited, "node", "left_anti")))
 

@@ -354,7 +354,18 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _LcgReader()
 
     spark.dataSource.register(_LcgSource)
-    return spark.read.format("w32bd_lcg").load().orderBy("i")
+    # Lazy localCheckpoint below the sort (r13): orderBy's range-bounds
+    # sampling re-executes the child — for a Python BatchScan leaf that
+    # means every Python reader ran TWICE (guide §4.4 class). The
+    # checkpoint materializes the scan once; the sort samples the
+    # checkpointed partitions. Same rows, same order, recomputed per
+    # invocation.
+    return (
+        spark.read.format("w32bd_lcg")
+        .load()
+        .localCheckpoint(eager=False)
+        .orderBy("i")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1136,6 +1147,10 @@ def src_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("sensor_id") == _PYDSF_SENSOR)
             & (F.col("i") >= _PYDSF_MIN_I)
         )
+        # Lazy localCheckpoint below the sort (r13): without it, orderBy's
+        # range sampling re-executed the pushdown-filtered Python scan a
+        # second time (guide §4.4 class). Same rows/order, one scan pass.
+        .localCheckpoint(eager=False)
         .orderBy("i")
     )
 
