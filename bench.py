@@ -553,6 +553,15 @@ GROWTH_NOTES = {
     "sort with the blocked hierarchical decomposition (VERDICT r5 item "
     "3): ~1.4x at sf0.1 from extra exchange stages at tiny scale, vs "
     "9.8x instead of 89x at 100x — the scale path is the point",
+    "graph_bipartite_jaccard": "r13 moved the hot-part cap from the "
+    "generated pairs onto the edge list BEFORE the self-join (a per-run "
+    "checkpointed capped-edge relation — Catalyst's join reordering had "
+    "been filtering AFTER the C(d,2) explosion): ~+0.5 s at sf0.1 for "
+    "the extra cap pass, vs 29.8 s -> 9.6 s on the 6M-row hot-part "
+    "fixture — the skew regime is the point",
+    "graph_resource_alloc": "same r13 capped-edges-first restructure as "
+    "graph_bipartite_jaccard: ~+0.5 s at sf0.1, vs 49.9 s -> 7.6 s on "
+    "the hot-part fixture",
 }
 
 

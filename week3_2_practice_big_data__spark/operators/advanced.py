@@ -641,7 +641,11 @@ _BIP_EDGES_SQL = "SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem"
 _BIP_PART_CAP = 64
 
 
-def _bipartite_jaccard_sql(dialect: str, edges_ref: str | None = None) -> str:
+def _bipartite_jaccard_sql(
+    dialect: str,
+    edges_ref: str | None = None,
+    ecap_ref: str | None = None,
+) -> str:
     del dialect  # shared text
     # jac is exact: BIGINT counts, one IEEE division — identical doubles
     # both engines, so the ORDER BY on the unrounded value is a total
@@ -649,7 +653,17 @@ def _bipartite_jaccard_sql(dialect: str, edges_ref: str | None = None) -> str:
     # `edges` is referenced four times (pdeg + deg + both join sides):
     # the Spark builder materializes it once (CTE inlining re-ran the
     # lineitem scan + DISTINCT per reference — 4 scans measured).
+    #
+    # r13: the part cap moves from the generated pairs onto the edge list
+    # itself (ecap) — see _resource_alloc_sql for the join-reordering
+    # measurement (29.8 s → 9.6 s on the hot-part fixture, identical
+    # result). Supplier degrees (deg — the Jaccard denominator) still
+    # count EVERY part, exactly as before.
     jac = "CAST(n_common AS DOUBLE) / CAST(deg1 + deg2 - n_common AS DOUBLE)"
+    ecap = ecap_ref or (
+        f"SELECT e.p, e.s FROM edges e "
+        f"JOIN pdeg pd0 ON pd0.p = e.p AND pd0.d <= {_BIP_PART_CAP}"
+    )
     return f"""
 WITH edges AS (
   {edges_ref or _BIP_EDGES_SQL}
@@ -660,11 +674,13 @@ deg AS (
 pdeg AS (
   SELECT p, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY p
 ),
+ecap AS (
+  {ecap}
+),
 common AS (
   SELECT a.s AS supp1, b.s AS supp2, CAST(count(*) AS BIGINT) AS n_common
-  FROM edges a
-  JOIN pdeg pd ON pd.p = a.p AND pd.d <= {_BIP_PART_CAP}
-  JOIN edges b ON a.p = b.p AND a.s < b.s
+  FROM ecap a
+  JOIN ecap b ON a.p = b.p AND a.s < b.s
   GROUP BY a.s, b.s
   HAVING count(*) >= 2
 )
@@ -699,8 +715,13 @@ def graph_bipartite_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_BIP_EDGES_SQL).coalesce(8),
     ).createOrReplaceTempView("bip_edges")
+    _capped_edges_view(spark)
     return spark.sql(
-        _bipartite_jaccard_sql("spark", edges_ref="SELECT p, s FROM bip_edges")
+        _bipartite_jaccard_sql(
+            "spark",
+            edges_ref="SELECT p, s FROM bip_edges",
+            ecap_ref="SELECT p, s FROM bip_edges_capped",
+        )
     )
 
 
@@ -724,7 +745,11 @@ def graph_bipartite_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _resource_alloc_sql(dialect: str, edges_ref: str | None = None) -> str:
+def _resource_alloc_sql(
+    dialect: str,
+    edges_ref: str | None = None,
+    ecap_ref: str | None = None,
+) -> str:
     del dialect  # shared text
     # round(1e6/d) as floor((2e6+d)/(2d)): numerator/denominator are exact
     # doubles (< 2^53), IEEE division is correctly rounded in both engines,
@@ -736,6 +761,21 @@ def _resource_alloc_sql(dialect: str, edges_ref: str | None = None) -> str:
         "CAST(floor((2000000e0 + CAST(pd.d AS DOUBLE)) / "
         "(2e0 * CAST(pd.d AS DOUBLE))) AS BIGINT)"
     )
+    # r13: the part cap is applied to the EDGE LIST before the self-join
+    # (ecap), not to the generated pairs — Catalyst's inner-join
+    # reordering used to place the pdeg cap ABOVE the a×b join, so a hot
+    # part exploded to C(d,2) candidate pairs and was filtered after the
+    # fact (measured 49.9 s vs capped-first on the 6M-row hot-part
+    # fixture; jaccard twin 29.8 s → 9.6 s). Capping either side is
+    # equivalent to capping the pair (a.p = b.p implies the same pdeg
+    # row), so the pair multiset is unchanged — proven by full-result
+    # comparison on sf0.01/sf0.1 and the skew fixture. The pd.d <= cap
+    # predicate stays on the weight join (redundant but harmless: it
+    # documents the invariant and keeps the join 1:1).
+    ecap = ecap_ref or (
+        f"SELECT e.p, e.s FROM edges e "
+        f"JOIN pdeg pd0 ON pd0.p = e.p AND pd0.d <= {_BIP_PART_CAP}"
+    )
     return f"""
 WITH edges AS (
   {edges_ref or _BIP_EDGES_SQL}
@@ -743,12 +783,15 @@ WITH edges AS (
 pdeg AS (
   SELECT p, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY p
 ),
+ecap AS (
+  {ecap}
+),
 pairs AS (
   SELECT a.s AS supp1, b.s AS supp2,
     CAST(count(*) AS BIGINT) AS n_common,
     CAST(sum({w}) AS BIGINT) AS ra_micro
-  FROM edges a
-  JOIN edges b ON a.p = b.p AND a.s < b.s
+  FROM ecap a
+  JOIN ecap b ON a.p = b.p AND a.s < b.s
   JOIN pdeg pd ON pd.p = a.p AND pd.d <= {_BIP_PART_CAP}
   GROUP BY a.s, b.s
   HAVING count(*) >= 2
@@ -780,8 +823,34 @@ def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_BIP_EDGES_SQL).coalesce(8),
     ).createOrReplaceTempView("bip_edges")
+    _capped_edges_view(spark)
     return spark.sql(
-        _resource_alloc_sql("spark", edges_ref="SELECT p, s FROM bip_edges")
+        _resource_alloc_sql(
+            "spark",
+            edges_ref="SELECT p, s FROM bip_edges",
+            ecap_ref="SELECT p, s FROM bip_edges_capped",
+        )
+    )
+
+
+def _capped_edges_view(spark: SparkSession) -> None:
+    """Register the per-invocation capped edge list (parts with degree
+    <= _BIP_PART_CAP) as `bip_edges_capped`, materialized behind a LAZY
+    localCheckpoint. The checkpoint is the point: it is a physical
+    barrier Catalyst's inner-join flattening cannot reorder across, so
+    the hot-part cap provably prunes candidate GENERATION (before the
+    per-part self-join explodes C(d,2) pairs) instead of filtering
+    after it. Rebuilt per builder call — per-run work, nothing cached
+    across invocations (the view overwrites; materialization happens
+    inside the run's own action)."""
+    spark.sql(
+        f"""
+SELECT e.p, e.s FROM bip_edges e
+JOIN (SELECT p FROM bip_edges GROUP BY p
+      HAVING count(*) <= {_BIP_PART_CAP}) c
+  ON c.p = e.p"""
+    ).localCheckpoint(eager=False).createOrReplaceTempView(
+        "bip_edges_capped"
     )
 
 # ---------------------------------------------------------------------------

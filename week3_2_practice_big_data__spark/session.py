@@ -19,6 +19,19 @@ from pyspark.sql import SparkSession
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+# AQE SortMergeJoin -> ShuffledHashJoin rewrite threshold (r13, guide
+# §3.1): with AQE on, a sort-merge join whose post-shuffle partitions ALL
+# measure below this many bytes is rewritten at runtime to a shuffled
+# hash join — the sort on both sides disappears for joins AQE has proven
+# small enough to hash. Unlike the static preferSortMergeJoin=false
+# switch this decides from MEASURED partition sizes, so it cannot OOM on
+# a bad estimate and is scale-safe: at 100 TB the big joins' partitions
+# exceed the threshold and stay sort-merge. 64 MB per-partition build is
+# conservative for any executor sized per guide §5; env-overridable for
+# deployments that want it off (0) or larger.
+_SHJ_THRESHOLD = os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024))
+
+
 def get_spark(app_name: str = "w32bd-spark-engine") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
@@ -26,6 +39,10 @@ def get_spark(app_name: str = "w32bd-spark-engine") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            _SHJ_THRESHOLD,
+        )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -83,6 +100,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
         (_NANOS_CONF, "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # r13: runtime SMJ->SHJ rewrite for joins AQE has measured small
+        # (see _SHJ_THRESHOLD above) — runtime-settable, so the driver's
+        # own session gets it too.
+        (
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            _SHJ_THRESHOLD,
+        ),
         # the driver's vanilla session defaults to 200 shuffle partitions —
         # far too many tasks for sf<=0.1 local shuffles; AQE coalescing plus
         # a 32-partition floor keeps task overhead sane without affecting

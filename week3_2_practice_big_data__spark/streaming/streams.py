@@ -35,16 +35,29 @@ _WATERMARK = "10 minutes"
 _WATERMARK_US = 600_000_000  # the same 10 minutes, in microseconds
 
 
-def _stream_partitions(spark: SparkSession) -> int:
+def _stream_partitions(
+    spark: SparkSession, python_stateful: bool = False
+) -> int:
     """Shuffle width for STREAMING queries: state-store instances =
     partitions × stores-per-op × stateful-ops, and every store pays a
-    per-micro-batch commit (delta file + fsync) regardless of data — at
-    micro-batch scale that fixed cost dominates (measured r8: the chained
-    join+agg at sf0.1 took 33 s at 32 partitions vs 8.4 s at 8; every
-    batch cost ~5 s even with 4 input rows). Size streaming shuffles to
-    the executor count, not the batch data volume; a real cluster
-    re-sizes via its own session conf before the query starts."""
-    return max(8, spark.sparkContext.defaultParallelism // 4)
+    per-micro-batch commit (delta file + provider load) regardless of
+    data — at micro-batch scale that fixed cost dominates (measured r8:
+    the chained join+agg at sf0.1 took 33 s at 32 partitions vs 8.4 s at
+    8; r13 re-measured store commits at ~64 ms each — JVM provider
+    machinery, not disk: a raw write+rename is 0.13 ms on this box).
+    r13: JVM-stateful queries drop to 4 (measured min 8.5 s → 6.2 s on
+    the chained join at sf0.1; the per-batch data volume here never
+    needs more than a handful of tasks), while python_stateful=True
+    keeps 8 — applyInPandasWithState work is CPU-bound per-group Python
+    where parallelism wins (measured: 2 partitions cost 11-18 s vs
+    6-9 s at 8 on stream_custom_state). Size streaming shuffles to the
+    executor count and the operator's compute profile, never to the
+    batch data volume; a real cluster re-sizes via its own session conf
+    before the query starts."""
+    base = spark.sparkContext.defaultParallelism
+    if python_stateful:
+        return max(8, base // 4)
+    return max(4, base // 8)
 
 
 class _stream_shuffle:
@@ -52,14 +65,15 @@ class _stream_shuffle:
     (numShufflePartitions is captured from the session conf when the
     query plans its first batch; restored on exit for the batch keys)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, python_stateful: bool = False):
         self._spark = spark
+        self._python_stateful = python_stateful
 
     def __enter__(self):
         self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
         self._spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(_stream_partitions(self._spark)),
+            str(_stream_partitions(self._spark, self._python_stateful)),
         )
         return self
 
@@ -489,7 +503,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "w32bd_state":
             q.stop()
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, python_stateful=True):
         query = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1402,7 +1416,7 @@ def stream_event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "w32bd_cep":
             q.stop()
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, python_stateful=True):
         query = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
