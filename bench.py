@@ -625,9 +625,16 @@ def main() -> None:
     tap = _StreamTap() if sf == 1.0 else None
     if tap is not None:
         spark.streams.addListener(tap)
-    # Warm the JVM/codegen/file-listing paths once before timing.
+    # Warm the JVM/codegen/file-listing paths once before timing — and
+    # RECORD that cold first pass per key (VERDICT r13 item 6b): the
+    # engine's `checkpointed()` helper materializes shared sub-relations
+    # once per (session, sf), so timed passes 1..n measure the warm path;
+    # `queries_first` makes the cold-path cost visible in the artifact
+    # instead of inferable. Additions-only: the timed region, medians and
+    # mins are computed exactly as before.
+    per_query_first = {}
     for key in keys:
-        run_once(spark, key)
+        per_query_first[key] = round(run_once(spark, key), 4)
     # Five PASS-INTERLEAVED timed runs (not 5 back-to-back per key): the
     # host VM's throughput drifts over minutes, and interleaving spreads
     # that drift evenly across keys instead of loading it onto whichever
@@ -690,6 +697,9 @@ def main() -> None:
         "n": n_passes,  # interleaved timed passes (median + min reported)
         "queries": per_query,
         "queries_min": per_query_min,
+        # cold first pass (the warmup run, before any per-session
+        # checkpoint reuse exists) — see the warm loop comment
+        "queries_first": per_query_first,
         "sf": sf,
         "prev_round": PREV_ROUND,
         "baseline_src": BASELINE_SRC if sf != 1.0 else BASELINE_SRC_SF1,

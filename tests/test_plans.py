@@ -980,11 +980,18 @@ def test_arrow_grouped_plans_flatmap_groups_in_arrow(spark):
     assert "FlatMapGroupsInArrow" in plan
     assert "FlatMapGroupsInPandas" not in plan
     # and the registered builder (checkpoint + sort) still returns the
-    # kernel relation ordered by (l_orderkey, l_linenumber)
+    # kernel relation ordered by (l_orderkey, l_linenumber). ADVICE r13:
+    # limit(3) on a sorted plan returns the global top-3 already ordered
+    # — tautological. Collect the WHOLE sf0.001 result and compare the
+    # emitted key sequence against an independently computed expectation
+    # (the kernel relation's keys, sorted in Python), so a regression of
+    # the ordering contract actually fails.
     out = REGISTRY["udf_arrow_grouped"].builder(spark, SF_SMALL)
-    head = out.limit(3).collect()
-    keys = [(r["l_orderkey"], r["l_linenumber"]) for r in head]
-    assert keys == sorted(keys)
+    keys = [(r["l_orderkey"], r["l_linenumber"]) for r in out.collect()]
+    expected = sorted(
+        (r["l_orderkey"], r["l_linenumber"]) for r in df.collect()
+    )
+    assert keys == expected and len(keys) > 3
 
 
 def test_observe_metrics_rides_the_pipeline_plan(spark):
@@ -1155,3 +1162,83 @@ def test_pandas_on_spark_default_index_is_the_antipattern(spark):
     naive = _ps_prepared(spark, SF_SMALL).pandas_api()  # no index_col
     plan = naive._internal.spark_frame._jdf.queryExecution().toString()
     assert "AttachDistributedSequence" in plan
+
+
+def _plan_tree(plan: str) -> list[str]:
+    """The operator-tree section of explain('formatted'): lines between
+    the '== Physical Plan ==' header and the first blank line. Line 0 is
+    the ROOT; deeper (further-down) lines are closer to the scan."""
+    lines = plan.splitlines()
+    start = next(
+        i for i, ln in enumerate(lines) if ln.startswith("== Physical Plan")
+    )
+    tree = []
+    for ln in lines[start + 1:]:
+        if not ln.strip():
+            break
+        tree.append(ln)
+    return tree
+
+
+def _first_line(tree: list[str], token: str) -> int:
+    for i, ln in enumerate(tree):
+        if token in ln:
+            return i
+    raise AssertionError(f"{token!r} not in plan tree:\n" + "\n".join(tree))
+
+
+def test_presorted_python_stages_keep_sort_below_python(spark):
+    """ADVICE r13 (medium): the r13 single-pass rewrites rely on the
+    subquery/input sort SURVIVING below the Python node — SQL gives no
+    ordering guarantee for subqueries, and EliminateSorts could strip it
+    on a Spark upgrade. Pin the plan shape in CI: for each rewritten
+    builder the Python node sits ABOVE exactly one Sort + Exchange
+    rangepartitioning, and no Sort/range-Exchange sits above the Python
+    node (which would mean bounds sampling re-executes the Python pass
+    — the r13 double-eval bug)."""
+    cases = {
+        "udf_arrow_map": "MapInArrow",
+        "udtf_python_native": "ArrowEvalPythonUDTF",
+        "fn_udf_sql_register": "ArrowEvalPython",
+        "udf_pandas_iter": "ArrowEvalPython",
+    }
+    for key, node in cases.items():
+        plan = _formatted_plan(spark, key)
+        tree = _plan_tree(plan)
+        py = _first_line(tree, node)
+        sort = _first_line(tree, "Sort")
+        exch = _first_line(tree, "Exchange")
+        # tree line index grows toward the scan: the Python node must be
+        # NEARER the root than the sort/exchange that orders its input
+        assert py < sort < exch, (key, tree)
+        # and nothing sorts/exchanges above the Python node
+        assert not any(
+            "Sort" in ln or "Exchange" in ln for ln in tree[:py]
+        ), (key, tree)
+        # the rangepartitioning exchange is the deterministic-output one
+        assert "rangepartitioning" in plan, key
+
+
+def test_checkpointed_python_stages_hide_python_below_the_sort(spark):
+    """ADVICE r13 (medium), checkpoint-style rewrites: where sort keys do
+    not pass through the Python stage (grouped map, Python scans) the r13
+    fix materializes the kernel behind a lazy localCheckpoint — the final
+    registered plan must be Sort over Scan ExistingRDD with NO Python
+    node anywhere above it (range sampling then re-reads the checkpoint,
+    never the Python pass)."""
+    for key in (
+        "udf_arrow_grouped",
+        "src_python_datasource",
+        "src_python_datasource_pushdown",
+    ):
+        plan = _formatted_plan(spark, key)
+        tree = _plan_tree(plan)
+        assert any("ExistingRDD" in ln for ln in tree), (key, tree)
+        assert not any(
+            ("Python" in ln) or ("MapInArrow" in ln) or ("Pandas" in ln)
+            for ln in tree
+        ), (key, tree)
+        assert _first_line(tree, "Sort") < _first_line(tree, "ExistingRDD"), (
+            key,
+            tree,
+        )

@@ -146,3 +146,48 @@ def checkpointed(cache: dict, key, build):
             del cache[k]
         cache[key] = build().localCheckpoint(eager=True)
     return cache[key]
+
+
+def local_rows_df(spark, schema_ddl: str, rows):
+    """Driver-computed small result rows as a PURE-JVM local relation.
+
+    ``spark.createDataFrame(rows, ddl)`` wraps the rows in a Python RDD,
+    so EVERY action on the result (each bench pass's noop write, each
+    oracle collect) pays a Python-worker round trip — measured 0.35 s
+    steady / >1 s when the worker pool is cold (the r13→r14
+    dq_observe_metrics in-bench anomaly: the bench prefix leaves no idle
+    worker, so every pass re-spawned one). Building the same rows as
+    literal columns over ``spark.range(1)`` + UNION keeps the relation
+    JVM-only (~0.08 s per action) — same values, same schema (the
+    ``when(True, …)`` wrapper pins every field nullable, matching
+    createDataFrame's DDL-schema nullability).
+
+    Scalars only (int/float/str/bool/None); use createDataFrame for
+    anything nested or larger than a few hundred rows.
+    """
+    import pyspark.sql.functions as F
+
+    fields = []
+    for fdef in schema_ddl.split(","):
+        name, typ = fdef.strip().split(None, 1)
+        fields.append((name, typ))
+    out = None
+    for row in rows:
+        cols = [
+            F.when(F.lit(True), F.lit(v).cast(t)).alias(n)
+            for (n, t), v in zip(fields, row)
+        ]
+        df = spark.range(1).select(*cols)
+        out = df if out is None else out.unionAll(df)
+    if out is None:  # zero rows: empty relation with the right schema
+        out = (
+            spark.range(1)
+            .select(
+                *[
+                    F.when(F.lit(True), F.lit(None).cast(t)).alias(n)
+                    for n, t in fields
+                ]
+            )
+            .limit(0)
+        )
+    return out

@@ -715,14 +715,16 @@ def graph_bipartite_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_BIP_EDGES_SQL).coalesce(8),
     ).createOrReplaceTempView("bip_edges")
-    _capped_edges_view(spark)
-    return spark.sql(
+    capped = _capped_edges_view(spark)
+    out = spark.sql(
         _bipartite_jaccard_sql(
             "spark",
             edges_ref="SELECT p, s FROM bip_edges",
-            ecap_ref="SELECT p, s FROM bip_edges_capped",
+            ecap_ref=f"SELECT p, s FROM {capped}",
         )
     )
+    spark.catalog.dropTempView(capped)  # plan already resolved/inlined
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -823,35 +825,52 @@ def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (session_key(spark), sf_dir.rstrip("/")),
         lambda: spark.sql(_BIP_EDGES_SQL).coalesce(8),
     ).createOrReplaceTempView("bip_edges")
-    _capped_edges_view(spark)
-    return spark.sql(
+    capped = _capped_edges_view(spark)
+    out = spark.sql(
         _resource_alloc_sql(
             "spark",
             edges_ref="SELECT p, s FROM bip_edges",
-            ecap_ref="SELECT p, s FROM bip_edges_capped",
+            ecap_ref=f"SELECT p, s FROM {capped}",
         )
     )
+    spark.catalog.dropTempView(capped)  # plan already resolved/inlined
+    return out
 
 
-def _capped_edges_view(spark: SparkSession) -> None:
+_CAPPED_VIEW_SEQ = 0
+
+
+def _capped_edges_view(spark: SparkSession) -> str:
     """Register the per-invocation capped edge list (parts with degree
-    <= _BIP_PART_CAP) as `bip_edges_capped`, materialized behind a LAZY
-    localCheckpoint. The checkpoint is the point: it is a physical
-    barrier Catalyst's inner-join flattening cannot reorder across, so
-    the hot-part cap provably prunes candidate GENERATION (before the
-    per-part self-join explodes C(d,2) pairs) instead of filtering
-    after it. Rebuilt per builder call — per-run work, nothing cached
-    across invocations (the view overwrites; materialization happens
-    inside the run's own action)."""
+    <= _BIP_PART_CAP) under a UNIQUE view name, materialized behind a
+    LAZY localCheckpoint, and return the name. The checkpoint is the
+    point: it is a physical barrier Catalyst's inner-join flattening
+    cannot reorder across, so the hot-part cap provably prunes candidate
+    GENERATION (before the per-part self-join explodes C(d,2) pairs)
+    instead of filtering after it. Rebuilt per builder call — per-run
+    work, nothing cached across invocations.
+
+    ADVICE r13: a fixed view name let concurrent builders in one session
+    overwrite each other's view mid-query; the per-invocation name (pid +
+    counter) removes that, and the CALLER drops the view right after
+    spark.sql() resolves it (resolution inlines the plan, so the catalog
+    entry is not needed at action time — no catalog accumulation). The
+    checkpointed blocks themselves are freed by the ContextCleaner once
+    the returned plan is unreachable; they are per-run MBs, never
+    cross-run state."""
+    global _CAPPED_VIEW_SEQ
+    _CAPPED_VIEW_SEQ += 1
+    import os as _os
+
+    name = f"bip_edges_capped_{_os.getpid()}_{_CAPPED_VIEW_SEQ}"
     spark.sql(
         f"""
 SELECT e.p, e.s FROM bip_edges e
 JOIN (SELECT p FROM bip_edges GROUP BY p
       HAVING count(*) <= {_BIP_PART_CAP}) c
   ON c.p = e.p"""
-    ).localCheckpoint(eager=False).createOrReplaceTempView(
-        "bip_edges_capped"
-    )
+    ).localCheckpoint(eager=False).createOrReplaceTempView(name)
+    return name
 
 # ---------------------------------------------------------------------------
 # graph_clustering_coeff — local clustering coefficient on the token

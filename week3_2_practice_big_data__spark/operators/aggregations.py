@@ -1186,7 +1186,12 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = [("lang", i) for i in row["lang_freqItems"]] + [
         ("source", i) for i in row["source_freqItems"]
     ]
-    cand_df = spark.createDataFrame(cand, "col string, item string")
+    from ..common import local_rows_df
+
+    # r14: literal JVM rows — a Python-RDD-backed relation inside the
+    # plan paid a Python-worker round trip per action (see common.
+    # local_rows_df).
+    cand_df = local_rows_df(spark, "col string, item string", cand)
     exact = (
         docs.groupBy(F.col("lang").alias("item"))
         .agg(F.count(F.lit(1)).alias("n_item"))
@@ -1257,13 +1262,16 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(_AQ_FILTER)
         .select(F.col("value").cast("double").alias("v"))
     )
+    from ..common import local_rows_df
+
     qs = ev.stat.approxQuantile("v", _AQ_PS, _AQ_ERR)
     if len(qs) < len(_AQ_PS):  # empty/all-null input: API returns []
-        return spark.createDataFrame(
-            [], "p double, n_vals bigint, rank_ok boolean"
+        return local_rows_df(
+            spark, "p double, n_vals bigint, rank_ok boolean", []
         )
-    est = spark.createDataFrame(
-        list(zip(_AQ_PS, qs)), "p double, est double"
+    # r14: literal JVM rows (see common.local_rows_df)
+    est = local_rows_df(
+        spark, "p double, est double", list(zip(_AQ_PS, qs))
     )
     ranked = (
         ev.crossJoin(F.broadcast(est))
@@ -1355,7 +1363,14 @@ def agg_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cov_ok = _close(api_cov, exp_cov)
         corr_ok = _close(api_corr, exp_corr)
-    return spark.createDataFrame(
+    from ..common import local_rows_df
+
+    # r14: literal JVM row (see common.local_rows_df)
+    return local_rows_df(
+        spark,
+        "n_rows bigint, sum_q bigint, sum_disc_c bigint, "
+        "sum_q_disc_c bigint, sum_qq bigint, sum_dd bigint, "
+        "cov_api_ok boolean, corr_api_ok boolean",
         [
             (
                 n,
@@ -1368,9 +1383,6 @@ def agg_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 corr_ok,
             )
         ],
-        "n_rows bigint, sum_q bigint, sum_disc_c bigint, "
-        "sum_q_disc_c bigint, sum_qq bigint, sum_dd bigint, "
-        "cov_api_ok boolean, corr_api_ok boolean",
     )
 
 
@@ -1410,8 +1422,12 @@ def agg_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_samp")
     )
     tot = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_total"))
-    frac_df = spark.createDataFrame(
-        list(_SAMPLEBY_FRACS.items()), "l_returnflag string, frac double"
+    from ..common import local_rows_df
+
+    # r14: literal JVM rows (see common.local_rows_df)
+    frac_df = local_rows_df(
+        spark, "l_returnflag string, frac double",
+        list(_SAMPLEBY_FRACS.items()),
     )
     bound = 6.0 * F.sqrt(
         F.col("n_total") * F.col("frac") * (1.0 - F.col("frac"))
@@ -1789,10 +1805,14 @@ def agg_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i, p * wsum, n_total, abs(c - p * n_total) <= bound,
              complete_ok, disjoint_ok)
         )
-    return spark.createDataFrame(
-        rows,
+    from ..common import local_rows_df
+
+    # r14: literal JVM rows (see common.local_rows_df)
+    return local_rows_df(
+        spark,
         "split_id int, weight double, n_total bigint, "
         "within_6sigma boolean, complete_ok boolean, disjoint_ok boolean",
+        rows,
     ).orderBy("split_id")
 
 
@@ -1860,13 +1880,16 @@ FROM customer_bal
 """
     ).first()
     n = ex["n"]
+    from ..common import local_rows_df
+
     if n == 0:  # summary() on empty: count='0', others NULL — oracle empty
-        return spark.createDataFrame(
-            [],
+        return local_rows_df(
+            spark,
             "n_rows bigint, min_c bigint, max_c bigint, count_ok boolean, "
             "min_ok boolean, max_ok boolean, mean_ok boolean, "
             "stddev_ok boolean, q25_ok boolean, q50_ok boolean, "
             "q75_ok boolean",
+            [],
         )
 
     def close(a: float, b: float, rel: float) -> bool:
@@ -1883,8 +1906,10 @@ FROM customer_bal
         stddev_ok = close(float(stats["stddev"]), math.sqrt(max(var, 0.0)), 1e-6)
     # percentile rank bounds (summary uses approx_percentile, err 0.01)
     qs = {p: float(stats[f"{p}%"]) for p in (25, 50, 75)}
-    est = spark.createDataFrame(
-        [(p / 100.0, v) for p, v in qs.items()], "p double, est double"
+    # r14: literal JVM rows (see common.local_rows_df)
+    est = local_rows_df(
+        spark, "p double, est double",
+        [(p / 100.0, v) for p, v in qs.items()],
     )
     ranked = {
         r["p"]: (r["lo"], r["hi"])
@@ -1902,12 +1927,14 @@ FROM customer_bal
         and ranked[p / 100.0][1] >= p / 100.0 - tol
         for p in (25, 50, 75)
     }
-    return spark.createDataFrame(
+    # r14: literal JVM row (see common.local_rows_df)
+    return local_rows_df(
+        spark,
+        "n_rows bigint, min_c bigint, max_c bigint, count_ok boolean, "
+        "min_ok boolean, max_ok boolean, mean_ok boolean, "
+        "stddev_ok boolean, q25_ok boolean, q50_ok boolean, q75_ok boolean",
         [
             (n, ex["mn"], ex["mx"], count_ok, min_ok, max_ok, mean_ok,
              stddev_ok, q_ok[25], q_ok[50], q_ok[75])
         ],
-        "n_rows bigint, min_c bigint, max_c bigint, count_ok boolean, "
-        "min_ok boolean, max_ok boolean, mean_ok boolean, "
-        "stddev_ok boolean, q25_ok boolean, q50_ok boolean, q75_ok boolean",
     )

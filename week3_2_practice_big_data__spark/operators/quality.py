@@ -580,8 +580,16 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # extents, coalesced micro-sum 0 — exactly what the oracle's
         # aggregates yield over zero rows.
         row = [(0, None, 0, None, None)]
-    return spark.createDataFrame(
-        row,
+    # r14: literal JVM row, not createDataFrame — a Python-RDD-backed
+    # 1-row relation paid a Python-worker round trip on EVERY action
+    # (0.35 s steady, >1 s when the bench prefix left the worker pool
+    # cold: the r13 in-bench 4.4x anomaly and its 0.28 low-core scaling
+    # ratio were worker SPAWN, not compute).
+    from ..common import local_rows_df
+
+    return local_rows_df(
+        spark,
         "n_rows bigint, n_null_props bigint, sum_value_u bigint, "
         "min_event_id bigint, max_event_id bigint",
+        row,
     )

@@ -242,8 +242,11 @@ SELECT 'n_rows', {_transpose_cell('A', 'n_rows')},
 )
 def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    spine = spark.createDataFrame(
-        [("A",), ("N",), ("R",)], "l_returnflag string"
+    from ..common import local_rows_df
+
+    # r14: literal JVM rows (see common.local_rows_df)
+    spine = local_rows_df(
+        spark, "l_returnflag string", [("A",), ("N",), ("R",)]
     )
     aggd = li.groupBy("l_returnflag").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),

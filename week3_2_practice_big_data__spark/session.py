@@ -29,6 +29,16 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 # exceed the threshold and stay sort-merge. 64 MB per-partition build is
 # conservative for any executor sized per guide §5; env-overridable for
 # deployments that want it off (0) or larger.
+#
+# Ordering audit (ADVICE r13): rewriting SMJ->SHJ changes INTRA-PARTITION
+# row order for any join without a final sort. Audited r14: every oracle
+# comparison in this repo is order-INSENSITIVE — the driver's value-hash
+# and tests/oracle.py's compare() both canonicalize by sorting on all
+# columns — and every key whose OUTPUT contract is ordered ends in an
+# explicit top-level ORDER BY / orderBy (the registry discipline since
+# r1; the r13 single-pass rewrites moved those sorts BELOW Python nodes
+# but never removed them). No key relies on SMJ's incidental key-sorted
+# partition order.
 _SHJ_THRESHOLD = os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024))
 
 

@@ -360,6 +360,14 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint materializes the scan once; the sort samples the
     # checkpointed partitions. Same rows, same order, recomputed per
     # invocation.
+    #
+    # Caveats (ADVICE r13): localCheckpoint blocks are UNREPLICATED
+    # executor-local storage — an executor loss mid-job is unrecoverable
+    # (lineage is truncated), and each invocation's blocks stay resident
+    # until the driver's ContextCleaner GCs the plan. Acceptable here:
+    # local-mode benchmarking has no executor loss, and the blocks are a
+    # few MB per run. A fault-tolerant deployment would use reliable
+    # checkpoint() to shared storage (or accept the recompute).
     return (
         spark.read.format("w32bd_lcg")
         .load()
@@ -394,7 +402,14 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PYDSS_N = 4096
-_PYDSS_CHUNK = 512
+# 2048 (r14, was 512): each offset chunk is one micro-batch, and every
+# micro-batch pays driver-side simpleStreamReader prefetch + trigger +
+# state-commit machinery (~0.6 s/batch measured) — 10 batches of fixed
+# cost dwarfed the 4096-row data. Two main chunks (+2 sentinel batches)
+# still demonstrate offset-range progression and cross-batch watermark
+# advance; the emitted set depends only on the FINAL watermark, so the
+# output is chunk-size-invariant (hash-proven at the oracle).
+_PYDSS_CHUNK = 2048
 _PYDSS_SEED = 4242
 _PYDSS_T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC, divisible by 600
 _PYDSS_DELAY_S = 3000
@@ -674,8 +689,13 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             for line in f:
                 t, n, nu = _json.loads(line)
                 rows.append((t, n, nu))
-    return spark.createDataFrame(
-        rows, "event_type string, n bigint, n_users bigint"
+    from ..common import local_rows_df
+
+    # r14: literal JVM rows — the read-back is a handful of rollup rows;
+    # createDataFrame's Python-RDD scan paid a worker round trip per
+    # action (see common.local_rows_df).
+    return local_rows_df(
+        spark, "event_type string, n bigint, n_users bigint", rows
     ).orderBy("event_type")
 
 
@@ -796,7 +816,10 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     with _stream_shuffle(spark):
         query = (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
+            # 2 files/trigger (r14): output = manifest-committed union =
+            # windows finalized by the FINAL watermark — invariant to the
+            # chunk→batch grouping (see streams._run_stream).
+            .option("maxFilesPerTrigger", 2)
             .option("recursiveFileLookup", "true")
             .parquet(src)
             .withWatermark("ts", _WATERMARK)
@@ -807,6 +830,12 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
                 "event_type",
                 "n",
             )
+            # coalesce(1) (r14, guide §4): each staged file is one Python
+            # writer-task round trip per epoch; the finalized rows per
+            # epoch are a handful — one task stages them all. Committed
+            # row union unchanged; the two-phase commit contract (stage →
+            # per-batch manifest) is exercised identically.
+            .coalesce(1)
             .writeStream.format("w32bd_jsonl_stream_sink")
             .option("path", out)
             .option(
@@ -1005,10 +1034,14 @@ def sink_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             for line in f:
                 rf, ls, n, squ = _json.loads(line)
                 rows.append((rf, ls, n, squ))
-    return spark.createDataFrame(
-        rows,
+    from ..common import local_rows_df
+
+    # r14: literal JVM rows (see common.local_rows_df)
+    return local_rows_df(
+        spark,
         "l_returnflag string, l_linestatus string, n bigint, "
         "sum_qty_u bigint",
+        rows,
     ).orderBy("l_returnflag", "l_linestatus")
 
 
@@ -1281,7 +1314,10 @@ def stream_python_datasource_sink_arrow(
     with _stream_shuffle(spark):
         query = (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
+            # 2 files/trigger + coalesce(1) (r14): same argument as the
+            # row-writer twin — committed union invariant, one Arrow
+            # writer round trip per epoch instead of four.
+            .option("maxFilesPerTrigger", 2)
             .option("recursiveFileLookup", "true")
             .parquet(src)
             .withWatermark("ts", _WATERMARK)
@@ -1292,6 +1328,7 @@ def stream_python_datasource_sink_arrow(
                 "event_type",
                 "n",
             )
+            .coalesce(1)
             .writeStream.format("w32bd_jsonl_stream_arrow_sink")
             .option("path", out)
             .option("checkpointLocation", os.path.join(out, "_ckpt"))

@@ -197,13 +197,28 @@ def _pid_run_dir(prefix: str, sf_dir: str) -> str:
     return mine
 
 
-def _run_stream(spark: SparkSession, src_dir: str, schema, transform, name: str) -> DataFrame:
+def _run_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    transform,
+    name: str,
+    max_files: int = 1,
+) -> DataFrame:
+    """max_files (r14, guide §1/§2 fixed-cost class): every micro-batch
+    pays trigger + state-store-commit machinery regardless of data, so
+    keys whose RESULT is a pure function of the final watermark (append
+    union is cumulative-monotone; no oracle encodes the chunk→batch
+    mapping) run 2 files per trigger — half the batches, identical
+    output (hash-proven per key at 3 SFs). Keys whose oracle or
+    demonstration depends on per-chunk batching (dedup replay ordering,
+    sentinel-driven eviction, n_updates progressions) stay at 1."""
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files)
         .option("recursiveFileLookup", "true")
         .parquet(src_dir)
     )
@@ -276,9 +291,14 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _run_stream(spark, src, ev.schema, transform, "w32bd_wm").orderBy(
-        "win_start", "event_type"
-    )
+    # max_files=2 (r14): the emitted set is windows with end <= FINAL
+    # watermark — a cumulative-monotone union invariant to how the four
+    # ts-ordered chunks batch (watermark still advances across the two
+    # data batches; the final finalization rides the same trailing
+    # no-data batch it always did). Hash-proven identical at 3 SFs.
+    return _run_stream(
+        spark, src, ev.schema, transform, "w32bd_wm", max_files=2
+    ).orderBy("win_start", "event_type")
 
 
 # Batch-equivalence oracle under lockstep arrival (r5): the four main
@@ -506,7 +526,14 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark, python_stateful=True):
         query = (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
+            # 2 files/trigger (r14): the exact-BIGINT state makes the
+            # final per-user fold batching-free (the oracle's point), and
+            # the builder keeps only each user's max-n_events row — so
+            # halving the batch count halves the per-(batch, group)
+            # Python round-trips and state (de)serialization while state
+            # still provably crosses a batch boundary. Hash-proven
+            # identical at 3 SFs.
+            .option("maxFilesPerTrigger", 2)
             .option("recursiveFileLookup", "true")
             .parquet(src)
             .transform(transform)
@@ -788,7 +815,13 @@ ORDER BY click_id, view_id
 )
 def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    src = _chunked_source(spark, sf_dir, "ssoj", sentinels=2)
+    # sentinels=3 (r14): all sentinel chunks carry the SAME far-future
+    # timestamps, so a third changes no watermark and no oracle — it
+    # exists so the chained-join twin (same 'ssoj' source) can read 2
+    # files/trigger and still land its final eviction in a data batch
+    # ([s90,s91] advances the wm to final, [s92] evicts). For THIS key
+    # (1 file/trigger) it is one extra no-op data batch.
+    src = _chunked_source(spark, sf_dir, "ssoj", sentinels=3)
     name = "w32bd_ssoj"
     for q in spark.streams.active:
         if q.name == name:
@@ -907,7 +940,7 @@ ORDER BY win_start
 )
 def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    src = _chunked_source(spark, sf_dir, "ssoj", sentinels=2)
+    src = _chunked_source(spark, sf_dir, "ssoj", sentinels=3)
     name = "w32bd_scja"
     for q in spark.streams.active:
         if q.name == name:
@@ -916,7 +949,15 @@ def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side():
         return (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
+            # 2 files/trigger (r14): batches [c0,c1],[c2,c3],[s90,s91],
+            # [s92] — the identical-ts sentinel chunks mean [s90,s91]
+            # advances the global watermark to its final value and [s92]
+            # is the data batch that runs the last eviction/finalization,
+            # exactly the r8 sentinel discipline at half the batch count.
+            # Emitted set = windows with end <= final wm - range, a pure
+            # function of the FINAL watermark — batching-invariant
+            # (hash-proven at 3 SFs).
+            .option("maxFilesPerTrigger", 2)
             .option("recursiveFileLookup", "true")
             .parquet(src)
         )
@@ -1539,9 +1580,16 @@ def _session_native_transform(s: DataFrame) -> DataFrame:
 )
 def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    src = _chunked_source(spark, sf_dir, "sessnat", sentinels=2)
+    # sentinels=3 + 2 files/trigger (r14): sentinel chunks share one
+    # timestamp, so [s90,s91] advances the watermark to its final value
+    # and [s92] is the data batch that evicts the last sessions — the
+    # same sentinel discipline at 4 data batches instead of 6. Emitted
+    # set = sessions with end <= final wm, batching-invariant
+    # (hash-proven at 3 SFs + the crafted merge/boundary fixture).
+    src = _chunked_source(spark, sf_dir, "sessnat", sentinels=3)
     out = _run_stream(
-        spark, src, ev.schema, _session_native_transform, "w32bd_sessnat"
+        spark, src, ev.schema, _session_native_transform, "w32bd_sessnat",
+        max_files=2,
     )
     return out.filter(F.col("user_id") >= 0).orderBy(
         "user_id", "session_start_us"
@@ -1752,7 +1800,11 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
+        # 2 files/trigger (r14): per-batch metric terms are summed /
+        # min-max-merged across batches, so the totals are invariant to
+        # the chunk→batch grouping; two data batches still exercise the
+        # cross-batch merge while halving trigger+commit fixed cost.
+        .option("maxFilesPerTrigger", 2)
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
@@ -1809,10 +1861,15 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             max(int(x) for x in maxs) if maxs else None,
         )
     ]
-    return spark.createDataFrame(
-        row,
+    # r14: literal JVM row (see common.local_rows_df) — createDataFrame's
+    # Python-RDD scan paid a worker round trip per action.
+    from ..common import local_rows_df
+
+    return local_rows_df(
+        spark,
         "n_rows bigint, n_null_props bigint, sum_value_u bigint, "
         "min_event_id bigint, max_event_id bigint",
+        row,
     )
 
 
@@ -1887,7 +1944,16 @@ def stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             query = (
                 _pipeline_e2e_transform(
                     spark.readStream.schema(ev.schema)
-                    .option("maxFilesPerTrigger", 1)
+                    # 2 files/trigger (r14): the exactly-once argument is
+                    # per-ROW and batching-independent (each replayed row
+                    # is late-dropped OR dedup-filtered whichever batch
+                    # carries it), sessions finalize against the FINAL
+                    # watermark, and the two sentinel chunks still land
+                    # so the last eviction rides a data batch (the second
+                    # sentinel file forms its own trailing batch: 5
+                    # life-2 files -> ceil(5/2) batches). Hash-proven at
+                    # 3 SFs + the crafted restart fixture.
+                    .option("maxFilesPerTrigger", 2)
                     .option("recursiveFileLookup", "true")
                     .parquet(stage)
                 )
@@ -2025,7 +2091,10 @@ def stream_query_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
         with _stream_shuffle(spark):
             query = (
                 spark.readStream.schema(ev.schema)
-                .option("maxFilesPerTrigger", 1)
+                # 2 files/trigger (r14): the key's output is the summed
+                # numInputRows across the query's progress events —
+                # invariant to batching; still multiple progress events.
+                .option("maxFilesPerTrigger", 2)
                 .option("recursiveFileLookup", "true")
                 .parquet(src)
                 .withWatermark("ts", _WATERMARK)
@@ -2060,8 +2129,12 @@ def stream_query_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
             collector.terminated.count(qid),
         )
     ]
-    return spark.createDataFrame(
-        row, "n_rows bigint, n_started bigint, n_terminated bigint"
+    # r14: literal JVM row (see common.local_rows_df) — createDataFrame's
+    # Python-RDD scan paid a worker round trip per action.
+    from ..common import local_rows_df
+
+    return local_rows_df(
+        spark, "n_rows bigint, n_started bigint, n_terminated bigint", row
     )
 
 
@@ -2142,7 +2215,9 @@ def stream_sink_foreach_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark):
         query = (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
+            # 2 files/trigger (r14): same final-watermark-only output
+            # set as stream_watermark_late (see _run_stream).
+            .option("maxFilesPerTrigger", 2)
             .option("recursiveFileLookup", "true")
             .parquet(src)
             .withWatermark("ts", _WATERMARK)
@@ -2153,6 +2228,13 @@ def stream_sink_foreach_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type",
                 "n",
             )
+            # coalesce(1) (r14, guide §4 boundary): each NON-EMPTY
+            # (epoch, partition) pays a Python foreach-writer round trip;
+            # the finalized-window rows per epoch are a handful, so 4
+            # write partitions bought nothing but 4x the worker dispatch.
+            # The committed ROW SET is unchanged (per-row sink, read back
+            # and globally ordered).
+            .coalesce(1)
             .writeStream.foreach(_RowWriter(out))
             .outputMode("append")
             .queryName(qname)
@@ -2388,7 +2470,11 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changelogCheckpointing.enabled": "true",
         },
     ):
-        out = _run_stream(spark, src, ev.schema, transform, "w32bd_rocksdb")
+        # max_files=2 (r14): same final-watermark-only oracle as
+        # stream_watermark_late — see _run_stream.
+        out = _run_stream(
+            spark, src, ev.schema, transform, "w32bd_rocksdb", max_files=2
+        )
     return out.orderBy("win_start", "event_type")
 
 
